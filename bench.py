@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line with per-query wall seconds.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver), so timings measure the engine, not result
+transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import heapdumpstardiver_spark as hds
+from heapdumpstardiver_spark.session import get_spark
+
+# Headline set: one per operator family — scan-heavy agg, fact-fact
+# join, two-level agg, top-k, explode, window, sessionize, event-time
+# window, hash dedup, shingle self-join, ANN.
+HEADLINE = [
+    "pricing_summary",
+    "join_fact_fact",
+    "two_level_agg",
+    "weighted_topk",
+    "having_dup_groups",
+    "global_topk",
+    "explode_tokens",
+    "window_rank_topk",
+    "sessionize_lag",
+    "window_tumbling_hour",
+    "dedup_exact",
+    "ngram_shingle_overlap",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="heapdumpstardiver-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = hds.QUERIES[name]
+        # Warm the input file listing/schema outside the timed region.
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Table resolution over a directory-of-Parquet warehouse.
+
+Equivalent of the reference's ``ParquetResolver``
+(/root/reference/scripts/analyze_heap_parquet.py:92-127): map a logical
+table name to the parquet file(s) backing it, lazily, with glob support
+for multi-part layouts (the reference's robo-mode ``_chunk{0..15}``
+files are exactly Spark's natural many-part-files-per-table output).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic relational fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one logical table. Spark globs directories natively, so a
+    single-file layout and a chunked layout resolve identically.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    refuses to read natively; it is read as raw nanos (nanosAsLong) and
+    converted losslessly to a microsecond timestamp with integral
+    arithmetic (``DIV`` — a double division would lose precision above
+    2^53 ns).
+    """
+    if name == "events":
+        return _load_events(spark, table_path(sf_dir, name))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down; the read below will surface the issue
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register temp views so ``spark.sql`` passthrough works — the
+    equivalent of the reference's `query_heap` arbitrary-SQL surface
+    (/root/reference/mcp_server/server.py:479-534)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Warehouse:
+    """A directory-of-Parquet warehouse with lazy per-table resolution.
+
+    Generalizes the fixture layout to any directory of ``<name>.parquet``
+    files or ``<name>/`` parquet datasets (as produced by
+    ``DataFrame.write.parquet``), e.g. the heap warehouse written by
+    ``heapdumpstardiver_spark.ingest``.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._cache: dict[str, DataFrame] = {}
+
+    def table_names(self) -> list[str]:
+        names = []
+        for entry in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, entry)
+            if entry.endswith(".parquet") and os.path.isfile(full):
+                names.append(entry[: -len(".parquet")])
+            elif os.path.isdir(full):
+                names.append(entry)
+        return names
+
+    def _resolve(self, name: str) -> str:
+        file_path = os.path.join(self.root, f"{name}.parquet")
+        dir_path = os.path.join(self.root, name)
+        if os.path.exists(file_path):
+            return file_path
+        if os.path.isdir(dir_path):
+            return dir_path
+        raise KeyError(f"table {name!r} not found under {self.root}")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(self._resolve(name))
+        return self._cache[name]
+
+    def register_all(self) -> None:
+        for name in self.table_names():
+            # Dots in class-table names (java.lang.String) need backticks;
+            # views use a sanitized name.
+            view = name.replace(".", "_").replace("[", "_").replace("]", "_")
+            self.table(name).createOrReplaceTempView(view)

@@ -1,0 +1,53 @@
+"""Engine-portable expression helpers.
+
+The driver compares Spark results against a DuckDB oracle by value
+hash, so every computed value must be bit-identical across engines.
+Two engine quirks are neutralized here:
+
+- ``round``: Spark rounds HALF_UP on the exact binary expansion of the
+  double (2.675d → 2.67) while DuckDB rounds on the shortest decimal
+  representation (2.675 → 2.68). ``round2``/``round_col`` instead use
+  pure IEEE arithmetic — ``floor(x*10^n + 0.5)/10^n`` with sign
+  handling — which evaluates identically in both engines.
+- Spark ``F.floor`` returns LongType; dividing by a double literal
+  restores DoubleType, matching DuckDB's double pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def round_col(col: Column, n: int = 2) -> Column:
+    """Deterministic half-up rounding of a double column (Spark side)."""
+    p = float(10**n)
+    pos = F.floor(col * p + F.lit(0.5)) / F.lit(p)
+    neg = -(F.floor(-col * p + F.lit(0.5)) / F.lit(p))
+    return F.when(col >= 0, pos).otherwise(neg)
+
+
+def round_sql(expr: str, n: int = 2) -> str:
+    """The same rounding as :func:`round_col`, as a DuckDB SQL fragment."""
+    p = float(10**n)
+    return (
+        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {p} + 0.5) / {p} "
+        f"ELSE -(floor(-({expr}) * {p} + 0.5) / {p}) END)"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two array<double> columns.
+
+    Left fold in index order — the same operation order DuckDB's
+    ``list_dot_product`` uses, so results are bit-comparable.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,0 +1,376 @@
+"""LLM-training-data-pipeline operators (SURVEY.md §7 Phase 6).
+
+Extensions beyond the reference surface, seeded by its
+duplicate-content checks (analyze_heap_parquet.py:255-342,715-761,
+891-934): deduplication, embedding similarity search, and text
+analysis over the `documents` / `embeddings` fixture tables.
+
+Scale posture: everything here is a shuffle-on-key or broadcast plan —
+no driver-side state. Exact dedup = hash-groupBy; near-dup pieces
+(shingles, band buckets) are explode → groupBy pipelines whose
+fan-out is bounded per document; the brute-force ANN baseline
+broadcasts only the (tiny) query vector set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import cosine, dot, round_col, round_sql
+from ..registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+           count(DISTINCT h) AS distinct_texts
+    FROM (
+        SELECT doc_id, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep-first policy — the Duplicate
+    Strings check generalized (analyze_heap_parquet.py:255-342). The
+    md5 group key makes the shuffle key fixed-width regardless of
+    document size; at 100 TB use xxhash64 and keep the text out of the
+    shuffle entirely."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = d.select("doc_id", F.md5("text").alias("h")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("dropped"),
+        F.countDistinct("h").alias("distinct_texts"),
+    )
+
+
+@query(
+    "dedup_prefix_groups",
+    oracle="""
+    WITH groups AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS h,
+               count(*) AS dup_count,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(min(doc_id) AS BIGINT) AS keeper
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT count(*) AS dup_groups,
+           CAST(sum(dup_count) AS BIGINT) AS total_members,
+           CAST(sum((dup_count - 1) * min_chars) AS BIGINT) AS est_wasted_chars
+    FROM groups
+    """,
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate grouping by 2-token prefix fingerprint, with the
+    reference's two-level waste rollup (`SUM((dup_count-1)*str_len)`,
+    analyze_heap_parquet.py:276-294,721-737)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)))
+    groups = (
+        d.groupBy(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.sum("dup_count").cast("long").alias("total_members"),
+        F.sum((F.col("dup_count") - 1) * F.col("min_chars")).cast("long").alias(
+            "est_wasted_chars"
+        ),
+    )
+
+
+@query(
+    "ngram_shingle_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    shingles AS (
+        -- DuckDB list slicing is end-inclusive: [i : i+3] = 4 tokens,
+        -- matching Spark's slice(tokens, i, 4).
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tokens[i:i+3], ' ')) AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 4 + 2)) AS t(i)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_shingles
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 5
+    ORDER BY shared_shingles DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair detection by shared 4-token shingles — the
+    shingle → bucket-join core of MinHash/LSH dedup, run exact. Each
+    document fans out to O(len) fixed-width hashes; the self-join keys
+    on the shingle hash so only co-bucketed docs pair up (never the
+    full cross product)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    n = 4
+    # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest
+    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    shingles = (
+        toks.filter(F.size("tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(idx).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("tokens", F.col("i"), n))).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
+        .orderBy(F.desc("shared_shingles"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           {round_sql("list_dot_product(CAST(embedding AS DOUBLE[]), qv) / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv, qv)))", 4)} AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline. The query vector (vec_id=0)
+    is broadcast; similarity is a sequential-fold dot product
+    (exprs.dot) entirely in JVM expressions; top-k is TakeOrdered. At
+    scale, the corpus side stays partition-parallel with no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    ev = F.col("embedding").cast("array<double>")
+    sim = round_col(cosine(ev, F.col("qv")), 4)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "similarity_lsh_bucketed",
+    oracle=f"""
+    WITH sgn AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM sgn WHERE vec_id = 0)
+    SELECT vec_id, label, CAST(bucket AS INT) AS bucket,
+           {round_sql("list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))", 4)} AS cos_sim
+    FROM sgn, q
+    WHERE vec_id <> 0 AND bucket = qb
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN — the scale path: random-hyperplane sign
+    bits (here: the first 3 components' signs) partition the corpus, and
+    search touches only the query's bucket. At 100 TB the bucket becomes
+    the partitioning key, turning ANN into partition-pruned scans."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    sgn = e.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+        bucket.alias("bucket"),
+    )
+    q = sgn.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    sim = round_col(cosine(F.col("v"), F.col("qv")), 4)
+    return (
+        sgn.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select("vec_id", "label", F.col("bucket").cast("int").alias("bucket"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle=f"""
+    SELECT label, count(*) AS cnt,
+           {round_sql("avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))))", 4)} AS avg_norm,
+           {round_sql("avg(CAST(embedding[1] AS DOUBLE))", 6)} AS avg_first
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics — list functions (B30) over
+    array<float> vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        round_col(F.avg(F.sqrt(dot(v, v))), 4).alias("avg_norm"),
+        round_col(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("avg_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           {round_sql("CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))", 4)} AS chars_per_token,
+           {round_sql("CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stopword_ratio,
+           CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, chars/token, stopword
+    ratio, length gate — all JVM-side higher-order array functions, no
+    Python in the hot path."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        round_col(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_token"),
+        round_col(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.when(F.col("n_chars").between(100, 5000), 1).otherwise(0).alias("quality_ok"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (word/number runs) — per-source corpus accounting."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " "))
+    re_toks = F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+    return d.groupBy("source").agg(
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(re_toks).cast("long").alias("re_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle="""
+    SELECT lang,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the')) >
+                     len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                THEN 'the-heavy' ELSE 'a-heavy' END AS guess,
+           count(*) AS cnt
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language-ID confusion matrix: a deterministic
+    stopword-frequency classifier crossed against the labeled `lang`
+    column. (The fixture vocabulary is shared across langs, so the
+    classifier is mechanical — the pipeline shape is the point.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cnt_the = F.size(F.filter(toks, lambda t: t == "the"))
+    cnt_a = F.size(F.filter(toks, lambda t: t == "a"))
+    guess = F.when(cnt_the > cnt_a, "the-heavy").otherwise("a-heavy")
+    return d.groupBy("lang", guess.alias("guess")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           CAST(length(text) AS INT) AS raw_len
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: collapse non-alphanumerics, lowercase,
+    hash — the canonical-form hashing step of document dedup
+    (generalizing the md5(CAST(list AS VARCHAR)) idiom, B29)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9]+", " "))).alias("fingerprint"),
+        F.length("text").cast("int").alias("raw_len"),
+    )

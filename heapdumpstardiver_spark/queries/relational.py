@@ -1,0 +1,731 @@
+"""Relational operator library (SURVEY.md §2B) on the fixture tables.
+
+Each query re-expresses one operator pattern from the reference's
+analytical surface (/root/reference/scripts/analyze_heap_parquet.py,
+/root/reference/mcp_server/server.py) as an idiomatic PySpark pipeline,
+with a DuckDB oracle twin. Reference citations are per-query.
+
+Scale notes apply throughout:
+- filters/projections are expressed declaratively so Catalyst pushes
+  them into the parquet scan (check: PushedFilters / ReadSchema);
+- dimension joins (region/nation/part/supplier at TPC-H geometry) are
+  explicitly broadcast — at 100 TB the fact side never shuffles for
+  them;
+- top-k uses orderBy+limit, which Spark executes as TakeOrdered
+  (per-partition heap + driver merge), not a global sort;
+- two-level aggregates reuse the first shuffle's partitioning where
+  keys allow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import round_col, round_sql
+from ..registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans / projection / predicates (B1, B6, B7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      AND l_discount BETWEEN 0.02 AND 0.05
+      AND l_quantity <> 0
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + range/inequality predicates pushed to the parquet scan.
+
+    Mirrors the reference's filtered scans, e.g. size/len range predicates
+    (analyze_heap_parquet.py:244,357,666) and `!= 0` null-sentinel tests
+    (analyze_heap_parquet.py:283,658).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+        & F.col("l_discount").between(0.02, 0.05)
+        & (F.col("l_quantity") != 0)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+@query(
+    "like_patterns",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE (p_name LIKE 'red%') OR (p_type LIKE '%ECONOMY%' AND p_name NOT LIKE '%bolt%')
+    """,
+)
+def like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-pattern predicates — the category-routing / thread-class-hunt
+    idiom (analyze_heap_parquet.py:195-201,1062-1065)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("red%")
+        | (F.col("p_type").like("%ECONOMY%") & ~F.col("p_name").like("%bolt%"))
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 101 OFFSET 500
+    """,
+)
+def pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination — `query_heap`'s LIMIT n+1 OFFSET m page
+    probe (server.py:508-517)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(500)
+        .limit(101)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (B10-B15)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi hash join + aggregate — the signature
+    String ⋈ byte[] duplicate-content join (analyze_heap_parquet.py:276-294).
+    Both sides large ⇒ shuffle join on the key; AQE handles skew."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            round_col(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "enrichment_join",
+    oracle=f"""
+    SELECT coalesce(p_brand, '(unresolved)') AS brand,
+           count(*) AS n_items,
+           {round_sql("sum(l_quantity)")} AS total_qty
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY coalesce(p_brand, '(unresolved)')
+    """,
+)
+def enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment join with an '(unresolved)' fallback — the
+    robo-mode id → type_name enrichment against `_object_index`
+    (server.py:179-184, resolve_ref_type_str dump_to_parquet.rs:150-170).
+    The dimension is broadcast: the 100-TB fact side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .groupBy(F.coalesce(F.col("p_brand"), F.lit("(unresolved)")).alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            round_col(F.sum("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_ratio_filter",
+    oracle=f"""
+    WITH line_sums AS (
+        SELECT l_orderkey, sum(l_extendedprice) AS line_total
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, o_totalprice,
+           {round_sql("line_total")} AS line_total,
+           {round_sql("line_total / o_totalprice", 4)} AS fill_ratio
+    FROM orders JOIN line_sums ON o_orderkey = l_orderkey
+    WHERE line_total / o_totalprice < 0.5
+    """,
+)
+def join_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join through an aggregated CTE with a post-join ratio predicate —
+    the collection-utilization check (HashMap size/len(table) < 0.33,
+    analyze_heap_parquet.py:654-697)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sums = li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("line_total"))
+    ratio = F.col("line_total") / F.col("o_totalprice")
+    return (
+        o.join(sums, o.o_orderkey == sums.l_orderkey)
+        .filter(ratio < 0.5)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            round_col(F.col("line_total")).alias("line_total"),
+            round_col(ratio, 4).alias("fill_ratio"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          AND o.o_totalprice > 300000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Absent from the reference (SURVEY §2B B15)
+    but part of a complete join surface; Spark plans it without
+    materializing the probe side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "hierarchy_join",
+    oracle="""
+    SELECT r_name, n_nationkey, n_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy lookup — the subclasses-of-X query over
+    `_class_hierarchy` (server.py:168-171)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "r_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "explode_tokens",
+    oracle="""
+    SELECT lang, token, count(*) AS cnt
+    FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY lang, token
+    ORDER BY cnt DESC, lang, token LIMIT 50
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral UNNEST + aggregate — the stack-trace frame_ids explode-join
+    idiom (server.py:140-144). explode() is Spark's generator-node UNNEST."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "lang", "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (B16-B22)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {round_sql("sum(l_quantity)")} AS sum_qty,
+           {round_sql("sum(l_extendedprice)")} AS sum_base_price,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+           {round_sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+           {round_sql("avg(l_quantity)", 4)} AS avg_qty,
+           {round_sql("avg(l_extendedprice)", 4)} AS avg_price,
+           {round_sql("avg(l_discount)", 4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship group-aggregate (TPC-H Q1 shape): multi-aggregate groupBy
+    with arithmetic inside the aggregates — the reference's group-by
+    surface (analyze_heap_parquet.py:181-185,284-294). Partial (map-side)
+    aggregation makes this shuffle only |groups| rows per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_col(F.sum("l_quantity")).alias("sum_qty"),
+            round_col(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round_col(F.sum(disc_price)).alias("sum_disc_price"),
+            round_col(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            round_col(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_col(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_col(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(*) / COUNT(DISTINCT) — the class-count check
+    (analyze_heap_parquet.py:764-799). Exact distinct is required by the
+    oracle; at 100 TB swap to approx_count_distinct where tolerable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "having_dup_groups",
+    oracle="""
+    SELECT l_partkey, l_suppkey, count(*) AS dup_count
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+    HAVING count(*) > 1
+    """,
+)
+def having_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING count>1 — the duplicate-group idiom used by every
+    dedup check (analyze_heap_parquet.py:287,319,730,906)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+@query(
+    "conditional_agg",
+    oracle=f"""
+    SELECT count(*) AS n_orders,
+           count(CASE WHEN o_totalprice = 0 THEN 1 END) AS n_zero,
+           {round_sql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)")} AS open_total,
+           {round_sql("sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END)")} AS urgent_total
+    FROM orders
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the DirectByteBuffer waste query
+    (SUM(CASE WHEN pos=0 AND "limit"=capacity ...), analyze_heap_parquet.py:846-854)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") == 0, 1)).alias("n_zero"),
+        round_col(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0))
+        ).alias("open_total"),
+        round_col(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+                    0.0
+                )
+            )
+        ).alias("urgent_total"),
+    )
+
+
+@query(
+    "two_level_agg",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           {round_sql("sum(total)")} AS segment_total,
+           {round_sql("avg(n_orders)", 4)} AS avg_orders_per_cust
+    FROM per_cust JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation over a CTE — the hash-groups → waste-rollup
+    pipeline (analyze_heap_parquet.py:276-294,721-737). The second
+    aggregate keys on a broadcast-joined dimension column, so only the
+    small per-customer intermediate shuffles again."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total")
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            round_col(F.sum("total")).alias("segment_total"),
+            round_col(F.avg("n_orders"), 4).alias("avg_orders_per_cust"),
+        )
+    )
+
+
+@query(
+    "weighted_topk",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, n_lines,
+           {round_sql("revenue")} AS revenue,
+           {round_sql("n_lines * revenue")} AS weight
+    FROM per_order
+    ORDER BY n_lines * revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-k of groups — `ORDER BY dup_count * str_len DESC
+    LIMIT 10` (analyze_heap_parquet.py:308-321). TakeOrdered: no global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+    weight = F.col("n_lines") * F.col("revenue")
+    return (
+        per_order.orderBy(weight.desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "n_lines",
+            round_col(F.col("revenue")).alias("revenue"),
+            round_col(weight).alias("weight"),
+        )
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           {round_sql("sum(l_quantity)")} AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — absent from the reference (SURVEY §2B B22),
+    provided for surface completeness."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"), round_col(F.sum("l_quantity")).alias("qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE bucketing / classification (B23-B26)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucket_histogram",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+                WHEN o_totalprice < 150000 THEN '50k_150k'
+                WHEN o_totalprice < 300000 THEN '150k_300k'
+                ELSE 'gte_300k' END AS bucket,
+           count(*) AS cnt,
+           {round_sql("sum(o_totalprice) / 1000000.0")} AS total_m
+    FROM orders GROUP BY 1
+    """,
+)
+def bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bucket histogram with scaled sums — the byte-array size
+    distribution (CASE len(values) buckets + MB sums,
+    analyze_heap_parquet.py:217-229)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "lt_50k")
+        .when(F.col("o_totalprice") < 150000, "50k_150k")
+        .when(F.col("o_totalprice") < 300000, "150k_300k")
+        .otherwise("gte_300k")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            round_col(F.sum("o_totalprice") / 1000000.0).alias("total_m"),
+        )
+    )
+
+
+@query(
+    "pattern_classifier",
+    oracle="""
+    SELECT CASE WHEN p_size = 0 THEN 'zero'
+                WHEN p_size = 1 THEN 'single'
+                WHEN p_size >= 40 THEN 'large'
+                ELSE 'normal' END AS pattern,
+           count(*) AS cnt,
+           CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM part GROUP BY 1
+    """,
+)
+def pattern_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE pattern classifier — empty/single/sparse array patterns
+    (analyze_heap_parquet.py:352-457,466-483)."""
+    p = _t(spark, sf_dir, "part")
+    pattern = (
+        F.when(F.col("p_size") == 0, "zero")
+        .when(F.col("p_size") == 1, "single")
+        .when(F.col("p_size") >= 40, "large")
+        .otherwise("normal")
+    )
+    return p.groupBy(pattern.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("p_size").cast("long").alias("total_size"),
+    )
+
+
+@query(
+    "category_like_chains",
+    oracle="""
+    SELECT CASE WHEN p_type LIKE 'ECONOMY%' OR p_type LIKE 'PROMO%' THEN 'value'
+                WHEN p_type LIKE 'SMALL%' OR p_type LIKE 'MEDIUM%' THEN 'mid'
+                WHEN p_name LIKE 'red%' OR p_name LIKE 'blue%' THEN 'colored'
+                ELSE 'other' END AS category,
+           count(*) AS cnt
+    FROM part GROUP BY 1
+    """,
+)
+def category_like_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-chain namespace categorizer (kafka/netty/JDK/... routing,
+    analyze_heap_parquet.py:193-207)."""
+    p = _t(spark, sf_dir, "part")
+    category = (
+        F.when(F.col("p_type").like("ECONOMY%") | F.col("p_type").like("PROMO%"), "value")
+        .when(F.col("p_type").like("SMALL%") | F.col("p_type").like("MEDIUM%"), "mid")
+        .when(F.col("p_name").like("red%") | F.col("p_name").like("blue%"), "colored")
+        .otherwise("other")
+    )
+    return p.groupBy(category.alias("category")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (B27), set ops (B28)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15
+    """,
+)
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort-desc + LIMIT — top types / top large arrays
+    (analyze_heap_parquet.py:181-185,240-246). Executes as TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(15)
+    )
+
+
+@query(
+    "union_by_name",
+    oracle=f"""
+    SELECT 'customer' AS kind, c_nationkey AS nationkey, count(*) AS cnt,
+           {round_sql("sum(c_acctbal)")} AS balance
+    FROM customer GROUP BY 1, 2
+    UNION ALL
+    SELECT 'supplier' AS kind, s_nationkey AS nationkey, count(*) AS cnt,
+           {round_sql("sum(s_acctbal)")} AS balance
+    FROM supplier GROUP BY 1, 2
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of heterogeneous sources into one tagged table — the 9-way
+    GC-root union (dump_to_parquet.rs:336-371) / 8-type primitive-array
+    loop (analyze_heap_parquet.py:537-576)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cu = c.groupBy(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("cnt"), round_col(F.sum("c_acctbal")).alias("balance"))
+    su = s.groupBy(
+        F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("cnt"), round_col(F.sum("s_acctbal")).alias("balance"))
+    return cu.unionByName(su)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (B29-B33), sampling (B35/B36)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           substr(c_name, 10, 8) AS id_part,
+           concat_ws('|', c_mktsegment, c_name) AS tagged,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface — CAST/concat/substr idioms
+    (analyze_heap_parquet.py:312)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 10, 8).alias("id_part"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "arithmetic_charge",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {round_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge,
+           {round_sql("l_extendedprice / 1048576.0", 6)} AS price_mib
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def arithmetic_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic + deterministic rounding — the
+    ROUND(x/1048576.0, 2) MB-scaling idiom (analyze_heap_parquet.py:226)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        round_col(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        round_col(F.col("l_extendedprice") / 1048576.0, 6).alias("price_mib"),
+    )
+
+
+@query(
+    "bitmask_decode",
+    oracle="""
+    SELECT l_linenumber AS status,
+           concat_ws('|',
+               CASE WHEN (l_linenumber & 1) > 0 THEN 'ALIVE' END,
+               CASE WHEN (l_linenumber & 2) > 0 THEN 'TERMINATED' END,
+               CASE WHEN (l_linenumber & 4) > 0 THEN 'RUNNABLE' END) AS states,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def bitmask_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmask flag decode — the threadStatus bitmask table
+    (analyze_heap_parquet.py:993-1024), done engine-side with bitwiseAND
+    instead of the reference's Python post-processing."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    states = F.concat_ws(
+        "|",
+        F.when(ln.bitwiseAND(1) > 0, "ALIVE"),
+        F.when(ln.bitwiseAND(2) > 0, "TERMINATED"),
+        F.when(ln.bitwiseAND(4) > 0, "RUNNABLE"),
+    )
+    return li.groupBy(ln.alias("status"), states.alias("states")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select("status", "states", "cnt")
+
+
+@query(
+    "systematic_sample",
+    oracle=f"""
+    SELECT CAST(count(*) * 10 AS BIGINT) AS est_rows,
+           {round_sql("sum(l_extendedprice) * 10")} AS est_price
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% systematic sample with estimate scale-up — the
+    Bernoulli sampling + 100/pct scaling heuristic
+    (analyze_heap_parquet.py:264-305). Key-mod sampling keeps the oracle
+    deterministic; production code would use df.sample(fraction=...)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 10 == 0)
+        .agg(
+            (F.count(F.lit(1)) * 10).cast("long").alias("est_rows"),
+            round_col(F.sum("l_extendedprice") * 10).alias("est_price"),
+        )
+    )

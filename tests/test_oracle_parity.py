@@ -1,0 +1,80 @@
+"""Replicates the driver's correctness gate locally: run every
+registered query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compare row count, column names, and
+order-insensitive values (exact equality — the driver hashes values,
+so near-equality is not good enough).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import heapdumpstardiver_spark as hds
+from tests.conftest import SF_DIR
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Normalize dtypes for comparison: timestamps → ns, ints → int64.
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+def _assert_equal(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if pd.api.types.is_float_dtype(got[c]):
+            both_nan = pd.isna(g) & pd.isna(w)
+            eq = (g == w) | both_nan
+            if not eq.all():
+                bad = np.where(~eq)[0][:5]
+                diffs = [(i, g[i], w[i], abs(g[i] - w[i])) for i in bad]
+                raise AssertionError(
+                    f"{name}.{c}: {int((~eq).sum())} float mismatches, e.g. {diffs}"
+                )
+        else:
+            eq = pd.Series(g).eq(pd.Series(w)) | (pd.isna(g) & pd.isna(w))
+            if not eq.all():
+                bad = np.where(~eq.to_numpy())[0][:5]
+                diffs = [(i, g[i], w[i]) for i in bad]
+                raise AssertionError(
+                    f"{name}.{c}: {int((~eq).sum())} mismatches, e.g. {diffs}"
+                )
+
+
+NAMES = sorted(hds.QUERIES)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_parity(name, spark, oracle_con):
+    fn = hds.QUERIES[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    if name not in hds.ORACLE_SQL:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    odf = oracle_con.execute(hds.ORACLE_SQL[name]).fetchdf()
+    _assert_equal(name, _canon(sdf), _canon(odf))
+
+
+def test_all_queries_nonvacuous(spark, oracle_con):
+    """Queries should return at least one row at sf0.01 (a vacuous
+    oracle match proves nothing)."""
+    empty = []
+    for name, fn in hds.QUERIES.items():
+        if fn(spark, SF_DIR).limit(1).count() == 0:
+            empty.append(name)
+    assert not empty, f"empty result sets: {empty}"
