@@ -1,0 +1,2 @@
+from .findings import WasteFinding, classify_severity, format_bytes  # noqa: F401
+from .runner import ALL_CHECKS, run_waste_analysis  # noqa: F401

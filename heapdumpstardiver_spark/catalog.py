@@ -83,23 +83,38 @@ class Warehouse:
         self.root = root
         self._cache: dict[str, DataFrame] = {}
 
+    # Spark's file index silently drops paths starting with "_" or "."
+    # (reserved for metadata like _SUCCESS), so the reference's
+    # underscore-prefixed system tables (`_gc_roots`, `_object_index`,
+    # SURVEY §1.3) are stored physically as ``sys_<name>.parquet`` while
+    # keeping their logical underscore names — a documented deviation
+    # forced by Spark's layout rules.
+
+    @staticmethod
+    def _logical(entry: str) -> str:
+        name = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
+        if name.startswith("sys_"):
+            return "_" + name[len("sys_"):]
+        return name
+
     def table_names(self) -> list[str]:
         names = []
         for entry in sorted(os.listdir(self.root)):
             full = os.path.join(self.root, entry)
             if entry.endswith(".parquet") and os.path.isfile(full):
-                names.append(entry[: -len(".parquet")])
-            elif os.path.isdir(full):
-                names.append(entry)
+                names.append(self._logical(entry))
+            elif os.path.isdir(full) and not entry.startswith((".", "_")):
+                names.append(self._logical(entry))
         return names
 
     def _resolve(self, name: str) -> str:
-        file_path = os.path.join(self.root, f"{name}.parquet")
-        dir_path = os.path.join(self.root, name)
-        if os.path.exists(file_path):
-            return file_path
-        if os.path.isdir(dir_path):
-            return dir_path
+        candidates = [f"{name}.parquet", name]
+        if name.startswith("_"):
+            candidates = [f"sys{name}.parquet", f"sys{name}"] + candidates
+        for cand in candidates:
+            full = os.path.join(self.root, cand)
+            if os.path.exists(full):
+                return full
         raise KeyError(f"table {name!r} not found under {self.root}")
 
     def table(self, name: str) -> DataFrame:
