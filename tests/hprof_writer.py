@@ -1,0 +1,246 @@
+"""Minimal deterministic HPROF writer for ingestion tests.
+
+Writes a syntactically valid HPROF 1.0.2 file (8-byte ids) from the
+public format spec: strings, LoadClass records, stack frames/traces,
+and heap-dump segments with class dumps (inheritance + a shadowed
+field), instances, primitive/object arrays, and GC roots. This is our
+own fixture generator — the spiritual twin of the reference's Java
+test-heap-generator, not a copy of it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ID = ">Q"
+
+
+class HprofWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.buf += b"JAVA PROFILE 1.0.2\x00"
+        self.buf += struct.pack(">III", 8, 0, 42)  # id size, ts hi/lo
+        self._next_string = 0x1000
+        self._next_obj = 0x100000
+        self.strings: dict[str, int] = {}
+
+    # -- low level ----------------------------------------------------------
+    def record(self, tag: int, body: bytes) -> None:
+        self.buf += struct.pack(">BII", tag, 0, len(body)) + body
+
+    def sid(self, text: str) -> int:
+        if text not in self.strings:
+            i = self._next_string
+            self._next_string += 1
+            self.strings[text] = i
+            self.record(0x01, struct.pack(ID, i) + text.encode())
+        return self.strings[text]
+
+    def oid(self) -> int:
+        self._next_obj += 1
+        return self._next_obj
+
+    # -- top level records --------------------------------------------------
+    def load_class(self, serial: int, class_obj_id: int, jvm_name: str) -> None:
+        self.record(
+            0x02,
+            struct.pack(">I", serial)
+            + struct.pack(ID, class_obj_id)
+            + struct.pack(">I", serial)
+            + struct.pack(ID, self.sid(jvm_name)),
+        )
+
+    def stack_frame(self, frame_id, method, sig, source, class_serial, line):
+        self.record(
+            0x04,
+            struct.pack(ID, frame_id)
+            + struct.pack(ID, self.sid(method))
+            + struct.pack(ID, self.sid(sig))
+            + struct.pack(ID, self.sid(source))
+            + struct.pack(">Ii", class_serial, line),
+        )
+
+    def stack_trace(self, serial, thread_serial, frame_ids):
+        body = struct.pack(">III", serial, thread_serial, len(frame_ids))
+        for f in frame_ids:
+            body += struct.pack(ID, f)
+        self.record(0x05, body)
+
+    def heap_segment(self, sub_records: bytes) -> None:
+        self.record(0x1C, sub_records)
+
+    def heap_end(self) -> None:
+        self.record(0x2C, b"")
+
+    # -- heap sub-records (return bytes to place into a segment) ------------
+    @staticmethod
+    def class_dump(class_obj_id, super_id, instance_size, statics, fields) -> bytes:
+        """statics: [(name_sid, type_code, packed_value_bytes)];
+        fields: [(name_sid, type_code)]"""
+        b = bytearray([0x20])
+        b += struct.pack(ID, class_obj_id) + struct.pack(">I", 1)
+        b += struct.pack(ID, super_id)
+        b += struct.pack(ID, 0) * 5  # loader, signers, domain, reserved×2
+        b += struct.pack(">I", instance_size)
+        b += struct.pack(">H", 0)  # constant pool
+        b += struct.pack(">H", len(statics))
+        for name_sid, t, packed in statics:
+            b += struct.pack(ID, name_sid) + bytes([t]) + packed
+        b += struct.pack(">H", len(fields))
+        for name_sid, t in fields:
+            b += struct.pack(ID, name_sid) + bytes([t])
+        return bytes(b)
+
+    @staticmethod
+    def instance(obj_id, class_obj_id, packed_fields: bytes) -> bytes:
+        return (
+            bytes([0x21])
+            + struct.pack(ID, obj_id)
+            + struct.pack(">I", 1)
+            + struct.pack(ID, class_obj_id)
+            + struct.pack(">I", len(packed_fields))
+            + packed_fields
+        )
+
+    @staticmethod
+    def prim_array(obj_id, type_code, code, values) -> bytes:
+        return (
+            bytes([0x23])
+            + struct.pack(ID, obj_id)
+            + struct.pack(">I", 1)
+            + struct.pack(">I", len(values))
+            + bytes([type_code])
+            + struct.pack(f">{len(values)}{code}", *values)
+        )
+
+    @staticmethod
+    def obj_array(obj_id, array_class_id, elements) -> bytes:
+        b = (
+            bytes([0x22])
+            + struct.pack(ID, obj_id)
+            + struct.pack(">I", 1)
+            + struct.pack(">I", len(elements))
+            + struct.pack(ID, array_class_id)
+        )
+        for e in elements:
+            b += struct.pack(ID, e)
+        return b
+
+    @staticmethod
+    def root(tag: int, obj_id: int, extra: bytes = b"") -> bytes:
+        return bytes([tag]) + struct.pack(ID, obj_id) + extra
+
+
+def build_test_dump(path: str) -> dict:
+    """Write the standard test dump; returns ground truth."""
+    w = HprofWriter()
+    truth: dict = {}
+
+    # classes
+    OBJ, STR, BARR, OARR, BASE, CHILD = (0x10, 0x11, 0x12, 0x13, 0x14, 0x15)
+    w.load_class(1, OBJ, "java/lang/Object")
+    w.load_class(2, STR, "java/lang/String")
+    w.load_class(3, BARR, "[B")
+    w.load_class(4, OARR, "[Ljava/lang/Object;")
+    w.load_class(5, BASE, "com/test/Base")
+    w.load_class(6, CHILD, "com/test/Child")
+
+    # stack frames / traces
+    w.stack_frame(0xF1, "main", "([Ljava/lang/String;)V", "Main.java", 5, 42)
+    w.stack_frame(0xF2, "run", "()V", "Worker.java", 6, -2)
+    w.stack_trace(1, 10, [0xF1])
+    w.stack_trace(2, 11, [0xF1, 0xF2])
+
+    seg = bytearray()
+    # class dumps: Object(no fields), String(value,coder,hash,hashIsZero),
+    # Base(id long, flag boolean) w/ statics, Child(id int — shadows, ref obj)
+    seg += w.class_dump(OBJ, 0, 0, [], [])
+    seg += w.class_dump(
+        STR,
+        OBJ,
+        24,
+        [],
+        [(w.sid("value"), 2), (w.sid("coder"), 8), (w.sid("hash"), 10), (w.sid("hashIsZero"), 4)],
+    )
+    seg += w.class_dump(
+        BASE,
+        OBJ,
+        12,
+        [(w.sid("COUNTER"), 10, struct.pack(">i", 7)), (w.sid("SHARED"), 2, struct.pack(ID, 0xBEEF))],
+        [(w.sid("id"), 11), (w.sid("flag"), 4)],
+    )
+    seg += w.class_dump(CHILD, BASE, 25, [], [(w.sid("id"), 10), (w.sid("ref"), 2)])
+
+    # byte arrays: 3 distinct contents; "dup" content ×3 (dup group)
+    dup = [104, 101, 108, 108, 111]  # "hello"
+    barr_ids = []
+    for content in (dup, dup, dup, [1, 2, 3], [9, 9]):
+        oid = w.oid()
+        barr_ids.append(oid)
+        seg += w.prim_array(oid, 8, "b", content)
+    truth["byte_arrays"] = len(barr_ids)
+    # an int array + a double array + empty long array
+    ia = w.oid(); seg += w.prim_array(ia, 10, "i", [0, 0, 0])         # all-zero
+    da = w.oid(); seg += w.prim_array(da, 7, "d", [1.5, -2.25])
+    la = w.oid(); seg += w.prim_array(la, 11, "q", [])                # zero-length
+
+    # strings: 4 strings → first three share the dup byte array contents
+    str_ids = []
+    for i, b in enumerate(barr_ids[:4]):
+        oid = w.oid()
+        str_ids.append(oid)
+        packed = struct.pack(ID, b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x01"
+        seg += w.instance(oid, STR, packed)
+    truth["strings"] = len(str_ids)
+
+    # Base + Child instances (Child packed: own fields first, then Base's)
+    base_inst = w.oid()
+    seg += w.instance(base_inst, BASE, struct.pack(">q", 1234567) + b"\x01")
+    child_inst = w.oid()
+    child_packed = (
+        struct.pack(">i", 77)            # Child.id (int)
+        + struct.pack(ID, str_ids[0])    # Child.ref
+        + struct.pack(">q", -5)          # Base@id (long, shadowed)
+        + b"\x00"                        # Base.flag
+    )
+    seg += w.instance(child_inst, CHILD, child_packed)
+    truth["child_inst"] = child_inst
+    truth["child_ref"] = str_ids[0]
+
+    # object arrays
+    oa1 = w.oid(); seg += w.obj_array(oa1, OARR, [str_ids[0], 0, str_ids[1]])
+    oa2 = w.oid(); seg += w.obj_array(oa2, OARR, [])
+    truth["object_arrays"] = 2
+
+    # GC roots: one of each of several kinds
+    seg += w.root(0xFF, str_ids[0])
+    seg += w.root(0x01, str_ids[1], struct.pack(ID, 0))
+    seg += w.root(0x02, str_ids[2], struct.pack(">II", 10, 0))
+    seg += w.root(0x03, base_inst, struct.pack(">II", 10, 1))
+    seg += w.root(0x04, child_inst, struct.pack(">I", 11))
+    seg += w.root(0x05, STR)
+    seg += w.root(0x06, oa1, struct.pack(">I", 11))
+    seg += w.root(0x07, oa2)
+    seg += w.root(0x08, base_inst, struct.pack(">II", 10, 1))
+    truth["gc_roots"] = 9
+
+    w.heap_segment(bytes(seg))
+
+    # second segment: more instances (exercises segment boundaries)
+    seg2 = bytearray()
+    extra_strs = []
+    for b in (barr_ids[3], barr_ids[4]):
+        oid = w.oid()
+        extra_strs.append(oid)
+        packed = struct.pack(ID, b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
+        seg2 += w.instance(oid, STR, packed)
+    truth["strings"] += 2
+    w.heap_segment(bytes(seg2))
+    w.heap_end()
+
+    with open(path, "wb") as f:
+        f.write(w.buf)
+    truth["instances"] = truth["strings"] + 2  # + Base + Child
+    truth["class_dumps"] = 4
+    truth["prim_arrays"] = len(barr_ids) + 3
+    return truth
