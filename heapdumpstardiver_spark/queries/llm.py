@@ -374,3 +374,154 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9]+", " "))).alias("fingerprint"),
         F.length("text").cast("int").alias("raw_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / SimHash / embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        -- 3-token shingles (DuckDB slice is end-inclusive: [i : i+2])
+        SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+               min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h2 || h3) AS bucket FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → k salted min-hashes → band
+    buckets → bucket-join for candidate pairs. The min-hash uses
+    lexicographic min over md5 hex strings (engine-portable: ASCII
+    order == numeric order for fixed-width lowercase hex), so the
+    oracle reproduces it exactly.
+
+    Scale shape: per-doc work is O(tokens); the only shuffle keys are
+    fixed-width band buckets, and the self-join touches co-bucketed
+    docs only — the standard sub-quadratic LSH dedup plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+            "tokens",
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sig = shingles.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}") for k in range(4)]
+    )
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.md5(F.concat("h0", "h1")).alias("bucket")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band"), F.md5(F.concat("h2", "h3")).alias("bucket"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH sgn AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {round_sql("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))", 4)} AS cos_sim
+    FROM sgn a JOIN sgn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed: pairs
+    are only formed inside a bucket (sub-quadratic), then exact cosine
+    filters. At scale the bucket count grows with corpus size so the
+    per-bucket quadratic term stays bounded."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    sgn = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), bucket.alias("bucket")
+    )
+    a, b = sgn.alias("a"), sgn.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim > 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_col(sim, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query("simhash_fingerprint")  # no SQL oracle: 16-way bit aggregation — rows-only check
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (16-bit here; 64-bit at scale):
+    per-token md5 → ±1 vote per bit position weighted by presence →
+    sign vector → packed fingerprint. Near-dup docs differ in few bits
+    (Hamming ball lookup). Pure JVM expressions — explode + conv +
+    bitwise — no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long").alias("h16"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    fingerprint = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(16)),
+        start=F.lit(0),
+    )
+    return sig.select("doc_id", fingerprint.cast("int").alias("simhash16"))

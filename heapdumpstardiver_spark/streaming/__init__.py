@@ -1,0 +1,7 @@
+from .windowed import (  # noqa: F401
+    running_counts_stateful,
+    sessionized_counts,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+)

@@ -1,0 +1,136 @@
+"""Structured Streaming operators over the `events` stream.
+
+The reference is pure batch ETL (SURVEY §2B B38 — no streaming
+anywhere); this module provides the streaming surface a 100-TB
+training-data pipeline needs, as exact twins of the batch event-time
+queries in ``queries/windows.py``:
+
+- tumbling windowed aggregation with a watermark for late data
+  (`F.window` — identical operator to the batch version);
+- session windows via `F.session_window` (gap semantics identical to
+  the batch lag-based sessionizer);
+- streaming dedup with `dropDuplicatesWithinWatermark` (state-bounded
+  exact dedup — the streaming face of the dedup operators in
+  ``queries/llm.py``);
+- a custom stateful per-key accumulator via ``applyInPandasWithState``
+  (the escape hatch for operators watermark/window can't express).
+
+All transformations are sink-agnostic: tests drive them with
+``trigger(availableNow=True)`` + memory sink, production would use a
+Kafka/file source and a Delta/parquet sink with checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of event parquet files (schema pinned —
+    streaming sources cannot infer)."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark —
+    streaming twin of `window_tumbling_hour`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation (gap-merged) — streaming twin of the
+    batch `sessionize_lag` query; same 30-minute inactivity semantics."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exact streaming dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped, state older than
+    the horizon is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    sum via applyInPandasWithState — the pattern for stateful logic
+    beyond built-in windows (B38/B39 extension)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "complete"):
+    """Drain a stream into a memory sink with availableNow (test/demo
+    harness; production sinks swap in here)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,85 @@
+"""Structured Streaming tests: each streaming operator is drained with
+availableNow into a memory sink and compared against its batch twin on
+the same data — exact parity, not smoke checks."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from heapdumpstardiver_spark import streaming as S
+from heapdumpstardiver_spark.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events table as a one-file streaming input dir with
+    µs timestamps (the nanos conversion happens at staging time, as a
+    real pipeline's bronze layer would)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def _drain(spark, stream_df, name, tmp_path, mode="complete"):
+    q = S.windowed.run_available_now(stream_df, name, str(tmp_path / f"ckpt_{name}"), mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_counts_match_batch(spark, events_dir, tmp_path):
+    stream = S.tumbling_counts(S.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_tumbling", tmp_path).collect()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    )
+    got_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in got}
+    want_map = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch}
+    assert got_map == want_map and len(got_map) > 100
+
+
+def test_sessionized_counts_match_lag_sessionizer(spark, events_dir, tmp_path):
+    stream = S.sessionized_counts(S.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_sessions", tmp_path)
+    per_user = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    # batch twin: the lag-based sessionizer from the query library
+    import heapdumpstardiver_spark as hds
+
+    batch = hds.QUERIES["sessionize_lag"](spark, SF_DIR)
+    g = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in per_user.collect()}
+    w = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
+    assert g == w
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    raw = S.stream_events(spark, events_dir)
+    # duplicate the whole stream → dedup must halve it
+    doubled = raw.unionByName(raw)
+    deduped = S.streaming_dedup(doubled)
+    got = _drain(spark, deduped, "t_dedup", tmp_path, mode="append")
+    n_src = spark.read.parquet(events_dir).count()
+    assert got.count() == n_src
+
+
+def test_running_counts_stateful(spark, events_dir, tmp_path):
+    stream = S.running_counts_stateful(S.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_state", tmp_path, mode="update")
+    # final state per user must equal the batch aggregate
+    final = {r["user_id"]: r["n_events"] for r in got.collect()}
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
