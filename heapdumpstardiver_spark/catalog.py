@@ -128,3 +128,19 @@ class Warehouse:
             # views use a sanitized name.
             view = name.replace(".", "_").replace("[", "_").replace("]", "_")
             self.table(name).createOrReplaceTempView(view)
+
+
+def write_table(df, root: str, name: str, mode: str = "overwrite",
+                partition_by=None, compression: str = "snappy") -> str:
+    """Parquet sink (B5): SNAPPY parquet dataset under the warehouse
+    root, with the `sys_` mapping for underscore-prefixed logical names
+    and optional hash partitioning — the engine's counterpart of the
+    reference's sharded writer pool (dump_to_parquet.rs:653-745); Spark
+    tasks write part files in parallel natively."""
+    physical = f"sys{name}" if name.startswith("_") else name
+    path = os.path.join(root, physical)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path

@@ -729,3 +729,66 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_col(F.sum("l_extendedprice") * 10).alias("est_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough (B3), struct access (B6), reserved identifiers (B9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_passthrough_reserved",
+    oracle="""
+    SELECT o_orderkey, "limit", round(used * 1.0, 2) AS used_r
+    FROM (
+        SELECT o_orderkey, o_totalprice AS "limit", o_totalprice AS used
+        FROM orders
+    )
+    WHERE "limit" > 400000
+    """,
+)
+def sql_passthrough_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-SQL passthrough over registered views (B3, the
+    `query_heap` surface, server.py:479-534) including a reserved-word
+    column quoted with backticks (B9 — the DirectByteBuffer `limit`
+    column idiom, analyze_heap_parquet.py:849). round() is safe here:
+    the value is an identity product, exact in both engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, `limit`, round(used * 1.0, 2) AS used_r
+        FROM (
+            SELECT o_orderkey, o_totalprice AS `limit`, o_totalprice AS used
+            FROM orders
+        )
+        WHERE `limit` > 400000
+        """
+    )
+
+
+@query(
+    "struct_field_access",
+    oracle="""
+    SELECT n_nationkey,
+           (struct_pack(id := n_regionkey, type := n_name)).id AS ref_id,
+           (struct_pack(id := n_regionkey, type := n_name)).type AS ref_type
+    FROM nation WHERE n_nationkey < 10
+    """,
+)
+def struct_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct reference columns and dotted field access — the non-robo
+    Struct{id,type} reference encoding and the dual-mode `ref_field`
+    accessor (B6, analyze_heap_parquet.py:129-134, util.rs:139-142)."""
+    n = _t(spark, sf_dir, "nation")
+    ref = F.struct(F.col("n_regionkey").alias("id"), F.col("n_name").alias("type"))
+    return (
+        n.filter(F.col("n_nationkey") < 10)
+        .withColumn("ref", ref)
+        .select(
+            "n_nationkey",
+            F.col("ref.id").alias("ref_id"),
+            F.col("ref.type").alias("ref_type"),
+        )
+    )
