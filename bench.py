@@ -42,6 +42,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="heapdumpstardiver-bench")
 
+    # Untimed warmup: run one small action so JVM/codegen/Arrow startup
+    # cost is paid before the first timed query, not attributed to it.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1000
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = hds.QUERIES[name]

@@ -135,19 +135,18 @@ def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n = 4
-    # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest
+    # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest.
+    # The hash array is built with transform() BEFORE the explode so each
+    # output row is (doc_id, 32-byte hex) — exploding positions first and
+    # carrying `tokens` through would duplicate the whole token array
+    # once per position (O(len²) bytes per document at 100 TB).
     idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
+    )
     shingles = (
         toks.filter(F.size("tokens") >= n)
-        .select(
-            "doc_id",
-            F.explode(idx).alias("i"),
-            "tokens",
-        )
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.slice("tokens", F.col("i"), n))).alias("shingle"),
-        )
+        .select("doc_id", F.explode(hashes).alias("shingle"))
         .distinct()
     )
     a = shingles.alias("a")

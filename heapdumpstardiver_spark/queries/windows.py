@@ -184,3 +184,115 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("int").alias("max_k"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@query(
+    "asof_join_last_event",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND user_id < 50
+    ),
+    errors AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           epoch_us(e.ts) AS last_error_us,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every click, the most recent error at-or-before
+    it for the same user. Spark has no ASOF JOIN operator; the scalable
+    formulation is a tagged union + one window pass: both streams
+    shuffle ONCE on the key and a last(ignorenulls) frame carries the
+    newest error timestamp forward. This is linear in events per key —
+    never the O(clicks × errors) inequality join a naive `e.ts <= c.ts`
+    join condition would produce. (user_id, ts) is unique in the
+    fixture, so at equal timestamps ordering error-rows first matches
+    DuckDB ASOF's inclusive `<=`."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # error rows sort before click rows at the same timestamp
+        F.when(F.col("event_type") == "error", F.lit(0)).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("last_error_ts", last_err)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            # epoch micros, not a raw timestamp: the nullable timestamp
+            # round-trips through pandas with engine-dependent datetime
+            # units; a bigint is unambiguous for the oracle compare.
+            F.unix_micros("last_error_ts").alias("last_error_us"),
+            (F.unix_micros("ts") - F.unix_micros("last_error_ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
+    "range_join_nearby",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase' AND user_id < 30
+    )
+    SELECT p.event_id, p.user_id, count(e.event_id) AS n_nearby
+    FROM p LEFT JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_id != p.event_id
+     AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join — activity within ±5 minutes of each purchase by
+    the same user. The equi-key (user_id) makes this a hash/sort-merge
+    join with the time band as a residual predicate, so it scales with
+    events-per-user, not |events|²; without an equi-key Spark would fall
+    back to a broadcast-nested-loop, the thing to avoid at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    o = e.select(
+        F.col("event_id").alias("o_event_id"),
+        F.col("user_id").alias("o_user_id"),
+        F.col("ts").alias("o_ts"),
+    )
+    five_min = F.expr("INTERVAL 5 MINUTES")
+    cond = (
+        (F.col("o_user_id") == F.col("p_user_id"))
+        & (F.col("o_event_id") != F.col("p_event_id"))
+        & (F.col("o_ts") >= F.col("p_ts") - five_min)
+        & (F.col("o_ts") <= F.col("p_ts") + five_min)
+    )
+    return (
+        p.join(o, cond, "left")
+        .groupBy(
+            F.col("p_event_id").alias("event_id"),
+            F.col("p_user_id").alias("user_id"),
+        )
+        .agg(F.count("o_event_id").alias("n_nearby"))
+    )
