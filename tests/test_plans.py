@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the scale properties README.md
+promises (pushdown, pruning, broadcast dimension joins, heap-based
+top-k) asserted against the executed plan string, so a refactor that
+silently degrades the plan fails CI even though results stay correct.
+"""
+
+import re
+
+import pytest
+
+import heapdumpstardiver_spark as hds
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = hds.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scan_lines(plan: str, table: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and f"{table}.parquet" in ln
+    ]
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    (scan,) = scan_lines(plan, "lineitem")
+    # Column pruning: the scan reads a narrow schema, not all 16
+    # lineitem columns.
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert 0 < len(cols.split(",")) <= 7, cols
+    # Predicate pushdown: the shipdate/discount/quantity filters appear
+    # as data filters on the scan itself.
+    assert "DataFilters: [" in scan
+    assert "l_shipdate" in scan.split("DataFilters:")[1][:400]
+
+
+def test_dimension_join_is_broadcast(spark):
+    plan = plan_of(spark, "enrichment_join")
+    assert "BroadcastHashJoin" in plan
+    # The big side (lineitem) must NOT be the one broadcast.
+    bcast = plan.split("BroadcastExchange")[1]
+    assert "part.parquet" in bcast
+    assert "lineitem.parquet" not in bcast
+
+
+def test_global_topk_uses_heap_not_global_sort(spark):
+    plan = plan_of(spark, "global_topk")
+    assert "TakeOrderedAndProject" in plan
+    # A global sort would show up as a range-partitioning exchange.
+    assert "rangepartitioning" not in plan
+
+
+def test_weighted_topk_uses_heap_not_global_sort(spark):
+    plan = plan_of(spark, "weighted_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_shingle_explode_emits_hashes_not_token_arrays(spark):
+    plan = plan_of(spark, "ngram_shingle_overlap")
+    gens = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gens, plan
+    # The generate's output list is [..., shingle#N] — the exploded rows
+    # carry the fixed-width hash, never the tokens array.
+    for ln in gens:
+        assert "shingle" in ln.rsplit("[", 1)[-1]
+
+
+def test_pricing_summary_has_partial_aggregation(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # Map-side combine: two HashAggregate levels around one exchange,
+    # so only |groups| rows per partition shuffle.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "join_fact_fact", "two_level_agg"]
+)
+def test_hot_paths_stay_in_wholestage_codegen(spark, name):
+    # AQE only materializes WholeStageCodegen spans in the *final* plan,
+    # so execute the DataFrame's own QueryExecution (collect, not a
+    # sink — a write wraps the query in a fresh QueryExecution).
+    df = hds.QUERIES[name](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # `*(n)` is the WholeStageCodegen span marker in the plan tree.
+    assert re.search(r"\*\(\d+\) ", plan), plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
