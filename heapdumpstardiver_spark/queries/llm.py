@@ -524,3 +524,96 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=F.lit(0),
     )
     return sig.select("doc_id", fingerprint.cast("int").alias("simhash16"))
+
+
+@query(
+    "similarity_ivf_probe",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ranked AS (
+        SELECT v.vec_id, v.label, v.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid) AS rn
+        FROM v CROSS JOIN c
+    ),
+    assign AS (SELECT vec_id, label, v, cid FROM ranked WHERE rn = 1),
+    probe AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rn <= 2),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT a.vec_id, a.label, CAST(a.cid AS INT) AS cell,
+           {round_sql("list_dot_product(a.v, qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv)))", 4)} AS cos_sim
+    FROM assign a JOIN probe p USING (cid), q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a bounded coarse codebook (8 centroid vectors,
+    deterministically vec_id < 8), inner-product cell assignment, and
+    an nprobe=2 search that scans only the query's two best cells.
+
+    Scale shape: the codebook is collected to the driver (it is
+    index metadata, bounded by k — never corpus-sized) and unrolled
+    into a literal argmax projection, so cell assignment is a NARROW
+    stage over the corpus: no shuffle, no join, nothing leaves the
+    scan partitioning until the final top-k heap. The probe cells
+    prune the candidate set before any cosine is computed — the same
+    partition-pruning IVF gives at 100-TB corpus scale. All dot
+    products are sequential folds (exprs.dot ≙ list_dot_product) so
+    cell ranks and scores are bit-identical to the oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    vcol = F.col("embedding").cast("array<double>")
+
+    cents = [
+        (r["cid"], list(r["cv"]))
+        for r in e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), vcol.alias("cv"))
+        .collect()
+    ]
+    cents.sort()
+
+    def lit_vec(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    # argmax over the codebook as greatest() of (affinity, -cid, cid)
+    # structs — max affinity, ties to the smallest cid, matching the
+    # oracle's ORDER BY aff DESC, cid.
+    scored = [
+        F.struct(
+            dot(F.col("v"), lit_vec(cv)).alias("aff"),
+            F.lit(-cid).alias("neg_cid"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    best_cell = F.greatest(*scored).getField("cid")
+
+    # Probe cells of the query vector: same fold, computed driver-side
+    # (a left-to-right Python float sum is the identical IEEE sequence).
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select(vcol.alias("v")).collect()[0]["v"]
+    )
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    probe = [cid for cid, _ in sorted(cents, key=lambda c: (-pydot(qv, c[1]), c[0]))[:2]]
+
+    sim = round_col(cosine(F.col("v"), lit_vec(qv)), 4)
+    return (
+        e.select("vec_id", "label", vcol.alias("v"))
+        .withColumn("cell", best_cell)
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.col("cell").cast("int"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -792,3 +792,90 @@ def struct_field_access(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ref.type").alias("ref_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / set operations / pivot (B22, B28 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           {round_sql("sum(o_totalprice)")} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (the B22 gap — absent in the reference,
+    available in Spark): all 4 grouping combinations in ONE shuffle
+    with partial aggregation, instead of 4 scans + a union."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_col(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "set_ops_except_intersect",
+    oracle="""
+    SELECT 'never_ordered' AS side, count(*) AS n FROM (
+        SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'has_ordered' AS side, count(*) AS n FROM (
+        SELECT c_custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders
+    )
+    ORDER BY side
+    """,
+)
+def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT (distinct set ops — the B28 gap; the
+    reference only unions). Spark plans both as aggregated joins
+    (left-anti / left-semi after distinct) on the key."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    never = c.exceptAll(o).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("never_ordered").alias("side"), "n"
+    )
+    has = c.intersect(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("has_ordered").alias("side"), "n"
+    )
+    return has.unionByName(never).orderBy("side")
+
+
+@query(
+    "pivot_status_year",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {round_sql("sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice ELSE 0 END)")} AS y1996,
+           {round_sql("sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice ELSE 0 END)")} AS y1997,
+           {round_sql("sum(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice ELSE 0 END)")} AS y1998
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order value by status ×
+    year. An explicit pivot value list keeps it one pass — no extra
+    distinct-values job, and the output schema is static, which is
+    what a 100-TB pipeline needs for a stable sink schema."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    agg = (
+        o.select("o_orderstatus", yr.alias("yr"), "o_totalprice")
+        .groupBy("o_orderstatus")
+        .pivot("yr", [1996, 1997, 1998])
+        .agg(F.sum(F.when(F.col("yr").isNotNull(), F.col("o_totalprice")).otherwise(0)))
+    )
+    return agg.select(
+        "o_orderstatus",
+        round_col(F.coalesce(F.col("1996"), F.lit(0.0))).alias("y1996"),
+        round_col(F.coalesce(F.col("1997"), F.lit(0.0))).alias("y1997"),
+        round_col(F.coalesce(F.col("1998"), F.lit(0.0))).alias("y1998"),
+    )
