@@ -128,36 +128,47 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pair detection by shared 4-token shingles — the
-    shingle → bucket-join core of MinHash/LSH dedup, run exact. Each
-    document fans out to O(len) fixed-width hashes; the self-join keys
-    on the shingle hash so only co-bucketed docs pair up (never the
-    full cross product)."""
+    shingle → bucket core of MinHash/LSH dedup, run exact.
+
+    Shape: one explode to (doc_id, hash) rows, ONE shuffle keyed on the
+    shingle hash (collect_set both dedups and buckets), in-bucket
+    ordered-pair generation JVM-side, then the pair aggregation. A
+    self-join formulation costs three shuffles (distinct + both join
+    sides) and evaluates the shingle pipeline twice. The hash array is
+    built with transform() before the explode so exploded rows carry a
+    32-byte hex, never the token array. Hot buckets (stop-phrase
+    shingles) produce quadratic pairs in any formulation — the capped
+    production variant is minhash_lsh_candidates; this is the exact
+    oracle-matched version."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n = 4
-    # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest.
-    # The hash array is built with transform() BEFORE the explode so each
-    # output row is (doc_id, 32-byte hex) — exploding positions first and
-    # carrying `tokens` through would duplicate the whole token array
-    # once per position (O(len²) bytes per document at 100 TB).
+    # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest
     idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
     )
-    shingles = (
+    buckets = (
         toks.filter(F.size("tokens") >= n)
         .select("doc_id", F.explode(hashes).alias("shingle"))
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
     )
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # all ordered pairs (a < b) within a bucket: for the i-th doc, pair
+    # it with every later doc in the sorted array
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 5)
         .orderBy(F.desc("shared_shingles"), "doc_a", "doc_b")

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for toPandas / pandas_udf exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ObjectHashAggregate (collect_set/collect_list — the dedup
+        # bucket aggregations) falls back to sort-based aggregation
+        # after only 128 distinct keys by default, which serializes the
+        # hot path of every bucketing query. Per-key buffers here are
+        # small id-arrays, so 1M in-memory groups per task is a few tens
+        # of MB; past that the sort-based fallback (the spill path)
+        # still engages.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -65,10 +65,11 @@ def test_shingle_explode_emits_hashes_not_token_arrays(spark):
     plan = plan_of(spark, "ngram_shingle_overlap")
     gens = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gens, plan
-    # The generate's output list is [..., shingle#N] — the exploded rows
-    # carry the fixed-width hash, never the tokens array.
+    # Exploded rows carry fixed-width values (the shingle hash, the
+    # in-bucket pair struct) — never the tokens array.
+    assert any("shingle" in ln.rsplit("[", 1)[-1] for ln in gens)
     for ln in gens:
-        assert "shingle" in ln.rsplit("[", 1)[-1]
+        assert "tokens" not in ln.rsplit("[", 1)[-1]
 
 
 def test_pricing_summary_has_partial_aggregation(spark):
