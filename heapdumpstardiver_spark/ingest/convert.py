@@ -98,16 +98,66 @@ def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table) -> tu
 def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
                    class_names: dict, id_size: int):
     """One task: parse [start, end) sub-record ranges, write part files.
-    Returns manifest tuples (table, rows, path)."""
-    split_id, ranges = args
-    with open(hprof_path, "rb") as f:
-        buf = f.read()  # executors could mmap; read keeps it simple
+    Returns manifest tuples (table, rows, path).
 
-    inst_cols: dict[int, dict[str, list]] = {}
-    oa = {"obj_id": [], "class_name": [], "elements": []}
-    prim: dict[str, dict[str, list]] = defaultdict(lambda: {"obj_id": [], "values": []})
+    Decode strategy: the Python walk only LOCATES records (tag dispatch
+    + offset collection); all value decoding is vectorized — per-class
+    instance bytes are gathered and reinterpreted with a packed
+    big-endian numpy structured dtype, array payloads with
+    ``np.frombuffer`` + one ListArray per table. Unsigned-u64 → signed
+    int64 id reinterpretation is a zero-copy ``view(int64)``. This
+    keeps per-record Python work to one tuple append, the only part
+    numpy can't do (record boundaries are data-dependent).
+
+    Each range is read with seek+read — a task touches ONLY its own
+    bytes (reading the whole file per task is O(file × tasks) I/O and
+    memory, which is exactly what kills a 1000-executor ingest).
+    """
+    import numpy as np
+
+    split_id, ranges = args
+
+    _NP_FIELD = {
+        H.T_OBJECT: ">u8" if id_size == 8 else ">u4",
+        H.T_BOOLEAN: "u1",
+        H.T_CHAR: ">u2",
+        H.T_FLOAT: ">f4",
+        H.T_DOUBLE: ">f8",
+        H.T_BYTE: "i1",
+        H.T_SHORT: ">i2",
+        H.T_INT: ">i4",
+        H.T_LONG: ">i8",
+    }
+    _NP_PRIM = {t: _NP_FIELD[t] for t in _NP_FIELD}
+
+    def native(a):
+        # pyarrow rejects byte-swapped (big-endian) numpy arrays
+        if a.dtype.byteorder == ">":
+            return a.astype(a.dtype.newbyteorder("="))
+        return a
+
+    def ids_to_i64(a):
+        a = np.ascontiguousarray(a, dtype=">u8").astype(np.uint64)
+        return a.view(np.int64)
+
+    def field_to_pa(col, code):
+        if code == H.T_OBJECT:
+            if id_size == 8:
+                return pa.array(ids_to_i64(col), type=pa.int64())
+            return pa.array(col.astype(np.int64), type=pa.int64())
+        if code == H.T_BOOLEAN:
+            return pa.array(col.astype(np.bool_))
+        if code == H.T_CHAR:
+            return pa.array(col.astype(np.int32), type=pa.int32())
+        return pa.array(native(col))
+
+    # -- per-table accumulators (chunk lists, one entry per range) ----------
+    inst_acc: dict[int, tuple[list, list]] = {}   # cid -> (oids, offsets-into-chunks)
+    inst_chunks: dict[int, list] = {}             # cid -> [(buf, offs)] per range
+    oa_meta: list = []                            # (buf, oid, off, n, acid)
+    prim_meta: dict[int, list] = defaultdict(list)  # tcode -> (buf, oid, off, n)
     roots = {"root_type": [], "obj_id": [], "thread_serial": [], "frame_index": []}
-    oindex = {"obj_id": [], "type_name": []}
+    cls_oindex: tuple[list, list] = ([], [])
 
     def add_root(kind, oid, ts=None, fi=None):
         roots["root_type"].append(H.ROOT_NAMES[kind])
@@ -115,115 +165,180 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
         roots["thread_serial"].append(ts)
         roots["frame_index"].append(fi)
 
-    for start, end in ranges:
-        pos = start
-        while pos < end:
-            tag = buf[pos]
-            p = pos + 1
-            if tag == H.SUB_INSTANCE_DUMP:
-                oid = H._read_id(buf, p, id_size)
-                p += id_size + 4
-                cid = H._read_id(buf, p, id_size)
-                p += id_size
-                (nbytes,) = struct.unpack_from(">I", buf, p)
-                p += 4
-                entry = registry.get(cid)
-                if entry is not None:
-                    name, fmt, fnames, fcodes = entry
-                    cols = inst_cols.get(cid)
-                    if cols is None:
-                        cols = inst_cols[cid] = {"obj_id": []} | {fn: [] for fn in fnames}
-                    cols["obj_id"].append(_s64(oid))
-                    vals = struct.unpack_from(fmt, buf, p)
-                    for fn, code, v in zip(fnames, fcodes, vals):
-                        if code == H.T_OBJECT:
-                            v = _s64(v)
-                        elif code == H.T_BOOLEAN:
-                            v = bool(v)
-                        cols[fn].append(v)
-                    oindex["obj_id"].append(_s64(oid))
-                    oindex["type_name"].append(name)
-                pos = p + nbytes
-            elif tag == H.SUB_PRIMITIVE_ARRAY_DUMP:
-                oid = H._read_id(buf, p, id_size)
-                p += id_size + 4
-                (n,) = struct.unpack_from(">I", buf, p)
-                t = buf[p + 4]
-                p += 5
-                ptype = H.PRIM_NAMES[t]
-                vals = list(struct.unpack_from(f">{n}{H.PRIM_STRUCT[t]}", buf, p))
-                if t == H.T_BOOLEAN:
-                    vals = [bool(v) for v in vals]
-                prim[ptype]["obj_id"].append(_s64(oid))
-                prim[ptype]["values"].append(vals)
-                oindex["obj_id"].append(_s64(oid))
-                oindex["type_name"].append(f"{ptype}[]")
-                pos = p + n * H.PRIM_SIZES[t]
-            elif tag == H.SUB_OBJECT_ARRAY_DUMP:
-                oid = H._read_id(buf, p, id_size)
-                p += id_size + 4
-                (n,) = struct.unpack_from(">I", buf, p)
-                p += 4
-                acid = H._read_id(buf, p, id_size)
-                p += id_size
-                els = [
-                    _s64(H._read_id(buf, p + i * id_size, id_size)) for i in range(n)
-                ]
-                aname = class_names.get(acid, "(unresolved)")
-                oa["obj_id"].append(_s64(oid))
-                oa["class_name"].append(aname)
-                oa["elements"].append(els)
-                oindex["obj_id"].append(_s64(oid))
-                oindex["type_name"].append(aname)
-                pos = p + n * id_size
-            elif tag == H.SUB_CLASS_DUMP:
-                info, pos = H.parse_class_dump(buf, p, id_size)
-                oindex["obj_id"].append(_s64(info.class_obj_id))
-                oindex["type_name"].append(
-                    f"class {class_names.get(info.class_obj_id, '(unresolved)')}"
-                )
-            elif tag == H.SUB_ROOT_UNKNOWN:
-                add_root(tag, H._read_id(buf, p, id_size)); pos = p + id_size
-            elif tag == H.SUB_ROOT_JNI_GLOBAL:
-                add_root(tag, H._read_id(buf, p, id_size)); pos = p + 2 * id_size
-            elif tag in (H.SUB_ROOT_JNI_LOCAL, H.SUB_ROOT_JAVA_FRAME):
-                oid = H._read_id(buf, p, id_size)
-                ts, fi = struct.unpack_from(">II", buf, p + id_size)
-                add_root(tag, oid, ts, fi); pos = p + id_size + 8
-            elif tag in (H.SUB_ROOT_NATIVE_STACK, H.SUB_ROOT_THREAD_BLOCK):
-                oid = H._read_id(buf, p, id_size)
-                (ts,) = struct.unpack_from(">I", buf, p + id_size)
-                add_root(tag, oid, ts); pos = p + id_size + 4
-            elif tag == H.SUB_ROOT_THREAD_OBJ:
-                oid = H._read_id(buf, p, id_size)
-                (ts,) = struct.unpack_from(">I", buf, p + id_size)
-                add_root(tag, oid, ts); pos = p + id_size + 8
-            elif tag in (H.SUB_ROOT_STICKY_CLASS, H.SUB_ROOT_MONITOR_USED):
-                add_root(tag, H._read_id(buf, p, id_size)); pos = p + id_size
-            else:
-                raise ValueError(f"unknown sub-record tag 0x{tag:02x} at {pos}")
+    unpack_I = struct.Struct(">I").unpack_from
+    unpack_id = (
+        struct.Struct(">Q").unpack_from if id_size == 8 else struct.Struct(">I").unpack_from
+    )
+    prim_sizes = H.PRIM_SIZES
+    INST, PARR, OARR, CLS = (
+        H.SUB_INSTANCE_DUMP,
+        H.SUB_PRIMITIVE_ARRAY_DUMP,
+        H.SUB_OBJECT_ARRAY_DUMP,
+        H.SUB_CLASS_DUMP,
+    )
+
+    with open(hprof_path, "rb") as f:
+        for start, end in ranges:
+            f.seek(start)
+            buf = f.read(end - start)
+            pos, n_buf = 0, end - start
+            # per-range offset collectors
+            r_inst: dict[int, tuple[list, list]] = {}
+            while pos < n_buf:
+                tag = buf[pos]
+                p = pos + 1
+                if tag == INST:
+                    (oid,) = unpack_id(buf, p)
+                    p += id_size + 4
+                    (cid,) = unpack_id(buf, p)
+                    p += id_size
+                    (nbytes,) = unpack_I(buf, p)
+                    p += 4
+                    if cid in registry:
+                        acc = r_inst.get(cid)
+                        if acc is None:
+                            acc = r_inst[cid] = ([], [])
+                        acc[0].append(oid)
+                        acc[1].append(p)
+                    pos = p + nbytes
+                elif tag == PARR:
+                    (oid,) = unpack_id(buf, p)
+                    p += id_size + 4
+                    (n,) = unpack_I(buf, p)
+                    t = buf[p + 4]
+                    p += 5
+                    prim_meta[t].append((buf, oid, p, n))
+                    pos = p + n * prim_sizes[t]
+                elif tag == OARR:
+                    (oid,) = unpack_id(buf, p)
+                    p += id_size + 4
+                    (n,) = unpack_I(buf, p)
+                    p += 4
+                    (acid,) = unpack_id(buf, p)
+                    p += id_size
+                    oa_meta.append((buf, oid, p, n, acid))
+                    pos = p + n * id_size
+                elif tag == CLS:
+                    info, pos = H.parse_class_dump(buf, p, id_size)
+                    cls_oindex[0].append(_s64(info.class_obj_id))
+                    cls_oindex[1].append(
+                        f"class {class_names.get(info.class_obj_id, '(unresolved)')}"
+                    )
+                elif tag == H.SUB_ROOT_UNKNOWN:
+                    add_root(tag, unpack_id(buf, p)[0]); pos = p + id_size
+                elif tag == H.SUB_ROOT_JNI_GLOBAL:
+                    add_root(tag, unpack_id(buf, p)[0]); pos = p + 2 * id_size
+                elif tag in (H.SUB_ROOT_JNI_LOCAL, H.SUB_ROOT_JAVA_FRAME):
+                    oid = unpack_id(buf, p)[0]
+                    ts, fi = struct.unpack_from(">II", buf, p + id_size)
+                    add_root(tag, oid, ts, fi); pos = p + id_size + 8
+                elif tag in (H.SUB_ROOT_NATIVE_STACK, H.SUB_ROOT_THREAD_BLOCK):
+                    oid = unpack_id(buf, p)[0]
+                    (ts,) = unpack_I(buf, p + id_size)
+                    add_root(tag, oid, ts); pos = p + id_size + 4
+                elif tag == H.SUB_ROOT_THREAD_OBJ:
+                    oid = unpack_id(buf, p)[0]
+                    (ts,) = unpack_I(buf, p + id_size)
+                    add_root(tag, oid, ts); pos = p + id_size + 8
+                elif tag in (H.SUB_ROOT_STICKY_CLASS, H.SUB_ROOT_MONITOR_USED):
+                    add_root(tag, unpack_id(buf, p)[0]); pos = p + id_size
+                else:
+                    raise ValueError(f"unknown sub-record tag 0x{tag:02x} at {start + pos}")
+            for cid, (oids, offs) in r_inst.items():
+                inst_acc.setdefault(cid, ([], []))[0].extend(oids)
+                inst_chunks.setdefault(cid, []).append((buf, offs))
 
     manifest = []
-    for cid, cols in inst_cols.items():
+    oindex_ids: list = []
+    oindex_names: list = []
+
+    # -- instances: gather + structured-dtype batch decode ------------------
+    for cid, chunks in inst_chunks.items():
         name, _, fnames, fcodes = registry[cid]
+        oids = inst_acc[cid][0]
+        np_dt = np.dtype([(f"f{i}", _NP_FIELD[c]) for i, c in enumerate(fcodes)])
+        size = np_dt.itemsize
+        if size:
+            gathered = b"".join(
+                bytes(b[o : o + size]) for b, offs in chunks for o in offs
+            )
+            rec = np.frombuffer(gathered, dtype=np_dt)
+        else:
+            rec = None
+        oid_arr = ids_to_i64(np.array(oids, dtype=np.uint64)) if id_size == 8 else np.array(oids, dtype=np.int64)
+        cols = {"obj_id": pa.array(oid_arr, type=pa.int64())}
+        for i, (fn, c) in enumerate(zip(fnames, fcodes)):
+            cols[fn] = field_to_pa(rec[f"f{i}"], c) if rec is not None else pa.array([], type=_FIELD_ARROW[c])
         schema = pa.schema(
             [("obj_id", pa.int64())] + [(fn, _FIELD_ARROW[c]) for fn, c in zip(fnames, fcodes)]
         )
         manifest.append(
             _write_part(out_dir, name, split_id, pa.table(cols, schema=schema))
         )
-    if oa["obj_id"]:
+        oindex_ids.append(oid_arr)
+        oindex_names.append((name, len(oids)))
+
+    # -- object arrays: one values buffer + ListArray -----------------------
+    if oa_meta:
+        el_dt = np.dtype(">u8" if id_size == 8 else ">u4")
+        parts = [
+            np.frombuffer(b, dtype=el_dt, count=n, offset=off)
+            for b, _, off, n, _ in oa_meta
+        ]
+        values = np.concatenate(parts) if parts else np.array([], dtype=el_dt)
+        ns = np.fromiter((n for _, _, _, n, _ in oa_meta), dtype=np.int64, count=len(oa_meta))
+        offsets = np.zeros(len(oa_meta) + 1, dtype=np.int64)
+        np.cumsum(ns, out=offsets[1:])
+        el_i64 = ids_to_i64(values) if id_size == 8 else values.astype(np.int64)
+        elements = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(el_i64, type=pa.int64())
+        ).cast(pa.list_(pa.int64()))
+        oid_arr = np.fromiter((o for _, o, _, _, _ in oa_meta), dtype=np.uint64, count=len(oa_meta))
+        oid_i64 = oid_arr.view(np.int64) if id_size == 8 else oid_arr.astype(np.int64)
+        names = [class_names.get(a, "(unresolved)") for _, _, _, _, a in oa_meta]
         schema = pa.schema(
             [("obj_id", pa.int64()), ("class_name", pa.string()), ("elements", pa.list_(pa.int64()))]
         )
-        manifest.append(_write_part(out_dir, "_object_arrays", split_id, pa.table(oa, schema=schema)))
-    for ptype, cols in prim.items():
+        tbl = pa.table(
+            {
+                "obj_id": pa.array(oid_i64, type=pa.int64()),
+                "class_name": pa.array(names, type=pa.string()),
+                "elements": elements,
+            },
+            schema=schema,
+        )
+        manifest.append(_write_part(out_dir, "_object_arrays", split_id, tbl))
+        oindex_ids.append(oid_i64)
+        oindex_names.append(names)
+
+    # -- primitive arrays: per-type values buffer + ListArray ---------------
+    for t, metas in prim_meta.items():
+        ptype = H.PRIM_NAMES[t]
+        dt = np.dtype(_NP_PRIM[t])
+        parts = [np.frombuffer(b, dtype=dt, count=n, offset=off) for b, _, off, n in metas]
+        values = np.concatenate(parts) if parts else np.array([], dtype=dt)
+        if t == H.T_BOOLEAN:
+            va = pa.array(values.astype(np.bool_))
+        elif t == H.T_CHAR:
+            va = pa.array(values.astype(np.int32), type=pa.int32())
+        else:
+            va = pa.array(native(values))
+        ns = np.fromiter((n for _, _, _, n in metas), dtype=np.int64, count=len(metas))
+        offsets = np.zeros(len(metas) + 1, dtype=np.int64)
+        np.cumsum(ns, out=offsets[1:])
+        vals = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), va
+        ).cast(pa.list_(_PRIM_LIST_ARROW[ptype]))
+        oid_arr = np.fromiter((o for _, o, _, _ in metas), dtype=np.uint64, count=len(metas))
+        oid_i64 = oid_arr.view(np.int64) if id_size == 8 else oid_arr.astype(np.int64)
         schema = pa.schema(
             [("obj_id", pa.int64()), ("values", pa.list_(_PRIM_LIST_ARROW[ptype]))]
         )
-        manifest.append(
-            _write_part(out_dir, f"_primitive_arrays_{ptype}", split_id, pa.table(cols, schema=schema))
-        )
+        tbl = pa.table({"obj_id": pa.array(oid_i64, type=pa.int64()), "values": vals}, schema=schema)
+        manifest.append(_write_part(out_dir, f"_primitive_arrays_{ptype}", split_id, tbl))
+        oindex_ids.append(oid_i64)
+        oindex_names.append((f"{ptype}[]", len(metas)))
+
     if roots["obj_id"]:
         schema = pa.schema(
             [
@@ -234,9 +349,26 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             ]
         )
         manifest.append(_write_part(out_dir, "_gc_roots", split_id, pa.table(roots, schema=schema)))
-    if oindex["obj_id"]:
+
+    # -- _object_index assembled from the per-table pieces ------------------
+    if cls_oindex[0]:
+        oindex_ids.append(np.array(cls_oindex[0], dtype=np.int64))
+        oindex_names.append(cls_oindex[1])
+    if oindex_ids:
+        all_ids = np.concatenate(oindex_ids)
+        name_chunks: list = []
+        for spec in oindex_names:
+            if isinstance(spec, tuple):
+                nm, cnt = spec
+                name_chunks.extend([nm] * cnt)
+            else:
+                name_chunks.extend(spec)
         schema = pa.schema([("obj_id", pa.int64()), ("type_name", pa.string())])
-        manifest.append(_write_part(out_dir, "_object_index", split_id, pa.table(oindex, schema=schema)))
+        tbl = pa.table(
+            {"obj_id": pa.array(all_ids, type=pa.int64()), "type_name": pa.array(name_chunks, type=pa.string())},
+            schema=schema,
+        )
+        manifest.append(_write_part(out_dir, "_object_index", split_id, tbl))
     return manifest
 
 
@@ -359,7 +491,7 @@ def ingest_hprof(
     clears it) — a differently-split re-run would otherwise leave stale
     part files mixed with new ones.
     """
-    idx = build_index(hprof_path, target_split_bytes=target_split_bytes)
+    idx = build_index(hprof_path, target_split_bytes=target_split_bytes, spark=spark)
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         if not overwrite:
             raise FileExistsError(

@@ -68,7 +68,86 @@ def _flatten_layouts(idx: HprofIndex) -> None:
         info.layout = layout
 
 
-def build_index(path: str, target_split_bytes: int = 64 * 1024 * 1024) -> HprofIndex:
+def _scan_segment(
+    path: str,
+    seg_start: int,
+    seg_end: int,
+    id_size: int,
+    target_split_bytes: int,
+) -> tuple[list, list[tuple[int, int]]]:
+    """Skip-scan one heap segment: harvest ClassDumps and plan split
+    boundaries on sub-record boundaries. Reads ONLY its byte range, so
+    it can run as a Spark task (segments are independent — a split
+    never spans the record header between segments).
+
+    The walk is a lean inline skipper (no per-record allocation): the
+    generic ``skip_sub_record`` builds a meta dict per call, which at
+    hundreds of millions of sub-records is the difference between a
+    metadata pass and a second data pass.
+    """
+    with open(path, "rb") as f:
+        f.seek(seg_start)
+        buf = f.read(seg_end - seg_start)
+    n = len(buf)
+    unpack_I = struct.Struct(">I").unpack_from
+    prim_sizes = H.PRIM_SIZES
+    CLS, INST, OARR, PARR = (
+        H.SUB_CLASS_DUMP,
+        H.SUB_INSTANCE_DUMP,
+        H.SUB_OBJECT_ARRAY_DUMP,
+        H.SUB_PRIMITIVE_ARRAY_DUMP,
+    )
+    id4 = id_size + 4
+    root_skip = {
+        H.SUB_ROOT_UNKNOWN: id_size,
+        H.SUB_ROOT_STICKY_CLASS: id_size,
+        H.SUB_ROOT_MONITOR_USED: id_size,
+        H.SUB_ROOT_JNI_GLOBAL: 2 * id_size,
+        H.SUB_ROOT_JNI_LOCAL: id_size + 8,
+        H.SUB_ROOT_JAVA_FRAME: id_size + 8,
+        H.SUB_ROOT_NATIVE_STACK: id_size + 4,
+        H.SUB_ROOT_THREAD_BLOCK: id_size + 4,
+        H.SUB_ROOT_THREAD_OBJ: id_size + 8,
+    }
+    classes: list = []
+    splits: list[tuple[int, int]] = []
+    pos = 0
+    split_start = 0
+    while pos < n:
+        tag = buf[pos]
+        p = pos + 1
+        if tag == INST:
+            (nbytes,) = unpack_I(buf, p + id4 + id_size)
+            pos = p + id4 + id_size + 4 + nbytes
+        elif tag == PARR:
+            (cnt,) = unpack_I(buf, p + id4)
+            pos = p + id4 + 5 + cnt * prim_sizes[buf[p + id4 + 4]]
+        elif tag == OARR:
+            (cnt,) = unpack_I(buf, p + id4)
+            pos = p + id4 + 4 + id_size + cnt * id_size
+        elif tag == CLS:
+            info, pos = H.parse_class_dump(buf, p, id_size)
+            classes.append(info)
+        else:
+            skip = root_skip.get(tag)
+            if skip is None:
+                raise ValueError(
+                    f"unknown heap sub-record tag 0x{tag:02x} at offset {seg_start + pos}"
+                )
+            pos = p + skip
+        if pos - split_start >= target_split_bytes:
+            splits.append((seg_start + split_start, seg_start + pos))
+            split_start = pos
+    if split_start < n:
+        splits.append((seg_start + split_start, seg_start + n))
+    return classes, splits
+
+
+def build_index(
+    path: str,
+    target_split_bytes: int = 64 * 1024 * 1024,
+    spark=None,
+) -> HprofIndex:
     with open(path, "rb") as f:
         buf = f.read()  # driver pass; mmap-equivalent sequential scan
     header = H.read_header(buf)
@@ -108,31 +187,36 @@ def build_index(path: str, target_split_bytes: int = 64 * 1024 * 1024) -> HprofI
             segment_ranges.append((off, off + length))
 
     # Skip-scan segments: harvest ClassDumps (schema source) and plan
-    # splits on sub-record boundaries.
-    split_start = None
-    split_bytes = 0
-    for seg_start, seg_end in segment_ranges:
-        pos = seg_start
-        if split_start is None:
-            split_start = pos
-        while pos < seg_end:
-            tag, nxt, meta = H.skip_sub_record(buf, pos, id_size)
-            if tag == H.SUB_CLASS_DUMP:
-                info = meta["class_info"]
-                info.name = idx.class_name(info.class_obj_id)
-                idx.classes[info.class_obj_id] = info
-            split_bytes += nxt - pos
-            pos = nxt
-            if split_bytes >= target_split_bytes:
-                idx.splits.append((split_start, pos))
-                split_start = pos if pos < seg_end else None
-                split_bytes = 0
-        # segment boundary always ends a split (ranges never span the
-        # 9-byte record header between segments)
-        if split_start is not None and split_start < seg_end:
-            idx.splits.append((split_start, seg_end))
-        split_start = None
-        split_bytes = 0
+    # splits on sub-record boundaries. Segments are independent, so
+    # when a SparkSession is supplied the scan fans out one task per
+    # segment — on a big dump this turns the O(heap) part of pass 1
+    # into a parallel job, leaving the driver with only the (bounded)
+    # string/class/frame metadata.
+    abspath = __import__("os").path.abspath(path)
+    if spark is not None and len(segment_ranges) > 1:
+        scanned = (
+            spark.sparkContext.parallelize(
+                list(enumerate(segment_ranges)), numSlices=len(segment_ranges)
+            )
+            .map(
+                lambda t: (
+                    t[0],
+                    _scan_segment(abspath, t[1][0], t[1][1], id_size, target_split_bytes),
+                )
+            )
+            .collect()
+        )
+        scanned = [r for _, r in sorted(scanned)]
+    else:
+        scanned = [
+            _scan_segment(abspath, s, e, id_size, target_split_bytes)
+            for s, e in segment_ranges
+        ]
+    for class_infos, seg_splits in scanned:
+        for info in class_infos:
+            info.name = idx.class_name(info.class_obj_id)
+            idx.classes[info.class_obj_id] = info
+        idx.splits.extend(seg_splits)
 
     _flatten_layouts(idx)
     return idx
