@@ -9,7 +9,7 @@ import pytest
 
 from heapdumpstardiver_spark.catalog import Warehouse
 from heapdumpstardiver_spark.ingest import count_records, ingest_hprof
-from tests.hprof_writer import build_test_dump
+from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
 
 
 @pytest.fixture(scope="session")
