@@ -879,3 +879,43 @@ def pivot_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.coalesce(F.col("1997"), F.lit(0.0))).alias("y1997"),
         round_col(F.coalesce(F.col("1998"), F.lit(0.0))).alias("y1998"),
     )
+
+
+@query(
+    "salted_heavy_hitter_agg",
+    oracle=f"""
+    SELECT l_suppkey, count(*) AS n_items,
+           {round_sql("sum(l_quantity)")} AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY n_items DESC, l_suppkey LIMIT 20
+    """,
+)
+def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation with explicit salting: phase 1
+    aggregates on (key, salt) so a hot key's rows spread over 16
+    reducers; phase 2 merges the 16 partials per key. The result is
+    identical to a plain GROUP BY (the oracle) — the salt only changes
+    the shuffle layout. This is the manual fallback when AQE skew
+    handling can't apply (aggregations, not joins); counts merge by
+    sum, sums by sum, and the final round happens after the merge so
+    salting never changes a value."""
+    li = _t(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") % 16).alias("salt")
+    partial = (
+        li.select("l_suppkey", salt, "l_quantity")
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("l_quantity").alias("pq"),
+        )
+    )
+    return (
+        partial.groupBy("l_suppkey")
+        .agg(
+            F.sum("pc").alias("n_items"),
+            round_col(F.sum("pq")).alias("total_qty"),
+        )
+        .orderBy(F.desc("n_items"), "l_suppkey")
+        .limit(20)
+    )
