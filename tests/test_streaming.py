@@ -83,3 +83,69 @@ def test_running_counts_stateful(spark, events_dir, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Two availableNow drains over one checkpoint: batch 1 advances
+    the watermark past hour 7's window; a hour-7 event arriving in
+    batch 2 is late beyond the watermark and must NOT be counted when
+    the window finalizes (append mode emits only finalized windows)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    in_dir = tmp_path / "in"
+    ck = str(tmp_path / "ck")
+
+    def ev(event_id, hh, mm, etype="click"):
+        return Row(
+            event_id=event_id,
+            ts=dt.datetime(2024, 1, 1, hh, mm, 0),
+            user_id=1,
+            event_type=etype,
+            value=1.0,
+            props="{}",
+        )
+
+    batch1 = [ev(1, 7, 30), ev(2, 7, 40), ev(3, 10, 30)]
+    spark.createDataFrame(batch1, schema=S.windowed.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    stream = S.tumbling_counts(
+        S.stream_events(spark, str(in_dir)), window="1 hour", watermark="2 hours"
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark after batch 1: 10:30 - 2h = 08:30 > hour-7 window end
+
+    late = [ev(4, 7, 15), ev(5, 11, 0)]  # event 4 is beyond the watermark
+    spark.createDataFrame(late, schema=S.windowed.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    stream2 = S.tumbling_counts(
+        S.stream_events(spark, str(in_dir)), window="1 hour", watermark="2 hours"
+    )
+    q2 = (
+        stream2.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    emitted = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour-7 window finalized WITHOUT the late event (2, not 3)
+    assert emitted.get(7) == 2, emitted
