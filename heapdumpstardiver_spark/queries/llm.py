@@ -628,3 +628,112 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT doc_a, doc_b, inter,
+           {round_sql("CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)", 4)} AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity: |A∩B| / |A∪B| over 3-token
+    shingle sets. Same single-shuffle bucket shape as
+    ngram_shingle_overlap for the intersection; per-doc set sizes are a
+    map-side aggregate broadcast back onto the pair list. The division
+    is a ratio of exact integers — bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    n = 3
+    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
+    )
+    shingles = (
+        toks.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(hashes).alias("shingle"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    buckets = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter", round_col(jac, 4).alias("jaccard")
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle="""
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document
+    frequency, top-50 — the counting backbone of tokenizer training and
+    tf-idf. One explode, one shuffle on the token; TakeOrdered top-k."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
