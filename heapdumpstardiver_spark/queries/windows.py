@@ -296,3 +296,47 @@ def range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("o_event_id").alias("n_nearby"))
     )
+
+
+@query(
+    "percentile_disc_groups",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99,
+           max(n) AS n_orders
+    FROM ranked
+    GROUP BY o_orderstatus
+    """,
+)
+def percentile_disc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99) per group via explicit
+    rank selection — index convention ceil(q·n) written out in BOTH
+    engines, so no dependence on either engine's quantile definition,
+    and the selected values are raw data (no interpolation arithmetic
+    to diverge). One shuffle on the group key; at scale swap in
+    approx_percentile for fixed-memory sketches."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select("o_orderstatus", "o_totalprice", "o_orderkey").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    def pick(q):
+        idx = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("o_totalprice")))
+    return ranked.groupBy("o_orderstatus").agg(
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
+        F.max("n").alias("n_orders"),
+    )
