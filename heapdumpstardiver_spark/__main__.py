@@ -1,0 +1,113 @@
+"""CLI — the reference's command surface, Spark-backed.
+
+    python -m heapdumpstardiver_spark count-records -f app.hprof
+    python -m heapdumpstardiver_spark dump-objects-to-parquet -f app.hprof -o warehouse/
+    python -m heapdumpstardiver_spark analyze -w warehouse/ [--max-tier 3]
+    python -m heapdumpstardiver_spark query -w warehouse/ --sql "SELECT ..." [--limit N]
+
+Mirrors /root/reference/src/main.rs's clap commands (`-f` file flag,
+`count-records`, `dump-objects-to-parquet`) and the MCP server's
+`analyze_heap` / `query_heap` tools, so a reference user keeps their
+workflow: convert once, then analyze/query the parquet warehouse.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="heapdumpstardiver_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_count = sub.add_parser("count-records", help="tally top-level HPROF record tags")
+    p_count.add_argument("-f", "--file", required=True)
+
+    p_dump = sub.add_parser(
+        "dump-objects-to-parquet", help="convert an HPROF dump to a parquet warehouse"
+    )
+    p_dump.add_argument("-f", "--file", required=True)
+    p_dump.add_argument("-o", "--out-dir", required=True)
+    p_dump.add_argument("--split-mb", type=int, default=64)
+    p_dump.add_argument("--overwrite", action="store_true")
+
+    p_an = sub.add_parser("analyze", help="run the waste checks + profile summary")
+    p_an.add_argument("-w", "--warehouse", required=True)
+    p_an.add_argument("--max-tier", type=int, default=3)
+
+    p_q = sub.add_parser("query", help="SQL over warehouse views (paginated)")
+    p_q.add_argument("-w", "--warehouse", required=True)
+    p_q.add_argument("--sql", required=True)
+    p_q.add_argument("--limit", type=int, default=1000)
+    p_q.add_argument("--offset", type=int, default=0)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "count-records":
+        from .ingest import count_records
+
+        for tag, n in count_records(args.file):
+            print(f"{n:>12}  {tag}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"hdsd-{args.cmd}")
+    try:
+        if args.cmd == "dump-objects-to-parquet":
+            from .ingest import ingest_hprof
+
+            manifest = ingest_hprof(
+                spark,
+                args.file,
+                args.out_dir,
+                target_split_bytes=args.split_mb * 1024 * 1024,
+                overwrite=args.overwrite,
+            )
+            print(json.dumps(manifest, indent=2))
+        elif args.cmd == "analyze":
+            from .analytics import run_waste_analysis
+            from .catalog import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            findings = run_waste_analysis(wh, max_tier=args.max_tier)
+            print(
+                json.dumps(
+                    [
+                        {
+                            "check": f.check_name,
+                            "severity": f.severity,
+                            "waste_bytes": f.estimated_waste_bytes,
+                            "affected": f.affected_count,
+                            "details": f.details,
+                            "recommendation": f.recommendation,
+                        }
+                        for f in findings
+                    ],
+                    indent=2,
+                    default=str,
+                )
+            )
+        elif args.cmd == "query":
+            from .service import SessionManager, query_heap
+
+            mgr = SessionManager(spark)
+            # fixed session id so view names are predictable:
+            # `cli__<table>` with dots/brackets → underscores
+            # (e.g. cli__java_lang_String, cli___gc_roots)
+            sess = mgr.create_session(args.warehouse, session_id="cli")
+            out = query_heap(mgr, args.sql, limit=args.limit, offset=args.offset)
+            if "error" in out:
+                out["available_views"] = sorted(
+                    sess.view_name(t) for t in sess.warehouse.table_names()
+                )
+            print(json.dumps(out, indent=2, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""CLI surface tests — subprocess-isolated because the CLI owns (and
+stops) its SparkSession, which must not kill the shared test session."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, timeout=300):
+    return subprocess.run(
+        [sys.executable, "-m", "heapdumpstardiver_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def dump(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    path = str(d / "t.hprof")
+    build_test_dump(path)
+    return path
+
+
+def test_count_records(dump):
+    r = run_cli("count-records", "-f", dump)
+    assert r.returncode == 0, r.stderr
+    assert "Utf8" in r.stdout and "HeapDumpSegment" in r.stdout
+
+
+def test_convert_then_query(dump, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("cli_wh") / "wh")
+    r = run_cli("dump-objects-to-parquet", "-f", dump, "-o", wh, "--overwrite")
+    assert r.returncode == 0, r.stderr
+    manifest = json.loads(r.stdout[r.stdout.index("{") :])
+    assert manifest["total_rows"] > 0
+    assert "_object_index" in manifest["tables"]
+
+    r2 = run_cli(
+        "query",
+        "-w",
+        wh,
+        "--sql",
+        "SELECT count(*) AS n FROM cli___object_index",
+        "--limit",
+        "5",
+    )
+    assert r2.returncode == 0, r2.stderr
+    out = json.loads(r2.stdout[r2.stdout.index("{") :])
+    assert "error" not in out, out
+    assert out["rows"][0]["n"] == manifest["tables"]["_object_index"]
