@@ -1,25 +1,28 @@
 """Minimal deterministic HPROF writer for ingestion tests.
 
-Writes a syntactically valid HPROF 1.0.2 file (8-byte ids) from the
-public format spec: strings, LoadClass records, stack frames/traces,
-and heap-dump segments with class dumps (inheritance + a shadowed
-field), instances, primitive/object arrays, and GC roots. This is our
-own fixture generator — the spiritual twin of the reference's Java
-test-heap-generator, not a copy of it.
+Writes a syntactically valid HPROF 1.0.2 file (4- or 8-byte ids) from
+the public format spec: strings, LoadClass records, stack frames/
+traces, and heap-dump segments with class dumps (inheritance + a
+shadowed field), instances, primitive/object arrays, and GC roots.
+This is our own fixture generator — the spiritual twin of the
+reference's Java test-heap-generator, not a copy of it.
 """
 
 from __future__ import annotations
 
 import struct
 
-ID = ">Q"
-
 
 class HprofWriter:
-    def __init__(self):
+    def __init__(self, id_size: int = 8):
+        if id_size not in (4, 8):
+            raise ValueError(f"id_size must be 4 or 8, got {id_size}")
+        self.id_size = id_size
+        self.ID = ">Q" if id_size == 8 else ">I"
+        self.pack_id = struct.Struct(self.ID).pack
         self.buf = bytearray()
         self.buf += b"JAVA PROFILE 1.0.2\x00"
-        self.buf += struct.pack(">III", 8, 0, 42)  # id size, ts hi/lo
+        self.buf += struct.pack(">III", id_size, 0, 42)  # id size, ts hi/lo
         self._next_string = 0x1000
         self._next_obj = 0x100000
         self.strings: dict[str, int] = {}
@@ -33,7 +36,7 @@ class HprofWriter:
             i = self._next_string
             self._next_string += 1
             self.strings[text] = i
-            self.record(0x01, struct.pack(ID, i) + text.encode())
+            self.record(0x01, self.pack_id(i) + text.encode())
         return self.strings[text]
 
     def oid(self) -> int:
@@ -45,25 +48,25 @@ class HprofWriter:
         self.record(
             0x02,
             struct.pack(">I", serial)
-            + struct.pack(ID, class_obj_id)
+            + self.pack_id(class_obj_id)
             + struct.pack(">I", serial)
-            + struct.pack(ID, self.sid(jvm_name)),
+            + self.pack_id(self.sid(jvm_name)),
         )
 
     def stack_frame(self, frame_id, method, sig, source, class_serial, line):
         self.record(
             0x04,
-            struct.pack(ID, frame_id)
-            + struct.pack(ID, self.sid(method))
-            + struct.pack(ID, self.sid(sig))
-            + struct.pack(ID, self.sid(source))
+            self.pack_id(frame_id)
+            + self.pack_id(self.sid(method))
+            + self.pack_id(self.sid(sig))
+            + self.pack_id(self.sid(source))
             + struct.pack(">Ii", class_serial, line),
         )
 
     def stack_trace(self, serial, thread_serial, frame_ids):
         body = struct.pack(">III", serial, thread_serial, len(frame_ids))
         for f in frame_ids:
-            body += struct.pack(ID, f)
+            body += self.pack_id(f)
         self.record(0x05, body)
 
     def heap_segment(self, sub_records: bytes) -> None:
@@ -73,67 +76,64 @@ class HprofWriter:
         self.record(0x2C, b"")
 
     # -- heap sub-records (return bytes to place into a segment) ------------
-    @staticmethod
-    def class_dump(class_obj_id, super_id, instance_size, statics, fields) -> bytes:
+    def class_dump(self, class_obj_id, super_id, instance_size, statics, fields) -> bytes:
         """statics: [(name_sid, type_code, packed_value_bytes)];
         fields: [(name_sid, type_code)]"""
         b = bytearray([0x20])
-        b += struct.pack(ID, class_obj_id) + struct.pack(">I", 1)
-        b += struct.pack(ID, super_id)
-        b += struct.pack(ID, 0) * 5  # loader, signers, domain, reserved×2
+        b += self.pack_id(class_obj_id) + struct.pack(">I", 1)
+        b += self.pack_id(super_id)
+        b += self.pack_id(0) * 5  # loader, signers, domain, reserved×2
         b += struct.pack(">I", instance_size)
         b += struct.pack(">H", 0)  # constant pool
         b += struct.pack(">H", len(statics))
         for name_sid, t, packed in statics:
-            b += struct.pack(ID, name_sid) + bytes([t]) + packed
+            b += self.pack_id(name_sid) + bytes([t]) + packed
         b += struct.pack(">H", len(fields))
         for name_sid, t in fields:
-            b += struct.pack(ID, name_sid) + bytes([t])
+            b += self.pack_id(name_sid) + bytes([t])
         return bytes(b)
 
-    @staticmethod
-    def instance(obj_id, class_obj_id, packed_fields: bytes) -> bytes:
+    def instance(self, obj_id, class_obj_id, packed_fields: bytes) -> bytes:
         return (
             bytes([0x21])
-            + struct.pack(ID, obj_id)
+            + self.pack_id(obj_id)
             + struct.pack(">I", 1)
-            + struct.pack(ID, class_obj_id)
+            + self.pack_id(class_obj_id)
             + struct.pack(">I", len(packed_fields))
             + packed_fields
         )
 
-    @staticmethod
-    def prim_array(obj_id, type_code, code, values) -> bytes:
+    def prim_array(self, obj_id, type_code, code, values) -> bytes:
         return (
             bytes([0x23])
-            + struct.pack(ID, obj_id)
+            + self.pack_id(obj_id)
             + struct.pack(">I", 1)
             + struct.pack(">I", len(values))
             + bytes([type_code])
             + struct.pack(f">{len(values)}{code}", *values)
         )
 
-    @staticmethod
-    def obj_array(obj_id, array_class_id, elements) -> bytes:
+    def obj_array(self, obj_id, array_class_id, elements) -> bytes:
         b = (
             bytes([0x22])
-            + struct.pack(ID, obj_id)
+            + self.pack_id(obj_id)
             + struct.pack(">I", 1)
             + struct.pack(">I", len(elements))
-            + struct.pack(ID, array_class_id)
+            + self.pack_id(array_class_id)
         )
         for e in elements:
-            b += struct.pack(ID, e)
-        return b
+            b += self.pack_id(e)
+        return bytes(b)
 
-    @staticmethod
-    def root(tag: int, obj_id: int, extra: bytes = b"") -> bytes:
-        return bytes([tag]) + struct.pack(ID, obj_id) + extra
+    def root(self, tag: int, obj_id: int, extra: bytes = b"") -> bytes:
+        return bytes([tag]) + self.pack_id(obj_id) + extra
 
 
-def build_test_dump(path: str) -> dict:
-    """Write the standard test dump; returns ground truth."""
-    w = HprofWriter()
+def build_test_dump(path: str, id_size: int = 8) -> dict:
+    """Write the standard test dump; returns ground truth. The same
+    logical heap is emitted for either *id_size* so ingest results can
+    be compared across 32/64-bit JVM dump formats."""
+    w = HprofWriter(id_size=id_size)
     truth: dict = {}
 
     # classes
@@ -166,7 +166,7 @@ def build_test_dump(path: str) -> dict:
         BASE,
         OBJ,
         12,
-        [(w.sid("COUNTER"), 10, struct.pack(">i", 7)), (w.sid("SHARED"), 2, struct.pack(ID, 0xBEEF))],
+        [(w.sid("COUNTER"), 10, struct.pack(">i", 7)), (w.sid("SHARED"), 2, w.pack_id(0xBEEF))],
         [(w.sid("id"), 11), (w.sid("flag"), 4)],
     )
     seg += w.class_dump(CHILD, BASE, 25, [], [(w.sid("id"), 10), (w.sid("ref"), 2)])
@@ -183,13 +183,12 @@ def build_test_dump(path: str) -> dict:
     ia = w.oid(); seg += w.prim_array(ia, 10, "i", [0, 0, 0])         # all-zero
     da = w.oid(); seg += w.prim_array(da, 7, "d", [1.5, -2.25])
     la = w.oid(); seg += w.prim_array(la, 11, "q", [])                # zero-length
-
     # strings: 4 strings → first three share the dup byte array contents
     str_ids = []
     for i, b in enumerate(barr_ids[:4]):
         oid = w.oid()
         str_ids.append(oid)
-        packed = struct.pack(ID, b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x01"
+        packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x01"
         seg += w.instance(oid, STR, packed)
     truth["strings"] = len(str_ids)
 
@@ -199,7 +198,7 @@ def build_test_dump(path: str) -> dict:
     child_inst = w.oid()
     child_packed = (
         struct.pack(">i", 77)            # Child.id (int)
-        + struct.pack(ID, str_ids[0])    # Child.ref
+        + w.pack_id(str_ids[0])          # Child.ref
         + struct.pack(">q", -5)          # Base@id (long, shadowed)
         + b"\x00"                        # Base.flag
     )
@@ -214,7 +213,7 @@ def build_test_dump(path: str) -> dict:
 
     # GC roots: one of each of several kinds
     seg += w.root(0xFF, str_ids[0])
-    seg += w.root(0x01, str_ids[1], struct.pack(ID, 0))
+    seg += w.root(0x01, str_ids[1], w.pack_id(0))
     seg += w.root(0x02, str_ids[2], struct.pack(">II", 10, 0))
     seg += w.root(0x03, base_inst, struct.pack(">II", 10, 1))
     seg += w.root(0x04, child_inst, struct.pack(">I", 11))
@@ -232,7 +231,7 @@ def build_test_dump(path: str) -> dict:
     for b in (barr_ids[3], barr_ids[4]):
         oid = w.oid()
         extra_strs.append(oid)
-        packed = struct.pack(ID, b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
+        packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
     truth["strings"] += 2
     w.heap_segment(bytes(seg2))
@@ -246,9 +245,6 @@ def build_test_dump(path: str) -> dict:
     return truth
 
 
-_instance = HprofWriter.instance
-
-
 def build_scale_dump(
     path: str,
     n_instances: int = 1_000_000,
@@ -256,6 +252,7 @@ def build_scale_dump(
     n_obj_arrays: int = 125_000,
     n_classes: int = 20,
     segment_bytes: int = 8 * 1024 * 1024,
+    id_size: int = 8,
 ) -> dict:
     """Deterministic large dump for ingest benchmarking: *n_classes*
     classes with 3 int fields + 1 ref, instances, 64-byte byte[]'s and
@@ -263,7 +260,7 @@ def build_scale_dump(
     segment scan and split planner parallelize. Scale analogue of the
     reference's test-heap-generator SCALE knob
     (/root/reference/test-heap-generator/build-and-run.sh:4)."""
-    w = HprofWriter()
+    w = HprofWriter(id_size=id_size)
     class_ids = []
     for c in range(n_classes):
         cid = w.oid()
@@ -286,25 +283,26 @@ def build_scale_dump(
             w.heap_segment(bytes(seg))
             seg = bytearray()
 
-    pack_i = struct.Struct(">iiiQ").pack
+    pack_i = struct.Struct(">iii" + ("Q" if id_size == 8 else "I")).pack
     bvals = list(range(-32, 32))
     els = [0x100000 + k for k in range(10)]
+    instance, prim_array, obj_array = w.instance, w.prim_array, w.obj_array
     for i in range(n_instances):
-        seg += _instance(0x100000 + i, class_ids[i % n_classes],
-                             pack_i(i, i * 2, i % 97, 0x100000 + (i % 1000)))
+        seg += instance(0x100000 + i, class_ids[i % n_classes],
+                        pack_i(i, i * 2, i % 97, 0x100000 + (i % 1000)))
         if len(seg) >= segment_bytes:
             flush()
     for i in range(n_prim_arrays):
-        seg += HprofWriter.prim_array(0x10000000 + i, 8, "b", bvals)
+        seg += prim_array(0x10000000 + i, 8, "b", bvals)
         if len(seg) >= segment_bytes:
             flush()
     for i in range(n_obj_arrays):
-        seg += HprofWriter.obj_array(0x20000000 + i, oarr_cid, els)
+        seg += obj_array(0x20000000 + i, oarr_cid, els)
         if len(seg) >= segment_bytes:
             flush()
     flush()
     roots = bytearray()
-    roots += HprofWriter.root(0x05, 0x100001)
+    roots += w.root(0x05, 0x100001)
     w.heap_segment(bytes(roots))
     w.heap_end()
     with open(path, "wb") as f:

@@ -113,7 +113,7 @@ def sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "date_trunc_daily",
     oracle=f"""
-    SELECT date_trunc('day', ts) AS day, event_type,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            count(*) AS n_events,
            {round_sql("sum(value)")} AS total_value
     FROM events GROUP BY 1, 2

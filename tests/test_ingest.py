@@ -12,11 +12,13 @@ from heapdumpstardiver_spark.ingest import count_records, ingest_hprof
 from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
 
 
-@pytest.fixture(scope="session")
-def dump(tmp_path_factory):
-    d = tmp_path_factory.mktemp("hprof")
+@pytest.fixture(scope="session", params=[8, 4], ids=["id8", "id4"])
+def dump(tmp_path_factory, request):
+    """The same logical heap in both HPROF id widths (64/32-bit JVM);
+    every test below runs against each."""
+    d = tmp_path_factory.mktemp(f"hprof_id{request.param}")
     path = str(d / "test.hprof")
-    truth = build_test_dump(path)
+    truth = build_test_dump(path, id_size=request.param)
     return path, truth
 
 
