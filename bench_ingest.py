@@ -38,6 +38,10 @@ def main() -> None:
     out_dir = os.path.join(bench_dir, "ingest_wh")
 
     spark = get_spark(app_name="heapdumpstardiver-bench-ingest")
+    # Steady-state methodology (same as bench.py): warm the scheduler /
+    # executor threads with a throwaway job so the measurement is the
+    # ingest pipeline, not first-job JVM+scheduler spin-up.
+    spark.sparkContext.parallelize(range(64), 64).count()
     t0 = time.perf_counter()
     manifest = ingest_hprof(spark, dump, out_dir, overwrite=True)
     wall = time.perf_counter() - t0

@@ -169,6 +169,15 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
     unpack_id = (
         struct.Struct(">Q").unpack_from if id_size == 8 else struct.Struct(">I").unpack_from
     )
+    # merged per-kind header unpacks — one struct call per record instead
+    # of three (the walk is the Python-side bottleneck; see bench_ingest)
+    idc = "Q" if id_size == 8 else "I"
+    u_inst = struct.Struct(f">{idc}I{idc}I").unpack_from  # oid, stack, cid, nbytes
+    u_parr = struct.Struct(f">{idc}IIB").unpack_from      # oid, stack, n, elem type
+    u_oarr = struct.Struct(f">{idc}II{idc}").unpack_from  # oid, stack, n, array cls
+    h_inst = 1 + 2 * id_size + 8   # tag → instance body
+    h_parr = 1 + id_size + 9       # tag → first element
+    h_oarr = 1 + 2 * id_size + 8   # tag → first element
     prim_sizes = H.PRIM_SIZES
     INST, PARR, OARR, CLS = (
         H.SUB_INSTANCE_DUMP,
@@ -188,36 +197,25 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
                 tag = buf[pos]
                 p = pos + 1
                 if tag == INST:
-                    (oid,) = unpack_id(buf, p)
-                    p += id_size + 4
-                    (cid,) = unpack_id(buf, p)
-                    p += id_size
-                    (nbytes,) = unpack_I(buf, p)
-                    p += 4
+                    oid, _, cid, nbytes = u_inst(buf, p)
+                    body = pos + h_inst
                     if cid in registry:
                         acc = r_inst.get(cid)
                         if acc is None:
                             acc = r_inst[cid] = ([], [])
                         acc[0].append(oid)
-                        acc[1].append(p)
-                    pos = p + nbytes
+                        acc[1].append(body)
+                    pos = body + nbytes
                 elif tag == PARR:
-                    (oid,) = unpack_id(buf, p)
-                    p += id_size + 4
-                    (n,) = unpack_I(buf, p)
-                    t = buf[p + 4]
-                    p += 5
-                    prim_meta[t].append((buf, oid, p, n))
-                    pos = p + n * prim_sizes[t]
+                    oid, _, n, t = u_parr(buf, p)
+                    body = pos + h_parr
+                    prim_meta[t].append((buf, oid, body, n))
+                    pos = body + n * prim_sizes[t]
                 elif tag == OARR:
-                    (oid,) = unpack_id(buf, p)
-                    p += id_size + 4
-                    (n,) = unpack_I(buf, p)
-                    p += 4
-                    (acid,) = unpack_id(buf, p)
-                    p += id_size
-                    oa_meta.append((buf, oid, p, n, acid))
-                    pos = p + n * id_size
+                    oid, _, n, acid = u_oarr(buf, p)
+                    body = pos + h_oarr
+                    oa_meta.append((buf, oid, body, n, acid))
+                    pos = body + n * id_size
                 elif tag == CLS:
                     info, pos = H.parse_class_dump(buf, p, id_size)
                     cls_oindex[0].append(_s64(info.class_obj_id))
@@ -259,8 +257,10 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
         np_dt = np.dtype([(f"f{i}", _NP_FIELD[c]) for i, c in enumerate(fcodes)])
         size = np_dt.itemsize
         if size:
+            # b is bytes (f.read), so each slice is already an owning
+            # bytes object — no extra bytes() copy per record
             gathered = b"".join(
-                bytes(b[o : o + size]) for b, offs in chunks for o in offs
+                b[o : o + size] for b, offs in chunks for o in offs
             )
             rec = np.frombuffer(gathered, dtype=np_dt)
         else:

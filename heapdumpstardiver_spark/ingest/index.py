@@ -90,6 +90,7 @@ def _scan_segment(
         buf = f.read(seg_end - seg_start)
     n = len(buf)
     unpack_I = struct.Struct(">I").unpack_from
+    unpack_IB = struct.Struct(">IB").unpack_from  # prim-array count + elem type
     prim_sizes = H.PRIM_SIZES
     CLS, INST, OARR, PARR = (
         H.SUB_CLASS_DUMP,
@@ -120,8 +121,8 @@ def _scan_segment(
             (nbytes,) = unpack_I(buf, p + id4 + id_size)
             pos = p + id4 + id_size + 4 + nbytes
         elif tag == PARR:
-            (cnt,) = unpack_I(buf, p + id4)
-            pos = p + id4 + 5 + cnt * prim_sizes[buf[p + id4 + 4]]
+            cnt, t = unpack_IB(buf, p + id4)
+            pos = p + id4 + 5 + cnt * prim_sizes[t]
         elif tag == OARR:
             (cnt,) = unpack_I(buf, p + id4)
             pos = p + id4 + 4 + id_size + cnt * id_size
