@@ -44,6 +44,13 @@ def get_spark(
         # of MB; past that the sort-based fallback (the spill path)
         # still engages.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+        # RocksDB state store: bounded-memory streaming state (vs the
+        # default in-heap HDFS-backed provider) and required by the
+        # Spark 4 transformWithState stateful-processor API.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

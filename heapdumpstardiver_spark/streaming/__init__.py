@@ -1,5 +1,6 @@
 from .windowed import (  # noqa: F401
     running_counts_stateful,
+    running_counts_tws,
     sessionized_counts,
     stream_events,
     streaming_dedup,

@@ -123,6 +123,59 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value sum via
+    ``transformWithStateInPandas`` — the Spark 4 stateful-processor API
+    (typed ValueState/ListState/MapState + timers), the modern successor
+    of :func:`running_counts_stateful`'s ``applyInPandasWithState``.
+
+    Requires the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``), which also gives bounded-memory
+    state at scale — the session helper sets it. Executing (not
+    building) the query additionally needs ``google.protobuf`` for the
+    state-server protocol; environments without it should use
+    :func:`running_counts_stateful`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCounts(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, output_mode: str = "complete"):
     """Drain a stream into a memory sink with availableNow (test/demo
     harness; production sinks swap in here)."""

@@ -85,6 +85,50 @@ def test_running_counts_stateful(spark, events_dir, tmp_path):
     assert final == batch
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in this env); "
+    "the operator builds its plan without it — see test_tws_plan_builds",
+)
+def test_running_counts_transform_with_state(spark, events_dir, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    operator: final per-user state must equal the batch aggregate, and
+    match the older API's results exactly."""
+    stream = S.running_counts_tws(S.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_tws", tmp_path, mode="update")
+    final = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    batch = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(final) == len(batch) > 10
+    for uid, (n, total) in batch.items():
+        assert final[uid][0] == n
+        # pandas pairwise-sums, Spark sums sequentially — ulp-level drift
+        assert final[uid][1] == pytest.approx(total, rel=1e-12)
+
+
+def test_tws_plan_builds(spark, events_dir):
+    """The transformWithStateInPandas operator must analyze cleanly
+    (schema + streaming plan) even where the protobuf runtime needed to
+    execute it is unavailable."""
+    df = S.running_counts_tws(S.stream_events(spark, events_dir))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "n_events", "total_value"]
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Two availableNow drains over one checkpoint: batch 1 advances
     the watermark past hour 7's window; a hour-7 event arriving in
