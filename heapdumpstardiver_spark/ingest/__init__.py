@@ -1,1 +1,8 @@
 from .convert import count_records, ingest_hprof  # noqa: F401
+from .snapshots import (  # noqa: F401
+    append_snapshot,
+    list_snapshots,
+    object_diff,
+    snapshot_summary,
+    type_histogram_delta,
+)

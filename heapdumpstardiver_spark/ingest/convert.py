@@ -87,8 +87,11 @@ def _class_registry(idx: HprofIndex) -> dict:
     return reg
 
 
-def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table) -> tuple:
+def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table,
+                partition: str | None = None) -> tuple:
     d = os.path.join(out_dir, _physical(table))
+    if partition:
+        d = os.path.join(d, partition)  # Hive-style `snapshot=<id>` subdir
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"part-{split_id}.parquet")
     pq.write_table(arrow_table, path, compression="snappy")
@@ -96,7 +99,7 @@ def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table) -> tu
 
 
 def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
-                   class_names: dict, id_size: int):
+                   class_names: dict, id_size: int, partition: str | None = None):
     """One task: parse [start, end) sub-record ranges, write part files.
     Returns manifest tuples (table, rows, path).
 
@@ -273,7 +276,7 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             [("obj_id", pa.int64())] + [(fn, _FIELD_ARROW[c]) for fn, c in zip(fnames, fcodes)]
         )
         manifest.append(
-            _write_part(out_dir, name, split_id, pa.table(cols, schema=schema))
+            _write_part(out_dir, name, split_id, pa.table(cols, schema=schema), partition)
         )
         oindex_ids.append(oid_arr)
         oindex_names.append((name, len(oids)))
@@ -307,7 +310,7 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             },
             schema=schema,
         )
-        manifest.append(_write_part(out_dir, "_object_arrays", split_id, tbl))
+        manifest.append(_write_part(out_dir, "_object_arrays", split_id, tbl, partition))
         oindex_ids.append(oid_i64)
         oindex_names.append(names)
 
@@ -335,7 +338,7 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             [("obj_id", pa.int64()), ("values", pa.list_(_PRIM_LIST_ARROW[ptype]))]
         )
         tbl = pa.table({"obj_id": pa.array(oid_i64, type=pa.int64()), "values": vals}, schema=schema)
-        manifest.append(_write_part(out_dir, f"_primitive_arrays_{ptype}", split_id, tbl))
+        manifest.append(_write_part(out_dir, f"_primitive_arrays_{ptype}", split_id, tbl, partition))
         oindex_ids.append(oid_i64)
         oindex_names.append((f"{ptype}[]", len(metas)))
 
@@ -348,7 +351,7 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
                 ("frame_index", pa.int32()),
             ]
         )
-        manifest.append(_write_part(out_dir, "_gc_roots", split_id, pa.table(roots, schema=schema)))
+        manifest.append(_write_part(out_dir, "_gc_roots", split_id, pa.table(roots, schema=schema), partition))
 
     # -- _object_index assembled from the per-table pieces ------------------
     if cls_oindex[0]:
@@ -368,11 +371,12 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             {"obj_id": pa.array(all_ids, type=pa.int64()), "type_name": pa.array(name_chunks, type=pa.string())},
             schema=schema,
         )
-        manifest.append(_write_part(out_dir, "_object_index", split_id, tbl))
+        manifest.append(_write_part(out_dir, "_object_index", split_id, tbl, partition))
     return manifest
 
 
-def _write_driver_tables(idx: HprofIndex, out_dir: str) -> list[tuple]:
+def _write_driver_tables(idx: HprofIndex, out_dir: str,
+                         partition: str | None = None) -> list[tuple]:
     """Small global tables assembled from the pass-1 index: static
     fields, resolved stack frames/traces, class hierarchy
     (≙ dump_to_parquet.rs:539-633, 752-894)."""
@@ -404,7 +408,7 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str) -> list[tuple]:
                 ("ref_id", pa.int64()),
             ]
         )
-        manifest.append(_write_part(out_dir, "_static_fields", 0, pa.table(sf, schema=schema)))
+        manifest.append(_write_part(out_dir, "_static_fields", 0, pa.table(sf, schema=schema), partition))
 
     # _stack_frames: resolve the 4-way dictionary join driver-side
     # (≙ hprof_index.rs:96-118 — thousands of rows, not worth a shuffle)
@@ -429,7 +433,7 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str) -> list[tuple]:
                 ("line_num", pa.int32()),
             ]
         )
-        manifest.append(_write_part(out_dir, "_stack_frames", 0, pa.table(fr, schema=schema)))
+        manifest.append(_write_part(out_dir, "_stack_frames", 0, pa.table(fr, schema=schema), partition))
 
     if idx.traces:
         tr = {
@@ -444,7 +448,7 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str) -> list[tuple]:
                 ("frame_ids", pa.list_(pa.int64())),
             ]
         )
-        manifest.append(_write_part(out_dir, "_stack_traces", 0, pa.table(tr, schema=schema)))
+        manifest.append(_write_part(out_dir, "_stack_traces", 0, pa.table(tr, schema=schema), partition))
 
     if idx.classes:
         ch = {
@@ -470,7 +474,7 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str) -> list[tuple]:
                 ("super_class_name", pa.string()),
             ]
         )
-        manifest.append(_write_part(out_dir, "_class_hierarchy", 0, pa.table(ch, schema=schema)))
+        manifest.append(_write_part(out_dir, "_class_hierarchy", 0, pa.table(ch, schema=schema), partition))
     return manifest
 
 
@@ -480,6 +484,7 @@ def ingest_hprof(
     out_dir: str,
     target_split_bytes: int = 64 * 1024 * 1024,
     overwrite: bool = False,
+    partition: str | None = None,
 ) -> dict:
     """Convert an HPROF heap dump into a Parquet warehouse readable by
     :class:`~heapdumpstardiver_spark.catalog.Warehouse`.
@@ -490,9 +495,16 @@ def ingest_hprof(
     A non-empty *out_dir* is refused unless ``overwrite=True`` (which
     clears it) — a differently-split re-run would otherwise leave stale
     part files mixed with new ones.
+
+    With *partition* (a Hive-style ``key=value`` string, e.g.
+    ``snapshot=3``) every part file lands under that subdirectory of
+    its table and the warehouse becomes an APPEND target: other
+    partitions are left untouched, only a pre-existing identical
+    partition is refused (or cleared with ``overwrite=True``). See
+    :mod:`~heapdumpstardiver_spark.ingest.snapshots`.
     """
     idx = build_index(hprof_path, target_split_bytes=target_split_bytes, spark=spark)
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
+    if partition is None and os.path.isdir(out_dir) and os.listdir(out_dir):
         if not overwrite:
             raise FileExistsError(
                 f"output dir {out_dir!r} is not empty; pass overwrite=True to replace it"
@@ -500,6 +512,22 @@ def ingest_hprof(
         import shutil
 
         shutil.rmtree(out_dir)
+    elif partition is not None and os.path.isdir(out_dir):
+        existing = [
+            os.path.join(out_dir, t, partition)
+            for t in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, t, partition))
+        ]
+        if existing:
+            if not overwrite:
+                raise FileExistsError(
+                    f"partition {partition!r} already exists in {out_dir!r}; "
+                    "pass overwrite=True to replace it"
+                )
+            import shutil
+
+            for d in existing:
+                shutil.rmtree(d)
     os.makedirs(out_dir, exist_ok=True)
 
     registry = _class_registry(idx)
@@ -518,7 +546,8 @@ def ingest_hprof(
             sc.parallelize(tasks, numSlices=len(tasks))
             .flatMap(
                 lambda args: _process_split(
-                    args, hprof_path, out_dir, reg_b.value, names_b.value, id_size
+                    args, hprof_path, out_dir, reg_b.value, names_b.value, id_size,
+                    partition,
                 )
             )
             .collect()
@@ -526,7 +555,7 @@ def ingest_hprof(
     else:
         manifest = []
 
-    manifest += _write_driver_tables(idx, out_dir)
+    manifest += _write_driver_tables(idx, out_dir, partition)
 
     by_table: dict[str, int] = defaultdict(int)
     for table, rows, _ in manifest:
@@ -534,6 +563,7 @@ def ingest_hprof(
     return {
         "hprof": hprof_path,
         "out_dir": out_dir,
+        "partition": partition,
         "id_size": id_size,
         "n_splits": len(idx.splits),
         "tables": dict(sorted(by_table.items())),

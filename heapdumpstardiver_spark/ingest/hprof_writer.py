@@ -129,10 +129,17 @@ class HprofWriter:
         return bytes([tag]) + self.pack_id(obj_id) + extra
 
 
-def build_test_dump(path: str, id_size: int = 8) -> dict:
+def build_test_dump(
+    path: str, id_size: int = 8, extra_strings: int = 0, omit_base: bool = False
+) -> dict:
     """Write the standard test dump; returns ground truth. The same
     logical heap is emitted for either *id_size* so ingest results can
-    be compared across 32/64-bit JVM dump formats."""
+    be compared across 32/64-bit JVM dump formats.
+
+    *extra_strings* appends that many additional String instances and
+    *omit_base* allocates but does not emit the Base instance — knobs
+    for producing a later/earlier heap state with stable object ids
+    (snapshot-diff tests: extras are "new", the omitted Base "freed")."""
     w = HprofWriter(id_size=id_size)
     truth: dict = {}
 
@@ -194,7 +201,8 @@ def build_test_dump(path: str, id_size: int = 8) -> dict:
 
     # Base + Child instances (Child packed: own fields first, then Base's)
     base_inst = w.oid()
-    seg += w.instance(base_inst, BASE, struct.pack(">q", 1234567) + b"\x01")
+    if not omit_base:
+        seg += w.instance(base_inst, BASE, struct.pack(">q", 1234567) + b"\x01")
     child_inst = w.oid()
     child_packed = (
         struct.pack(">i", 77)            # Child.id (int)
@@ -234,12 +242,18 @@ def build_test_dump(path: str, id_size: int = 8) -> dict:
         packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
     truth["strings"] += 2
+    for _ in range(extra_strings):
+        oid = w.oid()
+        packed = w.pack_id(barr_ids[0]) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
+        seg2 += w.instance(oid, STR, packed)
+    truth["strings"] += extra_strings
     w.heap_segment(bytes(seg2))
     w.heap_end()
 
     with open(path, "wb") as f:
         f.write(w.buf)
-    truth["instances"] = truth["strings"] + 2  # + Base + Child
+    truth["base_inst"] = base_inst
+    truth["instances"] = truth["strings"] + (1 if omit_base else 2)  # + Base + Child
     truth["class_dumps"] = 4
     truth["prim_arrays"] = len(barr_ids) + 3
     return truth

@@ -1,0 +1,99 @@
+"""Snapshot (incremental-ingest) tests: two heap states appended as
+Hive partitions of one warehouse; per-snapshot reads must prune at the
+scan, and the diff operators must report exactly the objects that
+appeared/disappeared between the states."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from heapdumpstardiver_spark.catalog import Warehouse
+from heapdumpstardiver_spark.ingest import (
+    append_snapshot,
+    list_snapshots,
+    object_diff,
+    snapshot_summary,
+    type_histogram_delta,
+)
+from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+
+N_EXTRA = 3
+
+
+@pytest.fixture(scope="module")
+def snap_wh(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("snap")
+    a, b = str(d / "a.hprof"), str(d / "b.hprof")
+    truth_a = build_test_dump(a)
+    # later heap state: 3 new Strings appeared, the Base instance was freed
+    truth_b = build_test_dump(b, extra_strings=N_EXTRA, omit_base=True)
+    wh_dir = str(d / "wh")
+    append_snapshot(spark, a, wh_dir, 1)
+    append_snapshot(spark, b, wh_dir, 2)
+    return Warehouse(spark, wh_dir), wh_dir, truth_a, truth_b
+
+
+def _n_objects(truth):
+    return (
+        truth["instances"] + truth["prim_arrays"] + truth["object_arrays"] + truth["class_dumps"]
+    )
+
+
+def test_list_and_duplicate_refused(spark, snap_wh, tmp_path):
+    wh, wh_dir, truth_a, _ = snap_wh
+    assert list_snapshots(wh_dir) == [1, 2]
+    dump = str(tmp_path / "again.hprof")
+    build_test_dump(dump)
+    with pytest.raises(FileExistsError):
+        append_snapshot(spark, dump, wh_dir, 2)
+
+
+def test_snapshot_summary(snap_wh):
+    wh, _, truth_a, truth_b = snap_wh
+    rows = {r["snapshot"]: r for r in snapshot_summary(wh).collect()}
+    assert rows[1]["n_objects"] == _n_objects(truth_a)
+    assert rows[2]["n_objects"] == _n_objects(truth_b)
+    assert rows[2]["n_objects"] - rows[1]["n_objects"] == N_EXTRA - 1
+
+
+def test_union_read_spans_snapshots(snap_wh):
+    wh, _, truth_a, truth_b = snap_wh
+    s = wh.table("java.lang.String")
+    assert s.count() == truth_a["strings"] + truth_b["strings"]
+    per_snap = {r["snapshot"]: r["n"] for r in
+                s.groupBy("snapshot").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_snap == {1: truth_a["strings"], 2: truth_b["strings"]}
+
+
+def test_type_histogram_delta(snap_wh):
+    wh, _, _, _ = snap_wh
+    d = {r["type_name"]: r["delta"] for r in type_histogram_delta(wh, 1, 2).collect()}
+    assert d["java.lang.String"] == N_EXTRA
+    assert d["com.test.Base"] == -1
+    assert all(v == 0 for t, v in d.items() if t not in ("java.lang.String", "com.test.Base"))
+
+
+def test_object_diff_exact(snap_wh):
+    wh, _, truth_a, truth_b = snap_wh
+    rows = object_diff(wh, 1, 2).collect()
+    new = [r for r in rows if r["status"] == "new"]
+    freed = [r for r in rows if r["status"] == "freed"]
+    assert len(new) == N_EXTRA and all(r["type_name"] == "java.lang.String" for r in new)
+    assert len(freed) == 1 and freed[0]["type_name"] == "com.test.Base"
+    assert freed[0]["obj_id"] == truth_a["base_inst"]
+    # retained objects only appear when asked for, and account for the rest
+    full = object_diff(wh, 1, 2, include_retained=True)
+    n_retained = full.filter(F.col("status") == "retained").count()
+    assert n_retained == _n_objects(truth_a) - 1
+
+
+def test_snapshot_read_prunes_partitions(snap_wh):
+    """A single-snapshot read must show the snapshot predicate under
+    PartitionFilters (directory pruning), not as a data filter."""
+    wh, _, _, _ = snap_wh
+    df = wh.table("_object_index").filter(F.col("snapshot") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "snapshot" in pf and "2" in pf, scan
