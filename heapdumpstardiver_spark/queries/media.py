@@ -1,0 +1,136 @@
+"""Multimodal binary-column queries over a synthesized media table.
+
+The fixture warehouse has no binary columns, so these queries
+synthesize one deterministically from ``documents``: the UTF-8
+encoding of each text is the opaque payload (standing in for
+image/audio/video bytes), the kind is derived from the id, and
+metadata mirrors :data:`heapdumpstardiver_spark.multimodal.MEDIA_SCHEMA`.
+What matters is that every downstream op treats payload as opaque
+``binary`` exactly as a real media pipeline would — byte lengths,
+fingerprints, Arrow-batched feature extraction, frame-sample fan-out —
+so the whole plumbing is oracle-checked end to end, while the codec
+layer proper stays stubbed (see ``multimodal.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import multimodal as M
+from ..catalog import load_table
+from ..exprs import dot, round_col
+from ..registry import query
+
+
+def _kind():
+    m = F.col("doc_id") % 3
+    return (
+        F.when(m == 0, F.lit("image")).when(m == 1, F.lit("audio")).otherwise(F.lit("video"))
+    )
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table conforming to MEDIA_SCHEMA: payload =
+    UTF-8 bytes of the document text, duration = 10 ms per char."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        _kind().alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("format"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload census per media kind — byte sizing on the opaque
+    payload column (octet_length over binary, JVM-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode("text", "UTF-8"))
+    return (
+        d.select(_kind().alias("kind"), nb.alias("nb"), "source")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.max("nb").cast("long").alias("max_bytes"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@query(
+    "multimodal_fingerprint_topk",
+    oracle="""
+    SELECT doc_id AS media_id, md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    ORDER BY payload_bytes DESC, media_id
+    LIMIT 20
+    """,
+)
+def multimodal_fingerprint_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints of the largest payloads: md5 over the raw
+    payload bytes (the exact-dedup key for binary media), global
+    top-k by size — TakeOrderedAndProject, no full sort."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "media_id",
+            F.md5("payload").alias("payload_md5"),
+            F.octet_length("payload").cast("long").alias("payload_bytes"),
+        )
+        .orderBy(F.desc("payload_bytes"), "media_id")
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_ts_ms
+    FROM (SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS dur
+          FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+         UNNEST(generate_series(0, dur - 1, 1000)) AS t(f)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (one row per sampled timestamp),
+    derived purely from duration metadata — the payload column is
+    dropped before the explode so media bytes are never duplicated."""
+    return M.sample_frames(media_table(spark, sf_dir), every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+@query("multimodal_feature_extract")  # rows-only: sha256-fake encoder
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas; deterministic sha256-based fake encoder — see
+    multimodal.extract_features) followed by a JVM-side norm check.
+    Not SQL-expressible (Python hash expansion) → rows-only gate."""
+    feats = M.extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.size("features").alias("dim"),
+        round_col(F.sqrt(dot(F.col("features"), F.col("features"))), 6).alias("norm"),
+    )
