@@ -33,6 +33,23 @@ def main(argv: list[str] | None = None) -> int:
     p_dump.add_argument("--split-mb", type=int, default=64)
     p_dump.add_argument("--overwrite", action="store_true")
 
+    p_snap = sub.add_parser(
+        "append-snapshot", help="ingest a dump as snapshot <id> of a warehouse"
+    )
+    p_snap.add_argument("-f", "--file", required=True)
+    p_snap.add_argument("-w", "--warehouse", required=True)
+    p_snap.add_argument("--id", type=int, required=True)
+    p_snap.add_argument("--split-mb", type=int, default=64)
+    p_snap.add_argument("--overwrite", action="store_true")
+
+    p_sd = sub.add_parser(
+        "snapshot-diff", help="heap growth between two snapshots of a warehouse"
+    )
+    p_sd.add_argument("-w", "--warehouse", required=True)
+    p_sd.add_argument("--before", type=int, required=True)
+    p_sd.add_argument("--after", type=int, required=True)
+    p_sd.add_argument("--top", type=int, default=50, help="max type rows to print")
+
     p_an = sub.add_parser("analyze", help="run the waste checks + profile summary")
     p_an.add_argument("-w", "--warehouse", required=True)
     p_an.add_argument("--max-tier", type=int, default=3)
@@ -67,6 +84,52 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite,
             )
             print(json.dumps(manifest, indent=2))
+        elif args.cmd == "append-snapshot":
+            from .ingest import append_snapshot, list_snapshots
+
+            manifest = append_snapshot(
+                spark,
+                args.file,
+                args.warehouse,
+                args.id,
+                overwrite=args.overwrite,
+                target_split_bytes=args.split_mb * 1024 * 1024,
+            )
+            manifest["snapshots"] = list_snapshots(args.warehouse)
+            print(json.dumps(manifest, indent=2))
+        elif args.cmd == "snapshot-diff":
+            from pyspark.sql import functions as F
+
+            from .catalog import Warehouse
+            from .ingest import object_diff, type_histogram_delta
+
+            wh = Warehouse(spark, args.warehouse)
+            deltas = [
+                r.asDict()
+                for r in type_histogram_delta(wh, args.before, args.after)
+                .filter(F.col("delta") != 0)
+                .limit(args.top)
+                .collect()
+            ]
+            status_counts = {
+                r["status"]: r["n"]
+                for r in object_diff(wh, args.before, args.after)
+                .groupBy("status")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "before": args.before,
+                        "after": args.after,
+                        "n_new": status_counts.get("new", 0),
+                        "n_freed": status_counts.get("freed", 0),
+                        "type_deltas": deltas,
+                    },
+                    indent=2,
+                )
+            )
         elif args.cmd == "analyze":
             from .analytics import run_waste_analysis
             from .catalog import Warehouse

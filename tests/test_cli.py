@@ -58,3 +58,28 @@ def test_convert_then_query(dump, tmp_path_factory):
     out = json.loads(r2.stdout[r2.stdout.index("{") :])
     assert "error" not in out, out
     assert out["rows"][0]["n"] == manifest["tables"]["_object_index"]
+
+
+def test_snapshot_cli_roundtrip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_snap")
+    a, b = str(d / "a.hprof"), str(d / "b.hprof")
+    build_test_dump(a)
+    build_test_dump(b, extra_strings=2, omit_base=True)
+    wh = str(d / "wh")
+
+    r1 = run_cli("append-snapshot", "-f", a, "-w", wh, "--id", "1")
+    assert r1.returncode == 0, r1.stderr
+    m1 = json.loads(r1.stdout[r1.stdout.index("{") :])
+    assert m1["snapshots"] == [1]
+
+    r2 = run_cli("append-snapshot", "-f", b, "-w", wh, "--id", "2")
+    assert r2.returncode == 0, r2.stderr
+    m2 = json.loads(r2.stdout[r2.stdout.index("{") :])
+    assert m2["snapshots"] == [1, 2]
+
+    r3 = run_cli("snapshot-diff", "-w", wh, "--before", "1", "--after", "2")
+    assert r3.returncode == 0, r3.stderr
+    diff = json.loads(r3.stdout[r3.stdout.index("{") :])
+    assert diff["n_new"] == 2 and diff["n_freed"] == 1
+    deltas = {row["type_name"]: row["delta"] for row in diff["type_deltas"]}
+    assert deltas == {"java.lang.String": 2, "com.test.Base": -1}
