@@ -1,5 +1,6 @@
 from .convert import count_records, ingest_hprof  # noqa: F401
 from .snapshots import (  # noqa: F401
+    SnapshotView,
     append_snapshot,
     list_snapshots,
     object_diff,

@@ -56,6 +56,25 @@ def append_snapshot(
     )
 
 
+class SnapshotView(Warehouse):
+    """A Warehouse facade pinned to one snapshot: every table is
+    filtered to ``snapshot == id`` (partition-pruned at the scan — the
+    predicate is a directory filter, zero I/O for other snapshots) and
+    the partition column is dropped, so the entire analytics layer
+    (waste checks, profiling, SQL service) runs unchanged against any
+    historical heap state."""
+
+    def __init__(self, spark, root: str, snapshot_id: int):
+        super().__init__(spark, root)
+        self.snapshot_id = int(snapshot_id)
+
+    def table(self, name: str) -> DataFrame:
+        df = super().table(name)
+        if SNAP_COL in df.columns:
+            df = df.filter(F.col(SNAP_COL) == self.snapshot_id).drop(SNAP_COL)
+        return df
+
+
 def list_snapshots(warehouse_dir: str) -> list[int]:
     """Snapshot ids present in the warehouse (from the object-index
     table's partition directories — every snapshot writes one)."""

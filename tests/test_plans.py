@@ -93,3 +93,20 @@ def test_hot_paths_stay_in_wholestage_codegen(spark, name):
     # `*(n)` is the WholeStageCodegen span marker in the plan tree.
     assert re.search(r"\*\(\d+\) ", plan), plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_fingerprint_topk_uses_heap_not_sort(spark):
+    """Global top-20 by payload size must be TakeOrderedAndProject
+    (per-partition heaps), never a full Sort."""
+    plan = plan_of(spark, "multimodal_fingerprint_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_frame_sample_explode_never_carries_payload(spark):
+    """The video frame-sample fan-out must drop the binary payload
+    before the explode — media bytes are read but never duplicated
+    into the generated rows."""
+    plan = plan_of(spark, "multimodal_frame_sample")
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines, plan
+    assert all("payload" not in ln for ln in gen_lines), gen_lines

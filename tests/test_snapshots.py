@@ -97,3 +97,29 @@ def test_snapshot_read_prunes_partitions(snap_wh):
     (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "snapshot" in pf and "2" in pf, scan
+
+
+def test_snapshot_view_runs_analytics_per_state(spark, snap_wh):
+    """The waste-check layer runs unchanged against a snapshot-pinned
+    view, and sees each heap state's own numbers."""
+    from heapdumpstardiver_spark.analytics import waste as W
+    from heapdumpstardiver_spark.ingest import SnapshotView
+
+    _, wh_dir, _, _ = snap_wh
+    v1 = SnapshotView(spark, wh_dir, 1)
+    f1 = W.check_duplicate_strings(v1)
+    # snapshot 1 is the standard test heap: 3x"hello" + 2x[1,2,3] dups
+    assert f1.affected_count == 5 and len(f1.sub_findings) == 2
+    assert W.check_gc_roots(v1).affected_count == 9
+
+    v2 = SnapshotView(spark, wh_dir, 2)
+    f2 = W.check_duplicate_strings(v2)
+    # snapshot 2 added 3 more "hello"-content strings: 6x + 2x dups
+    assert f2.affected_count == 8 and len(f2.sub_findings) == 2
+
+    # the pinned view prunes partitions at the scan
+    plan = (
+        v2.table("java.lang.String")._jdf.queryExecution().executedPlan().toString()
+    )
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert "snapshot" in scan.split("PartitionFilters:")[1].split("]")[0], scan
