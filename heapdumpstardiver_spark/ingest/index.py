@@ -149,43 +149,65 @@ def build_index(
     target_split_bytes: int = 64 * 1024 * 1024,
     spark=None,
 ) -> HprofIndex:
-    with open(path, "rb") as f:
-        buf = f.read()  # driver pass; mmap-equivalent sequential scan
-    header = H.read_header(buf)
-    idx = HprofIndex(header=header)
-    id_size = header.id_size
+    """Driver metadata pass. The top-level walk reads ONLY record
+    headers plus the (bounded) metadata record bodies — heap-segment
+    bodies, the O(heap) part, are ``seek``ed over and later scanned by
+    executor tasks. Driver memory and I/O stay O(strings + classes +
+    frames) no matter how large the dump is."""
+    # Metadata record bodies the driver must materialize; everything
+    # else (above all the multi-GB heap segments) is skipped by seek.
+    _KEEP_BODY = (H.TAG_UTF8, H.TAG_LOAD_CLASS, H.TAG_STACK_FRAME, H.TAG_STACK_TRACE)
 
-    segment_ranges: list[tuple[int, int]] = []
-    for tag, off, length in H.iter_records(buf, header):
-        idx.record_counts[H.TAG_NAMES.get(tag, f"0x{tag:02x}")] = (
-            idx.record_counts.get(H.TAG_NAMES.get(tag, f"0x{tag:02x}"), 0) + 1
-        )
-        if tag == H.TAG_UTF8:
-            sid = H._read_id(buf, off, id_size)
-            text = bytes(buf[off + id_size : off + length]).decode("utf-8", "replace")
-            idx.strings[sid] = text
-        elif tag == H.TAG_LOAD_CLASS:
-            (serial,) = struct.unpack_from(">I", buf, off)
-            class_obj_id = H._read_id(buf, off + 4, id_size)
-            name_id = H._read_id(buf, off + 8 + id_size, id_size)
-            name = H.jvm_name_to_java(idx.strings.get(name_id, f"class_{class_obj_id:x}"))
-            idx.class_names[class_obj_id] = name
-            idx.serial_to_class[serial] = class_obj_id
-        elif tag == H.TAG_STACK_FRAME:
-            fid = H._read_id(buf, off, id_size)
-            m = H._read_id(buf, off + id_size, id_size)
-            sig = H._read_id(buf, off + 2 * id_size, id_size)
-            src = H._read_id(buf, off + 3 * id_size, id_size)
-            serial, line = struct.unpack_from(">Ii", buf, off + 4 * id_size)
-            idx.frames.append(RawFrame(fid, m, sig, src, serial, line))
-        elif tag == H.TAG_STACK_TRACE:
-            serial, thread_serial, n = struct.unpack_from(">III", buf, off)
-            fids = [
-                H._read_id(buf, off + 12 + i * id_size, id_size) for i in range(n)
-            ]
-            idx.traces.append((serial, thread_serial, fids))
-        elif tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
-            segment_ranges.append((off, off + length))
+    with open(path, "rb") as f:
+        head = f.read(64)
+        header = H.read_header(head)
+        id_size = header.id_size
+        idx = HprofIndex(header=header)
+
+        segment_ranges: list[tuple[int, int]] = []
+        f.seek(header.body_offset)
+        pos = header.body_offset
+        while True:
+            rec_hdr = f.read(9)
+            if len(rec_hdr) < 9:
+                break
+            tag = rec_hdr[0]
+            (length,) = struct.unpack_from(">I", rec_hdr, 5)
+            off = pos + 9
+            name = H.TAG_NAMES.get(tag, f"0x{tag:02x}")
+            idx.record_counts[name] = idx.record_counts.get(name, 0) + 1
+            if tag in _KEEP_BODY:
+                buf = f.read(length)
+                if tag == H.TAG_UTF8:
+                    sid = H._read_id(buf, 0, id_size)
+                    idx.strings[sid] = bytes(buf[id_size:length]).decode("utf-8", "replace")
+                elif tag == H.TAG_LOAD_CLASS:
+                    (serial,) = struct.unpack_from(">I", buf, 0)
+                    class_obj_id = H._read_id(buf, 4, id_size)
+                    name_id = H._read_id(buf, 8 + id_size, id_size)
+                    cname = H.jvm_name_to_java(
+                        idx.strings.get(name_id, f"class_{class_obj_id:x}")
+                    )
+                    idx.class_names[class_obj_id] = cname
+                    idx.serial_to_class[serial] = class_obj_id
+                elif tag == H.TAG_STACK_FRAME:
+                    fid = H._read_id(buf, 0, id_size)
+                    m = H._read_id(buf, id_size, id_size)
+                    sig = H._read_id(buf, 2 * id_size, id_size)
+                    src = H._read_id(buf, 3 * id_size, id_size)
+                    serial, line = struct.unpack_from(">Ii", buf, 4 * id_size)
+                    idx.frames.append(RawFrame(fid, m, sig, src, serial, line))
+                else:  # TAG_STACK_TRACE
+                    serial, thread_serial, n = struct.unpack_from(">III", buf, 0)
+                    fids = [
+                        H._read_id(buf, 12 + i * id_size, id_size) for i in range(n)
+                    ]
+                    idx.traces.append((serial, thread_serial, fids))
+            else:
+                if tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
+                    segment_ranges.append((off, off + length))
+                f.seek(length, 1)
+            pos = off + length
 
     # Skip-scan segments: harvest ClassDumps (schema source) and plan
     # splits on sub-record boundaries. Segments are independent, so
