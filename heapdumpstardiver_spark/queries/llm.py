@@ -745,3 +745,79 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(50)
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, h, CAST(group_n AS BIGINT) AS group_n FROM (
+        SELECT doc_id, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS group_n
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a keep-best policy: per content-hash group,
+    retain the longest document (ties → lowest id) instead of
+    keep-first — the quality-aware variant every training pipeline
+    runs. Same single-shuffle shape as dedup_exact: both window
+    functions share one hash-partitioned sort."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("h")
+    rn = F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id"))
+    return (
+        d.select("doc_id", F.md5("text").alias("h"), "n_chars")
+        .withColumn("rn", rn)
+        .withColumn("group_n", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "h", "group_n")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+           GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term <> ''
+           GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.term,
+           {round_sql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS score
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ORDER BY score DESC, tf.term, tf.doc_id LIMIT 25
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: term frequency per (doc, term), document
+    frequency per term, idf = ln(N/df), global top-25. The df and N
+    sides are vocabulary-sized aggregates joined by broadcast — the
+    big shuffle is only the (doc, term) tf aggregation. ln on the same
+    exact-integer-derived doubles is bit-identical across engines;
+    the rounded score is also the sort key so the LIMIT boundary
+    agrees."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    score = round_col(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .orderBy(F.desc("score"), "term", "doc_id")
+        .limit(25)
+    )
