@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     p_dump.add_argument("-o", "--out-dir", required=True)
     p_dump.add_argument("--split-mb", type=int, default=64)
     p_dump.add_argument("--overwrite", action="store_true")
+    p_dump.add_argument(
+        "--tolerate-truncation",
+        action="store_true",
+        help="ingest the complete-record prefix of a cut-short dump",
+    )
 
     p_snap = sub.add_parser(
         "append-snapshot", help="ingest a dump as snapshot <id> of a warehouse"
@@ -82,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out_dir,
                 target_split_bytes=args.split_mb * 1024 * 1024,
                 overwrite=args.overwrite,
+                strict=not args.tolerate_truncation,
             )
             print(json.dumps(manifest, indent=2))
         elif args.cmd == "append-snapshot":

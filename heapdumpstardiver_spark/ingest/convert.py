@@ -485,6 +485,7 @@ def ingest_hprof(
     target_split_bytes: int = 64 * 1024 * 1024,
     overwrite: bool = False,
     partition: str | None = None,
+    strict: bool = True,
 ) -> dict:
     """Convert an HPROF heap dump into a Parquet warehouse readable by
     :class:`~heapdumpstardiver_spark.catalog.Warehouse`.
@@ -496,6 +497,11 @@ def ingest_hprof(
     clears it) — a differently-split re-run would otherwise leave stale
     part files mixed with new ones.
 
+    ``strict=False`` tolerates a truncated dump: the complete-record
+    prefix is ingested and the summary reports ``"truncated": true``
+    (real-world dumps are frequently cut by disk-full or a killed
+    process; the alternative is losing the whole dump).
+
     With *partition* (a Hive-style ``key=value`` string, e.g.
     ``snapshot=3``) every part file lands under that subdirectory of
     its table and the warehouse becomes an APPEND target: other
@@ -503,7 +509,9 @@ def ingest_hprof(
     partition is refused (or cleared with ``overwrite=True``). See
     :mod:`~heapdumpstardiver_spark.ingest.snapshots`.
     """
-    idx = build_index(hprof_path, target_split_bytes=target_split_bytes, spark=spark)
+    idx = build_index(
+        hprof_path, target_split_bytes=target_split_bytes, spark=spark, strict=strict
+    )
     if partition is None and os.path.isdir(out_dir) and os.listdir(out_dir):
         if not overwrite:
             raise FileExistsError(
@@ -565,6 +573,7 @@ def ingest_hprof(
         "out_dir": out_dir,
         "partition": partition,
         "id_size": id_size,
+        "truncated": idx.truncated,
         "n_splits": len(idx.splits),
         "tables": dict(sorted(by_table.items())),
         "total_rows": sum(by_table.values()),

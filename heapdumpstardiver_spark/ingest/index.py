@@ -39,6 +39,7 @@ class HprofIndex:
     traces: list[tuple[int, int, list[int]]] = field(default_factory=list)
     splits: list[tuple[int, int]] = field(default_factory=list)
     record_counts: dict[str, int] = field(default_factory=dict)
+    truncated: bool = False
 
     def class_name(self, class_obj_id: int) -> str:
         return self.class_names.get(class_obj_id, "(unresolved)")
@@ -74,6 +75,7 @@ def _scan_segment(
     seg_end: int,
     id_size: int,
     target_split_bytes: int,
+    tolerate_truncation: bool = False,
 ) -> tuple[list, list[tuple[int, int]]]:
     """Skip-scan one heap segment: harvest ClassDumps and plan split
     boundaries on sub-record boundaries. Reads ONLY its byte range, so
@@ -114,33 +116,55 @@ def _scan_segment(
     splits: list[tuple[int, int]] = []
     pos = 0
     split_start = 0
-    while pos < n:
-        tag = buf[pos]
-        p = pos + 1
-        if tag == INST:
-            (nbytes,) = unpack_I(buf, p + id4 + id_size)
-            pos = p + id4 + id_size + 4 + nbytes
-        elif tag == PARR:
-            cnt, t = unpack_IB(buf, p + id4)
-            pos = p + id4 + 5 + cnt * prim_sizes[t]
-        elif tag == OARR:
-            (cnt,) = unpack_I(buf, p + id4)
-            pos = p + id4 + 4 + id_size + cnt * id_size
-        elif tag == CLS:
-            info, pos = H.parse_class_dump(buf, p, id_size)
-            classes.append(info)
-        else:
-            skip = root_skip.get(tag)
-            if skip is None:
+    end = n
+    while pos < end:
+        rec_start = pos
+        try:
+            tag = buf[pos]
+            p = pos + 1
+            if tag == INST:
+                (nbytes,) = unpack_I(buf, p + id4 + id_size)
+                pos = p + id4 + id_size + 4 + nbytes
+            elif tag == PARR:
+                cnt, t = unpack_IB(buf, p + id4)
+                pos = p + id4 + 5 + cnt * prim_sizes[t]
+            elif tag == OARR:
+                (cnt,) = unpack_I(buf, p + id4)
+                pos = p + id4 + 4 + id_size + cnt * id_size
+            elif tag == CLS:
+                info, pos = H.parse_class_dump(buf, p, id_size)
+            else:
+                skip = root_skip.get(tag)
+                if skip is None:
+                    raise ValueError(
+                        f"unknown heap sub-record tag 0x{tag:02x} at offset {seg_start + pos}"
+                    )
+                pos = p + skip
+        except (struct.error, IndexError):
+            # record header itself is cut short
+            if not tolerate_truncation:
                 raise ValueError(
-                    f"unknown heap sub-record tag 0x{tag:02x} at offset {seg_start + pos}"
+                    f"truncated heap sub-record at offset {seg_start + rec_start}; "
+                    "re-run with strict=False to ingest the complete prefix"
+                ) from None
+            end = rec_start
+            break
+        if pos > n:
+            # declared body extends past the available bytes
+            if not tolerate_truncation:
+                raise ValueError(
+                    f"truncated heap sub-record at offset {seg_start + rec_start}; "
+                    "re-run with strict=False to ingest the complete prefix"
                 )
-            pos = p + skip
+            end = rec_start
+            break
+        if tag == CLS:
+            classes.append(info)
         if pos - split_start >= target_split_bytes:
             splits.append((seg_start + split_start, seg_start + pos))
             split_start = pos
-    if split_start < n:
-        splits.append((seg_start + split_start, seg_start + n))
+    if split_start < end:
+        splits.append((seg_start + split_start, seg_start + end))
     return classes, splits
 
 
@@ -148,12 +172,20 @@ def build_index(
     path: str,
     target_split_bytes: int = 64 * 1024 * 1024,
     spark=None,
+    strict: bool = True,
 ) -> HprofIndex:
     """Driver metadata pass. The top-level walk reads ONLY record
     headers plus the (bounded) metadata record bodies — heap-segment
     bodies, the O(heap) part, are ``seek``ed over and later scanned by
     executor tasks. Driver memory and I/O stay O(strings + classes +
-    frames) no matter how large the dump is."""
+    frames) no matter how large the dump is.
+
+    Real-world dumps are often cut short (disk full, process killed).
+    ``strict=True`` (default) raises on any truncation; ``strict=False``
+    ingests the complete-record prefix and sets ``idx.truncated``."""
+    import os as _os
+
+    file_size = _os.path.getsize(path)
     # Metadata record bodies the driver must materialize; everything
     # else (above all the multi-GB heap segments) is skipped by seek.
     _KEEP_BODY = (H.TAG_UTF8, H.TAG_LOAD_CLASS, H.TAG_STACK_FRAME, H.TAG_STACK_TRACE)
@@ -170,6 +202,13 @@ def build_index(
         while True:
             rec_hdr = f.read(9)
             if len(rec_hdr) < 9:
+                if rec_hdr:  # partial top-level header at EOF
+                    if strict:
+                        raise ValueError(
+                            f"truncated record header at offset {pos}; re-run with "
+                            "strict=False to ingest the complete prefix"
+                        )
+                    idx.truncated = True
                 break
             tag = rec_hdr[0]
             (length,) = struct.unpack_from(">I", rec_hdr, 5)
@@ -178,6 +217,14 @@ def build_index(
             idx.record_counts[name] = idx.record_counts.get(name, 0) + 1
             if tag in _KEEP_BODY:
                 buf = f.read(length)
+                if len(buf) < length:
+                    if strict:
+                        raise ValueError(
+                            f"truncated {name} record at offset {pos}; "
+                            "re-run with strict=False to ingest the complete prefix"
+                        )
+                    idx.truncated = True
+                    break
                 if tag == H.TAG_UTF8:
                     sid = H._read_id(buf, 0, id_size)
                     idx.strings[sid] = bytes(buf[id_size:length]).decode("utf-8", "replace")
@@ -205,7 +252,17 @@ def build_index(
                     idx.traces.append((serial, thread_serial, fids))
             else:
                 if tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
-                    segment_ranges.append((off, off + length))
+                    seg_end = off + length
+                    if seg_end > file_size:
+                        if strict:
+                            raise ValueError(
+                                f"truncated heap segment at offset {off} (declared end "
+                                f"{seg_end} > file size {file_size}); re-run with "
+                                "strict=False to ingest the complete prefix"
+                            )
+                        idx.truncated = True
+                        seg_end = file_size
+                    segment_ranges.append((off, seg_end))
                 f.seek(length, 1)
             pos = off + length
 
@@ -224,7 +281,10 @@ def build_index(
             .map(
                 lambda t: (
                     t[0],
-                    _scan_segment(abspath, t[1][0], t[1][1], id_size, target_split_bytes),
+                    _scan_segment(
+                        abspath, t[1][0], t[1][1], id_size, target_split_bytes,
+                        tolerate_truncation=not strict,
+                    ),
                 )
             )
             .collect()
@@ -232,7 +292,10 @@ def build_index(
         scanned = [r for _, r in sorted(scanned)]
     else:
         scanned = [
-            _scan_segment(abspath, s, e, id_size, target_split_bytes)
+            _scan_segment(
+                abspath, s, e, id_size, target_split_bytes,
+                tolerate_truncation=not strict,
+            )
             for s, e in segment_ranges
         ]
     for class_infos, seg_splits in scanned:

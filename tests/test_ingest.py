@@ -174,3 +174,38 @@ def test_waste_checks_on_ingested_warehouse(warehouse):
     assert len(f.sub_findings) == 2
     roots = W.check_gc_roots(wh)
     assert roots.affected_count == 9
+
+
+@pytest.mark.parametrize(
+    "n_cut,expect_strings",
+    [
+        # 30 bytes: drops the HeapDumpEnd record (9) and slices into the
+        # last String instance of segment 2 → that one record is lost
+        (30, 5),
+        # 5 bytes: leaves a partial HeapDumpEnd header; all data intact
+        (5, 6),
+    ],
+    ids=["mid_record", "mid_header"],
+)
+def test_truncated_dump(spark, tmp_path_factory, n_cut, expect_strings):
+    """A dump cut short (disk full / killed process) is refused under
+    strict mode with a clear error, and under strict=False ingests
+    every complete record before the cut."""
+    d = tmp_path_factory.mktemp(f"trunc_{n_cut}")
+    path = str(d / "full.hprof")
+    truth = build_test_dump(path)
+    assert truth["strings"] == 6
+    data = open(path, "rb").read()
+    cut_path = str(d / "cut.hprof")
+    with open(cut_path, "wb") as f:
+        f.write(data[: len(data) - n_cut])
+
+    with pytest.raises(ValueError, match="truncated"):
+        ingest_hprof(spark, cut_path, str(d / "wh_strict"))
+
+    summary = ingest_hprof(spark, cut_path, str(d / "wh"), strict=False)
+    assert summary["truncated"] is True
+    wh = Warehouse(spark, str(d / "wh"))
+    # segment 1 is fully intact: its 4 strings, roots, arrays all land
+    assert wh.table("_gc_roots").count() == 9
+    assert wh.table("java.lang.String").count() == expect_strings
