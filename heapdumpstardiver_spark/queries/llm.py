@@ -821,3 +821,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "term", "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "token_entropy_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS c
+           FROM toks WHERE term <> '' GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1)
+    SELECT tf.source,
+           {round_sql("-sum((c / n) * ln(c / n))", 6)} AS token_entropy,
+           count(*) AS vocab_size
+    FROM tf JOIN tot ON tf.source = tot.source
+    GROUP BY tf.source
+    """,
+)
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-source token distribution — the
+    corpus-diversity score a training pipeline uses to flag repetitive
+    or boilerplate sources. The per-(source, term) counts are the only
+    large shuffle; per-source totals are a 20-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            round_col(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            F.count(F.lit(1)).alias("vocab_size"),
+        )
+    )
