@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sd.add_argument("--after", type=int, required=True)
     p_sd.add_argument("--top", type=int, default=50, help="max type rows to print")
 
+    p_c = sub.add_parser(
+        "compact", help="coalesce small part files per table (OPTIMIZE)"
+    )
+    p_c.add_argument("-w", "--warehouse", required=True)
+    p_c.add_argument("--table", default=None, help="one table (default: all)")
+    p_c.add_argument("--target-mb", type=int, default=128)
+
     p_an = sub.add_parser("analyze", help="run the waste checks + profile summary")
     p_an.add_argument("-w", "--warehouse", required=True)
     p_an.add_argument("--max-tier", type=int, default=3)
@@ -136,6 +143,19 @@ def main(argv: list[str] | None = None) -> int:
                     indent=2,
                 )
             )
+        elif args.cmd == "compact":
+            from .catalog import Warehouse, compact_table
+
+            wh = Warehouse(spark, args.warehouse)
+            names = [args.table] if args.table else wh.table_names()
+            out = {
+                n: compact_table(
+                    spark, args.warehouse, n,
+                    target_bytes=args.target_mb * 1024 * 1024,
+                )
+                for n in names
+            }
+            print(json.dumps(out, indent=2))
         elif args.cmd == "analyze":
             from .analytics import run_waste_analysis
             from .catalog import Warehouse

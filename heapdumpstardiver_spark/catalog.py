@@ -130,6 +130,69 @@ class Warehouse:
             self.table(name).createOrReplaceTempView(view)
 
 
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+) -> dict:
+    """Coalesce a many-small-part table into ~*target_bytes* files.
+
+    Per-class × per-split ingest sharding is write-optimal (no shuffle,
+    no coordination) but a dump with thousands of classes over many
+    splits leaves thousands of tiny part files — the classic
+    small-file problem that murders scan throughput and file-listing
+    time at warehouse scale. Compaction is the standard second step
+    (what Delta/Iceberg call OPTIMIZE): rewrite the table at
+    ``target_bytes`` granularity, atomically swap directories. Tables
+    with fewer than *min_files* parts are left untouched.
+
+    Returns {"files_before", "files_after", "bytes"}.
+    """
+    import shutil
+
+    wh = Warehouse(spark, root)
+    path = wh._resolve(name)
+    if not os.path.isdir(path):  # single-file layout — nothing to do
+        return {"files_before": 1, "files_after": 1, "bytes": os.path.getsize(path)}
+    parts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(p) for p in parts)
+    if len(parts) < min_files:
+        return {"files_before": len(parts), "files_after": len(parts), "bytes": total}
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    # Hive-partitioned layout (snapshot=<id> dirs) must be re-emitted
+    # with the same directory structure, not flattened into a column.
+    part_keys = sorted(
+        {e.split("=", 1)[0] for e in os.listdir(path) if "=" in e and os.path.isdir(os.path.join(path, e))}
+    )
+    tmp = path + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = (
+        spark.read.parquet(path)
+        .coalesce(n_out)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+    )
+    if part_keys:
+        writer = writer.partitionBy(*part_keys)
+    writer.parquet(tmp)
+    old = path + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    return {"files_before": len(parts), "files_after": after, "bytes": total}
+
+
 def write_table(df, root: str, name: str, mode: str = "overwrite",
                 partition_by=None, compression: str = "snappy") -> str:
     """Parquet sink (B5): SNAPPY parquet dataset under the warehouse

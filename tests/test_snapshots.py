@@ -123,3 +123,43 @@ def test_snapshot_view_runs_analytics_per_state(spark, snap_wh):
     )
     (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert "snapshot" in scan.split("PartitionFilters:")[1].split("]")[0], scan
+
+
+def test_compact_table_flat_and_partitioned(spark, tmp_path_factory):
+    """Compaction merges many tiny part files into few, preserves every
+    row, and keeps Hive partition directories (snapshot layout)."""
+    from heapdumpstardiver_spark.catalog import compact_table
+    from heapdumpstardiver_spark.ingest import append_snapshot
+
+    d = tmp_path_factory.mktemp("compact")
+    dump = str(d / "t.hprof")
+    build_test_dump(dump)
+    wh_dir = str(d / "wh")
+    # tiny splits -> many part files per table
+    append_snapshot(spark, dump, wh_dir, 1, target_split_bytes=64)
+    append_snapshot(spark, dump, wh_dir, 2, target_split_bytes=64)
+
+    wh = Warehouse(spark, wh_dir)
+    before_rows = wh.table("_object_index").count()
+    per_snap_before = dict(
+        (r["snapshot"], r["n"])
+        for r in wh.table("_object_index")
+        .groupBy("snapshot").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+
+    stats = compact_table(spark, wh_dir, "_object_index")
+    assert stats["files_before"] > stats["files_after"]
+
+    wh2 = Warehouse(spark, wh_dir)
+    assert wh2.table("_object_index").count() == before_rows
+    per_snap_after = dict(
+        (r["snapshot"], r["n"])
+        for r in wh2.table("_object_index")
+        .groupBy("snapshot").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert per_snap_after == per_snap_before
+    # partition directories survived (pruning still works)
+    df = wh2.table("_object_index").filter(F.col("snapshot") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert "snapshot" in scan.split("PartitionFilters:")[1].split("]")[0]
