@@ -194,15 +194,26 @@ def compact_table(
 
 
 def write_table(df, root: str, name: str, mode: str = "overwrite",
-                partition_by=None, compression: str = "snappy") -> str:
+                partition_by=None, sort_by=None,
+                compression: str = "snappy", options: dict | None = None) -> str:
     """Parquet sink (B5): SNAPPY parquet dataset under the warehouse
     root, with the `sys_` mapping for underscore-prefixed logical names
     and optional hash partitioning — the engine's counterpart of the
     reference's sharded writer pool (dump_to_parquet.rs:653-745); Spark
-    tasks write part files in parallel natively."""
+    tasks write part files in parallel natively.
+
+    *sort_by* sorts rows within each output task before writing, which
+    tightens parquet per-row-group min/max statistics on those columns
+    — point/range predicates then skip whole row groups at the scan
+    (data skipping without any index structure). No shuffle: the sort
+    is task-local."""
     physical = f"sys{name}" if name.startswith("_") else name
     path = os.path.join(root, physical)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).option("compression", compression)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

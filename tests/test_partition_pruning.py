@@ -35,3 +35,48 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
         .count()
     )
     assert df.count() == want > 0
+
+
+def test_sorted_write_tightens_row_group_stats(spark, tmp_path):
+    """sort_by produces non-overlapping per-row-group min/max ranges on
+    the sort column, so a value predicate can skip row groups; an
+    unsorted write of the same data has (near-)full-range stats in
+    every row group."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "wh")
+    events = load_table(spark, SF_DIR, "events")
+    # single task + small row groups → several row groups per file
+    one = events.coalesce(1)
+    small_rg = {"parquet.block.size": str(64 * 1024), "parquet.page.size": str(8 * 1024)}
+    write_table(one, root, "ev_sorted", sort_by=["user_id"], options=small_rg)
+    write_table(one, root, "ev_raw", options=small_rg)
+
+    def ranges(table):
+        d = os.path.join(root, table)
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                col = next(
+                    g.column(i) for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == "user_id"
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    sorted_rgs, raw_rgs = ranges("ev_sorted"), ranges("ev_raw")
+    assert len(sorted_rgs) > 2, "need multiple row groups for the test to mean anything"
+    # sorted: row-group ranges are disjoint (or touch at one value)
+    for (lo1, hi1), (lo2, hi2) in zip(sorted_rgs, sorted_rgs[1:]):
+        assert hi1 <= lo2, (sorted_rgs,)
+    # unsorted: ranges overlap — every row group spans ~the full domain
+    overlaps = sum(
+        1 for (lo1, hi1), (lo2, hi2) in zip(raw_rgs, raw_rgs[1:]) if hi1 > lo2
+    )
+    assert overlaps == len(raw_rgs) - 1, (raw_rgs,)
