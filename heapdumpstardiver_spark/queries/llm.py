@@ -861,3 +861,34 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("vocab_size"),
         )
     )
+
+
+@query("approx_distinct_sketch")  # rows-only: sketch estimates are engine-specific
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — HOW distinct-counting works
+    at 100 TB: per-partition HyperLogLog sketches (DataSketches
+    hll_sketch_agg) merge associatively, so the shuffle carries a few
+    KB per group instead of every distinct value (contrast the exact
+    countDistinct queries, which expand + dedup). The query is
+    self-validating: each row carries the exact count, the sketch
+    estimate, and an `ok` flag for relative error < 5%. Rows-only gate:
+    sketch internals (and thus estimates) are engine-specific.
+    """
+    e = _t(spark, sf_dir, "events")
+    per_type = (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+        )
+    )
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return per_type.select(
+        "event_type",
+        "exact_users",
+        "approx_users",
+        (rel_err < 0.05).alias("ok"),
+    ).orderBy("event_type")

@@ -78,3 +78,11 @@ def test_all_queries_nonvacuous(spark, oracle_con):
         if fn(spark, SF_DIR).limit(1).count() == 0:
             empty.append(name)
     assert not empty, f"empty result sets: {empty}"
+
+
+def test_approx_distinct_sketch_within_tolerance(spark):
+    """The HLL sketch estimate must land within its advertised 5%
+    relative error on every group (self-validating rows-only query)."""
+    rows = hds.QUERIES["approx_distinct_sketch"](spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    assert all(r["ok"] for r in rows), rows
