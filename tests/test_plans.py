@@ -110,3 +110,13 @@ def test_frame_sample_explode_never_carries_payload(spark):
     gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen_lines, plan
     assert all("payload" not in ln for ln in gen_lines), gen_lines
+
+
+def test_tfidf_and_entropy_broadcast_small_sides(spark):
+    """The idf/total sides of the TF-IDF and entropy queries are
+    vocabulary/source-sized — they must join by broadcast, leaving the
+    per-(doc, term) aggregation as the only large shuffle."""
+    for name in ("tfidf_top_terms", "token_entropy_by_source"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
