@@ -25,6 +25,13 @@ def main(argv: list[str] | None = None) -> int:
     p_count = sub.add_parser("count-records", help="tally top-level HPROF record tags")
     p_count.add_argument("-f", "--file", required=True)
 
+    p_do = sub.add_parser(
+        "dump-objects", help="print heap sub-records with resolved names to stdout"
+    )
+    p_do.add_argument("-f", "--file", required=True)
+    p_do.add_argument("--limit", type=int, default=None)
+    p_do.add_argument("--max-elems", type=int, default=8)
+
     p_dump = sub.add_parser(
         "dump-objects-to-parquet", help="convert an HPROF dump to a parquet warehouse"
     )
@@ -79,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
 
         for tag, n in count_records(args.file):
             print(f"{n:>12}  {tag}")
+        return 0
+
+    if args.cmd == "dump-objects":
+        from .ingest.debug_dump import dump_objects
+
+        dump_objects(args.file, limit=args.limit, max_elems=args.max_elems)
         return 0
 
     from .session import get_spark

@@ -83,3 +83,19 @@ def test_snapshot_cli_roundtrip(tmp_path_factory):
     assert diff["n_new"] == 2 and diff["n_freed"] == 1
     deltas = {row["type_name"]: row["delta"] for row in diff["type_deltas"]}
     assert deltas == {"java.lang.String": 2, "com.test.Base": -1}
+
+
+def test_dump_objects_printer(dump):
+    r = run_cli("dump-objects", "-f", dump, "--max-elems", "4")
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    # classes with statics, flattened+renamed instance fields, arrays
+    # with element caps, and GC roots all resolve
+    assert "class com.test.Base" in out and "static int COUNTER = 7" in out
+    assert "long Base@id = -5" in out
+    assert "byte[5] [104, 101, 108, 108, ...]" in out
+    assert "root SystemClass" in out
+
+    r2 = run_cli("dump-objects", "-f", dump, "--limit", "3")
+    assert r2.returncode == 0
+    assert len([ln for ln in r2.stdout.splitlines() if ln.startswith("id ")]) == 3
