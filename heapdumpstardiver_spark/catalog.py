@@ -78,10 +78,57 @@ class Warehouse:
     ``heapdumpstardiver_spark.ingest``.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 require_manifest: bool = False):
         self.spark = spark
         self.root = root
         self._cache: dict[str, DataFrame] = {}
+        if require_manifest:
+            self.verify()
+
+    def verify(self) -> dict:
+        """Check the ingest job-level commit marker: `_SUCCESS` +
+        `_MANIFEST.json` written atomically by ``ingest_hprof`` after
+        every task's part file has been renamed into place. A warehouse
+        whose driver died mid-job lacks the marker and is refused here
+        rather than serving a silently incomplete table set. Returns the
+        parsed manifest. Fixture/externally-produced dirs have no
+        manifest — construct with ``require_manifest=False`` (default)
+        for those."""
+        import json
+
+        spath = os.path.join(self.root, "_SUCCESS")
+        mpath = os.path.join(self.root, "_MANIFEST.json")
+        if not os.path.exists(spath) or not os.path.exists(mpath):
+            raise RuntimeError(
+                f"warehouse {self.root!r} has no _SUCCESS/_MANIFEST.json commit "
+                "marker — the ingest job did not complete (or this is not an "
+                "ingest-produced warehouse; use require_manifest=False)"
+            )
+        with open(mpath) as f:
+            manifest = json.load(f)
+        missing = [
+            t
+            for summary in manifest.get("partitions", {}).values()
+            for t in summary.get("tables", {})
+            if not os.path.exists(
+                os.path.join(self.root, t[:1].replace("_", "sys_") + t[1:] if t.startswith("_") else t)
+            )
+        ]
+        if missing:
+            raise RuntimeError(
+                f"warehouse {self.root!r} manifest lists tables with no backing "
+                f"files: {sorted(set(missing))[:5]}"
+            )
+        return manifest
+
+    def invalidate(self, name: str | None = None) -> None:
+        """Drop cached DataFrame(s) whose file listings may be stale —
+        call after an external rewrite such as ``compact_table``."""
+        if name is None:
+            self._cache.clear()
+        else:
+            self._cache.pop(name, None)
 
     # Spark's file index silently drops paths starting with "_" or "."
     # (reserved for metadata like _SUCCESS), so the reference's
@@ -136,6 +183,7 @@ def compact_table(
     name: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 4,
+    warehouse: "Warehouse | None" = None,
 ) -> dict:
     """Coalesce a many-small-part table into ~*target_bytes* files.
 
@@ -148,11 +196,18 @@ def compact_table(
     ``target_bytes`` granularity, atomically swap directories. Tables
     with fewer than *min_files* parts are left untouched.
 
+    Concurrency contract: single writer, no concurrent readers. The
+    swap is two renames + an rmtree — another session (or another
+    Warehouse instance) holding a DataFrame resolved before compaction
+    will hit FileNotFoundException on its next action. Pass the live
+    *warehouse* so its DataFrame cache is invalidated after the swap;
+    any other instances must re-resolve the table themselves.
+
     Returns {"files_before", "files_after", "bytes"}.
     """
     import shutil
 
-    wh = Warehouse(spark, root)
+    wh = warehouse if warehouse is not None else Warehouse(spark, root)
     path = wh._resolve(name)
     if not os.path.isdir(path):  # single-file layout — nothing to do
         return {"files_before": 1, "files_after": 1, "bytes": os.path.getsize(path)}
@@ -187,6 +242,7 @@ def compact_table(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+    wh.invalidate(name)
     after = sum(
         1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )

@@ -87,14 +87,51 @@ def _class_registry(idx: HprofIndex) -> dict:
     return reg
 
 
+def _attempt_token() -> str:
+    """Unique per-task-attempt token for temp file names. On an executor
+    this is Spark's monotonically-unique task attempt id, so a retried or
+    speculatively-executed task never collides with another attempt's
+    in-flight temp file; driver-side writes fall back to a random token."""
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None:
+            return f"attempt-{ctx.taskAttemptId()}"
+    except Exception:
+        pass
+    import uuid
+
+    return f"driver-{uuid.uuid4().hex[:12]}"
+
+
 def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table,
                 partition: str | None = None) -> tuple:
+    """Task-commit protocol (≙ the reference writer's close-and-footer
+    discipline, dump_to_parquet.rs:737-744, adapted to task retries):
+    write the part under a hidden attempt-scoped temp name, then
+    ``os.replace`` it into its final name. The rename is atomic on a
+    POSIX filesystem, so a reader (or a second task attempt) only ever
+    sees either no file or a complete file under the final name — never
+    a torn one. Duplicate attempts write distinct temps and the last
+    complete rename wins with identical content. Orphaned temps from a
+    killed attempt start with "." so Spark's file index ignores them;
+    the driver sweeps them after the job commits."""
     d = os.path.join(out_dir, _physical(table))
     if partition:
         d = os.path.join(d, partition)  # Hive-style `snapshot=<id>` subdir
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"part-{split_id}.parquet")
-    pq.write_table(arrow_table, path, compression="snappy")
+    tmp = os.path.join(d, f"._part-{split_id}.{_attempt_token()}.tmp")
+    try:
+        pq.write_table(arrow_table, tmp, compression="snappy")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # write or rename failed mid-flight
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return (table, arrow_table.num_rows, path)
 
 
@@ -521,6 +558,27 @@ def ingest_hprof(
 
         shutil.rmtree(out_dir)
     elif partition is not None and os.path.isdir(out_dir):
+        # Layout guard: appending a Hive `snapshot=<id>` partition into a
+        # warehouse originally ingested flat would silently mix root-level
+        # part files and partition dirs in one table directory and only
+        # fail (or mis-schema) later at read time. Refuse up front.
+        flat_tables = [
+            t
+            for t in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, t))
+            and any(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(out_dir, t))
+                if os.path.isfile(os.path.join(out_dir, t, f))
+            )
+        ]
+        if flat_tables:
+            raise ValueError(
+                f"warehouse {out_dir!r} uses the flat (unpartitioned) layout "
+                f"(e.g. table {flat_tables[0]!r} has root-level part files); "
+                f"cannot append partition {partition!r}. Re-ingest the base "
+                "snapshot with a partition= label first."
+            )
         existing = [
             os.path.join(out_dir, t, partition)
             for t in os.listdir(out_dir)
@@ -565,10 +623,12 @@ def ingest_hprof(
 
     manifest += _write_driver_tables(idx, out_dir, partition)
 
+    _sweep_orphan_temps(out_dir)
+
     by_table: dict[str, int] = defaultdict(int)
     for table, rows, _ in manifest:
         by_table[table] += rows
-    return {
+    summary = {
         "hprof": hprof_path,
         "out_dir": out_dir,
         "partition": partition,
@@ -579,15 +639,66 @@ def ingest_hprof(
         "total_rows": sum(by_table.values()),
         "record_counts": dict(idx.record_counts),
     }
+    _commit_manifest(out_dir, partition, summary)
+    return summary
+
+
+def _sweep_orphan_temps(out_dir: str) -> int:
+    """Remove in-flight temp files left by killed/preempted task attempts.
+    They are invisible to readers (hidden "." prefix) but waste space.
+    Runs only after every surviving attempt's rename has committed."""
+    removed = 0
+    for dirpath, _, files in os.walk(out_dir):
+        for f in files:
+            if f.startswith("._part-") and f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(dirpath, f))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed
+
+
+def _commit_manifest(out_dir: str, partition: str | None, summary: dict) -> None:
+    """Job-level commit marker: atomically (temp + rename) publish
+    `_MANIFEST.json` mapping each ingested partition label ("" = flat)
+    to its summary, then touch `_SUCCESS`. A reader that requires the
+    marker (``Warehouse(..., require_manifest=True)``) can distinguish a
+    complete warehouse from one whose driver died mid-job. Single-writer
+    per warehouse (same as any Spark output path)."""
+    import json
+    import uuid
+
+    mpath = os.path.join(out_dir, "_MANIFEST.json")
+    data: dict = {"partitions": {}}
+    if os.path.exists(mpath):
+        try:
+            with open(mpath) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {"partitions": {}}
+    data.setdefault("partitions", {})[partition or ""] = summary
+    tmp = mpath + f".{uuid.uuid4().hex[:12]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, mpath)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
 
 
 def count_records(hprof_path: str) -> list[tuple[str, int]]:
     """`count-records` CLI equivalent (A3): tally of top-level record
-    tags, descending (≙ /root/reference/src/commands/count_records.rs:7-29)."""
+    tags, descending (≙ /root/reference/src/commands/count_records.rs:7-29).
+
+    The dump is mmap'd, not read into memory: iter_records only touches
+    the 9-byte record headers (seeking over bodies), so a multi-GB heap
+    costs O(touched pages), keeping the header-only driver posture."""
+    import mmap
+
     with open(hprof_path, "rb") as f:
-        buf = f.read()
-    header = H.read_header(buf)
-    counts: dict[str, int] = defaultdict(int)
-    for tag, _, _ in H.iter_records(buf, header):
-        counts[H.TAG_NAMES.get(tag, f"0x{tag:02x}")] += 1
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as buf:
+            header = H.read_header(buf)
+            counts: dict[str, int] = defaultdict(int)
+            for tag, _, _ in H.iter_records(buf, header):
+                counts[H.TAG_NAMES.get(tag, f"0x{tag:02x}")] += 1
     return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -157,6 +157,13 @@ def query_heap(
         rows = df.collect()
         has_more = len(rows) > limit
         rows = rows[:limit]
+        # Unlike the single-threaded DuckDB reference, Spark result order
+        # is non-deterministic across jobs, so OFFSET pagination without
+        # ORDER BY can drop/duplicate rows between pages. Warn, don't fail.
+        unstable = (
+            (offset > 0 or has_more)
+            and "order by" not in sql.lower()
+        )
         out: dict[str, Any] = {
             "session_id": sess.session_id,
             "columns": df.columns,
@@ -168,6 +175,12 @@ def query_heap(
         }
         if has_more:
             out["next_offset"] = offset + limit
+        if unstable:
+            out["warning"] = (
+                "pagination without ORDER BY is unstable in a distributed "
+                "engine: successive pages may drop or duplicate rows — add "
+                "an ORDER BY to the query"
+            )
         return out
     except Exception as e:
         return {"error": str(e)}

@@ -44,6 +44,19 @@ def test_query_heap_pagination(manager):
     assert page1["rows"][-1]["obj_id"] < page2["rows"][0]["obj_id"]
 
 
+def test_pagination_without_order_by_warns(manager):
+    view = manager.get().view_name("_object_index")
+    paged = query_heap(manager, f"SELECT obj_id FROM {view}", limit=100)
+    assert paged["has_more"] and "ORDER BY" in paged["warning"]
+    ordered = query_heap(
+        manager, f"SELECT obj_id FROM {view} ORDER BY obj_id", limit=100
+    )
+    assert "warning" not in ordered
+    # a single complete page is order-stable — no warning either
+    whole = query_heap(manager, f"SELECT obj_id FROM {view}", limit=100000)
+    assert not whole["has_more"] and "warning" not in whole
+
+
 def test_query_heap_error_isolation(manager):
     out = query_heap(manager, "SELECT * FROM nonexistent_view_xyz")
     assert "error" in out
