@@ -171,9 +171,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out, indent=2))
         elif args.cmd == "analyze":
             from .analytics import run_waste_analysis
-            from .catalog import Warehouse
+            from .interop import open_warehouse
 
-            wh = Warehouse(spark, args.warehouse)
+            # accepts the native layout OR a directory written by the
+            # reference binary (flat {Class}_{cid}[_chunk{N}].parquet)
+            wh = open_warehouse(spark, args.warehouse)
             findings = run_waste_analysis(wh, max_tier=args.max_tier)
             print(
                 json.dumps(

@@ -37,7 +37,11 @@ class HeapSession:
 
     def open(self) -> None:
         if self._warehouse is None:
-            self._warehouse = Warehouse(self.spark, str(self.warehouse_dir))
+            from .interop import open_warehouse
+
+            # layout auto-detect: a session can point at a warehouse
+            # written by the reference binary as-is (see interop.py)
+            self._warehouse = open_warehouse(self.spark, str(self.warehouse_dir))
             for name in self._warehouse.table_names():
                 view = self.view_name(name)
                 self._warehouse.table(name).createOrReplaceTempView(view)

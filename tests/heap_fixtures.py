@@ -15,6 +15,52 @@ import pyarrow.parquet as pq
 SEED = 42
 
 
+def convert_to_reference_layout(
+    native_dir: str, ref_dir: str, robo: bool = True, chunks: int = 2
+) -> None:
+    """Rewrite a native fixture warehouse into the reference binary's
+    flat naming scheme ({Class}_{cid}[_chunk{N}].parquet, literal
+    "_"-prefixed system files, dump_to_parquet.rs:404,669-694) with the
+    reference's unsigned-64-bit id columns, for interop tests."""
+    import os
+
+    import pyarrow.compute as pc
+
+    os.makedirs(ref_dir, exist_ok=True)
+    next_cid = 7_000_000
+    for f in sorted(os.listdir(native_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(f"{native_dir}/{f}")
+        # reference ids are UInt64: cast every non-negative int64 column
+        # (and list<int64>) up — obj_id, ref fields, frame ids, ...
+        for i, field in enumerate(t.schema):
+            col = t.column(i)
+            if field.type == pa.int64():
+                mn = pc.min(col).as_py()
+                if mn is not None and mn >= 0:
+                    t = t.set_column(i, field.name, pc.cast(col, pa.uint64()))
+            elif field.type == pa.list_(pa.int64()):
+                mn = pc.min(pc.list_flatten(col)).as_py()
+                if mn is None or mn >= 0:
+                    t = t.set_column(i, field.name, pc.cast(col, pa.list_(pa.uint64())))
+        stem = f[: -len(".parquet")]
+        if stem.startswith("sys_"):
+            base = "_" + stem[len("sys_"):]
+        else:
+            base = f"{stem}_{next_cid}"
+            next_cid += 1
+        if robo:
+            n = min(chunks, max(1, t.num_rows))
+            step = -(-t.num_rows // n) if t.num_rows else 1
+            for k in range(n):
+                pq.write_table(
+                    t.slice(k * step, step), f"{ref_dir}/{base}_chunk{k}.parquet"
+                )
+        else:
+            pq.write_table(t, f"{ref_dir}/{base}.parquet")
+
+
 class _Ids:
     def __init__(self):
         self.next_id = 1000
