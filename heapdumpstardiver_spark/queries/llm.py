@@ -26,6 +26,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Document-frequency cap for exact shingle-bucket pipelines
+# (ngram_shingle_overlap, jaccard_pairs): a shingle shared by more
+# documents than this is a stop phrase — pairing inside such a bucket is
+# quadratic and carries no dedup signal. Mirrored verbatim in the oracle
+# SQL of both queries; change BOTH together.
+SHINGLE_DF_CAP = 64
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -117,10 +125,17 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT doc_id,
                md5(array_to_string(tokens[i:i+3], ' ')) AS shingle
         FROM toks, unnest(range(1, len(tokens) - 4 + 2)) AS t(i)
+    ),
+    bounded AS (
+        -- document-frequency cap: mirror of the Spark-side hot-bucket
+        -- guard (size(docs) <= 64) so both engines define the operator
+        -- identically at every scale
+        SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 64
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_shingles
     FROM shingles a JOIN shingles b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN bounded c ON c.shingle = a.shingle
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 5
     ORDER BY shared_shingles DESC, doc_a, doc_b LIMIT 20
@@ -136,10 +151,14 @@ def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join formulation costs three shuffles (distinct + both join
     sides) and evaluates the shingle pipeline twice. The hash array is
     built with transform() before the explode so exploded rows carry a
-    32-byte hex, never the token array. Hot buckets (stop-phrase
-    shingles) produce quadratic pairs in any formulation — the capped
-    production variant is minhash_lsh_candidates; this is the exact
-    oracle-matched version."""
+    32-byte hex, never the token array. Hot buckets (a stop-phrase
+    shingle shared by 10^6 docs) would otherwise build a 10^6-element
+    array on one task and quadratic pairs, so buckets are capped at
+    SHINGLE_DF_CAP documents — a standard document-frequency cut
+    (reference precedent: the LIMIT caps in its dedup checks,
+    analyze_heap_parquet.py:724,901), mirrored in the oracle SQL so the
+    operator is defined identically in both engines. A shingle shared
+    by >cap documents is a stop phrase, not a dedup signal."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n = 4
@@ -153,7 +172,9 @@ def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(hashes).alias("shingle"))
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(
+            (F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP)
+        )
     )
     # all ordered pairs (a < b) within a bucket: for the i-th doc, pair
     # it with every later doc in the sorted array
@@ -650,10 +671,16 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    bounded AS (
+        -- document-frequency cap, mirror of the Spark-side hot-bucket
+        -- guard (size(docs) <= 64)
+        SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 64
+    ),
     shared AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM shingles a JOIN shingles b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN bounded c ON c.shingle = a.shingle
         GROUP BY 1, 2 HAVING count(*) >= 3
     )
     SELECT doc_a, doc_b, inter,
@@ -667,9 +694,11 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity: |A∩B| / |A∪B| over 3-token
     shingle sets. Same single-shuffle bucket shape as
-    ngram_shingle_overlap for the intersection; per-doc set sizes are a
-    map-side aggregate broadcast back onto the pair list. The division
-    is a ratio of exact integers — bit-identical across engines."""
+    ngram_shingle_overlap for the intersection — including the
+    SHINGLE_DF_CAP hot-bucket guard, mirrored in the oracle — with
+    per-doc set sizes as a map-side aggregate broadcast back onto the
+    pair list. The division is a ratio of exact integers —
+    bit-identical across engines."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n = 3
@@ -686,7 +715,9 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         shingles.groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
+        .filter(
+            (F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP)
+        )
     )
     pairs = F.flatten(
         F.transform(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from .. import multimodal as M
 from ..catalog import load_table
-from ..exprs import dot, round_col
+from ..exprs import dot, round_col, round_sql
 from ..registry import query
 
 
@@ -121,12 +121,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # rows-only: sha256-fake encoder
+@query(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               sha256(text) AS hx
+        FROM documents
+    ),
+    r AS (
+        -- the fake encoder, re-derived: 8 big-endian signed 32-bit ints
+        -- from the sha256 digest (hex-sliced; sha256 of a non-empty
+        -- payload is never all-zero, so no zero-norm guard needed)
+        SELECT media_id, kind,
+               list_transform(
+                   list_transform(range(0, 8),
+                       i -> CAST('0x' || substr(hx, i*8 + 1, 8) AS BIGINT)),
+                   x -> CASE WHEN x >= 2147483648 THEN x - 4294967296 ELSE x END
+               ) AS s
+        FROM h
+    ),
+    n AS (
+        -- exact int sum (no i64 overflow: list_sum widens to HUGEINT),
+        -- then one double rounding — same as Python's float(int)**0.5
+        SELECT media_id, kind, s,
+               sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)) AS nrm
+        FROM r
+    ),
+    f AS (
+        -- float32 quantization replicated with CAST(.. AS FLOAT)
+        SELECT media_id, kind,
+               list_transform(s, x -> CAST(x / nrm AS FLOAT)) AS feats
+        FROM n
+    )
+    SELECT media_id, kind, CAST(8 AS INT) AS dim,
+           {round_sql("sqrt(list_sum(list_transform(feats, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))", 6)} AS norm
+    FROM f
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas; deterministic sha256-based fake encoder — see
     multimodal.extract_features) followed by a JVM-side norm check.
-    Not SQL-expressible (Python hash expansion) → rows-only gate."""
+    The oracle re-derives the encoder in SQL: DuckDB sha256 + hex
+    slicing reproduces the digest ints, CAST(.. AS FLOAT) reproduces
+    the float32 feature quantization, so even this Python-UDF stage is
+    value-checked, not just row-counted."""
     feats = M.extract_features(media_table(spark, sf_dir))
     return feats.select(
         "media_id",

@@ -72,6 +72,17 @@ def test_shingle_explode_emits_hashes_not_token_arrays(spark):
         assert "tokens" not in ln.rsplit("[", 1)[-1]
 
 
+@pytest.mark.parametrize("name", ["ngram_shingle_overlap", "jaccard_pairs"])
+def test_shingle_buckets_are_df_capped(spark, name):
+    """The hot-bucket guard (document-frequency cap) must survive in
+    the executed plan: a stop-phrase shingle bucket is dropped before
+    pair generation, bounding the per-bucket fan-out at any scale."""
+    from heapdumpstardiver_spark.queries.llm import SHINGLE_DF_CAP
+
+    plan = plan_of(spark, name)
+    assert re.search(rf"size\(docs#\d+[^)]*\) <= {SHINGLE_DF_CAP}", plan), plan
+
+
 def test_pricing_summary_has_partial_aggregation(spark):
     plan = plan_of(spark, "pricing_summary")
     # Map-side combine: two HashAggregate levels around one exchange,
