@@ -1,4 +1,5 @@
 from .convert import count_records, ingest_hprof  # noqa: F401
+from .default_mode import resolve_refs_default_mode  # noqa: F401
 from .snapshots import (  # noqa: F401
     SnapshotView,
     append_snapshot,

@@ -447,6 +447,33 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str,
         )
         manifest.append(_write_part(out_dir, "_static_fields", 0, pa.table(sf, schema=schema), partition))
 
+    # _field_types: per-class declared field layout (final names after
+    # inheritance flattening / shadow renames). Lets post-passes tell a
+    # ref column from a long column without re-reading the dump — the
+    # basis for default-mode struct-ref resolution (≙ the reference's
+    # FieldDescriptor registry, util.rs:132-174).
+    ft = {k: [] for k in ("class_obj_id", "class_name", "field_name", "field_type", "field_index")}
+    for cid, info in idx.classes.items():
+        for i, fld in enumerate(info.layout):
+            ft["class_obj_id"].append(_s64(cid))
+            ft["class_name"].append(info.name)
+            ft["field_name"].append(fld.name)
+            ft["field_type"].append(
+                "Object" if fld.type_code == H.T_OBJECT else H.PRIM_NAMES[fld.type_code]
+            )
+            ft["field_index"].append(i)
+    if ft["class_obj_id"]:
+        schema = pa.schema(
+            [
+                ("class_obj_id", pa.int64()),
+                ("class_name", pa.string()),
+                ("field_name", pa.string()),
+                ("field_type", pa.string()),
+                ("field_index", pa.int32()),
+            ]
+        )
+        manifest.append(_write_part(out_dir, "_field_types", 0, pa.table(ft, schema=schema), partition))
+
     # _stack_frames: resolve the 4-way dictionary join driver-side
     # (≙ hprof_index.rs:96-118 — thousands of rows, not worth a shuffle)
     if idx.frames:
@@ -523,6 +550,7 @@ def ingest_hprof(
     overwrite: bool = False,
     partition: str | None = None,
     strict: bool = True,
+    robo: bool = True,
 ) -> dict:
     """Convert an HPROF heap dump into a Parquet warehouse readable by
     :class:`~heapdumpstardiver_spark.catalog.Warehouse`.
@@ -545,7 +573,16 @@ def ingest_hprof(
     partitions are left untouched, only a pre-existing identical
     partition is refused (or cleared with ``overwrite=True``). See
     :mod:`~heapdumpstardiver_spark.ingest.snapshots`.
+
+    ``robo=False`` materializes the reference's DEFAULT output mode
+    after the robo pass: reference fields become ``struct(id, type)``
+    and ``_static_fields`` gains ``ref_type`` (util.rs:139-174,
+    dump_to_parquet.rs:584-632; see
+    :mod:`~heapdumpstardiver_spark.ingest.default_mode`). Flat layout
+    only — not combinable with *partition*.
     """
+    if not robo and partition is not None:
+        raise ValueError("robo=False (default-mode output) does not support partitioned append")
     idx = build_index(
         hprof_path, target_split_bytes=target_split_bytes, spark=spark, strict=strict
     )
@@ -639,6 +676,10 @@ def ingest_hprof(
         "total_rows": sum(by_table.values()),
         "record_counts": dict(idx.record_counts),
     }
+    if not robo:
+        from .default_mode import resolve_refs_default_mode
+
+        summary["default_mode"] = resolve_refs_default_mode(spark, out_dir)
     _commit_manifest(out_dir, partition, summary)
     return summary
 
