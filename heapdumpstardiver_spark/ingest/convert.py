@@ -123,8 +123,16 @@ def _write_part(out_dir: str, table: str, split_id, arrow_table: pa.Table,
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"part-{split_id}.parquet")
     tmp = os.path.join(d, f"._part-{split_id}.{_attempt_token()}.tmp")
+    # Dictionary-encode only string columns (class/type names — highly
+    # repetitive, big size win). On numeric columns dictionary building
+    # costs ~2x encode time and usually grows int-heavy heap tables —
+    # measured the dominant cost of a convert task.
+    str_cols = [f.name for f in arrow_table.schema if pa.types.is_string(f.type)]
     try:
-        pq.write_table(arrow_table, tmp, compression="snappy")
+        pq.write_table(
+            arrow_table, tmp, compression="snappy",
+            use_dictionary=str_cols or False,
+        )
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):  # write or rename failed mid-flight
@@ -191,11 +199,15 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             return pa.array(col.astype(np.int32), type=pa.int32())
         return pa.array(native(col))
 
-    # -- per-table accumulators (chunk lists, one entry per range) ----------
-    inst_acc: dict[int, tuple[list, list]] = {}   # cid -> (oids, offsets-into-chunks)
-    inst_chunks: dict[int, list] = {}             # cid -> [(buf, offs)] per range
-    oa_meta: list = []                            # (buf, oid, off, n, acid)
-    prim_meta: dict[int, list] = defaultdict(list)  # tcode -> (buf, oid, off, n)
+    # -- per-table accumulators --------------------------------------------
+    # instances: cid -> [(buf_np, oids, offs)] pieces; oids/offs are
+    # python lists (scalar walk) or numpy arrays (vectorized runs).
+    # arrays: batch entries — (buf_np, oids, offs, n[, acids]) with a
+    # COMMON element count n per entry (scalar records are 1-element
+    # batches, runs are R-element batches).
+    inst_pieces: dict[int, list] = {}
+    oa_meta: list = []                              # (buf_np, oids, offs, n, acids)
+    prim_meta: dict[int, list] = defaultdict(list)  # t -> (buf_np, oids, offs, n)
     roots = {"root_type": [], "obj_id": [], "thread_serial": [], "frame_index": []}
     cls_oindex: tuple[list, list] = ([], [])
 
@@ -226,18 +238,92 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
         H.SUB_CLASS_DUMP,
     )
 
+    # -- vectorized run scanning --------------------------------------------
+    # Heap segments are dominated by RUNS of constant-stride records
+    # (consecutive instances of equal nbytes — JVM writers emit objects
+    # in allocation clusters — and fixed-size arrays). A run's record
+    # starts are an arithmetic sequence, so headers can be validated and
+    # decoded with a handful of numpy strided gathers instead of one
+    # Python iteration per record. The scalar walk below remains the
+    # fallback for mixed regions; results are byte-identical.
+    RUN_PROBE = 4096  # records probed per numpy pass
+    nb_off = 1 + 2 * id_size + 4       # INSTANCE: nbytes field
+    pn_off = 1 + id_size + 4           # PARR/OARR: element count field
+    pt_off = 1 + id_size + 8           # PARR: element type tag
+    ac_off = 1 + id_size + 8           # OARR: array class id
+
+    def gather_be(bnp, base, off, width):
+        """Big-endian ints of *width* bytes at base+off (strided gather)."""
+        v = bnp[base + off].astype(np.uint64)
+        for j in range(1, width):
+            v = (v << np.uint64(8)) | bnp[base + off + j]
+        return v
+
+    def probe_run(bnp, pos, n_buf, stride, checks):
+        """Length of the run of records at *pos* with constant *stride*:
+        consecutive positions whose header fields pass *checks*
+        [(offset, width, expected_value), ...]. First record is already
+        validated by the scalar walk."""
+        count = (n_buf - pos) // stride
+        if count > RUN_PROBE:
+            count = RUN_PROBE
+        if count <= 1:
+            return 1, None
+        base = pos + stride * np.arange(count, dtype=np.int64)
+        ok = np.ones(count, dtype=bool)
+        for off, width, want in checks:
+            ok &= gather_be(bnp, base, off, width) == want
+        run = int(np.argmin(ok)) if not ok.all() else count
+        return (run if run > 0 else 1), base
+
+    id_w = id_size
+
     with open(hprof_path, "rb") as f:
         for start, end in ranges:
             f.seek(start)
             buf = f.read(end - start)
+            bnp = np.frombuffer(buf, dtype=np.uint8)
             pos, n_buf = 0, end - start
-            # per-range offset collectors
+            # per-range scalar collectors (flushed into inst_pieces so
+            # piece order matches record order even when runs interleave)
             r_inst: dict[int, tuple[list, list]] = {}
+
+            def flush_inst(cid):
+                acc = r_inst.pop(cid, None)
+                if acc is not None:
+                    inst_pieces.setdefault(cid, []).append((bnp, acc[0], acc[1]))
+
             while pos < n_buf:
                 tag = buf[pos]
                 p = pos + 1
                 if tag == INST:
                     oid, _, cid, nbytes = u_inst(buf, p)
+                    stride = h_inst + nbytes
+                    run, base = probe_run(
+                        bnp, pos, n_buf, stride,
+                        [(0, 1, INST), (nb_off, 4, nbytes)],
+                    )
+                    if run > 1:
+                        oids = gather_be(bnp, base[:run], 1, id_w)
+                        cids = gather_be(bnp, base[:run], 1 + id_w + 4, id_w)
+                        bodies = base[:run] + h_inst
+                        if cid in registry and bool((cids == cids[0]).all()):
+                            # homogeneous run (the common case): one piece
+                            flush_inst(cid)
+                            inst_pieces.setdefault(cid, []).append(
+                                (bnp, oids, bodies)
+                            )
+                        else:
+                            for c in np.unique(cids):
+                                ci = int(c)
+                                if ci in registry:
+                                    m = cids == c
+                                    flush_inst(ci)
+                                    inst_pieces.setdefault(ci, []).append(
+                                        (bnp, oids[m], bodies[m])
+                                    )
+                        pos += run * stride
+                        continue
                     body = pos + h_inst
                     if cid in registry:
                         acc = r_inst.get(cid)
@@ -248,14 +334,31 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
                     pos = body + nbytes
                 elif tag == PARR:
                     oid, _, n, t = u_parr(buf, p)
-                    body = pos + h_parr
-                    prim_meta[t].append((buf, oid, body, n))
-                    pos = body + n * prim_sizes[t]
+                    stride = h_parr + n * prim_sizes[t]
+                    run, base = probe_run(
+                        bnp, pos, n_buf, stride,
+                        [(0, 1, PARR), (pn_off, 4, n), (pt_off, 1, t)],
+                    )
+                    if run > 1:
+                        oids = gather_be(bnp, base[:run], 1, id_w)
+                        prim_meta[t].append((bnp, oids, base[:run] + h_parr, n))
+                    else:
+                        prim_meta[t].append((bnp, [oid], [pos + h_parr], n))
+                    pos += run * stride
                 elif tag == OARR:
                     oid, _, n, acid = u_oarr(buf, p)
-                    body = pos + h_oarr
-                    oa_meta.append((buf, oid, body, n, acid))
-                    pos = body + n * id_size
+                    stride = h_oarr + n * id_size
+                    run, base = probe_run(
+                        bnp, pos, n_buf, stride,
+                        [(0, 1, OARR), (pn_off, 4, n)],
+                    )
+                    if run > 1:
+                        oids = gather_be(bnp, base[:run], 1, id_w)
+                        acids = gather_be(bnp, base[:run], ac_off, id_w)
+                        oa_meta.append((bnp, oids, base[:run] + h_oarr, n, acids))
+                    else:
+                        oa_meta.append((bnp, [oid], [pos + h_oarr], n, [acid]))
+                    pos += run * stride
                 elif tag == CLS:
                     info, pos = H.parse_class_dump(buf, p, id_size)
                     cls_oindex[0].append(_s64(info.class_obj_id))
@@ -282,30 +385,38 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
                     add_root(tag, unpack_id(buf, p)[0]); pos = p + id_size
                 else:
                     raise ValueError(f"unknown sub-record tag 0x{tag:02x} at {start + pos}")
-            for cid, (oids, offs) in r_inst.items():
-                inst_acc.setdefault(cid, ([], []))[0].extend(oids)
-                inst_chunks.setdefault(cid, []).append((buf, offs))
+            for cid, acc in r_inst.items():
+                inst_pieces.setdefault(cid, []).append((bnp, acc[0], acc[1]))
 
     manifest = []
     oindex_ids: list = []
     oindex_names: list = []
 
-    # -- instances: gather + structured-dtype batch decode ------------------
-    for cid, chunks in inst_chunks.items():
+    # -- instances: strided-gather + structured-dtype batch decode ----------
+    for cid, pieces in inst_pieces.items():
         name, _, fnames, fcodes = registry[cid]
-        oids = inst_acc[cid][0]
         np_dt = np.dtype([(f"f{i}", _NP_FIELD[c]) for i, c in enumerate(fcodes)])
         size = np_dt.itemsize
+        oids_u64 = (
+            np.concatenate([np.asarray(o, dtype=np.uint64) for _, o, _ in pieces])
+            if pieces
+            else np.array([], dtype=np.uint64)
+        )
         if size:
-            # b is bytes (f.read), so each slice is already an owning
-            # bytes object — no extra bytes() copy per record
-            gathered = b"".join(
-                b[o : o + size] for b, offs in chunks for o in offs
-            )
-            rec = np.frombuffer(gathered, dtype=np_dt)
+            # one 2-D fancy gather per piece: rows (R, size) u8 viewed
+            # as the packed big-endian struct dtype — no Python loop
+            span = np.arange(size, dtype=np.int64)
+            recs = [
+                b[np.asarray(offs, dtype=np.int64)[:, None] + span]
+                .view(np_dt)
+                .ravel()
+                for b, _, offs in pieces
+                if len(offs)
+            ]
+            rec = np.concatenate(recs) if recs else np.frombuffer(b"", dtype=np_dt)
         else:
             rec = None
-        oid_arr = ids_to_i64(np.array(oids, dtype=np.uint64)) if id_size == 8 else np.array(oids, dtype=np.int64)
+        oid_arr = oids_u64.view(np.int64) if id_size == 8 else oids_u64.astype(np.int64)
         cols = {"obj_id": pa.array(oid_arr, type=pa.int64())}
         for i, (fn, c) in enumerate(zip(fnames, fcodes)):
             cols[fn] = field_to_pa(rec[f"f{i}"], c) if rec is not None else pa.array([], type=_FIELD_ARROW[c])
@@ -316,26 +427,32 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
             _write_part(out_dir, name, split_id, pa.table(cols, schema=schema), partition)
         )
         oindex_ids.append(oid_arr)
-        oindex_names.append((name, len(oids)))
+        oindex_names.append((name, len(oids_u64)))
 
-    # -- object arrays: one values buffer + ListArray -----------------------
+    # -- object arrays: strided-gather values buffer + ListArray ------------
     if oa_meta:
         el_dt = np.dtype(">u8" if id_size == 8 else ">u4")
-        parts = [
-            np.frombuffer(b, dtype=el_dt, count=n, offset=off)
-            for b, _, off, n, _ in oa_meta
-        ]
-        values = np.concatenate(parts) if parts else np.array([], dtype=el_dt)
-        ns = np.fromiter((n for _, _, _, n, _ in oa_meta), dtype=np.int64, count=len(oa_meta))
-        offsets = np.zeros(len(oa_meta) + 1, dtype=np.int64)
+        esz = el_dt.itemsize
+        val_parts, ns_parts, oid_parts, acid_list = [], [], [], []
+        for b, oids, offs, n, acids in oa_meta:
+            offs_a = np.asarray(offs, dtype=np.int64)
+            if n:
+                rows = b[offs_a[:, None] + np.arange(n * esz, dtype=np.int64)]
+                val_parts.append(rows.ravel().view(el_dt))
+            ns_parts.append(np.full(len(offs_a), n, dtype=np.int64))
+            oid_parts.append(np.asarray(oids, dtype=np.uint64))
+            acid_list.extend(np.asarray(acids, dtype=np.uint64).tolist())
+        values = np.concatenate(val_parts) if val_parts else np.array([], dtype=el_dt)
+        ns = np.concatenate(ns_parts)
+        offsets = np.zeros(len(ns) + 1, dtype=np.int64)
         np.cumsum(ns, out=offsets[1:])
         el_i64 = ids_to_i64(values) if id_size == 8 else values.astype(np.int64)
         elements = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), pa.array(el_i64, type=pa.int64())
         ).cast(pa.list_(pa.int64()))
-        oid_arr = np.fromiter((o for _, o, _, _, _ in oa_meta), dtype=np.uint64, count=len(oa_meta))
-        oid_i64 = oid_arr.view(np.int64) if id_size == 8 else oid_arr.astype(np.int64)
-        names = [class_names.get(a, "(unresolved)") for _, _, _, _, a in oa_meta]
+        oid_u64 = np.concatenate(oid_parts)
+        oid_i64 = oid_u64.view(np.int64) if id_size == 8 else oid_u64.astype(np.int64)
+        names = [class_names.get(a, "(unresolved)") for a in acid_list]
         schema = pa.schema(
             [("obj_id", pa.int64()), ("class_name", pa.string()), ("elements", pa.list_(pa.int64()))]
         )
@@ -351,33 +468,41 @@ def _process_split(args, hprof_path: str, out_dir: str, registry: dict,
         oindex_ids.append(oid_i64)
         oindex_names.append(names)
 
-    # -- primitive arrays: per-type values buffer + ListArray ---------------
+    # -- primitive arrays: strided-gather per-type buffer + ListArray -------
     for t, metas in prim_meta.items():
         ptype = H.PRIM_NAMES[t]
         dt = np.dtype(_NP_PRIM[t])
-        parts = [np.frombuffer(b, dtype=dt, count=n, offset=off) for b, _, off, n in metas]
-        values = np.concatenate(parts) if parts else np.array([], dtype=dt)
+        esz = dt.itemsize
+        val_parts, ns_parts, oid_parts = [], [], []
+        for b, oids, offs, n in metas:
+            offs_a = np.asarray(offs, dtype=np.int64)
+            if n:
+                rows = b[offs_a[:, None] + np.arange(n * esz, dtype=np.int64)]
+                val_parts.append(rows.ravel().view(dt))
+            ns_parts.append(np.full(len(offs_a), n, dtype=np.int64))
+            oid_parts.append(np.asarray(oids, dtype=np.uint64))
+        values = np.concatenate(val_parts) if val_parts else np.array([], dtype=dt)
         if t == H.T_BOOLEAN:
             va = pa.array(values.astype(np.bool_))
         elif t == H.T_CHAR:
             va = pa.array(values.astype(np.int32), type=pa.int32())
         else:
             va = pa.array(native(values))
-        ns = np.fromiter((n for _, _, _, n in metas), dtype=np.int64, count=len(metas))
-        offsets = np.zeros(len(metas) + 1, dtype=np.int64)
+        ns = np.concatenate(ns_parts)
+        offsets = np.zeros(len(ns) + 1, dtype=np.int64)
         np.cumsum(ns, out=offsets[1:])
         vals = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), va
         ).cast(pa.list_(_PRIM_LIST_ARROW[ptype]))
-        oid_arr = np.fromiter((o for _, o, _, _ in metas), dtype=np.uint64, count=len(metas))
-        oid_i64 = oid_arr.view(np.int64) if id_size == 8 else oid_arr.astype(np.int64)
+        oid_u64 = np.concatenate(oid_parts)
+        oid_i64 = oid_u64.view(np.int64) if id_size == 8 else oid_u64.astype(np.int64)
         schema = pa.schema(
             [("obj_id", pa.int64()), ("values", pa.list_(_PRIM_LIST_ARROW[ptype]))]
         )
         tbl = pa.table({"obj_id": pa.array(oid_i64, type=pa.int64()), "values": vals}, schema=schema)
         manifest.append(_write_part(out_dir, f"_primitive_arrays_{ptype}", split_id, tbl, partition))
         oindex_ids.append(oid_i64)
-        oindex_names.append((f"{ptype}[]", len(metas)))
+        oindex_names.append((f"{ptype}[]", len(ns)))
 
     if roots["obj_id"]:
         schema = pa.schema(

@@ -85,12 +85,37 @@ def _scan_segment(
     The walk is a lean inline skipper (no per-record allocation): the
     generic ``skip_sub_record`` builds a meta dict per call, which at
     hundreds of millions of sub-records is the difference between a
-    metadata pass and a second data pass.
+    metadata pass and a second data pass. Constant-stride RUNS of
+    instance/array records (the bulk of any heap) are leapt over with a
+    vectorized numpy probe — same trick as the convert pass — capped at
+    the current split's remaining byte budget so split sizes still land
+    on ~target_split_bytes.
     """
+    import numpy as np
+
     with open(path, "rb") as f:
         f.seek(seg_start)
         buf = f.read(seg_end - seg_start)
     n = len(buf)
+    bnp = np.frombuffer(buf, dtype=np.uint8)
+    RUN_PROBE = 4096
+
+    def probe_run(pos, limit, stride, checks):
+        """# of consecutive records at *pos* (stride-spaced) passing the
+        header *checks*; bounded by *limit* bytes and RUN_PROBE."""
+        count = min(RUN_PROBE, limit // stride)
+        if count <= 1:
+            return 1
+        base = pos + stride * np.arange(count, dtype=np.int64)
+        ok = np.ones(count, dtype=bool)
+        for off, width, want in checks:
+            v = bnp[base + off].astype(np.uint64)
+            for j in range(1, width):
+                v = (v << np.uint64(8)) | bnp[base + off + j]
+            ok &= v == want
+        run = int(np.argmin(ok)) if not ok.all() else count
+        return run if run > 0 else 1
+
     unpack_I = struct.Struct(">I").unpack_from
     unpack_IB = struct.Struct(">IB").unpack_from  # prim-array count + elem type
     prim_sizes = H.PRIM_SIZES
@@ -124,13 +149,34 @@ def _scan_segment(
             p = pos + 1
             if tag == INST:
                 (nbytes,) = unpack_I(buf, p + id4 + id_size)
-                pos = p + id4 + id_size + 4 + nbytes
+                stride = 1 + id4 + id_size + 4 + nbytes
+                run = probe_run(
+                    rec_start,
+                    min(end - rec_start, split_start + target_split_bytes - rec_start + stride),
+                    stride,
+                    [(0, 1, INST), (1 + id4 + id_size, 4, nbytes)],
+                )
+                pos = rec_start + run * stride
             elif tag == PARR:
                 cnt, t = unpack_IB(buf, p + id4)
-                pos = p + id4 + 5 + cnt * prim_sizes[t]
+                stride = 1 + id4 + 5 + cnt * prim_sizes[t]
+                run = probe_run(
+                    rec_start,
+                    min(end - rec_start, split_start + target_split_bytes - rec_start + stride),
+                    stride,
+                    [(0, 1, PARR), (1 + id4, 4, cnt), (1 + id4 + 4, 1, t)],
+                )
+                pos = rec_start + run * stride
             elif tag == OARR:
                 (cnt,) = unpack_I(buf, p + id4)
-                pos = p + id4 + 4 + id_size + cnt * id_size
+                stride = 1 + id4 + 4 + id_size + cnt * id_size
+                run = probe_run(
+                    rec_start,
+                    min(end - rec_start, split_start + target_split_bytes - rec_start + stride),
+                    stride,
+                    [(0, 1, OARR), (1 + id4, 4, cnt)],
+                )
+                pos = rec_start + run * stride
             elif tag == CLS:
                 info, pos = H.parse_class_dump(buf, p, id_size)
             else:
