@@ -19,8 +19,11 @@ from heapdumpstardiver_spark.session import get_spark
 
 # Headline set: one per operator family — scan-heavy agg, fact-fact
 # join, two-level agg, top-k, explode, window, sessionize, event-time
-# window, hash dedup, shingle self-join, ANN.
-HEADLINE = [
+# window, hash dedup, shingle self-join, ANN. CORE is the stable
+# round-over-round comparison set (BENCH_r01 baseline); LLM_OPS extends
+# regression tracking to the MinHash/Jaccard/embedding dedup family and
+# TF-IDF without disturbing the core total ("core13_total" below).
+CORE = [
     "pricing_summary",
     "join_fact_fact",
     "two_level_agg",
@@ -35,6 +38,13 @@ HEADLINE = [
     "ngram_shingle_overlap",
     "similarity_topk",
 ]
+LLM_OPS = [
+    "minhash_lsh_candidates",
+    "jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "tfidf_top_terms",
+]
+HEADLINE = CORE + LLM_OPS
 
 
 def main() -> None:
@@ -70,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "core13_total": round(sum(timings[q] for q in CORE), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
