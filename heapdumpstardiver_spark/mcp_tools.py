@@ -1,0 +1,271 @@
+"""MCP tool surface over the session service.
+
+Reproduces the reference MCP server's tool set
+(/root/reference/mcp_server/server.py:238-601) — convert_heap_dump,
+open_session, list_sessions, close_session, cleanup_session
+(confirm-gated), list_parquet_files, query_heap, analyze_heap — backed
+by the Spark engine: ingest instead of the native binary, Spark SQL
+views instead of DuckDB ``read_parquet`` globs, and the DataFrame
+waste/profile pipelines for analyze.
+
+Every tool returns a JSON string (the reference's convention: tools
+speak JSON so LLM clients can parse reliably).
+
+Transport: when the official ``mcp`` SDK is importable, ``build_server``
+registers the tools on a FastMCP instance and ``main()`` serves stdio.
+The SDK is optional — the tool functions themselves are plain callables
+closed over a :class:`~heapdumpstardiver_spark.service.SessionManager`,
+registered in a dict, so the full surface is testable (and usable
+in-process) without it.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+from .service import DEFAULT_PAGE_SIZE, SessionManager
+from .service import list_tables as _svc_list_tables
+from .service import query_heap as _svc_query_heap
+
+
+def _json(obj: Any) -> str:
+    return json.dumps(obj, indent=2, default=str)
+
+
+def _fmt_bytes(n: int) -> str:
+    if n >= 1024**3:
+        return f"{n / 1024**3:.1f} GB"
+    if n >= 1024**2:
+        return f"{n / 1024**2:.1f} MB"
+    if n >= 1024:
+        return f"{n / 1024:.1f} KB"
+    return f"{n} B"
+
+
+def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
+    """The tool registry: name → callable returning a JSON string."""
+
+    def convert_heap_dump(
+        hprof_path: str, session_id: str = "", split_mb: int = 64
+    ) -> str:
+        """Convert an HPROF heap dump to a Parquet warehouse and open an
+        analysis session (robo mode). Output goes to
+        <hprof_parent>/<session_id>/parquet/ — the reference's layout."""
+        from .ingest import ingest_hprof
+
+        hprof = Path(hprof_path).resolve()
+        if not hprof.is_file():
+            return _json({"error": f"File not found: {hprof}"})
+        sid = session_id or hprof.stem
+        parquet_dir = hprof.parent / sid / "parquet"
+        try:
+            summary = ingest_hprof(
+                manager.spark,
+                str(hprof),
+                str(parquet_dir),
+                target_split_bytes=split_mb * 1024 * 1024,
+                overwrite=True,
+            )
+        except Exception as e:
+            return _json({"error": f"Conversion failed: {e}"})
+        sess = manager.create_session(parquet_dir, session_id=sid)
+        files = sorted(parquet_dir.rglob("*.parquet"))
+        return _json(
+            {
+                "status": "ok",
+                "session_id": sess.session_id,
+                "parquet_dir": str(parquet_dir),
+                "files_created": len(files),
+                "total_size": _fmt_bytes(sum(f.stat().st_size for f in files)),
+                "tables": summary["tables"],
+            }
+        )
+
+    def open_session(parquet_dir: str, session_id: str = "") -> str:
+        """Open a session on an existing warehouse — native layout or a
+        directory written by the reference binary (auto-detected)."""
+        pdir = Path(parquet_dir).resolve()
+        if not pdir.is_dir():
+            return _json({"error": f"Directory not found: {pdir}"})
+        if not any(pdir.rglob("*.parquet")):
+            return _json({"error": f"No .parquet files found in {pdir}"})
+        sess = manager.create_session(pdir, session_id=session_id or None)
+        return _json(
+            {
+                "status": "ok",
+                "session_id": sess.session_id,
+                "tables": len(sess.warehouse.table_names()),
+            }
+        )
+
+    def list_sessions() -> str:
+        return _json(
+            {
+                "sessions": [
+                    {
+                        "session_id": s.session_id,
+                        "parquet_dir": str(s.warehouse_dir),
+                        "active": s.is_active,
+                    }
+                    for s in manager.sessions.values()
+                ]
+            }
+        )
+
+    def close_session(session_id: str) -> str:
+        try:
+            manager.close_session(session_id)
+        except KeyError as e:
+            return _json({"error": str(e)})
+        return _json({"status": "ok", "closed": session_id})
+
+    def cleanup_session(session_id: str, confirm: bool = False) -> str:
+        """Close a session AND delete its warehouse directory.
+        Destructive — requires confirm=True (the reference's gate)."""
+        if not confirm:
+            return _json(
+                {
+                    "error": "cleanup_session deletes the Parquet directory. "
+                    "Call again with confirm=true to proceed.",
+                    "session_id": session_id,
+                }
+            )
+        try:
+            n_files, path = manager.cleanup_session(session_id)
+        except KeyError as e:
+            return _json({"error": str(e)})
+        return _json({"status": "ok", "deleted_files": n_files, "path": path})
+
+    def list_parquet_files(session_id: str = "") -> str:
+        """Tables with schemas, split into system vs class tables and
+        sorted by row count — the reference's DESCRIBE surface."""
+        out = _svc_list_tables(manager, session_id or None)
+        if "error" in out:
+            return _json(out)
+        sess = manager.get(out["session_id"])
+        system, classes = [], []
+        for name, info in out["tables"].items():
+            entry = {
+                "table": name,
+                "view": info["view"],
+                "row_count": sess.warehouse.table(name).count(),
+                "columns": [{"name": c, "type": t} for c, t in info["columns"]],
+            }
+            (system if name.startswith("_") else classes).append(entry)
+        classes.sort(key=lambda e: e["row_count"], reverse=True)
+        return _json(
+            {
+                "session_id": out["session_id"],
+                "system_tables": system,
+                "class_tables": classes,
+            }
+        )
+
+    def query_heap(
+        sql: str,
+        session_id: str = "",
+        limit: int = DEFAULT_PAGE_SIZE,
+        offset: int = 0,
+    ) -> str:
+        """Arbitrary SQL over the session's views (paginated with the
+        n+1 has_more probe). Reference tables by view name — see
+        list_parquet_files."""
+        return _json(
+            _svc_query_heap(manager, sql, session_id or None, limit=limit, offset=offset)
+        )
+
+    def analyze_heap(
+        session_id: str = "",
+        waste: bool = True,
+        waste_tier: int = 2,
+        top_n: int = 30,
+    ) -> str:
+        """Automated heap analysis: summary, top types, categories,
+        byte-array distribution + the tiered waste checks."""
+        from .analytics import profile, run_waste_analysis
+
+        try:
+            sess = manager.get(session_id or None)
+        except (KeyError, ValueError) as e:
+            return _json({"error": str(e)})
+        wh = sess.warehouse
+        try:
+            result: dict[str, Any] = {"session_id": sess.session_id}
+            result["summary"] = [r.asDict() for r in profile.run_summary(wh).collect()][0]
+            result["top_types"] = [
+                r.asDict() for r in profile.run_top_types(wh, limit=top_n).collect()
+            ]
+            result["categories"] = [
+                r.asDict() for r in profile.run_category_breakdown(wh).collect()
+            ]
+            result["byte_array_distribution"] = [
+                r.asDict() for r in profile.run_byte_array_distribution(wh).collect()
+            ]
+            result["large_byte_arrays"] = [
+                r.asDict() for r in profile.run_large_byte_arrays(wh).collect()
+            ]
+            if waste:
+                findings = run_waste_analysis(wh, max_tier=waste_tier)
+                total = sum(f.estimated_waste_bytes for f in findings)
+                result["waste_findings"] = [
+                    {
+                        "check_name": f.check_name,
+                        "tier": f.tier,
+                        "severity": f.severity,
+                        "affected_count": f.affected_count,
+                        "estimated_waste_bytes": f.estimated_waste_bytes,
+                        "estimated_waste_human": _fmt_bytes(f.estimated_waste_bytes),
+                        "details": f.details,
+                        "recommendation": f.recommendation,
+                        "sub_findings": f.sub_findings,
+                    }
+                    for f in findings
+                ]
+                result["total_estimated_waste"] = _fmt_bytes(total)
+                result["total_estimated_waste_bytes"] = total
+            return _json(result)
+        except Exception as e:
+            return _json({"error": str(e)})
+
+    return {
+        "convert_heap_dump": convert_heap_dump,
+        "open_session": open_session,
+        "list_sessions": list_sessions,
+        "close_session": close_session,
+        "cleanup_session": cleanup_session,
+        "list_parquet_files": list_parquet_files,
+        "query_heap": query_heap,
+        "analyze_heap": analyze_heap,
+    }
+
+
+def build_server(manager: SessionManager):
+    """Register the tools on a FastMCP server (requires the ``mcp``
+    SDK; raises ImportError with a clear message when absent)."""
+    try:
+        from mcp.server.fastmcp import FastMCP
+    except ImportError as e:  # pragma: no cover - SDK not in this container
+        raise ImportError(
+            "the 'mcp' package is required for the MCP transport; the tool "
+            "functions in build_tools() work without it"
+        ) from e
+    server = FastMCP("heapdumpstardiver-spark")
+    for name, fn in build_tools(manager).items():
+        server.tool(name=name)(fn)
+    return server
+
+
+def main() -> int:  # pragma: no cover - needs the SDK + a stdio client
+    from .session import get_spark
+
+    manager = SessionManager(get_spark(app_name="hdsd-mcp"))
+    build_server(manager).run()
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""MCP tool-surface tests: drive a session end-to-end through the tool
+registry (convert → list → query → analyze → cleanup), exactly the
+reference server's tool flow (mcp_server/server.py:238-601), without
+requiring the optional mcp SDK transport."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+from heapdumpstardiver_spark.mcp_tools import build_tools
+from heapdumpstardiver_spark.service import SessionManager
+
+
+@pytest.fixture(scope="module")
+def tools(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mcp_dump")
+    hprof = str(d / "app.hprof")
+    build_test_dump(hprof, id_size=8)
+    mgr = SessionManager(spark)
+    t = build_tools(mgr)
+    yield t, hprof, mgr
+    for sid in list(mgr.sessions):
+        mgr.sessions[sid].close()
+
+
+def test_convert_and_session_lifecycle(tools):
+    t, hprof, mgr = tools
+    out = json.loads(t["convert_heap_dump"](hprof))
+    assert out["status"] == "ok" and out["session_id"] == "app"
+    assert out["files_created"] > 0 and "java.lang.String" in out["tables"]
+
+    sessions = json.loads(t["list_sessions"]())["sessions"]
+    assert [s["session_id"] for s in sessions] == ["app"]
+
+    files = json.loads(t["list_parquet_files"]())
+    sys_names = {e["table"] for e in files["system_tables"]}
+    assert {"_object_index", "_gc_roots"} <= sys_names
+    cls = {e["table"]: e["row_count"] for e in files["class_tables"]}
+    assert cls["java.lang.String"] > 0
+
+
+def test_query_heap_tool(tools):
+    t, _, mgr = tools
+    view = mgr.get("app").view_name("_object_index")
+    out = json.loads(
+        t["query_heap"](f"SELECT type_name, count(*) AS n FROM {view} GROUP BY 1 ORDER BY n DESC")
+    )
+    assert out["row_count"] > 0
+    assert out["columns"] == ["type_name", "n"]
+    errs = json.loads(t["query_heap"]("SELECT * FROM nope"))
+    assert "error" in errs
+
+
+def test_analyze_heap_tool(tools):
+    t, _, _ = tools
+    out = json.loads(t["analyze_heap"](waste_tier=3))
+    assert out["summary"]["total_objects"] > 0
+    assert out["top_types"]
+    assert any(f["check_name"] == "Duplicate Strings" for f in out["waste_findings"])
+    assert out["total_estimated_waste_bytes"] >= 0
+
+
+def test_cleanup_confirm_gate(tools):
+    t, hprof, mgr = tools
+    blocked = json.loads(t["cleanup_session"]("app"))
+    assert "error" in blocked and "confirm" in blocked["error"]
+    assert "app" in mgr.sessions
+
+    parquet_dir = str(mgr.get("app").warehouse_dir)
+    done = json.loads(t["cleanup_session"]("app", confirm=True))
+    assert done["status"] == "ok" and done["deleted_files"] > 0
+    assert not os.path.exists(parquet_dir)
+    assert "app" not in mgr.sessions
+
+
+def test_open_session_on_reference_layout(tools, spark, tmp_path):
+    """open_session accepts a directory in the reference binary's flat
+    naming scheme via the interop auto-detect."""
+    from tests.heap_fixtures import convert_to_reference_layout, generate_heap_warehouse
+
+    t, _, mgr = tools
+    native = tmp_path / "nat"
+    ref = tmp_path / "ref"
+    native.mkdir()
+    ref.mkdir()
+    generate_heap_warehouse(str(native))
+    convert_to_reference_layout(str(native), str(ref))
+    out = json.loads(t["open_session"](str(ref), session_id="refsess"))
+    assert out["status"] == "ok" and out["tables"] > 10
+    q = json.loads(
+        t["query_heap"](
+            f"SELECT count(*) AS n FROM {mgr.get('refsess').view_name('_object_index')}",
+            session_id="refsess",
+        )
+    )
+    assert q["rows"][0]["n"] > 0
+    json.loads(t["close_session"]("refsess"))
