@@ -488,9 +488,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sgn AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+               (CASE WHEN embedding[1] > 0 THEN 32 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 16 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[5] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[6] > 0 THEN 1 ELSE 0 END) AS bucket
         FROM embeddings
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -503,8 +506,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sign-LSH bucketed: pairs
     are only formed inside a bucket (sub-quadratic), then exact cosine
-    filters. At scale the bucket count grows with corpus size so the
-    per-bucket quadratic term stays bounded.
+    filters. 6 sign bits = 64 buckets — each extra bit halves the
+    candidate-pair count (the pair stage is the quadratic term, and
+    Catalyst evaluates the 64-dim dot-product fold interpreted, so
+    candidates are the whole cost); at scale bits grow with corpus
+    size so the per-bucket quadratic term stays bounded.
 
     Per-vector norms are computed ONCE before the pair join — the pair
     stage evaluates a single 64-dim fold per candidate instead of
@@ -512,10 +518,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression the oracle's inline form evaluates, so values are
     unchanged."""
     e = _t(spark, sf_dir, "embeddings")
-    bucket = (
-        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
-        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    bucket = sum(
+        (
+            F.when(F.element_at("embedding", i + 1) > 0, 1 << (5 - i)).otherwise(0)
+            for i in range(6)
+        ),
+        start=F.lit(0),
     )
     v = F.col("embedding").cast("array<double>")
     sgn = e.select(
