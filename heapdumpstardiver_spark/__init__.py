@@ -27,6 +27,6 @@ Layout:
 from .registry import ORACLE_SQL, QUERIES  # noqa: F401
 
 # Importing the query modules populates the registry.
-from .queries import llm, media, relational, windows  # noqa: E402,F401
+from .queries import llm, media, pipeline, relational, windows  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

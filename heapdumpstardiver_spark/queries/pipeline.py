@@ -1,0 +1,477 @@
+"""Training-data curation operators: the pipeline stages that sit
+between a raw crawl and a training set — duplicate clustering,
+benchmark decontamination, mixture sampling, leakage-safe splits,
+quality filtering, stratified sampling, and passage-level duplication
+coverage.
+
+Extends the LLM-pipeline family in :mod:`.llm` (which provides the
+candidate-pair generators these build on). Same registry + oracle
+conventions; same scale posture: every operator is a shuffle-on-key /
+broadcast plan or a bounded driver loop over aggregates — no
+collected corpus state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import round_col, round_sql
+from ..registry import query
+from .llm import minhash_lsh_candidates
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Shared hex-threshold constants for deterministic hash sampling: a
+# rate r maps to the 8-hex-digit string floor(r * 16^8), and a row is
+# kept when the first 8 md5 hex chars compare below it. String
+# comparison over lowercase hex is identical in Spark and DuckDB, so
+# the "uniform draw" needs no hex→int conversion anywhere.
+_HEX_50 = "80000000"
+_HEX_20 = "33333333"
+_HEX_90 = "e6666666"
+
+# The minhash edge set used for duplicate clustering (see
+# dedup_connected_components) — kept verbatim in sync with the
+# minhash_lsh_candidates oracle in .llm.
+_MINHASH_EDGES_SQL = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+               min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h2 || h3) AS bucket FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    )
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_EDGES_SQL},
+    reach(node, lab) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT component_id, count(*) AS n_members
+    FROM (SELECT node, min(lab) AS component_id FROM reach GROUP BY node)
+    GROUP BY component_id
+    ORDER BY n_members DESC, component_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster identification: connected components over the
+    MinHash-LSH candidate graph (:func:`.llm.minhash_lsh_candidates`),
+    so each group of mutual near-duplicates gets one stable id (its
+    minimum doc_id) — the step that turns pairwise candidates into
+    keep-one-per-cluster decisions.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' (one join + one groupBy per
+    round), `localCheckpoint` truncating the lineage, until a round
+    changes nothing. Rounds are bounded by component diameter — at
+    100 TB this is the same plan GraphX/GraphFrames CC runs (the
+    large-star/small-star variant halves round count, the shape is
+    identical); duplicate clusters are shallow in practice. The driver
+    loop only ever collects a scalar `changed` count, never data.
+    """
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(20):
+        msgs = edges.join(labels, edges.src == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("comp").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "component_id")
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tokens[i:i+4], ' ')) AS g
+        FROM toks, unnest(range(1, len(tokens) - 5 + 2)) AS t(i)
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id, count(DISTINCT b.bench_id) AS n_bench_docs,
+           count(DISTINCT c.g) AS n_shared_ngrams
+    FROM corp c JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id
+    ORDER BY n_shared_ngrams DESC, doc_id
+    LIMIT 50
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the held-out benchmark set (here: doc_id % 50 == 0,
+    standing in for an eval suite). The join key is the md5 of the
+    gram, so the shuffle carries fixed-width hashes; the benchmark
+    side is ~2% of documents and is broadcast — at 100 TB the eval
+    suite is tiny relative to the corpus, so this stays a map-side
+    join over the corpus scan. Production tuning: longer grams (8+)
+    and a document-frequency cap on stop phrases.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = 5
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - n + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n))),
+    )
+    grams = (
+        toks.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(hashes).alias("g"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corp = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("g").alias("n_shared_ngrams"),
+        )
+        .orderBy(F.desc("n_shared_ngrams"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "data_mix_weighted_sample",
+    oracle=f"""
+    SELECT tier, count(*) AS n_docs,
+           CAST(sum(CASE WHEN u < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {round_sql("sum(CASE WHEN u < threshold THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)} AS kept_frac
+    FROM (
+        SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) <= 5 THEN 'head'
+                    WHEN CAST(substr(source, 4) AS INTEGER) <= 12 THEN 'mid'
+                    ELSE 'tail' END AS tier,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) <= 5 THEN 'ffffffff'
+                    WHEN CAST(substr(source, 4) AS INTEGER) <= 12 THEN '{_HEX_50}'
+                    ELSE '{_HEX_20}' END AS threshold,
+               substr(md5('mix:' || doc_id), 1, 8) AS u
+        FROM documents
+    )
+    GROUP BY tier ORDER BY tier
+    """,
+)
+def data_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: down-sample sources to target
+    rates (head sources 100%, mid 50%, tail 20%) by comparing the
+    first 8 md5 hex chars of a salted doc key against the rate's hex
+    threshold. Reproducible across engines and runs (no RNG state),
+    embarrassingly parallel (pure per-row projection, no shuffle
+    before the final tiny aggregate) — the standard way to dial a
+    data mixture at 100 TB without materializing an intermediate
+    sample."""
+    d = _t(spark, sf_dir, "documents")
+    src_n = F.substring("source", 4, 8).cast("int")
+    tier = (
+        F.when(src_n <= 5, "head").when(src_n <= 12, "mid").otherwise("tail")
+    )
+    threshold = (
+        F.when(src_n <= 5, "ffffffff")
+        .when(src_n <= 12, _HEX_50)
+        .otherwise(_HEX_20)
+    )
+    u = F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 8)
+    kept = F.when(u < threshold, 1).otherwise(0)
+    return (
+        d.select(tier.alias("tier"), kept.alias("k"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+            round_col(F.sum("k") * 1.0 / F.count(F.lit(1)), 4).alias("kept_frac"),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "train_test_split_hash",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN substr(md5(text), 1, 8) < '{_HEX_90}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+           CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs,
+           {round_sql("sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)} AS train_frac,
+           CAST((SELECT count(*) FROM (
+               SELECT h FROM assigned GROUP BY h
+               HAVING count(DISTINCT split) > 1
+           )) AS BIGINT) AS leaked_texts
+    FROM assigned
+    """,
+)
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split is a hash of the
+    CONTENT (not the doc_id), so byte-identical duplicates land in the
+    same split by construction — `leaked_texts` (texts seen in both
+    splits) is provably 0, and the query audits exactly that. A
+    row-id split would leak every duplicated document across the
+    boundary. Pure projection + one global aggregate; the leakage
+    audit groups on the fixed-width content hash."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    split = F.when(F.substring(h, 1, 8) < _HEX_90, "train").otherwise("test")
+    assigned = d.select(h.alias("h"), split.alias("split"))
+    leaked = (
+        assigned.groupBy("h")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_texts"))
+    )
+    totals = assigned.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("train_docs"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("test_docs"),
+        round_col(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("train_frac"),
+    )
+    return totals.crossJoin(leaked)
+
+
+@query(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t AS token, count(*) AS c
+        FROM base, unnest(tokens) AS u(t)
+        GROUP BY doc_id, t
+    ),
+    stats AS (
+        SELECT b.doc_id,
+               len(b.tokens) AS n_tok,
+               len(list_filter(b.tokens, t -> t = 'the' OR t = 'a')) AS n_stop,
+               (SELECT max(c) FROM tf WHERE tf.doc_id = b.doc_id) AS max_tf
+        FROM base b
+    )
+    SELECT reason, count(*) AS n_docs,
+           {round_sql("avg(n_tok)", 4)} AS avg_tokens
+    FROM (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok < 20 THEN 'too_short'
+                    WHEN n_stop * 1.0 / n_tok > 0.25 THEN 'too_stopwordy'
+                    WHEN max_tf * 1.0 / n_tok > 0.12 THEN 'repetitive'
+                    ELSE 'pass' END AS reason
+        FROM stats
+    )
+    GROUP BY reason ORDER BY reason
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failing-rule quality filter with per-reason accounting —
+    the filter stage of a curation pipeline, instrumented so each
+    rule's rejection volume is visible (silent filters are how
+    training sets lose whole domains). Rules: length gate, stopword
+    ratio, intra-document repetition (max token frequency / length).
+    Token stats are one explode + groupBy (fixed-width keys); the rule
+    cascade is a JVM CASE projection; output is a tiny per-reason
+    rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).alias("n_stop"),
+    )
+    max_tf = (
+        base.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tf"))
+    )
+    reason = (
+        F.when(F.col("n_tok") < 20, "too_short")
+        .when(F.col("n_stop") * 1.0 / F.col("n_tok") > 0.25, "too_stopwordy")
+        .when(F.col("max_tf") * 1.0 / F.col("n_tok") > 0.12, "repetitive")
+        .otherwise("pass")
+    )
+    return (
+        base.join(max_tf, "doc_id")
+        .select(reason.alias("reason"), "n_tok")
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_col(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("reason")
+    )
+
+
+@query(
+    "stratified_sample_per_source",
+    oracle=f"""
+    SELECT source, count(*) AS n_sampled,
+           {round_sql("avg(n_chars)", 4)} AS avg_chars
+    FROM (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s:' || doc_id), doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 5
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-source sample: exactly k=5 documents per source,
+    chosen by deterministic hash order (reproducible, no RNG) — how
+    you pull a fixed-size inspection/eval slice from every source of
+    an unbalanced corpus. One window shuffle on the stratum key; at
+    scale prefer rank-within-partition after repartitioning on source
+    (identical plan here) and raise k per stratum weight."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("s:"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            round_col(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "passage_dup_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    passages AS (
+        SELECT doc_id, md5(array_to_string(tokens[i:i+7], ' ')) AS p
+        FROM toks, unnest(range(1, len(tokens) - 8 + 2, 4)) AS t(i)
+    ),
+    df AS (
+        SELECT p, count(DISTINCT doc_id) AS nd FROM passages GROUP BY p
+    )
+    SELECT doc_id, count(*) AS n_passages,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           {round_sql("sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)} AS dup_frac
+    FROM passages JOIN df USING (p)
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+    ORDER BY dup_frac DESC, doc_id
+    LIMIT 50
+    """,
+)
+def passage_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication coverage: slide an 8-token window with
+    stride 4 over each document, hash each passage, and report per
+    document what fraction of its passages also occur in another
+    document — the doc-granularity signal behind "remove documents
+    that are mostly boilerplate/copies" (exact-substring dedup at
+    passage resolution). Two shuffles on fixed-width passage hashes
+    (document frequency, then per-doc rollup); fan-out per document is
+    length/stride, i.e. bounded and linear in corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    n, stride = 8, 4
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - n + 1, F.lit(stride)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n))),
+    )
+    passages = toks.filter(F.size("tokens") >= n).select(
+        "doc_id", F.explode(hashes).alias("p")
+    )
+    df_counts = passages.groupBy("p").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        passages.join(df_counts, "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_dup"),
+        )
+        .filter(F.col("n_dup") > 0)
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup",
+            round_col(F.col("n_dup") * 1.0 / F.col("n_passages"), 4).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(50)
+    )
