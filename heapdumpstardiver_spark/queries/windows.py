@@ -340,3 +340,110 @@ def percentile_disc_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99).alias("p99"),
         F.max("n").alias("n_orders"),
     )
+
+
+@query(
+    "rollup_hypertable_cascade",
+    oracle=f"""
+    WITH minute AS (
+        SELECT date_trunc('minute', ts) AS bucket, count(*) AS n, sum(value) AS v
+        FROM events GROUP BY 1
+    ),
+    hour AS (
+        SELECT date_trunc('hour', bucket) AS bucket, sum(n) AS n, sum(v) AS v
+        FROM minute GROUP BY 1
+    ),
+    day AS (
+        SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(v) AS v
+        FROM hour GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 'a_minute' AS resolution, count(*) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               {round_sql("sum(v)")} AS total_value,
+               CAST(max(n) AS BIGINT) AS max_bucket_events
+        FROM minute
+        UNION ALL
+        SELECT 'b_hour', count(*), CAST(sum(n) AS BIGINT),
+               {round_sql("sum(v)")}, CAST(max(n) AS BIGINT) FROM hour
+        UNION ALL
+        SELECT 'c_day', count(*), CAST(sum(n) AS BIGINT),
+               {round_sql("sum(v)")}, CAST(max(n) AS BIGINT) FROM day
+    )
+    ORDER BY resolution
+    """,
+)
+def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded rollup: minute partials are
+    re-aggregated into hours, hours into days — each level reads the
+    previous level's (much smaller) output, never the raw events
+    again. This is the continuous-aggregate pattern (TimescaleDB
+    rollups, Druid compaction): at 100 TB the raw scan happens once
+    for the finest resolution and every coarser level is a
+    re-aggregation of partials that shrink ~60× per step; counts and
+    sums re-aggregate losslessly (sum of sums). The summary row per
+    resolution checks the conservation invariant — n_events is
+    identical at every level."""
+    e = _t(spark, sf_dir, "events")
+    minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("v").alias("v")
+    )
+
+    def summary(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("resolution"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_events"),
+            round_col(F.sum("v")).alias("total_value"),
+            F.max("n").cast("long").alias("max_bucket_events"),
+        ).select(
+            "resolution", "n_buckets", "n_events", "total_value", "max_bucket_events"
+        )
+
+    return (
+        summary(minute, "a_minute")
+        .unionByName(summary(hour, "b_hour"))
+        .unionByName(summary(day, "c_day"))
+        .orderBy("resolution")
+    )
+
+
+@query("approx_quantile_sketch")  # rows-only: sketch estimates are engine-specific
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per group — HOW percentiles work at
+    100 TB: `approx_percentile` builds a fixed-memory mergeable
+    sketch per partition (Greenwald-Khanna style), so the shuffle
+    carries sketches instead of sorting the column globally (contrast
+    percentile_disc_groups, which ranks every row). Self-validating
+    like approx_distinct_sketch: each row carries the exact and
+    approximate p50/p99 and an `ok` flag bounding the rank error.
+    Rows-only gate: sketch internals are engine-specific."""
+    e = _t(spark, sf_dir, "events")
+    acc = 10_000  # 1/acc relative rank error
+    per_type = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.99)").alias("exact_p99"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("approx_p50"),
+        F.expr(f"approx_percentile(value, 0.99, {acc})").alias("approx_p99"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    spread = F.col("hi") - F.col("lo")
+    ok = (
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= spread * 0.01)
+        & (F.abs(F.col("approx_p99") - F.col("exact_p99")) <= spread * 0.01)
+    )
+    return per_type.select(
+        "event_type",
+        round_col(F.col("exact_p50"), 4).alias("exact_p50"),
+        round_col(F.col("approx_p50"), 4).alias("approx_p50"),
+        round_col(F.col("exact_p99"), 4).alias("exact_p99"),
+        round_col(F.col("approx_p99"), 4).alias("approx_p99"),
+        ok.alias("ok"),
+    ).orderBy("event_type")
