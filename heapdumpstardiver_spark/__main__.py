@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     p_c.add_argument("--table", default=None, help="one table (default: all)")
     p_c.add_argument("--target-mb", type=int, default=128)
 
+    p_x = sub.add_parser(
+        "export-reference-layout",
+        help="write a warehouse in the reference binary's flat layout",
+    )
+    p_x.add_argument("-w", "--warehouse", required=True)
+    p_x.add_argument("-o", "--out-dir", required=True)
+    p_x.add_argument("--default-mode", action="store_true",
+                     help="single file per table (no robo chunks)")
+    p_x.add_argument("--chunks", type=int, default=16)
+
     p_an = sub.add_parser("analyze", help="run the waste checks + profile summary")
     p_an.add_argument("-w", "--warehouse", required=True)
     p_an.add_argument("--max-tier", type=int, default=3)
@@ -169,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
                 for n in names
             }
             print(json.dumps(out, indent=2))
+        elif args.cmd == "export-reference-layout":
+            from .interop import export_reference_layout
+
+            summary = export_reference_layout(
+                spark,
+                args.warehouse,
+                args.out_dir,
+                robo=not args.default_mode,
+                chunks=args.chunks,
+            )
+            print(json.dumps(summary, indent=2))
         elif args.cmd == "analyze":
             from .analytics import run_waste_analysis
             from .interop import open_warehouse

@@ -212,3 +212,201 @@ class ReferenceWarehouse(Warehouse):
             )
             self._cache[name] = normalize_u64(df, flatten_refs=self.flatten_refs)
         return self._cache[name]
+
+
+# ---------------------------------------------------------------------------
+# Export: native warehouse → reference flat layout
+# ---------------------------------------------------------------------------
+
+# Signed-int64 columns that are HPROF ids (and therefore UInt64 in the
+# reference's files, util.rs:139-142) in each system table. Class-table
+# ref columns are not listed here — they come from `_field_types`.
+_SYS_U64_COLS = {
+    "_object_index": ["obj_id"],
+    "_object_arrays": ["obj_id", "elements"],
+    "_gc_roots": ["obj_id"],
+    "_class_hierarchy": ["class_obj_id", "super_class_obj_id"],
+    "_field_types": ["class_obj_id"],
+    "_static_fields": ["class_obj_id", "ref_id"],
+    "_stack_frames": ["frame_id"],
+    "_stack_traces": ["frame_ids"],
+}
+
+
+def _to_u64(col):
+    """Bit-reinterpret an int64 arrow column (scalar, list<int64>, or
+    struct with an int64 ``id`` field) as unsigned 64-bit — the inverse
+    of ingest's two's-complement `_s64`. Validity bitmaps survive."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if t == pa.int64():
+        return arr.view(pa.uint64())
+    if isinstance(t, pa.ListType) and t.value_type == pa.int64():
+        return pa.ListArray.from_arrays(
+            arr.offsets, arr.values.view(pa.uint64()),
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if isinstance(t, pa.StructType) and t.get_field_index("id") >= 0:
+        fields, arrays = [], []
+        for i in range(t.num_fields):
+            f = t.field(i)
+            child = arr.field(i)
+            if f.name == "id" and f.type == pa.int64():
+                child = child.view(pa.uint64())
+                f = pa.field("id", pa.uint64(), f.nullable)
+            fields.append(f)
+            arrays.append(child)
+        return pa.StructArray.from_arrays(
+            arrays, fields=fields,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    return arr
+
+
+def _export_task(args: tuple) -> tuple:
+    """One (logical table, chunk) → one reference-layout file. Runs on
+    an executor; same temp-name + atomic-rename commit discipline as the
+    ingest writer (ingest/convert.py:_write_part)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .ingest.convert import _attempt_token
+
+    src_paths, out_path, u64_cols = args
+    t = pa.concat_tables(
+        [pq.read_table(p) for p in src_paths], promote_options="default"
+    )
+    for name in u64_cols:
+        i = t.schema.get_field_index(name)
+        if i < 0:
+            continue
+        conv = _to_u64(t.column(i))
+        t = t.set_column(i, pa.field(name, conv.type), conv)
+    tmp = os.path.join(
+        os.path.dirname(out_path), f".{os.path.basename(out_path)}.{_attempt_token()}.tmp"
+    )
+    try:
+        pq.write_table(t, tmp, compression="snappy")
+        os.replace(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return os.path.basename(out_path), t.num_rows
+
+
+def export_reference_layout(
+    spark: SparkSession,
+    warehouse_root: str,
+    out_dir: str,
+    robo: bool = True,
+    chunks: int = 16,
+) -> dict:
+    """Write a native warehouse back out in the reference binary's flat
+    layout (dump_to_parquet.rs:404,669-694) so its own analysis scripts
+    (scripts/analyze_heap_parquet.py) can consume it unchanged:
+
+    - class tables → ``{ClassName}_{classObjId}[_chunkN].parquet``, the
+      class-obj-id taken from ``_class_hierarchy`` (min id when shadowed
+      layouts merged under one name at ingest — the reference resolver
+      globs ``{base}_*`` and merges by name, so a single representative
+      id round-trips);
+    - system tables → literal ``_{name}[_chunkN].parquet``;
+    - id and object-ref columns re-encoded as UInt64 (two's-complement
+      inverse of ingest's `_s64`), ref columns of class tables
+      identified from ``_field_types``; default-mode ``Struct{id,type}``
+      refs keep the struct with a u64 id.
+
+    Work is distributed: one Spark task per (table, chunk) — source
+    part files are round-robined into *chunks* groups per table in robo
+    mode — each task writing via temp-name + atomic rename. Snapshot-
+    partitioned warehouses are refused (the reference has no snapshot
+    concept; export a pinned state instead).
+    """
+    import glob as globmod
+
+    import pyarrow.parquet as pq_  # noqa: F401 - imported for executor pickling
+
+    wh = Warehouse(spark, warehouse_root)
+    names = wh.table_names()
+    if not names:
+        raise FileNotFoundError(f"no tables under {warehouse_root!r}")
+
+    def parts_of(name: str) -> list[str]:
+        path = wh._resolve(name)
+        if os.path.isfile(path):
+            return [path]
+        out = []
+        for dp, dns, fs in os.walk(path):
+            if any("=" in d for d in dns):
+                raise ValueError(
+                    f"table {name!r} is snapshot-partitioned; the reference "
+                    "layout has no snapshot dimension — export a pinned state"
+                )
+            out.extend(os.path.join(dp, f) for f in fs if f.endswith(".parquet"))
+        return sorted(out)
+
+    # class-obj-id per class name (driver-side: metadata-sized table)
+    cid_by_name: dict[str, int] = {}
+    if "_class_hierarchy" in names:
+        import pyarrow.parquet as pq
+
+        for p in parts_of("_class_hierarchy"):
+            t = pq.read_table(p, columns=["class_obj_id", "class_name"])
+            for cid, cname in zip(
+                t.column("class_obj_id").to_pylist(), t.column("class_name").to_pylist()
+            ):
+                prev = cid_by_name.get(cname)
+                u = cid & 0xFFFFFFFFFFFFFFFF
+                if prev is None or u < prev:
+                    cid_by_name[cname] = u
+    ref_fields: dict[str, list[str]] = {}
+    if "_field_types" in names:
+        import pyarrow.parquet as pq
+
+        for p in parts_of("_field_types"):
+            t = pq.read_table(p, columns=["class_name", "field_name", "field_type"])
+            for cname, fname, ftype in zip(
+                t.column("class_name").to_pylist(),
+                t.column("field_name").to_pylist(),
+                t.column("field_type").to_pylist(),
+            ):
+                if ftype == "Object":
+                    ref_fields.setdefault(cname, []).append(fname)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in globmod.glob(os.path.join(out_dir, "*.parquet")):
+        os.remove(stale)
+
+    tasks = []
+    for name in names:
+        files = parts_of(name)
+        if not files:
+            continue
+        if name.startswith("_"):
+            base, u64_cols = name, _SYS_U64_COLS.get(name, [])
+            if name.startswith("_primitive_arrays_"):
+                u64_cols = ["obj_id"]
+        else:
+            cid = cid_by_name.get(name, 0)
+            base = f"{name}_{cid}"
+            u64_cols = ["obj_id"] + ref_fields.get(name, [])
+        if robo:
+            n = min(chunks, len(files))
+            groups = [files[k::n] for k in range(n)]
+            for k, grp in enumerate(groups):
+                tasks.append(
+                    (grp, os.path.join(out_dir, f"{base}_chunk{k}.parquet"), u64_cols)
+                )
+        else:
+            tasks.append((files, os.path.join(out_dir, f"{base}.parquet"), u64_cols))
+
+    sc = spark.sparkContext
+    results = sc.parallelize(tasks, len(tasks)).map(_export_task).collect()
+    return {
+        "files": len(results),
+        "tables": len(names),
+        "rows": sum(r for _, r in results),
+        "robo": robo,
+    }

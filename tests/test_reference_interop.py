@@ -142,3 +142,105 @@ def test_default_mode_struct_refs(spark, tmp_path):
     assert df2.schema["next"].dataType.simpleString() == "struct<id:bigint,type:string>"
     r = {x["obj_id"]: x["next"] for x in df2.collect()}
     assert r[2]["id"] == -5 and r[2]["type"] == "com.test.Node"
+
+
+def test_export_reference_layout_round_trip(spark, tmp_path):
+    """Native warehouse → export_reference_layout → attach → identical
+    tables and waste numbers; the exported directory satisfies the
+    reference's own layout probes (robo chunk files, u64 ids)."""
+    from heapdumpstardiver_spark.interop import export_reference_layout
+
+    native = str(tmp_path / "native")
+    out = str(tmp_path / "exported")
+    os.makedirs(native)
+    generate_heap_warehouse(native)
+    summary = export_reference_layout(spark, native, out, robo=True, chunks=3)
+    assert summary["tables"] > 0 and summary["files"] >= summary["tables"]
+
+    # layout probes the reference resolver itself applies
+    assert is_robo_layout(out)
+    tables = scan_reference_dir(out)
+    nat = Warehouse(spark, native)
+    assert set(tables) == set(nat.table_names())
+    # class files carry a class-obj-id suffix the reference resolver
+    # strips ({base}_* glob); ids come from _class_hierarchy when the
+    # class is listed there (fixture hierarchy only covers its
+    # com.heaptest.* chain, so java.* classes use the 0 fallback)
+    import re
+
+    assert all(
+        re.search(r"_\d+_chunk\d+\.parquet$", os.path.basename(f))
+        for f in tables["java.lang.String"]
+    )
+    # ids round-trip as unsigned 64-bit on disk
+    t = pq.read_table(tables["_object_index"][0])
+    assert t.schema.field("obj_id").type == pa.uint64()
+
+    view = str(tmp_path / "view")
+    ref_wh = attach_reference_warehouse(spark, out, view)
+    for name in nat.table_names():
+        a, b = nat.table(name), ref_wh.table(name)
+        assert a.schema == b.schema, name
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), name
+    nat_findings = {
+        f.check_name: (f.estimated_waste_bytes, f.affected_count)
+        for f in run_waste_analysis(nat, max_tier=3)
+    }
+    ref_findings = {
+        f.check_name: (f.estimated_waste_bytes, f.affected_count)
+        for f in run_waste_analysis(ref_wh, max_tier=3)
+    }
+    assert ref_findings == nat_findings
+
+
+def test_export_default_mode_single_files(spark, tmp_path):
+    """Non-robo export: one file per table, no chunk suffixes, and the
+    robo probe reports default mode."""
+    from heapdumpstardiver_spark.interop import export_reference_layout
+
+    native = str(tmp_path / "native")
+    out = str(tmp_path / "exported")
+    os.makedirs(native)
+    generate_heap_warehouse(native)
+    export_reference_layout(spark, native, out, robo=False)
+    assert not is_robo_layout(out)
+    assert all("_chunk" not in f for f in os.listdir(out))
+    view = str(tmp_path / "view")
+    ref_wh = attach_reference_warehouse(spark, out, view)
+    nat = Warehouse(spark, native)
+    assert ref_wh.table("_object_index").count() == nat.table("_object_index").count()
+
+
+def test_export_ingested_warehouse_real_cids(spark, tmp_path):
+    """End-to-end: HPROF → ingest → export → attach. Class files carry
+    the REAL class-obj-id from the ingested _class_hierarchy, and every
+    table round-trips."""
+    from heapdumpstardiver_spark.ingest import ingest_hprof
+    from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+    from heapdumpstardiver_spark.interop import export_reference_layout
+
+    dump = str(tmp_path / "t.hprof")
+    build_test_dump(dump, id_size=8)
+    native = str(tmp_path / "wh")
+    ingest_hprof(spark, dump, native)
+    out = str(tmp_path / "ref")
+    export_reference_layout(spark, native, out, robo=True, chunks=2)
+
+    nat = Warehouse(spark, native)
+    cids = {
+        r["class_name"]: r["class_obj_id"] & 0xFFFFFFFFFFFFFFFF
+        for r in nat.table("_class_hierarchy").collect()
+    }
+    tables = scan_reference_dir(out)
+    class_tables = [n for n in tables if not n.startswith("_")]
+    assert class_tables
+    for name in class_tables:
+        assert name in cids, name
+        assert any(
+            os.path.basename(f).startswith(f"{name}_{cids[name]}_chunk")
+            for f in tables[name]
+        ), name
+    view = str(tmp_path / "view")
+    ref_wh = attach_reference_warehouse(spark, out, view)
+    for name in nat.table_names():
+        assert nat.table(name).count() == ref_wh.table(name).count(), name
