@@ -383,33 +383,45 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation of partials that shrink ~60× per step; counts and
     sums re-aggregate losslessly (sum of sums). The summary row per
     resolution checks the conservation invariant — n_events is
-    identical at every level."""
+    identical at every level.
+
+    Plan shape (asserted in tests/test_plans.py): ONE parquet scan.
+    Minute partials are computed once, then each partial row is
+    exploded into its (resolution, coarser-bucket) assignments and
+    re-aggregated in a single shuffle — a naive
+    `union(minute, hour(minute), day(hour))` DAG compiles to THREE
+    scans of the raw table because Catalyst does not share common
+    subplans across union branches."""
     e = _t(spark, sf_dir, "events")
     minute = e.groupBy(F.date_trunc("minute", "ts").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
     )
-    hour = minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket")).agg(
-        F.sum("n").alias("n"), F.sum("v").alias("v")
+    assign = F.explode(
+        F.array(
+            F.struct(F.lit("a_minute").alias("resolution"), F.col("bucket").alias("b")),
+            F.struct(
+                F.lit("b_hour").alias("resolution"),
+                F.date_trunc("hour", "bucket").alias("b"),
+            ),
+            F.struct(
+                F.lit("c_day").alias("resolution"),
+                F.date_trunc("day", "bucket").alias("b"),
+            ),
+        )
     )
-    day = hour.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
-        F.sum("n").alias("n"), F.sum("v").alias("v")
+    rolled = (
+        minute.select(assign.alias("rb"), "n", "v")
+        .groupBy(F.col("rb.resolution").alias("resolution"), F.col("rb.b").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
     )
-
-    def summary(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("resolution"),
+    return (
+        rolled.groupBy("resolution")
+        .agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum("n").cast("long").alias("n_events"),
             round_col(F.sum("v")).alias("total_value"),
             F.max("n").cast("long").alias("max_bucket_events"),
-        ).select(
-            "resolution", "n_buckets", "n_events", "total_value", "max_bucket_events"
         )
-
-    return (
-        summary(minute, "a_minute")
-        .unionByName(summary(hour, "b_hour"))
-        .unionByName(summary(day, "c_day"))
         .orderBy("resolution")
     )
 

@@ -131,3 +131,17 @@ def test_tfidf_and_entropy_broadcast_small_sides(spark):
         plan = plan_of(spark, name)
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_rollup_cascade_single_scan(spark):
+    """The cascaded rollup must read the raw events table exactly once:
+    coarser resolutions re-aggregate the minute partials (explode +
+    second aggregate), never re-scan the source."""
+    plan = plan_of(spark, "rollup_hypertable_cascade")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The (tiny) benchmark gram set joins the corpus map-side."""
+    plan = plan_of(spark, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
