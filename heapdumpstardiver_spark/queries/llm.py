@@ -448,7 +448,11 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc work is O(tokens); the only shuffle keys are
     fixed-width band buckets, and the self-join touches co-bucketed
-    docs only — the standard sub-quadratic LSH dedup plan."""
+    docs only — the standard sub-quadratic LSH dedup plan. Band rows
+    come from ONE explode over the signature (a union of per-band
+    selects would duplicate the whole shingle+minhash subtree —
+    Catalyst does not share subplans across union branches), so the
+    corpus is scanned once per self-join side, the minimum."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
@@ -466,10 +470,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}") for k in range(4)]
     )
     bands = sig.select(
-        "doc_id", F.lit(0).alias("band"), F.md5(F.concat("h0", "h1")).alias("bucket")
-    ).unionByName(
-        sig.select("doc_id", F.lit(1).alias("band"), F.md5(F.concat("h2", "h3")).alias("bucket"))
-    )
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"), F.md5(F.concat("h0", "h1")).alias("bucket")
+                ),
+                F.struct(
+                    F.lit(1).alias("band"), F.md5(F.concat("h2", "h3")).alias("bucket")
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -837,24 +849,29 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: term frequency per (doc, term), document
-    frequency per term, idf = ln(N/df), global top-25. The df and N
-    sides are vocabulary-sized aggregates joined by broadcast — the
-    big shuffle is only the (doc, term) tf aggregation. ln on the same
-    exact-integer-derived doubles is bit-identical across engines;
-    the rounded score is also the sort key so the LIMIT boundary
-    agrees."""
+    frequency per term, idf = ln(N/df), global top-25. Document
+    frequency is a window count over the tf partials (tf already has
+    exactly one row per (doc, term)) — deriving it from the raw token
+    explode as a second aggregation branch would duplicate the scan
+    and the explode, which dwarf the tf-sized shuffle the window
+    costs. N is a count-only scan crossJoined by broadcast. ln on the
+    same exact-integer-derived doubles is bit-identical across
+    engines; the rounded score is also the sort key so the LIMIT
+    boundary agrees."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     score = round_col(
         F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
         .select("doc_id", "term", score.alias("score"))
         .orderBy(F.desc("score"), "term", "doc_id")
@@ -881,8 +898,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the per-source token distribution — the
     corpus-diversity score a training pipeline uses to flag repetitive
-    or boilerplate sources. The per-(source, term) counts are the only
-    large shuffle; per-source totals are a 20-row broadcast."""
+    or boilerplate sources. Per-source totals come from a window sum
+    over the tf partials, making the query one linear chain with a
+    single scan (an aggregate-then-join-back formulation duplicates
+    the scan + explode subtree); the window and the final groupBy
+    share the source partitioning, so the corpus is read once and
+    shuffled twice (token counts, then source)."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.explode(F.split("text", " ")).alias("term")
@@ -890,13 +913,12 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("double").alias("c")
     )
-    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("source"))
     return (
-        tf.join(F.broadcast(tot), "source")
+        tf.withColumn("p", p)
         .groupBy("source")
         .agg(
-            round_col(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            round_col(-F.sum(F.col("p") * F.log("p")), 6).alias("token_entropy"),
             F.count(F.lit(1)).alias("vocab_size"),
         )
     )

@@ -272,33 +272,30 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same split by construction — `leaked_texts` (texts seen in both
     splits) is provably 0, and the query audits exactly that. A
     row-id split would leak every duplicated document across the
-    boundary. Pure projection + one global aggregate; the leakage
-    audit groups on the fixed-width content hash."""
+    boundary. One linear chain, one scan: per-content-hash train/test
+    counts, then a single global rollup carrying totals and the
+    leakage count in the same aggregate."""
     d = _t(spark, sf_dir, "documents")
     h = F.md5("text")
     split = F.when(F.substring(h, 1, 8) < _HEX_90, "train").otherwise("test")
-    assigned = d.select(h.alias("h"), split.alias("split"))
-    leaked = (
-        assigned.groupBy("h")
-        .agg(F.countDistinct("split").alias("ns"))
-        .filter(F.col("ns") > 1)
-        .agg(F.count(F.lit(1)).alias("leaked_texts"))
+    per_h = (
+        d.select(h.alias("h"), split.alias("split"))
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+        )
     )
-    totals = assigned.agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-        .cast("long")
-        .alias("train_docs"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
-        .cast("long")
-        .alias("test_docs"),
+    return per_h.agg(
+        F.sum("n_train").cast("long").alias("train_docs"),
+        F.sum("n_test").cast("long").alias("test_docs"),
         round_col(
-            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-            * 1.0
-            / F.count(F.lit(1)),
-            4,
+            F.sum("n_train") * 1.0 / (F.sum("n_train") + F.sum("n_test")), 4
         ).alias("train_frac"),
+        F.sum(F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("leaked_texts"),
     )
-    return totals.crossJoin(leaked)
 
 
 @query(
@@ -338,23 +335,27 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule's rejection volume is visible (silent filters are how
     training sets lose whole domains). Rules: length gate, stopword
     ratio, intra-document repetition (max token frequency / length).
-    Token stats are one explode + groupBy (fixed-width keys); the rule
-    cascade is a JVM CASE projection; output is a tiny per-reason
-    rollup."""
+    One linear chain, one scan: every per-doc statistic (length,
+    stopword count, max token frequency) derives from the same
+    per-(doc, token) count partials — joining doc-level stats back
+    onto a derived aggregate would duplicate the scan subtree. The
+    rule cascade is a JVM CASE projection; output is a tiny
+    per-reason rollup."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    base = d.select(
-        "doc_id",
-        toks.alias("tokens"),
-        F.size(toks).alias("n_tok"),
-        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).alias("n_stop"),
-    )
-    max_tf = (
-        base.select("doc_id", F.explode("tokens").alias("token"))
+    stats = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("max_tf"))
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.max("c").alias("max_tf"),
+            F.sum(
+                F.when(
+                    (F.col("token") == "the") | (F.col("token") == "a"), F.col("c")
+                ).otherwise(0)
+            ).alias("n_stop"),
+        )
     )
     reason = (
         F.when(F.col("n_tok") < 20, "too_short")
@@ -363,8 +364,7 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pass")
     )
     return (
-        base.join(max_tf, "doc_id")
-        .select(reason.alias("reason"), "n_tok")
+        stats.select(reason.alias("reason"), "n_tok")
         .groupBy("reason")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

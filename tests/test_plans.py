@@ -123,14 +123,34 @@ def test_frame_sample_explode_never_carries_payload(spark):
     assert all("payload" not in ln for ln in gen_lines), gen_lines
 
 
-def test_tfidf_and_entropy_broadcast_small_sides(spark):
-    """The idf/total sides of the TF-IDF and entropy queries are
-    vocabulary/source-sized — they must join by broadcast, leaving the
-    per-(doc, term) aggregation as the only large shuffle."""
-    for name in ("tfidf_top_terms", "token_entropy_by_source"):
+def test_tfidf_and_entropy_stay_linear(spark):
+    """df / per-source totals derive from the tf partials (window),
+    not from a second aggregation branch over the raw corpus: entropy
+    reads documents exactly once; TF-IDF reads it twice, but the
+    second scan is the count-only N side (broadcast, no sort-merge
+    join anywhere)."""
+    plan = plan_of(spark, "token_entropy_by_source")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_bands_from_one_explode(spark):
+    """Band rows come from one explode over the signature subtree; a
+    per-band union would scan the corpus four times instead of the
+    self-join minimum of two."""
+    plan = plan_of(spark, "minhash_lsh_candidates")
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_single_scan_curation_queries(spark):
+    """Linear-chain curation queries read their source exactly once."""
+    for name in ("train_test_split_hash", "quality_filter_chain"):
         plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, (name, plan)
-        assert "SortMergeJoin" not in plan, (name, plan)
+        assert plan.count("Scan parquet") == 1, (name, plan)
 
 
 def test_rollup_cascade_single_scan(spark):
