@@ -459,3 +459,59 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.col("approx_p99"), 4).alias("approx_p99"),
         ok.alias("ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY n_events DESC, user_id, session_start
+    LIMIT 50
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with Spark's NATIVE session_window
+    operator — the declarative twin of sessionize_lag's manual
+    lag+cumsum islands: groupBy(user, session_window(ts, gap)) lets
+    the engine merge windows in the aggregation itself (one shuffle on
+    user_id, mergeable across partitions, and the exact operator
+    Structured Streaming uses for streaming sessions). Session end is
+    last event + gap, end-exclusive, so two events exactly one gap
+    apart are separate sessions — the oracle's islands encode the same
+    >= boundary. Top-50 largest sessions, deterministically ordered."""
+    e = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy(F.desc("n_events"), "user_id", "session_start")
+        .limit(50)
+    )
