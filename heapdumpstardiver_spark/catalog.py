@@ -274,3 +274,45 @@ def write_table(df, root: str, name: str, mode: str = "overwrite",
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return path
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleaving of two non-negative int columns,
+    as a pure Catalyst expression: the top *bits* of each value's
+    *bits*-bit range are bit-interleaved into one long. Rows sorted by
+    this key cluster locality in BOTH dimensions, so parquet row-group
+    min/max stats can skip on either column — the layout trick behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` — where a plain sort_by only
+    tightens stats for its leading column.
+
+    Columns must already be scaled to [0, 2^bits); callers with
+    arbitrary ranges pre-bucket (e.g. ``F.floor(col / width)``). The
+    expression is a fixed chain of shift/and/or ops — whole-stage
+    codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    a = a if not isinstance(a, str) else F.col(a)
+    b = b if not isinstance(b, str) else F.col(b)
+    key = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = F.shiftleft(key, 2).bitwiseOR(F.shiftleft(abit, 1)).bitwiseOR(bbit)
+    return key
+
+
+def write_table_zordered(df, root: str, name: str, zorder_by: tuple,
+                         bits: int = 16, files: int | None = None,
+                         **kwargs) -> str:
+    """`write_table` with rows range-partitioned AND sorted by the
+    z-order key of two columns (``zorder_by=(colA, colB)``), then the
+    key dropped. One shuffle (the range partitioning that makes file
+    boundaries align with key ranges); every downstream point/range
+    predicate on either column skips row groups via parquet stats.
+    *files* caps the output file count (defaults to the session's
+    shuffle parallelism)."""
+    a, b = zorder_by
+    keyed = df.withColumn("__zkey", zorder_key(a, b, bits=bits))
+    n = files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = keyed.repartitionByRange(n, "__zkey").sortWithinPartitions("__zkey")
+    return write_table(keyed.drop("__zkey"), root, name, **kwargs)
