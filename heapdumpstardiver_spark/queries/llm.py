@@ -715,10 +715,14 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity: |A∩B| / |A∪B| over 3-token
     shingle sets. Same single-shuffle bucket shape as
     ngram_shingle_overlap for the intersection — including the
-    SHINGLE_DF_CAP hot-bucket guard, mirrored in the oracle — with
-    per-doc set sizes as a map-side aggregate broadcast back onto the
-    pair list. The division is a ratio of exact integers —
-    bit-identical across engines."""
+    SHINGLE_DF_CAP hot-bucket guard, mirrored in the oracle. Per-doc
+    set sizes ride ALONG the pipeline (window count over the shingle
+    rows, then carried inside the bucket structs into each emitted
+    pair), so there is no join-back onto a second aggregation branch
+    and the corpus is scanned exactly once. The division is a ratio of
+    exact integers — bit-identical across engines."""
+    from pyspark.sql import Window
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
     n = 3
@@ -730,37 +734,45 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("tokens") >= n)
         .select("doc_id", F.explode(hashes).alias("shingle"))
         .distinct()
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     buckets = (
         shingles.groupBy("shingle")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
-        .filter(
-            (F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP)
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
+            ).alias("docs")
         )
+        .filter((F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP))
     )
     pairs = F.flatten(
         F.transform(
             "docs",
             lambda x, i: F.transform(
                 F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
             ),
         )
     )
     shared = (
         buckets.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
         .filter(F.col("inter") >= 3)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
+        shared.select(
             "doc_a", "doc_b", "inter", round_col(jac, 4).alias("jaccard")
         )
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")

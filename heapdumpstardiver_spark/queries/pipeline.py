@@ -102,6 +102,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical); duplicate clusters are shallow in practice. The driver
     loop only ever collects a scalar `changed` count, never data.
     """
+    labels = _cc_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("comp").alias("component_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "component_id")
+    )
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp) labels for the MinHash candidate graph — the
+    iterative min-label propagation behind dedup_connected_components
+    and dedup_cluster_representatives."""
     pairs = minhash_lsh_candidates(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -130,10 +142,63 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    return labels
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_EDGES_SQL},
+    reach(node, lab) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+    ranked AS (
+        SELECT l.comp AS component_id, d.doc_id, d.n_chars,
+               count(*) OVER (PARTITION BY l.comp) AS n_members,
+               row_number() OVER (
+                   PARTITION BY l.comp
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM labels l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT component_id, doc_id AS rep_doc_id, n_chars AS rep_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    ORDER BY n_members DESC, component_id
+    LIMIT 50
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-duplicate cluster
+    (connected component of the MinHash candidate graph), keep the
+    longest member (ties → lowest doc_id) — the keep-one-per-cluster
+    decision that actually shrinks a training set, where
+    dedup_keep_best only arbitrates exact-hash groups. Labels join the
+    documents table once; selection is a single window over the
+    (small) labeled subset."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    labels = _cc_labels(spark, sf_dir)
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("comp")
     return (
-        labels.groupBy(F.col("comp").alias("component_id"))
-        .agg(F.count(F.lit(1)).alias("n_members"))
+        labels.join(d, labels.node == d.doc_id)
+        .select(F.col("comp"), "doc_id", "n_chars")
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("comp").alias("component_id"),
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
         .orderBy(F.desc("n_members"), "component_id")
+        .limit(50)
     )
 
 
