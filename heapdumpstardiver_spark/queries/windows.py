@@ -515,3 +515,36 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "user_id", "session_start")
         .limit(50)
     )
+
+
+@query("freq_items_sketch")  # rows-only: sketch candidate sets are engine-specific
+def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (heavy hitters) — the third classic
+    mergeable sketch next to HLL distinct counts and GK quantiles:
+    `DataFrame.stat.freqItems` runs the Karp-Papadimitriou-Shenker
+    one-pass counter per partition and merges, guaranteeing every item
+    with frequency > support survives as a candidate (false positives
+    possible, false negatives not). Self-validating: recomputes the
+    exact per-type frequencies and checks the guarantee — `all_found`
+    must be true; candidate/true counts expose the overapproximation.
+    """
+    e = _t(spark, sf_dir, "events")
+    support = 0.15
+    candidates = set(e.stat.freqItems(["event_type"], support).first()[0])
+    total = e.count()
+    exact_hh = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > support * total)
+    )
+    true_ids = [r["event_type"] for r in exact_hh.collect()]
+    return spark.createDataFrame(
+        [
+            (
+                len(candidates),
+                len(true_ids),
+                all(u in candidates for u in true_ids),
+            )
+        ],
+        "n_candidates INT, n_true_heavy_hitters INT, all_found BOOLEAN",
+    )
