@@ -540,3 +540,67 @@ def passage_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_frac"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+             unnest(tokens) AS u(t)
+        WHERE t <> ''
+    ),
+    n AS (SELECT count(*) AS total FROM toks),
+    freq AS (
+        SELECT doc_id, token,
+               count(*) OVER (PARTITION BY token) AS c
+        FROM toks
+    )
+    SELECT doc_id,
+           {round_sql("-avg(ln(CAST(c AS DOUBLE) / total))", 6)} AS nll,
+           count(*) AS n_tokens
+    FROM freq CROSS JOIN n
+    GROUP BY doc_id, total
+    ORDER BY nll DESC, doc_id
+    LIMIT 50
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean negative log-probability of
+    each document under the corpus's own unigram distribution — the
+    cheap stand-in for an LM perplexity filter (high NLL = tokens rare
+    in this corpus = atypical/noisy document; near-zero NLL =
+    boilerplate). Per-token corpus counts come from a window over the
+    exploded tokens (no aggregate-then-join-back branch), the corpus
+    token total is a count-only side joined by broadcast, and the
+    per-doc rollup is one further shuffle. Top-50 most atypical docs.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    # corpus token total: derive from a count-only scan of documents
+    # (aggregate of token-array sizes), not from the exploded subtree —
+    # that branch would re-scan and re-explode the corpus.
+    total = d.agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        ).alias("total")
+    )
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "total")
+        .agg(
+            round_col(-F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 6).alias("nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select("doc_id", "nll", "n_tokens")
+        .orderBy(F.desc("nll"), "doc_id")
+        .limit(50)
+    )
