@@ -62,15 +62,19 @@ def main() -> None:
     for name in HEADLINE:
         fn = hds.QUERIES[name]
         # Steady-state methodology: one untimed execution first (JIT/
-        # codegen compile + file-listing warmup), then the timed run.
-        # Cold-start compile is a per-process constant, not a property
-        # of the plan; warm timings are what round-over-round
+        # codegen compile + file-listing warmup), then best-of-two
+        # timed runs. Cold-start compile is a per-process constant, not
+        # a property of the plan; the min of warm runs is the
+        # scheduler-noise-resistant statistic round-over-round
         # comparisons should track.
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -604,3 +604,63 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("nll"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "repetition_filter_gopher",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, source, token, count(*) AS n
+        FROM toks WHERE token <> '' GROUP BY 1, 2, 3
+    ), metrics AS (
+        SELECT doc_id, source,
+               max(n) * 1.0 / sum(n) AS top_frac,
+               count(*) * 1.0 / sum(n) AS ttr
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN top_frac > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS rep_flagged,
+           CAST(sum(CASE WHEN ttr < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS ttr_flagged,
+           {round_sql("avg(top_frac)", 4)} AS avg_top_frac,
+           {round_sql("avg(ttr)", 4)} AS avg_ttr
+    FROM metrics GROUP BY source
+    """,
+)
+def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher/MassiveText-style): flag
+    documents whose most frequent token dominates (top-token fraction >
+    0.15 ≈ "excessive duplicate n-grams") or whose type-token ratio is
+    degenerate (< 0.45 ≈ low lexical diversity), accounted per source.
+
+    Scale shape: one explode of the corpus, then three hash
+    aggregations — (doc, token) counts, per-doc metrics, per-source
+    rollup — each with map-side partial aggregation, so the shuffled
+    bytes shrink at every stage (tokens → distinct (doc,token) pairs →
+    one row per doc → one row per source). No windows, no joins, no
+    Python; the token-frequency profile never materializes per-corpus
+    state on the driver. ≙ the repetition gates of
+    `quality_filter_chain`, but frequency-distribution-based rather
+    than length/charset-based.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    metrics = cnt.groupBy("doc_id", "source").agg(
+        (F.max("n") / F.sum("n")).alias("top_frac"),
+        (F.count(F.lit(1)) / F.sum("n")).alias("ttr"),
+    )
+    return metrics.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("top_frac") > 0.15, 1).otherwise(0)).cast("long").alias("rep_flagged"),
+        F.sum(F.when(F.col("ttr") < 0.45, 1).otherwise(0)).cast("long").alias("ttr_flagged"),
+        round_col(F.avg("top_frac"), 4).alias("avg_top_frac"),
+        round_col(F.avg("ttr"), 4).alias("avg_ttr"),
+    )
