@@ -664,3 +664,66 @@ def repetition_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.avg("top_frac"), 4).alias("avg_top_frac"),
         round_col(F.avg("ttr"), 4).alias("avg_ttr"),
     )
+
+
+@query(
+    "minhash_verify_jaccard",
+    oracle=f"""
+    WITH
+    {_MINHASH_EDGES_SQL},
+    sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           {round_sql("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))", 4)} AS jaccard,
+           CASE WHEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+                THEN 1 ELSE 0 END AS is_dup
+    FROM pairs p
+    JOIN sets a ON a.doc_id = p.doc_a
+    JOIN sets b ON b.doc_id = p.doc_b
+    """,
+)
+def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-verification stage of the two-phase MinHash dedup
+    pipeline: every LSH candidate pair gets its EXACT 3-gram Jaccard
+    computed, and only pairs at >= 0.5 keep the duplicate verdict —
+    the step that discards LSH false positives (banding collisions
+    between dissimilar docs) before any document is dropped. On the
+    sf0.01 fixture 2 of 27 candidates are false positives (Jaccard
+    0.008/0.19 vs >= 0.79 for the true pairs).
+
+    Scale shape: exact Jaccard runs ONLY on the candidate set (sub-
+    quadratic, bounded by LSH bucket co-membership), never all pairs;
+    per-doc shingle sets are bounded by document length, and the two
+    equi-joins shuffle candidates + touched docs only. This is the
+    standard verify step layered on :func:`.llm.minhash_lsh_candidates`.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    sets = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"))
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    joined = cand.join(a, cand.doc_a == F.col("a.doc_id")).join(
+        b, cand.doc_b == F.col("b.doc_id")
+    )
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    jac = inter.cast("double") / union
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        round_col(jac, 4).alias("jaccard"),
+        F.when(jac >= 0.5, 1).otherwise(0).alias("is_dup"),
+    )

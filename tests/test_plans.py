@@ -148,7 +148,11 @@ def test_minhash_bands_from_one_explode(spark):
 
 def test_single_scan_curation_queries(spark):
     """Linear-chain curation queries read their source exactly once."""
-    for name in ("train_test_split_hash", "quality_filter_chain"):
+    for name in (
+        "train_test_split_hash",
+        "quality_filter_chain",
+        "repetition_filter_gopher",
+    ):
         plan = plan_of(spark, name)
         assert plan.count("Scan parquet") == 1, (name, plan)
 
