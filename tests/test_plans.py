@@ -169,3 +169,29 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     """The (tiny) benchmark gram set joins the corpus map-side."""
     plan = plan_of(spark, "decontaminate_ngram_overlap")
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """The selective-dim join shape (join_semi: orders filtered to
+    urgent+expensive, probing customer) is eligible for Spark's runtime
+    bloom-filter semi-join reduction: a bloom built from the filtered
+    side's join keys is pushed into the probe-side scan, cutting the
+    shuffled probe rows before the join. At local fixture scale the
+    10 GB application-side scan threshold (correctly) suppresses it, so
+    the test lowers the threshold to prove the plan shape qualifies —
+    on a 100 TB cluster the defaults fire on exactly this pattern.
+    """
+    app_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bc = spark.conf.get(app_key), spark.conf.get(bc_key)
+    try:
+        spark.conf.set(app_key, "1KB")
+        # Broadcast joins prune the probe side for free; force the
+        # shuffle-join regime where the bloom filter is the lever.
+        spark.conf.set(bc_key, "-1")
+        plan = plan_of(spark, "join_semi")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bc_key, old_bc)
