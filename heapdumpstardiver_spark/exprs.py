@@ -28,11 +28,17 @@ def round_col(col: Column, n: int = 2) -> Column:
 
 
 def round_sql(expr: str, n: int = 2) -> str:
-    """The same rounding as :func:`round_col`, as a DuckDB SQL fragment."""
+    """The same rounding as :func:`round_col`, as a SQL fragment valid
+    in BOTH dialects (DuckDB oracles, and Spark SQL for passthrough
+    queries that share their text with the oracle). The divisor is
+    CAST to DOUBLE because Spark parses a bare ``10000.0`` literal as
+    DECIMAL(5,1) and ``floor()`` returns LONG — ``long / decimal``
+    would silently turn the whole column into DECIMAL(28,7)."""
     p = float(10**n)
     return (
-        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {p} + 0.5) / {p} "
-        f"ELSE -(floor(-({expr}) * {p} + 0.5) / {p}) END)"
+        f"(CASE WHEN ({expr}) >= 0 "
+        f"THEN floor(({expr}) * {p} + 0.5) / CAST({p} AS DOUBLE) "
+        f"ELSE -(floor(-({expr}) * {p} + 0.5) / CAST({p} AS DOUBLE)) END)"
     )
 
 

@@ -919,3 +919,65 @@ def salted_heavy_hitter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_items"), "l_suppkey")
         .limit(20)
     )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders,
+           {round_sql("sum(o_totalprice)")} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (B22 family, completing rollup/cube):
+    two independent 1-D breakdowns plus the grand total in ONE shuffle
+    with partial aggregation — the single-pass alternative to three
+    scans unioned. GROUPING() flags disambiguate "NULL because not
+    grouped" from a NULL key, exactly as both engines define them."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        round_col(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+# CAST to DOUBLE on both sides: the parquet column is decimal-typed,
+# and Spark would otherwise run the whole pipeline (floor included) in
+# decimal arithmetic while DuckDB promotes to double.
+_CORRELATED_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {round_sql(
+           "CAST(o_totalprice AS DOUBLE) / "
+           "(SELECT avg(CAST(o2.o_totalprice AS DOUBLE)) FROM orders o2 "
+           "WHERE o2.o_custkey = o.o_custkey)", 4)} AS vs_cust_avg
+FROM orders o
+WHERE CAST(o_totalprice AS DOUBLE) >
+      1.5 * (SELECT avg(CAST(o2.o_totalprice AS DOUBLE)) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("correlated_scalar_subquery", oracle=_CORRELATED_SQL)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (B3 surface depth): orders more than
+    1.5× their own customer's average order value. Catalyst de-
+    correlates this into an aggregate + self-join — at scale that is
+    one extra shuffle over the per-customer aggregate, never a per-row
+    re-execution (the naive nested-loop reading of the SQL). The same
+    SQL text runs verbatim on both engines; the portable-rounding
+    wrapper is the only decoration."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(_CORRELATED_SQL)

@@ -1,4 +1,5 @@
 from .windowed import (  # noqa: F401
+    click_view_attribution,
     running_counts_stateful,
     running_counts_tws,
     sessionized_counts,

@@ -85,6 +85,45 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_view_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "2 hours",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every click pairs with the same user's
+    views in the preceding *horizon* — the attribution join of an
+    event pipeline. Both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark can size the join state to the
+    horizon and evict rows older than the watermark: state stays
+    O(traffic within horizon) regardless of stream lifetime — the only
+    stream-stream join shape that survives at 100 TB/day. Append-mode
+    output (rows emit once both watermarks pass the join window).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )
+
+
 def running_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     sum via applyInPandasWithState — the pattern for stateful logic

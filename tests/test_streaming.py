@@ -193,3 +193,30 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     }
     # hour-7 window finalized WITHOUT the late event (2, not 3)
     assert emitted.get(7) == 2, emitted
+
+
+def test_click_view_attribution_matches_batch_join(spark, events_dir, tmp_path):
+    """Stream-stream attribution join drains to exactly the batch
+    join's pairs: clicks × same-user views within the preceding hour."""
+    ev = S.stream_events(spark, events_dir)
+    stream = S.click_view_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        S.stream_events(spark, events_dir).filter(F.col("event_type") == "view"),
+    )
+    got = _drain(spark, stream, "t_attrib", tmp_path, mode="append")
+    b = spark.read.parquet(events_dir)
+    c = b.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    v = b.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    want = c.join(
+        v,
+        (F.col("u") == F.col("vu"))
+        & (F.col("vts") <= F.col("cts"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    g = {(r["click_id"], r["view_id"]) for r in got.collect()}
+    w = {(r["click_id"], r["view_id"]) for r in want.collect()}
+    assert g == w and len(g) > 10
