@@ -316,3 +316,18 @@ def write_table_zordered(df, root: str, name: str, zorder_by: tuple,
     n = files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed = keyed.repartitionByRange(n, "__zkey").sortWithinPartitions("__zkey")
     return write_table(keyed.drop("__zkey"), root, name, **kwargs)
+
+
+def export_jsonl(df, path: str, shards: int | None = None,
+                 compression: str = "gzip", mode: str = "overwrite") -> str:
+    """Training-shard export: write a DataFrame as sharded
+    ``part-*.json.gz`` files — the JSONL format every tokenizer /
+    trainer ingests. *shards* controls file count (defaults to the
+    DataFrame's current partitioning, i.e. no extra shuffle); binary
+    columns must be dropped or encoded by the caller (JSON has no raw
+    bytes). Spark tasks write shards in parallel through the committer
+    (temp + rename), so a failed export never leaves a half-readable
+    directory — the same guarantee the parquet sinks give."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode(mode).option("compression", compression).json(path)
+    return path

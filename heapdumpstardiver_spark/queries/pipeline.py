@@ -727,3 +727,103 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(jac, 4).alias("jaccard"),
         F.when(jac >= 0.5, 1).otherwise(0).alias("is_dup"),
     )
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source, (cum - n_tok) // 256 AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each source's documents in stable
+    doc_id order and cut the token stream into 256-token training bins
+    (a document is assigned to the bin its first token lands in) — the
+    deterministic stand-in for an example-packing stage that fills
+    fixed-length contexts without padding waste.
+
+    Scale shape: ONE window (running token sum partitioned by source)
+    plus one hash aggregation. The window partitions by `source`, so
+    parallelism is bounded by source cardinality, not 1 — exactly how
+    a packing stage shards at 100 TB (pack within shard; never a
+    global order-by window, which would serialize the corpus through
+    one task)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split("text", " "))
+    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return (
+        c.withColumn("bin_id", F.expr("(cum - n_tok) div 256"))
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+@query(
+    "token_budget_select",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, n_chars, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), r AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN cum <= 1000 THEN n_tok ELSE 0 END) AS BIGINT) AS sel_tokens,
+           count(*) AS n_docs
+    FROM r GROUP BY source
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection: each source contributes its
+    best-ranked documents (longest first — stand-in for any quality
+    rank) until a 1000-token per-source budget is exhausted — how a
+    data-mix spec ("N tokens of source X") turns into a concrete
+    document set. Same single-window shape as pack_sequences_greedy:
+    running token sum per source, then one aggregation; the budget cut
+    is a predicate on the running sum, not a driver-side loop."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split("text", " "))
+    r = d.select("doc_id", "source", "n_chars", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    sel = F.col("cum") <= 1000
+    return r.groupBy("source").agg(
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tok")).otherwise(0)).cast("long").alias("sel_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

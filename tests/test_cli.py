@@ -99,3 +99,21 @@ def test_dump_objects_printer(dump):
     r2 = run_cli("dump-objects", "-f", dump, "--limit", "3")
     assert r2.returncode == 0
     assert len([ln for ln in r2.stdout.splitlines() if ln.startswith("id ")]) == 3
+
+
+def test_export_jsonl_round_trips(spark, tmp_path):
+    from heapdumpstardiver_spark.catalog import export_jsonl, load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    out = str(tmp_path / "docs_jsonl")
+    export_jsonl(d, out, shards=4)
+    import glob
+
+    files = glob.glob(out + "/part-*.json.gz")
+    assert len(files) == 4
+    back = spark.read.json(out)
+    assert back.count() == d.count()
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert got == want
