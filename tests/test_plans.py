@@ -152,6 +152,8 @@ def test_single_scan_curation_queries(spark):
         "train_test_split_hash",
         "quality_filter_chain",
         "repetition_filter_gopher",
+        "pack_sequences_greedy",
+        "token_budget_select",
     ):
         plan = plan_of(spark, name)
         assert plan.count("Scan parquet") == 1, (name, plan)
