@@ -827,3 +827,133 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(sel, F.col("n_tok")).otherwise(0)).cast("long").alias("sel_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def _km_rnd(expr: str, n: int) -> str:
+    from ..exprs import round_sql
+
+    return round_sql(expr, n)
+
+
+_KM_DIST = (
+    "(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)"
+    " + list_dot_product(c.cv, c.cv))"
+)
+
+
+def _km_update(src: str, dst: str) -> str:
+    return f"""
+    m{dst} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+               FROM {src} WHERE rn = 1),
+    c{dst} AS (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+                 SELECT cid, pos, {_km_rnd("avg(val)", 6)} AS val
+                 FROM m{dst} GROUP BY cid, pos) GROUP BY cid)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 4),
+a1 AS (SELECT a.vec_id, a.v, c.cid,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY {_KM_DIST} ASC, c.cid) rn
+       FROM v a CROSS JOIN c0 c),
+{_km_update("a1", "1")},
+a2 AS (SELECT a.vec_id, a.v, c.cid,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY {_KM_DIST} ASC, c.cid) rn
+       FROM v a CROSS JOIN c1 c),
+{_km_update("a2", "2")},
+a3 AS (SELECT a.vec_id, c.cid, {_KM_DIST} AS dist,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY {_KM_DIST} ASC, c.cid) rn
+       FROM v a CROSS JOIN c2 c)
+SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n_vectors,
+       {_km_rnd("sum(dist)", 2)} AS inertia
+FROM a3 WHERE rn = 1 GROUP BY cid
+"""
+
+
+@query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding corpus (k=4, two exact
+    Lloyd iterations, deterministic init = vec_id < k): the curation
+    stage behind cluster-balanced sampling and semantic dedup at
+    corpus scale. Output: per-cluster membership count and inertia.
+
+    Scale shape — the same posture as `similarity_ivf_probe`: the
+    centroid set is k-bounded INDEX METADATA. Each Lloyd round is (a)
+    a narrow argmin projection over the corpus (centroids unrolled as
+    literal vectors; no join, no shuffle of the vectors) and (b) one
+    (cid, dim) hash aggregation whose k x d result is collected and
+    re-broadcast — the corpus itself never moves or materializes per-
+    iteration state. Iteration count is fixed (driver loop over
+    bounded aggregates), matching how MLlib's own k-means schedules
+    rounds. Parity: all dot products are sequential folds
+    (exprs.dot ≙ list_dot_product), centroid components are rounded
+    to 6 dp each round to pin down summation-order drift, and ties in
+    the argmin break to the smallest centroid id in both engines.
+    """
+    from ..exprs import dot
+
+    k = 4
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = sorted(
+        (r["cid"], list(r["cv"]))
+        for r in v.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    )
+
+    def lit_vec(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def self_dot(xs):
+        # Left-to-right Python fold == DuckDB list_dot_product(cv, cv)
+        # over the identical rounded doubles.
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    def assign(centroids):
+        scored = [
+            F.struct(
+                (
+                    -(
+                        dot(F.col("v"), F.col("v"))
+                        - 2 * dot(F.col("v"), lit_vec(cv))
+                        + F.lit(self_dot(cv))
+                    )
+                ).alias("negd"),
+                F.lit(-cid).alias("ncid"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+        best = F.greatest(*scored)
+        return v.withColumn("cid", best.getField("cid")).withColumn(
+            "dist", -best.getField("negd")
+        )
+
+    for _ in range(2):
+        rows = (
+            assign(cents)
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(round_col(F.avg("val"), 6).alias("val"))
+            .collect()
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        cents = sorted(
+            (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by.items()
+        )
+
+    return (
+        assign(cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            round_col(F.sum("dist"), 2).alias("inertia"),
+        )
+        .select(F.col("cid").cast("int").alias("cluster_id"), "n_vectors", "inertia")
+    )
