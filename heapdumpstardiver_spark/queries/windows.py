@@ -548,3 +548,59 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_candidates INT, n_true_heavy_hitters INT, all_found BOOLEAN",
     )
+
+
+@query(
+    "ema_user_value",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           {round_sql(
+               "sum(CASE WHEN rn = 1 THEN value * pow(0.7, n - 1) "
+               "ELSE 0.3 * value * pow(0.7, n - rn) END)", 4)} AS ema,
+           count(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values (alpha=0.3,
+    time order) — a sequential recursion (ema_i = a*x_i + (1-a)*ema_{i-1})
+    no built-in window aggregate expresses, so this is the canonical
+    `applyInPandas` escape hatch (B39): Arrow-batched per-key pandas
+    groups, a tight numpy-backed loop inside, aggregate row out.
+
+    Scale shape: one hash shuffle on user_id, then per-group work
+    linear in group size with O(1) state — the same cost profile as a
+    window. Groups are user-sized, never corpus-sized. The oracle is
+    the closed form of the recursion (weights (1-a)^(n-i)); both
+    engines land within 1e-12 and the portable 4-dp round pins them.
+    """
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        a = 0.3
+        acc = None
+        for x in pdf["value"].to_numpy():
+            acc = float(x) if acc is None else a * float(x) + (1 - a) * acc
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "ema": [acc],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        ema, schema="user_id long, ema double, n_events long"
+    )
+    return out.select(
+        "user_id", round_col(F.col("ema"), 4).alias("ema"), "n_events"
+    )

@@ -4,6 +4,7 @@ from .windowed import (  # noqa: F401
     running_counts_tws,
     sessionized_counts,
     stream_events,
+    stream_static_enrich,
     streaming_dedup,
     tumbling_counts,
 )

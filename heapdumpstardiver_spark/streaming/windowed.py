@@ -124,6 +124,20 @@ def click_view_attribution(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream
+    joins the (bounded) static dimension, broadcast to the executors —
+    stateless, no watermark needed, and the standard way reference
+    data (user profiles, type registries) reaches a stream. The static
+    side is re-resolvable per batch, so a dimension refresh is picked
+    up without restarting the query."""
+    return events.join(
+        F.broadcast(dim), events[left_key] == dim[right_key], "left"
+    )
+
+
 def running_counts_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     sum via applyInPandasWithState — the pattern for stateful logic

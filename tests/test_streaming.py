@@ -220,3 +220,21 @@ def test_click_view_attribution_matches_batch_join(spark, events_dir, tmp_path):
     g = {(r["click_id"], r["view_id"]) for r in got.collect()}
     w = {(r["click_id"], r["view_id"]) for r in want.collect()}
     assert g == w and len(g) > 10
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static broadcast enrichment drains to the batch left
+    join: every event row keeps its customer name when one exists."""
+    dim = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    stream = S.stream_static_enrich(
+        S.stream_events(spark, events_dir), dim, "user_id", "c_custkey"
+    ).select("event_id", "user_id", "c_name")
+    got = _drain(spark, stream, "t_enrich", tmp_path, mode="append")
+    want = (
+        spark.read.parquet(events_dir)
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+        .select("event_id", "user_id", "c_name")
+    )
+    g = {(r["event_id"], r["c_name"]) for r in got.collect()}
+    w = {(r["event_id"], r["c_name"]) for r in want.collect()}
+    assert g == w and len(g) > 1000
