@@ -1,0 +1,96 @@
+"""Spark 4 Python DataSource exposing an HPROF dump's top-level record
+index as a DataFrame: ``spark.read.format("hprof").load(path)``.
+
+This is the lazy, Catalyst-integrated face of the binary scan (A1/A2):
+where :mod:`..ingest.convert` materializes the full warehouse (many
+tables, one pass), this source answers record-level questions —
+`count-records` tallies, record-size histograms, offset maps — without
+writing anything, and composes with any DataFrame operator
+(≙ the reference's count_records command,
+/root/reference/src/commands/count_records.rs:7-29).
+
+Scale shape: `partitions()` is a driver pass over the 9-byte record
+HEADERS only (seek past bodies — O(records), touches ~1 page per
+record run), cutting byte ranges at record boundaries every
+``split_bytes``. Each executor task then mmaps its own range — the
+same no-shared-state posture as the ingest tasks, so a 1000-executor
+scan reads disjoint ranges with zero coordination.
+"""
+
+from __future__ import annotations
+
+import mmap
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..ingest import hprof as H
+
+
+@dataclass
+class _RecordRange(InputPartition):
+    start: int
+    end: int
+
+
+class HprofRecordsReader(DataSourceReader):
+    def __init__(self, path: str, split_bytes: int):
+        self.path = os.path.abspath(path)
+        self.split_bytes = split_bytes
+
+    def partitions(self):
+        parts: list[_RecordRange] = []
+        with open(self.path, "rb") as f:
+            with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as buf:
+                header = H.read_header(buf)
+                start = header.body_offset
+                pos = start
+                for _tag, body_off, body_len in H.iter_records(buf, header):
+                    rec_end = body_off + body_len
+                    if rec_end - start >= self.split_bytes:
+                        parts.append(_RecordRange(start, rec_end))
+                        start = rec_end
+                    pos = rec_end
+                if pos > start:
+                    parts.append(_RecordRange(start, pos))
+        return parts or [_RecordRange(0, 0)]
+
+    def read(self, partition: _RecordRange):
+        if partition.end <= partition.start:
+            return
+        with open(self.path, "rb") as f:
+            with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as buf:
+                pos = partition.start
+                while pos + 9 <= partition.end:
+                    tag = buf[pos]
+                    (length,) = H.struct.unpack_from(">I", buf, pos + 5)
+                    yield (
+                        pos,
+                        int(tag),
+                        H.TAG_NAMES.get(tag, f"0x{tag:02x}"),
+                        length,
+                    )
+                    pos += 9 + length
+
+
+class HprofDataSource(DataSource):
+    """``format("hprof")``: one row per top-level HPROF record."""
+
+    @classmethod
+    def name(cls):
+        return "hprof"
+
+    def schema(self):
+        return "offset BIGINT, tag INT, tag_name STRING, body_len BIGINT"
+
+    def reader(self, schema):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("hprof source requires a path: .load('/dump.hprof')")
+        return HprofRecordsReader(path, int(self.options.get("split_bytes", 64 << 20)))
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(HprofDataSource)

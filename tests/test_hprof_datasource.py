@@ -1,0 +1,49 @@
+"""The hprof Python DataSource must agree with the driver-side
+count-records ground truth and split at record boundaries."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from heapdumpstardiver_spark.ingest.convert import count_records
+from heapdumpstardiver_spark.sources import register
+from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+
+
+@pytest.fixture(scope="module")
+def dump(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ds") / "basic.hprof"
+    build_test_dump(str(p))
+    return str(p)
+
+
+def test_record_counts_match_cli(spark, dump):
+    register(spark)
+    df = spark.read.format("hprof").load(dump)
+    got = {
+        r["tag_name"]: r["n"]
+        for r in df.groupBy("tag_name").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = dict(count_records(dump))
+    assert got == want and len(got) >= 3
+
+
+def test_small_splits_preserve_every_record(spark, dump):
+    register(spark)
+    whole = spark.read.format("hprof").load(dump)
+    tiny = (
+        spark.read.format("hprof").option("split_bytes", "128").load(dump)
+    )
+    assert tiny.rdd.getNumPartitions() > 1
+    a = sorted(r["offset"] for r in whole.collect())
+    b = sorted(r["offset"] for r in tiny.collect())
+    assert a == b
+
+
+def test_predicate_and_projection_compose(spark, dump):
+    register(spark)
+    df = spark.read.format("hprof").load(dump)
+    big = df.filter(F.col("body_len") > 100).select("offset", "body_len")
+    rows = big.collect()
+    assert all(r["body_len"] > 100 for r in rows)
