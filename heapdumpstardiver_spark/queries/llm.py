@@ -965,3 +965,58 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_users",
         (rel_err < 0.05).alias("ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "incremental_dedup_new_batch",
+    oracle="""
+    WITH corpus AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 400),
+    batch AS (SELECT doc_id, md5(text) AS h, source FROM documents WHERE doc_id >= 400),
+    vs_corpus AS (
+        SELECT b.doc_id, b.h, b.source FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    ),
+    keep AS (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM vs_corpus
+    )
+    SELECT source,
+           CAST((SELECT count(*) FROM batch b2 WHERE b2.source = k.source) AS BIGINT) AS batch_docs,
+           count(*) FILTER (rn = 1) AS kept_docs
+    FROM keep k GROUP BY source
+    """,
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl batch against the existing
+    corpus (doc_id >= 400 is "new", < 400 is the corpus): drop batch
+    docs whose content hash already exists in the corpus (anti-join),
+    then keep one representative per surviving hash (window) — the
+    steady-state shape of a continuously-fed training set, where the
+    corpus side is only ever probed by hash, never rescanned per doc.
+
+    Scale shape: both sides reduce to fixed-width md5 keys before any
+    join; the anti-join shuffles hashes (or broadcasts, when the daily
+    batch is small relative to the corpus index), and the in-batch
+    keep-first is one window over the already-deduped remainder."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400).select(F.md5("text").alias("h"))
+    batch = d.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("h"), "source"
+    )
+    batch_counts = batch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("batch_docs")
+    )
+    fresh = batch.join(corpus, "h", "left_anti")
+    kept = (
+        fresh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"))
+    )
+    return batch_counts.join(kept, "source").select(
+        "source", "batch_docs", "kept_docs"
+    )

@@ -957,3 +957,42 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cid").cast("int").alias("cluster_id"), "n_vectors", "inertia")
     )
+
+
+@query(
+    "quality_percentile_gate",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source, lang,
+               percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_top_quartile,
+           {round_sql("avg(pr)", 4)} AS avg_pr
+    FROM r WHERE pr >= 0.75 GROUP BY lang
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile gating: keep each source's top quartile by
+    length rank (percent_rank over a deterministic order) and report
+    the survivors per language — score-scale-free selection, so one
+    threshold works across sources whose raw score distributions
+    differ. One window shuffle on source, one aggregation; the rank
+    order includes doc_id so ties are deterministic in both engines.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "doc_id", "source", "lang", F.percent_rank().over(w).alias("pr")
+    )
+    return (
+        r.filter(F.col("pr") >= 0.75)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top_quartile"),
+            round_col(F.avg("pr"), 4).alias("avg_pr"),
+        )
+    )
