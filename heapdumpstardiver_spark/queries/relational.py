@@ -981,3 +981,43 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               {round_sql("sum(l_quantity)")} AS sum_qty,
+               {round_sql("sum(l_extendedprice)")} AS sum_price,
+               {round_sql("sum(l_discount)")} AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM s
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM s
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM s
+    )
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (B28/B22 family; ≙ the reference's
+    static-fields unpivot A18, here as a first-class relational
+    operator): per-flag measures melt into (metric, value) rows via
+    Spark's native `unpivot` — one Expand node over the aggregate, not
+    a 3-way self-union re-scanning the source. The oracle spells out
+    the UNION ALL the operator replaces."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        round_col(F.sum("l_quantity")).alias("sum_qty"),
+        round_col(F.sum("l_extendedprice")).alias("sum_price"),
+        round_col(F.sum("l_discount")).alias("sum_disc"),
+    )
+    return s.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
