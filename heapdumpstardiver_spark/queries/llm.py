@@ -555,13 +555,45 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprint")  # no SQL oracle: 16-way bit aggregation — rows-only check
+_SIMHASH_ORACLE = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(token), 1, 4) AS BIGINT) AS h16
+        FROM tok WHERE token <> ''
+    ), votes AS (
+        SELECT doc_id,
+           sum(CASE WHEN (h16 >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+           sum(CASE WHEN (h16 >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+           sum(CASE WHEN (h16 >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+           sum(CASE WHEN (h16 >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+           sum(CASE WHEN (h16 >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+           sum(CASE WHEN (h16 >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+           sum(CASE WHEN (h16 >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+           sum(CASE WHEN (h16 >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+           sum(CASE WHEN (h16 >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+           sum(CASE WHEN (h16 >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+           sum(CASE WHEN (h16 >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+           sum(CASE WHEN (h16 >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+           sum(CASE WHEN (h16 >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+           sum(CASE WHEN (h16 >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+           sum(CASE WHEN (h16 >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+           sum(CASE WHEN (h16 >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) AS INT) AS simhash16 FROM votes
+"""
+
+
+@query("simhash_fingerprint", oracle=_SIMHASH_ORACLE)
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint (16-bit here; 64-bit at scale):
     per-token md5 → ±1 vote per bit position weighted by presence →
     sign vector → packed fingerprint. Near-dup docs differ in few bits
     (Hamming ball lookup). Pure JVM expressions — explode + conv +
-    bitwise — no UDF."""
+    bitwise — no UDF. The oracle replays the identical integer bit
+    votes (hex-prefix cast ≙ conv base 16), so the check is exact."""
     d = _t(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
