@@ -35,15 +35,18 @@ class _RecordRange(InputPartition):
 
 
 class HprofRecordsReader(DataSourceReader):
-    def __init__(self, path: str, split_bytes: int):
+    def __init__(self, path: str, split_bytes: int, view: str = "records"):
         self.path = os.path.abspath(path)
         self.split_bytes = split_bytes
+        self.view = view
+        self.id_size = 8
 
     def partitions(self):
         parts: list[_RecordRange] = []
         with open(self.path, "rb") as f:
             with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as buf:
                 header = H.read_header(buf)
+                self.id_size = header.id_size
                 start = header.body_offset
                 pos = start
                 for _tag, body_off, body_len in H.iter_records(buf, header):
@@ -65,30 +68,48 @@ class HprofRecordsReader(DataSourceReader):
                 while pos + 9 <= partition.end:
                     tag = buf[pos]
                     (length,) = H.struct.unpack_from(">I", buf, pos + 5)
-                    yield (
-                        pos,
-                        int(tag),
-                        H.TAG_NAMES.get(tag, f"0x{tag:02x}"),
-                        length,
-                    )
+                    body = pos + 9
+                    if self.view == "strings":
+                        if tag == H.TAG_UTF8 and length >= self.id_size:
+                            sid = H._read_id(buf, body, self.id_size)
+                            val = bytes(
+                                buf[body + self.id_size : body + length]
+                            ).decode("utf-8", "replace")
+                            yield (sid, val)
+                    else:
+                        yield (
+                            pos,
+                            int(tag),
+                            H.TAG_NAMES.get(tag, f"0x{tag:02x}"),
+                            length,
+                        )
                     pos += 9 + length
 
 
 class HprofDataSource(DataSource):
-    """``format("hprof")``: one row per top-level HPROF record."""
+    """``format("hprof")``: one row per top-level HPROF record
+    (default view), or one row per UTF8 string-table entry with
+    ``option("view", "strings")`` — the string dictionary (A4) as a
+    lazy DataFrame instead of a driver-held index."""
 
     @classmethod
     def name(cls):
         return "hprof"
 
     def schema(self):
+        if self.options.get("view", "records") == "strings":
+            return "string_id BIGINT, value STRING"
         return "offset BIGINT, tag INT, tag_name STRING, body_len BIGINT"
 
     def reader(self, schema):
         path = self.options.get("path")
         if not path:
             raise ValueError("hprof source requires a path: .load('/dump.hprof')")
-        return HprofRecordsReader(path, int(self.options.get("split_bytes", 64 << 20)))
+        return HprofRecordsReader(
+            path,
+            int(self.options.get("split_bytes", 64 << 20)),
+            self.options.get("view", "records"),
+        )
 
 
 def register(spark) -> None:

@@ -47,3 +47,13 @@ def test_predicate_and_projection_compose(spark, dump):
     big = df.filter(F.col("body_len") > 100).select("offset", "body_len")
     rows = big.collect()
     assert all(r["body_len"] > 100 for r in rows)
+
+
+def test_strings_view_matches_driver_index(spark, dump):
+    from heapdumpstardiver_spark.ingest.index import build_index
+
+    register(spark)
+    df = spark.read.format("hprof").option("view", "strings").load(dump)
+    got = {r["string_id"]: r["value"] for r in df.collect()}
+    want = build_index(dump).strings
+    assert got == want and len(got) > 5
