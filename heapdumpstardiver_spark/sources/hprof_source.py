@@ -76,6 +76,27 @@ class HprofRecordsReader(DataSourceReader):
                                 buf[body + self.id_size : body + length]
                             ).decode("utf-8", "replace")
                             yield (sid, val)
+                    elif self.view == "gc_roots":
+                        if tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
+                            sp, send = body, body + length
+                            while sp < send:
+                                sub, nxt, _meta = H.skip_sub_record(
+                                    buf, sp, self.id_size
+                                )
+                                if sub in H.ROOT_NAMES:
+                                    obj_id = H._read_id(
+                                        buf, sp + 1, self.id_size
+                                    )
+                                    # u64 -> signed int64, the robo-mode
+                                    # id convention of the warehouse.
+                                    if obj_id >= 1 << 63:
+                                        obj_id -= 1 << 64
+                                    yield (
+                                        obj_id,
+                                        H.ROOT_NAMES[sub],
+                                        sp,
+                                    )
+                                sp = nxt
                     else:
                         yield (
                             pos,
@@ -88,17 +109,22 @@ class HprofRecordsReader(DataSourceReader):
 
 class HprofDataSource(DataSource):
     """``format("hprof")``: one row per top-level HPROF record
-    (default view), or one row per UTF8 string-table entry with
-    ``option("view", "strings")`` — the string dictionary (A4) as a
-    lazy DataFrame instead of a driver-held index."""
+    (default view); ``option("view", "strings")`` yields the UTF8
+    string dictionary (A4), and ``option("view", "gc_roots")`` walks
+    heap-dump sub-records (explicit lengths — no class registry
+    needed) yielding the 9-way GC root set (A17) — each as a lazy
+    DataFrame instead of a materialized warehouse table."""
 
     @classmethod
     def name(cls):
         return "hprof"
 
     def schema(self):
-        if self.options.get("view", "records") == "strings":
+        view = self.options.get("view", "records")
+        if view == "strings":
             return "string_id BIGINT, value STRING"
+        if view == "gc_roots":
+            return "obj_id BIGINT, root_type STRING, offset BIGINT"
         return "offset BIGINT, tag INT, tag_name STRING, body_len BIGINT"
 
     def reader(self, schema):

@@ -57,3 +57,26 @@ def test_strings_view_matches_driver_index(spark, dump):
     got = {r["string_id"]: r["value"] for r in df.collect()}
     want = build_index(dump).strings
     assert got == want and len(got) > 5
+
+
+def test_gc_roots_view_matches_warehouse(spark, dump, tmp_path):
+    from heapdumpstardiver_spark.catalog import Warehouse
+    from heapdumpstardiver_spark.ingest import ingest_hprof
+
+    register(spark)
+    out = str(tmp_path / "wh")
+    ingest_hprof(spark, dump, out)
+    wh = Warehouse(spark, out)
+    want = sorted(
+        (r["obj_id"], r["root_type"])
+        for r in wh.table("_gc_roots").select("obj_id", "root_type").collect()
+    )
+    got = sorted(
+        (r["obj_id"], r["root_type"])
+        for r in spark.read.format("hprof")
+        .option("view", "gc_roots")
+        .load(dump)
+        .select("obj_id", "root_type")
+        .collect()
+    )
+    assert got == want and len(got) >= 5
