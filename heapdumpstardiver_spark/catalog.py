@@ -56,8 +56,17 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         pass  # conf locked down; the read below will surface the issue
     df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Plain parquet timestamp[us] with no tz annotation reads as
+        # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ, but the
+        # event-time queries (unix_micros, window(), watermarks) require
+        # TIMESTAMP. The session timezone is pinned to UTC, so the cast
+        # is value-exact: every NTZ wall-clock instant maps to the same
+        # UTC instant the oracle (DuckDB, tz-naive) computes with.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

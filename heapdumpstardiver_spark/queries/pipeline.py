@@ -741,7 +741,7 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM t
     )
-    SELECT source, (cum - n_tok) // 256 AS bin_id,
+    SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS bin_id,
            count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS bin_tokens
     FROM c GROUP BY source, bin_id
