@@ -43,8 +43,17 @@ LLM_OPS = [
     "jaccard_pairs",
     "embedding_near_dup_pairs",
     "tfidf_top_terms",
+    "dedup_connected_components",
+    "kmeans_embedding_clusters",
 ]
 HEADLINE = CORE + LLM_OPS
+
+# Queries that execute jobs during DataFrame *construction* (iterative
+# label propagation's convergence rounds, k-means' centroid updates).
+# For these the honest wall time is construct+execute per run —
+# re-saving the returned DataFrame alone would replay only the final
+# plan over checkpointed intermediates.
+ITERATIVE = {"dedup_connected_components", "kmeans_embedding_clusters"}
 
 
 def main() -> None:
@@ -67,13 +76,21 @@ def main() -> None:
         # a property of the plan; the min of warm runs is the
         # scheduler-noise-resistant statistic round-over-round
         # comparisons should track.
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        if name in ITERATIVE:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

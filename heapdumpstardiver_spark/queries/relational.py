@@ -19,6 +19,8 @@ Scale notes apply throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -249,6 +251,76 @@ def hierarchy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "r_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey AS child, c_custkey // 10 AS parent
+        FROM customer WHERE c_custkey >= 10
+    ), closure AS (
+        SELECT child AS descendant, parent AS ancestor, 1 AS depth FROM edges
+        UNION ALL
+        SELECT c.descendant, e.parent, c.depth + 1
+        FROM closure c JOIN edges e ON c.ancestor = e.child
+    )
+    SELECT ancestor, count(*) AS n_descendants, max(depth) AS max_depth
+    FROM closure GROUP BY ancestor
+    ORDER BY n_descendants DESC, ancestor LIMIT 50
+    """,
+)
+def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE hierarchy closure — the recursive extension of the
+    one-level subclasses-of-X lookup (hierarchy_join ≙
+    /root/reference/mcp_server/server.py:168-171, which never walks
+    more than one edge). Builds a deterministic 10-ary tree over
+    customer keys (parent = key DIV 10) standing in for
+    `_class_hierarchy`'s super-chain, then derives every
+    (ancestor, descendant, depth) pair by iterative self-join —
+    Spark's recursive-CTE equivalent — and rolls up descendant counts
+    and subtree depth per ancestor.
+
+    Scale shape: iterations = tree depth (log-bounded, ~5 here; class
+    hierarchies are ~10 deep at worst), each a hash join on the
+    ancestor key with lineage truncated per round via localCheckpoint
+    — the same bounded-iteration pattern as dedup_connected_components.
+    Hierarchy tables are class-registry-sized (thousands of rows), so
+    every round's join is broadcast-able at any corpus scale."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey DIV 10").alias("parent"),
+    ).filter(F.col("child") >= 10)
+    closure = edges.select(
+        F.col("child").alias("descendant"),
+        F.col("parent").alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint()
+    frontier = closure
+    while True:
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.ancestor") == F.col("e.child"))
+            .select(
+                F.col("f.descendant"),
+                F.col("e.parent").alias("ancestor"),
+                (F.col("f.depth") + F.lit(1)).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        closure = closure.unionByName(frontier)
+    return (
+        closure.groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).alias("n_descendants"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy(F.desc("n_descendants"), "ancestor")
+        .limit(50)
     )
 
 
@@ -1020,4 +1092,52 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["sum_qty", "sum_price", "sum_disc"],
         variableColumnName="metric",
         valueColumnName="value",
+    )
+
+
+@query(
+    "hprof_record_tally",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('Utf8', CAST(21 AS BIGINT)),
+        ('LoadClass', CAST(6 AS BIGINT)),
+        ('HeapDumpSegment', CAST(2 AS BIGINT)),
+        ('StackFrame', CAST(2 AS BIGINT)),
+        ('StackTrace', CAST(2 AS BIGINT)),
+        ('HeapDumpEnd', CAST(1 AS BIGINT))
+    ) AS t(tag_name, n)
+    ORDER BY n DESC, tag_name
+    """,
+)
+def hprof_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tag record tally THROUGH the lazy ``format("hprof")``
+    DataSource (≙ the reference's count-records command,
+    /root/reference/src/commands/count_records.rs:7-29) — drives the
+    binary source end-to-end under the driver's oracle gate: partition
+    planning over record headers, executor-side range scans, then a
+    plain groupBy/count. The input is the deterministic synthetic test
+    dump (ingest/hprof_writer.py), built into a scratch dir at call
+    time, so the oracle is its known constant tally; the parquet
+    fixture tables play no role here by design — this query verifies
+    the non-parquet source path.
+
+    Scale shape: identical to any big binary scan — the driver pass
+    touches only 9-byte record headers to cut ~64 MB ranges; each task
+    mmaps its own disjoint range. No shuffle until the
+    kilobyte-sized tag tally."""
+    import tempfile
+
+    from ..ingest.hprof_writer import build_test_dump
+    from ..sources import register
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hprof_tally_"), "t.hprof")
+    build_test_dump(path)
+    register(spark)
+    return (
+        spark.read.format("hprof")
+        .option("split_bytes", "256")  # force multiple partitions
+        .load(path)
+        .groupBy("tag_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tag_name")
     )

@@ -528,25 +528,29 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact per-type frequencies and checks the guarantee — `all_found`
     must be true; candidate/true counts expose the overapproximation.
     """
+    from pyspark.sql import Window
+
     e = _t(spark, sf_dir, "events")
     support = 0.15
-    candidates = set(e.stat.freqItems(["event_type"], support).first()[0])
-    total = e.count()
-    exact_hh = (
-        e.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > support * total)
+    # Lazy 1-row DataFrame: KPS candidate array. No driver action here —
+    # the whole check is a single DataFrame plan (one job when the
+    # caller acts), not a .first()/.count()/.collect() trio.
+    cand = e.stat.freqItems(["event_type"], support).select(
+        F.col("event_type_freqItems").alias("candidates")
     )
-    true_ids = [r["event_type"] for r in exact_hh.collect()]
-    return spark.createDataFrame(
-        [
-            (
-                len(candidates),
-                len(true_ids),
-                all(u in candidates for u in true_ids),
-            )
-        ],
-        "n_candidates INT, n_true_heavy_hitters INT, all_found BOOLEAN",
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    # counts is type-cardinality-sized (tiny), so the empty-partition
+    # window for the grand total is a cheap single-task pass over it.
+    total = F.sum("c").over(Window.partitionBy())
+    true_arr = (
+        counts.withColumn("total", total)
+        .filter(F.col("c") > support * F.col("total"))
+        .agg(F.collect_list("event_type").alias("true_ids"))
+    )
+    return cand.crossJoin(true_arr).select(
+        F.size("candidates").cast("int").alias("n_candidates"),
+        F.size("true_ids").cast("int").alias("n_true_heavy_hitters"),
+        (F.size(F.array_except("true_ids", "candidates")) == 0).alias("all_found"),
     )
 
 

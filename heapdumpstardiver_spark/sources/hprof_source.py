@@ -76,6 +76,17 @@ class HprofRecordsReader(DataSourceReader):
                                 buf[body + self.id_size : body + length]
                             ).decode("utf-8", "replace")
                             yield (sid, val)
+                    elif self.view == "instances":
+                        if tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
+                            sp, send = body, body + length
+                            while sp < send:
+                                sub, nxt, meta = H.skip_sub_record(
+                                    buf, sp, self.id_size
+                                )
+                                row = self._instance_row(buf, sp, sub, meta)
+                                if row is not None:
+                                    yield row
+                                sp = nxt
                     elif self.view == "gc_roots":
                         if tag in (H.TAG_HEAP_DUMP, H.TAG_HEAP_DUMP_SEGMENT):
                             sp, send = body, body + length
@@ -106,13 +117,46 @@ class HprofRecordsReader(DataSourceReader):
                         )
                     pos += 9 + length
 
+    def _instance_row(self, buf, sp: int, sub: int, meta: dict):
+        """One row per heap OBJECT sub-record — instance, object array,
+        primitive array, or class object — mirroring exactly the row set
+        of the warehouse's ``_object_index``
+        (≙ /root/reference/src/commands/dump_to_parquet.rs:246-370,
+        499-512: every object kind gets an index row)."""
+        ids = self.id_size
+
+        def s64(v: int) -> int:
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        if sub == H.SUB_INSTANCE_DUMP:
+            obj_id = H._read_id(buf, sp + 1, ids)
+            cls_id = H._read_id(buf, sp + 1 + ids + 4, ids)
+            (nbytes,) = H.struct.unpack_from(">I", buf, sp + 1 + 2 * ids + 4)
+            return (s64(obj_id), "instance", s64(cls_id), int(nbytes))
+        if sub == H.SUB_OBJECT_ARRAY_DUMP:
+            obj_id = H._read_id(buf, sp + 1, ids)
+            (n,) = H.struct.unpack_from(">I", buf, sp + 1 + ids + 4)
+            cls_id = H._read_id(buf, sp + 1 + ids + 8, ids)
+            return (s64(obj_id), "object_array", s64(cls_id), int(n))
+        if sub == H.SUB_PRIMITIVE_ARRAY_DUMP:
+            obj_id = H._read_id(buf, sp + 1, ids)
+            (n,) = H.struct.unpack_from(">I", buf, sp + 1 + ids + 4)
+            return (s64(obj_id), "primitive_array", None, int(n))
+        if sub == H.SUB_CLASS_DUMP:
+            info = meta["class_info"]
+            return (s64(info.class_obj_id), "class", s64(info.class_obj_id), 0)
+        return None
+
 
 class HprofDataSource(DataSource):
     """``format("hprof")``: one row per top-level HPROF record
     (default view); ``option("view", "strings")`` yields the UTF8
-    string dictionary (A4), and ``option("view", "gc_roots")`` walks
+    string dictionary (A4), ``option("view", "gc_roots")`` walks
     heap-dump sub-records (explicit lengths — no class registry
-    needed) yielding the 9-way GC root set (A17) — each as a lazy
+    needed) yielding the 9-way GC root set (A17), and
+    ``option("view", "instances")`` yields one row per heap object
+    (instance / object array / primitive array / class) — the lazy
+    twin of the warehouse's ``_object_index`` (A6) — each as a
     DataFrame instead of a materialized warehouse table."""
 
     @classmethod
@@ -125,6 +169,8 @@ class HprofDataSource(DataSource):
             return "string_id BIGINT, value STRING"
         if view == "gc_roots":
             return "obj_id BIGINT, root_type STRING, offset BIGINT"
+        if view == "instances":
+            return "obj_id BIGINT, kind STRING, class_obj_id BIGINT, n BIGINT"
         return "offset BIGINT, tag INT, tag_name STRING, body_len BIGINT"
 
     def reader(self, schema):

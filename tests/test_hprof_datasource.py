@@ -80,3 +80,35 @@ def test_gc_roots_view_matches_warehouse(spark, dump, tmp_path):
         .collect()
     )
     assert got == want and len(got) >= 5
+
+
+def test_instances_view_matches_object_index(spark, dump, tmp_path):
+    from heapdumpstardiver_spark.catalog import Warehouse
+    from heapdumpstardiver_spark.ingest import ingest_hprof
+
+    register(spark)
+    out = str(tmp_path / "wh2")
+    ingest_hprof(spark, dump, out)
+    wh = Warehouse(spark, out)
+    want = sorted(r["obj_id"] for r in wh.table("_object_index").collect())
+    view = spark.read.format("hprof").option("view", "instances").load(dump)
+    got = sorted(r["obj_id"] for r in view.collect())
+    assert got == want and len(got) > 10
+    kinds = {r["kind"] for r in view.collect()}
+    assert kinds >= {"instance", "object_array", "primitive_array", "class"}
+
+
+def test_record_tally_query_matches_oracle(spark):
+    import duckdb
+
+    from heapdumpstardiver_spark import ORACLE_SQL, QUERIES
+
+    got = [
+        (r["tag_name"], r["n"])
+        for r in QUERIES["hprof_record_tally"](spark, "unused").collect()
+    ]
+    want = [
+        (r[0], r[1])
+        for r in duckdb.connect().execute(ORACLE_SQL["hprof_record_tally"]).fetchall()
+    ]
+    assert got == want
