@@ -42,7 +42,7 @@ _CHECK_PRIORITY = [
     "rollup_hypertable_cascade", "approx_quantile_sketch",
     "session_window_native", "freq_items_sketch", "ema_user_value",
     # new this round
-    "hierarchy_closure", "hprof_record_tally",
+    "hierarchy_closure", "hprof_record_tally", "pii_redaction_scrub",
     # r2 hash-fail, oracle fixed this round — needs a fresh row
     "pack_sequences_greedy",
     # green in r1, rotated out of r2's cap

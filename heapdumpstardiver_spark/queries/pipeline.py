@@ -115,10 +115,15 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label propagation behind dedup_connected_components
     and dedup_cluster_representatives."""
     pairs = minhash_lsh_candidates(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Materialize the edge list once: every propagation round joins
+    # against it, and without this checkpoint each round would re-run
+    # the whole MinHash shingle/band pipeline upstream of `pairs`.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
@@ -995,4 +1000,63 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_top_quartile"),
             round_col(F.avg("pr"), 4).alias("avg_pr"),
         )
+    )
+
+
+# PII scrubbing: the denylist pattern stands in for the email/phone/IP
+# regexes a production scrub runs — the synthetic corpus has no real
+# PII, so the scrub targets high-frequency corpus terms to stay
+# non-vacuous while exercising the identical machinery
+# (regexp_count + global regexp_replace + length accounting).
+_SCRUB_PATTERN = "\\bcustomer\\b|\\bvalue\\b"
+
+
+@query(
+    "pii_redaction_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS hits,
+               length(text) -
+               length(regexp_replace(text, '{_SCRUB_PATTERN}', '', 'g'))
+                   AS removed
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_hits,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(removed) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source ORDER BY source
+    """,
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub — the regex-scrub stage every training
+    pipeline runs before tokenization (emails/phones/IP literals →
+    removed or tagged). Per source: documents touched, total pattern
+    hits, and characters removed by a global regexp_replace.
+
+    Scale shape: a single narrow projection (two JVM-side regex
+    evaluations per row, whole-stage codegen) followed by a
+    source-cardinality aggregation — linear scan, one kilobyte-sized
+    shuffle, no Python. Swapping the denylist for real PII patterns
+    changes only the regex literal."""
+    d = _t(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(_SCRUB_PATTERN))
+    removed = F.length("text") - F.length(
+        F.regexp_replace("text", _SCRUB_PATTERN, "")
+    )
+    return (
+        d.select("source", hits.alias("hits"), removed.alias("removed"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_hits"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.sum("removed").cast("long").alias("chars_removed"),
+        )
+        .orderBy("source")
     )
