@@ -165,6 +165,43 @@ def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_sliding_15m",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS window_start,
+           count(*) AS n_events,
+           {round_sql("sum(value)")} AS total_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1
+    """,
+)
+def window_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour window every 15 minutes — the
+    overlapping-window operator tumbling windows can't express: each
+    event belongs to exactly windowDuration/slideDuration = 4 windows,
+    and Spark's window() generator expands the assignment JVM-side
+    before the hash aggregation (one shuffle on window_start, fan-out
+    factor fixed at 4 — the oracle spells that expansion out as an
+    unnest over the 4 hop offsets). Batch twin of
+    streaming.sliding_counts; at 100 TB the fan-out multiplies shuffle
+    rows by the overlap factor, which is why slide granularity is a
+    capacity knob, not a free parameter."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_col(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "json_extract_agg",
     oracle=f"""
     SELECT event_type,

@@ -3,6 +3,7 @@ from .windowed import (  # noqa: F401
     running_counts_stateful,
     running_counts_tws,
     sessionized_counts,
+    sliding_counts,
     stream_events,
     stream_static_enrich,
     streaming_dedup,

@@ -45,6 +45,20 @@ def test_tumbling_counts_match_batch(spark, events_dir, tmp_path):
     assert got_map == want_map and len(got_map) > 100
 
 
+def test_sliding_counts_match_batch_query(spark, events_dir, tmp_path):
+    stream = S.sliding_counts(S.stream_events(spark, events_dir))
+    got = _drain(spark, stream, "t_sliding", tmp_path).collect()
+    import heapdumpstardiver_spark as hds
+
+    batch = hds.QUERIES["window_sliding_15m"](spark, SF_DIR).collect()
+    g = {r["window_start"]: r["n_events"] for r in got}
+    w = {r["window_start"]: r["n_events"] for r in batch}
+    assert g == w and len(g) > 100
+    # overlap invariant: every event is in exactly 4 hopping windows
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(g.values()) == 4 * n_events
+
+
 def test_sessionized_counts_match_lag_sessionizer(spark, events_dir, tmp_path):
     stream = S.sessionized_counts(S.stream_events(spark, events_dir))
     got = _drain(spark, stream, "t_sessions", tmp_path)
