@@ -197,3 +197,32 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         spark.conf.set(app_key, old_app)
         spark.conf.set(bc_key, old_bc)
+
+
+def test_pii_scrub_single_scan_single_shuffle_no_python(spark):
+    """The redaction scrub is a narrow regex projection + one
+    source-keyed aggregation: one scan, one exchange, JVM regex only."""
+    plan = plan_of(spark, "pii_redaction_scrub")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sliding_window_expands_jvm_side(spark):
+    """The 4x hopping-window assignment happens in the JVM window
+    generator (Expand/Explode over window structs), feeding a partial
+    aggregate before the single exchange — the fan-out never crosses
+    the shuffle unaggregated."""
+    plan = plan_of(spark, "window_sliding_15m")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan
+
+
+def test_hierarchy_closure_rounds_are_broadcast_joins(spark):
+    """Each propagation round joins the (class-registry-sized) frontier
+    against the edge table; at fixture scale AQE must pick broadcast
+    joins — no sort-merge machinery for a thousands-of-rows graph."""
+    df = hds.QUERIES["hierarchy_closure"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
