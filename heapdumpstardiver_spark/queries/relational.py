@@ -1141,3 +1141,45 @@ def hprof_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "tag_name")
     )
+
+
+@query(
+    "hprof_object_kinds",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('class', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        ('instance', CAST(8 AS BIGINT), CAST(114 AS BIGINT)),
+        ('object_array', CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        ('primitive_array', CAST(8 AS BIGINT), CAST(25 AS BIGINT))
+    ) AS t(kind, n_objects, total_n)
+    ORDER BY kind
+    """,
+)
+def hprof_object_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heap object census THROUGH the lazy ``instances`` DataSource
+    view — one row per object kind with payload-size totals (instance
+    bytes / array element counts), the `_object_index` tally
+    (≙ /root/reference/src/commands/dump_to_parquet.rs:499-512) without
+    materializing a warehouse. Same deterministic test dump and
+    constant-oracle pattern as hprof_record_tally; same scale shape:
+    executor-side disjoint range scans, kilobyte-sized aggregate."""
+    import tempfile
+
+    from ..ingest.hprof_writer import build_test_dump
+    from ..sources import register
+
+    path = os.path.join(tempfile.mkdtemp(prefix="hprof_kinds_"), "t.hprof")
+    build_test_dump(path)
+    register(spark)
+    return (
+        spark.read.format("hprof")
+        .option("view", "instances")
+        .option("split_bytes", "256")
+        .load(path)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("n").alias("total_n"),
+        )
+        .orderBy("kind")
+    )
