@@ -43,7 +43,7 @@ _CHECK_PRIORITY = [
     "session_window_native", "freq_items_sketch", "ema_user_value",
     # new this round
     "hierarchy_closure", "hprof_record_tally", "pii_redaction_scrub",
-    "window_sliding_15m", "hprof_object_kinds",
+    "window_sliding_15m", "hprof_object_kinds", "asof_join_next_event",
     # r2 hash-fail, oracle fixed this round — needs a fresh row
     "pack_sequences_greedy",
     # green in r1, rotated out of r2's cap

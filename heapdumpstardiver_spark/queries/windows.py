@@ -284,6 +284,66 @@ def asof_join_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_next_event",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND user_id < 50
+    ),
+    purchases AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           epoch_us(p.ts) AS next_purchase_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for every click, the first purchase
+    at-or-after it for the same user: the attribution direction
+    (click → eventual conversion), symmetric twin of
+    asof_join_last_event's backward lookup. Same scalable shape:
+    tagged union, ONE shuffle on the key, and a
+    first(ignorenulls) over the forward frame
+    (currentRow..unboundedFollowing) instead of last() over the
+    backward frame — still linear in events per key, never the
+    O(clicks × purchases) inequality join. At equal timestamps the
+    purchase sorts after the click (tag order), matching DuckDB ASOF's
+    inclusive `>=`."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        # click rows sort before purchase rows at the same timestamp,
+        # so the same-instant purchase is inside the forward frame
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_p = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        tagged.withColumn("next_purchase_ts", next_p)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.unix_micros("next_purchase_ts").alias("next_purchase_us"),
+            (F.unix_micros("next_purchase_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )
+
+
+@query(
     "range_join_nearby",
     oracle="""
     WITH p AS (
