@@ -35,9 +35,19 @@ from pyspark.sql import functions as F
 from ..catalog import Warehouse
 
 
+def _empty_pairs(wh: Warehouse, a: str, b: str) -> DataFrame:
+    return wh.spark.createDataFrame([], f"{a} long, {b} long")
+
+
 def heap_edges(wh: Warehouse) -> DataFrame:
     """(src, dst) reference edges for the whole heap, dst != 0 (the
-    null sentinel, SURVEY §1.2, never creates an edge)."""
+    null sentinel, SURVEY §1.2, never creates an edge).
+
+    Every per-class / system table lookup tolerates a missing table:
+    ingest only writes a table when it has >=1 row (loaded classes with
+    zero instances are common in real dumps), so absence means "no
+    edges from that source", not an error — the same guard
+    default_mode.py:121-124 applies to the ref-resolution pass."""
     ft = wh.table("_field_types").filter(F.col("field_type") == "Object")
     by_class: dict[str, list[str]] = {}
     # Driver-side over the class registry only (bounded like the
@@ -47,19 +57,28 @@ def heap_edges(wh: Warehouse) -> DataFrame:
 
     parts = []
     for cls, fields in sorted(by_class.items()):
-        t = wh.table(cls)
+        try:
+            t = wh.table(cls)
+        except KeyError:
+            continue  # class loaded but zero instances → no table, no edges
         refs = F.array(*[F.col(f"`{f}`") for f in fields])
         parts.append(
             t.select(
                 F.col("obj_id").alias("src"), F.explode(refs).alias("dst")
             )
         )
-    oa = wh.table("_object_arrays").select(
-        F.col("obj_id").alias("src"), F.explode("elements").alias("dst")
-    )
-    sf = wh.table("_static_fields").select(
-        F.col("class_obj_id").alias("src"), F.col("ref_id").alias("dst")
-    )
+    try:
+        oa = wh.table("_object_arrays").select(
+            F.col("obj_id").alias("src"), F.explode("elements").alias("dst")
+        )
+    except KeyError:
+        oa = _empty_pairs(wh, "src", "dst")
+    try:
+        sf = wh.table("_static_fields").select(
+            F.col("class_obj_id").alias("src"), F.col("ref_id").alias("dst")
+        )
+    except KeyError:
+        sf = _empty_pairs(wh, "src", "dst")
     edges = oa
     for p in parts:
         edges = edges.unionByName(p)
@@ -67,21 +86,28 @@ def heap_edges(wh: Warehouse) -> DataFrame:
     return edges.filter(F.col("dst") != 0)
 
 
-def reachable_from_roots(wh: Warehouse, max_rounds: int = 64) -> DataFrame:
+def reachable_from_roots(wh: Warehouse, max_rounds: int = 1024) -> DataFrame:
     """(obj_id) of every object reachable from any GC root.
 
     BFS: frontier ⋈ edges → next hop, anti-join against the visited
-    set, stop when a round adds nothing. The driver only ever sees a
-    per-round scalar count; rounds are bounded by the reference-chain
-    diameter (heap graphs are shallow relative to size)."""
+    set, iterate until a round adds nothing (the only correct stop —
+    reference chains like long linked lists can be arbitrarily deep).
+    *max_rounds* is a runaway backstop, not a truncation: exceeding it
+    with a non-empty frontier raises rather than silently returning a
+    partial set that would misreport live objects as floating garbage.
+    The driver only ever sees a per-round scalar count; each round is
+    one join + one anti-join over checkpoint-truncated lineage."""
     edges = heap_edges(wh).localCheckpoint()
-    roots = (
-        wh.table("_gc_roots")
-        .filter(F.col("obj_id") != 0)
-        .select("obj_id")
-        .distinct()
-        .localCheckpoint()
-    )
+    try:
+        roots = (
+            wh.table("_gc_roots")
+            .filter(F.col("obj_id") != 0)
+            .select("obj_id")
+            .distinct()
+            .localCheckpoint()
+        )
+    except KeyError:  # dump with no GC-root records → nothing is live
+        return wh.spark.createDataFrame([], "obj_id long")
     visited = roots
     frontier = roots
     for _ in range(max_rounds):
@@ -93,10 +119,14 @@ def reachable_from_roots(wh: Warehouse, max_rounds: int = 64) -> DataFrame:
             .localCheckpoint()
         )
         if nxt.isEmpty():
-            break
+            return visited
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    return visited
+    raise RuntimeError(
+        f"reachability BFS did not converge within {max_rounds} rounds "
+        "(frontier still growing) — raise max_rounds; refusing to return "
+        "a partial reachable set"
+    )
 
 
 def unreachable_by_type(wh: Warehouse, k: int = 20) -> DataFrame:

@@ -55,6 +55,17 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # conf locked down; the read below will surface the issue
+    # Every timestamp query in this engine (date_trunc, window(),
+    # unix_micros, watermarks) is defined against UTC wall-clock to
+    # agree value-for-value with the tz-naive DuckDB oracle. Our own
+    # session factory pins this (session.py), but an externally created
+    # session (the driver harness) may carry a local timezone, under
+    # which both the NTZ→TIMESTAMP cast below and all downstream
+    # date functions would silently shift — so pin it here too.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
@@ -63,9 +74,9 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # Plain parquet timestamp[us] with no tz annotation reads as
         # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ, but the
         # event-time queries (unix_micros, window(), watermarks) require
-        # TIMESTAMP. The session timezone is pinned to UTC, so the cast
-        # is value-exact: every NTZ wall-clock instant maps to the same
-        # UTC instant the oracle (DuckDB, tz-naive) computes with.
+        # TIMESTAMP. With the session timezone pinned to UTC (above),
+        # the cast is value-exact: every NTZ wall-clock instant maps to
+        # the same UTC instant the oracle computes with.
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 

@@ -33,6 +33,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def hprof_fixture_path() -> str:
+    """The deterministic synthetic test dump, built once per machine at
+    a fixed scratch path and reused — repeated driver-gate/bench runs
+    previously leaked a fresh mkdtemp per call. Built to a temp name
+    and os.replace'd so concurrent callers see either nothing or a
+    complete file, never a partial write."""
+    import tempfile
+
+    from ..ingest.hprof_writer import build_test_dump
+
+    d = os.path.join(tempfile.gettempdir(), "hds_hprof_fixture")
+    path = os.path.join(d, "t.hprof")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"t.hprof.tmp.{os.getpid()}")
+        build_test_dump(tmp)
+        os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Scans / projection / predicates (B1, B6, B7)
 # ---------------------------------------------------------------------------
@@ -1125,13 +1145,9 @@ def hprof_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches only 9-byte record headers to cut ~64 MB ranges; each task
     mmaps its own disjoint range. No shuffle until the
     kilobyte-sized tag tally."""
-    import tempfile
-
-    from ..ingest.hprof_writer import build_test_dump
     from ..sources import register
 
-    path = os.path.join(tempfile.mkdtemp(prefix="hprof_tally_"), "t.hprof")
-    build_test_dump(path)
+    path = hprof_fixture_path()
     register(spark)
     return (
         spark.read.format("hprof")
@@ -1163,13 +1179,9 @@ def hprof_object_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing a warehouse. Same deterministic test dump and
     constant-oracle pattern as hprof_record_tally; same scale shape:
     executor-side disjoint range scans, kilobyte-sized aggregate."""
-    import tempfile
-
-    from ..ingest.hprof_writer import build_test_dump
     from ..sources import register
 
-    path = os.path.join(tempfile.mkdtemp(prefix="hprof_kinds_"), "t.hprof")
-    build_test_dump(path)
+    path = hprof_fixture_path()
     register(spark)
     return (
         spark.read.format("hprof")

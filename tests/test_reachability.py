@@ -84,3 +84,55 @@ def test_unreachable_by_type_counts(wh):
         for r in A.unreachable_by_type(wh).collect()
     }
     assert got == dict(expect)
+
+
+def test_missing_tables_tolerated(spark, tmp_path):
+    """Classes listed in _field_types with zero instances have no
+    backing table (common on real dumps); _object_arrays and
+    _static_fields may be absent entirely. heap_edges must skip, not
+    crash (ADVICE r3)."""
+    root = str(tmp_path / "sparse_wh")
+    ft = spark.createDataFrame(
+        [
+            (0x10, "ghost.Cls", "ref", "Object", 0),
+            (0x11, "real.Cls", "ref", "Object", 0),
+        ],
+        "class_obj_id long, class_name string, field_name string, "
+        "field_type string, field_index int",
+    )
+    ft.write.parquet(f"{root}/sys_field_types.parquet")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 0)], "obj_id long, ref long"
+    ).write.parquet(f"{root}/real.Cls.parquet")
+    spark.createDataFrame([(1,)], "obj_id long").write.parquet(
+        f"{root}/sys_gc_roots.parquet"
+    )
+    wh = Warehouse(spark, root)
+    got = {r["obj_id"] for r in A.reachable_from_roots(wh).collect()}
+    assert got == {1, 2, 3}
+    edges = A.heap_edges(wh)
+    assert {(r["src"], r["dst"]) for r in edges.collect()} == {(1, 2), (2, 3)}
+
+
+def test_nonconvergence_raises(spark, tmp_path):
+    """A frontier still alive at max_rounds must raise, never silently
+    return a partial reachable set (ADVICE r3)."""
+    root = str(tmp_path / "chain_wh")
+    ft = spark.createDataFrame(
+        [(0x10, "chain.Cls", "nxt", "Object", 0)],
+        "class_obj_id long, class_name string, field_name string, "
+        "field_type string, field_index int",
+    )
+    ft.write.parquet(f"{root}/sys_field_types.parquet")
+    chain = [(i, i + 1) for i in range(1, 10)] + [(10, 0)]
+    spark.createDataFrame(chain, "obj_id long, nxt long").write.parquet(
+        f"{root}/chain.Cls.parquet"
+    )
+    spark.createDataFrame([(1,)], "obj_id long").write.parquet(
+        f"{root}/sys_gc_roots.parquet"
+    )
+    wh = Warehouse(spark, root)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        A.reachable_from_roots(wh, max_rounds=3)
+    got = {r["obj_id"] for r in A.reachable_from_roots(wh).collect()}
+    assert got == set(range(1, 11))
