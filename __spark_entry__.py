@@ -25,33 +25,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-check scheduling: the driver verifies at most ~50 queries per
 # round, taken in dict order. Order the registry so the least-recently
-# driver-verified queries come first: queries never checked through r2
-# (all of windows.py + the late relational extras + new this round),
-# then the r2 hash-fix and r1-green-but-rotated queries, then the
-# r2-green remainder (freshest last). Keeps every query's staleness
-# bounded at one round.
+# driver-verified queries come first: the 45 queries whose latest green
+# row is from r1/r2 (rotated out of r3's 50-slot cap), then queries
+# new this round, then the r3-checked set (freshest last). Keeps every
+# query's staleness bounded at one round; after r4 every query has a
+# green row from r3 or r4.
 _CHECK_PRIORITY = [
-    # never driver-checked through r2
-    "sql_passthrough_reserved", "struct_field_access", "cube_agg",
-    "set_ops_except_intersect", "pivot_status_year",
-    "salted_heavy_hitter_agg", "grouping_sets_agg",
-    "correlated_scalar_subquery", "unpivot_measures", "window_rank_topk",
-    "window_running_sum", "sessionize_lag", "date_trunc_daily",
-    "window_tumbling_hour", "json_extract_agg", "asof_join_last_event",
-    "range_join_nearby", "percentile_disc_groups",
-    "rollup_hypertable_cascade", "approx_quantile_sketch",
-    "session_window_native", "freq_items_sketch", "ema_user_value",
-    # new this round
-    "hierarchy_closure", "hprof_record_tally", "pii_redaction_scrub",
-    "window_sliding_15m", "hprof_object_kinds", "asof_join_next_event",
-    # r2 hash-fail, oracle fixed this round — needs a fresh row
-    "pack_sequences_greedy",
-    # green in r1, rotated out of r2's cap
-    "pricing_summary", "count_distinct", "having_dup_groups",
-    "conditional_agg", "two_level_agg", "weighted_topk", "rollup_agg",
-    "bucket_histogram", "pattern_classifier", "category_like_chains",
-    "global_topk", "union_by_name", "string_funcs", "arithmetic_charge",
-    "bitmask_decode", "systematic_sample",
+    # last checked in r1/r2 — rotated out of r3's cap
+    "similarity_lsh_bucketed", "embedding_norms", "text_quality",
+    "token_count_regex", "lang_id_confusion", "doc_fingerprint",
+    "minhash_lsh_candidates", "embedding_near_dup_pairs",
+    "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
+    "vocab_topk", "dedup_keep_best", "tfidf_top_terms",
+    "token_entropy_by_source", "incremental_dedup_new_batch",
+    "multimodal_payload_stats", "multimodal_fingerprint_topk",
+    "multimodal_frame_sample", "multimodal_feature_extract",
+    "dedup_connected_components", "dedup_cluster_representatives",
+    "decontaminate_ngram_overlap", "data_mix_weighted_sample",
+    "train_test_split_hash", "quality_filter_chain",
+    "stratified_sample_per_source", "passage_dup_coverage",
+    "unigram_logprob_score", "repetition_filter_gopher",
+    "minhash_verify_jaccard", "token_budget_select",
+    "kmeans_embedding_clusters", "quality_percentile_gate",
+    "scan_filter_project", "like_patterns", "pagination",
+    "join_fact_fact", "enrichment_join", "join_ratio_filter",
+    "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
+    # rows-only sketch (no oracle by design) — weakest check, last of
+    # the stale block
+    "approx_distinct_sketch",
+    # new this round (r4)
+    "reachability_live_census", "multimodal_png_decode",
 ]
 
 
