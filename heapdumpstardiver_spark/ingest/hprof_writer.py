@@ -142,6 +142,13 @@ def build_test_dump(
     (snapshot-diff tests: extras are "new", the omitted Base "freed")."""
     w = HprofWriter(id_size=id_size)
     truth: dict = {}
+    # Graph-level ground truth recorded while writing, so oracles can
+    # recompute reachability independently: (obj_id, type_name) for
+    # every object the ingest `_object_index` will list, (src, dst)
+    # for every non-null reference edge, and the GC-root object ids.
+    objects: list[tuple[int, str]] = []
+    edges: list[tuple[int, int]] = []
+    roots: list[int] = []
 
     # classes
     OBJ, STR, BARR, OARR, BASE, CHILD = (0x10, 0x11, 0x12, 0x13, 0x14, 0x15)
@@ -177,6 +184,13 @@ def build_test_dump(
         [(w.sid("id"), 11), (w.sid("flag"), 4)],
     )
     seg += w.class_dump(CHILD, BASE, 25, [], [(w.sid("id"), 10), (w.sid("ref"), 2)])
+    objects += [
+        (OBJ, "class java.lang.Object"),
+        (STR, "class java.lang.String"),
+        (BASE, "class com.test.Base"),
+        (CHILD, "class com.test.Child"),
+    ]
+    edges.append((BASE, 0xBEEF))  # Base.SHARED static Object ref
 
     # byte arrays: 3 distinct contents; "dup" content ×3 (dup group)
     dup = [104, 101, 108, 108, 111]  # "hello"
@@ -185,11 +199,13 @@ def build_test_dump(
         oid = w.oid()
         barr_ids.append(oid)
         seg += w.prim_array(oid, 8, "b", content)
+        objects.append((oid, "byte[]"))
     truth["byte_arrays"] = len(barr_ids)
     # an int array + a double array + empty long array
     ia = w.oid(); seg += w.prim_array(ia, 10, "i", [0, 0, 0])         # all-zero
     da = w.oid(); seg += w.prim_array(da, 7, "d", [1.5, -2.25])
     la = w.oid(); seg += w.prim_array(la, 11, "q", [])                # zero-length
+    objects += [(ia, "int[]"), (da, "double[]"), (la, "long[]")]
     # strings: 4 strings → first three share the dup byte array contents
     str_ids = []
     for i, b in enumerate(barr_ids[:4]):
@@ -197,12 +213,15 @@ def build_test_dump(
         str_ids.append(oid)
         packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x01"
         seg += w.instance(oid, STR, packed)
+        objects.append((oid, "java.lang.String"))
+        edges.append((oid, b))  # String.value
     truth["strings"] = len(str_ids)
 
     # Base + Child instances (Child packed: own fields first, then Base's)
     base_inst = w.oid()
     if not omit_base:
         seg += w.instance(base_inst, BASE, struct.pack(">q", 1234567) + b"\x01")
+        objects.append((base_inst, "com.test.Base"))
     child_inst = w.oid()
     child_packed = (
         struct.pack(">i", 77)            # Child.id (int)
@@ -211,12 +230,16 @@ def build_test_dump(
         + b"\x00"                        # Base.flag
     )
     seg += w.instance(child_inst, CHILD, child_packed)
+    objects.append((child_inst, "com.test.Child"))
+    edges.append((child_inst, str_ids[0]))  # Child.ref
     truth["child_inst"] = child_inst
     truth["child_ref"] = str_ids[0]
 
     # object arrays
     oa1 = w.oid(); seg += w.obj_array(oa1, OARR, [str_ids[0], 0, str_ids[1]])
     oa2 = w.oid(); seg += w.obj_array(oa2, OARR, [])
+    objects += [(oa1, "java.lang.Object[]"), (oa2, "java.lang.Object[]")]
+    edges += [(oa1, str_ids[0]), (oa1, str_ids[1])]  # null slot → no edge
     truth["object_arrays"] = 2
 
     # GC roots: one of each of several kinds
@@ -229,6 +252,8 @@ def build_test_dump(
     seg += w.root(0x06, oa1, struct.pack(">I", 11))
     seg += w.root(0x07, oa2)
     seg += w.root(0x08, base_inst, struct.pack(">II", 10, 1))
+    roots += [str_ids[0], str_ids[1], str_ids[2], base_inst, child_inst,
+              STR, oa1, oa2, base_inst]
     truth["gc_roots"] = 9
 
     w.heap_segment(bytes(seg))
@@ -241,11 +266,15 @@ def build_test_dump(
         extra_strs.append(oid)
         packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
+        objects.append((oid, "java.lang.String"))
+        edges.append((oid, b))
     truth["strings"] += 2
     for _ in range(extra_strings):
         oid = w.oid()
         packed = w.pack_id(barr_ids[0]) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
+        objects.append((oid, "java.lang.String"))
+        edges.append((oid, barr_ids[0]))
     truth["strings"] += extra_strings
     w.heap_segment(bytes(seg2))
     w.heap_end()
@@ -256,6 +285,9 @@ def build_test_dump(
     truth["instances"] = truth["strings"] + (1 if omit_base else 2)  # + Base + Child
     truth["class_dumps"] = 4
     truth["prim_arrays"] = len(barr_ids) + 3
+    truth["objects"] = objects
+    truth["edges"] = edges
+    truth["roots"] = roots
     return truth
 
 

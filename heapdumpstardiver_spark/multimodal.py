@@ -45,15 +45,158 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
-    """Decode payloads with an injected codec. No codec libraries ship
-    in this environment — calling without *decoder* raises
-    ``NotImplementedError`` (deliberate stub; the mapInPandas shape is
-    what production uses with e.g. PIL/libav injected)."""
-    if decoder is None:
-        raise NotImplementedError(
-            "no media codec available in this environment; inject decoder=..."
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes,
+               filter_type: int | None = None) -> bytes:
+    """Minimal 8-bit RGB PNG encoder — stdlib zlib only, used to
+    build deterministic image fixtures. By default each scanline
+    cycles filter types 0-4 (None/Sub/Up/Average/Paeth) so a decoder
+    round-trip exercises every unfilter path in the spec."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    if len(rgb) != stride * height:
+        raise ValueError(f"need {stride * height} RGB bytes, got {len(rgb)}")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = rgb[y * stride:(y + 1) * stride]
+        ft = (y % 5) if filter_type is None else filter_type
+        raw.append(ft)
+        if ft == 0:
+            raw += line
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (line[i] - (((line[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            enc = bytearray()
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((line[i] - pred) & 0xFF)
+            raw += enc
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> bytes:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) to
+    raw RGB bytes — the built-in codec behind :func:`decode`, covering
+    8-bit non-interlaced truecolor (the fixture/export format). All
+    five PNG filter types are reconstructed per the spec; anything
+    fancier (palette, 16-bit, interlace) still needs an injected
+    codec."""
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h = 8, bytearray(), None, None
+    data = bytes(payload)
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise NotImplementedError(
+                    "built-in codec covers 8-bit non-interlaced RGB PNG only"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    p = 0
+    for _y in range(h):
+        ft = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                pr = a + b - c
+                pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def _builtin_decoder(payload: bytes) -> bytes:
+    if bytes(payload[:8]) == _PNG_MAGIC:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "no built-in codec for this payload format; inject decoder=... "
+        "(only PNG decodes stdlib-side in this environment)"
+    )
+
+
+def decode(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Decode payloads to raw bytes via Arrow-batched ``mapInPandas``.
+
+    PNG payloads decode with the built-in stdlib codec
+    (:func:`decode_png`); other formats need an injected *decoder*
+    (production would supply PIL/libav — those libraries don't ship in
+    this environment, and a non-PNG payload without an injected codec
+    raises ``NotImplementedError`` executor-side)."""
+    if decoder is None:
+        decoder = _builtin_decoder
 
     out_schema = T.StructType(
         list(MEDIA_SCHEMA.fields) + [T.StructField("decoded", T.BinaryType())]

@@ -176,3 +176,81 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("dim"),
         round_col(F.sqrt(dot(F.col("features"), F.col("features"))), 6).alias("norm"),
     )
+
+
+def _png_pattern(width: int, height: int, salt: int) -> bytes:
+    """Deterministic RGB test pattern: pixel (x, y, channel c) =
+    (7x + 13y + 31c + 3*salt) mod 256 — closed-form, so an oracle can
+    recompute every pixel without touching PNG bytes."""
+    return bytes(
+        (x * 7 + y * 13 + c * 31 + salt * 3) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+_N_PNG = 10  # images k=0..9, k-th is (8+k) x (5+k)
+
+
+@query(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 8 + i, 5 + i FROM (SELECT unnest(range({_N_PNG})) AS i)
+    ),
+    xs(x) AS (SELECT unnest(range(18))),
+    ys(y) AS (SELECT unnest(range(15))),
+    cs(c) AS (SELECT unnest(range(3))),
+    px AS (
+        SELECT media_id, w, h, (x * 7 + y * 13 + c * 31 + media_id * 3) % 256 AS v
+        FROM imgs, xs, ys, cs WHERE x < w AND y < h
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the production plumbing: deterministic
+    PNG payloads (stdlib encoder, per-row filter cycling over all five
+    PNG filter types) flow through ``multimodal.decode``'s Arrow-batched
+    ``mapInPandas`` with the built-in zlib+unfilter codec, then a
+    pandas_udf reduces decoded pixels to per-image statistics. The
+    oracle never sees PNG bytes: DuckDB recomputes every pixel from the
+    generative pattern formula, so any codec defect (wrong unfilter,
+    wrong stride, dropped scanline) breaks the value hash.
+
+    Scale shape: payloads stay inside one narrow mapInPandas stage
+    (never shuffled); only fixed-width stats flow downstream — the
+    contract a 100-TB image pipeline needs. Production swaps the codec
+    for PIL/libav via decode(decoder=...); schema and plan unchanged."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_png(8 + k, 5 + k, _png_pattern(8 + k, 5 + k, k)),
+            ("png", 8 + k, 5 + k, None, None),
+        )
+        for k in range(_N_PNG)
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+
+    byte_sum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"
+    )
+
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            byte_sum("decoded").alias("pixel_sum"),
+        )
+        .orderBy("media_id")
+    )

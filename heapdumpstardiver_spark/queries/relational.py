@@ -33,24 +33,50 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def hprof_fixture_path() -> str:
-    """The deterministic synthetic test dump, built once per machine at
-    a fixed scratch path and reused — repeated driver-gate/bench runs
-    previously leaked a fresh mkdtemp per call. Built to a temp name
-    and os.replace'd so concurrent callers see either nothing or a
-    complete file, never a partial write."""
-    import tempfile
+_FIXTURE: tuple[str, dict] | None = None
 
-    from ..ingest.hprof_writer import build_test_dump
 
-    d = os.path.join(tempfile.gettempdir(), "hds_hprof_fixture")
-    path = os.path.join(d, "t.hprof")
-    if not os.path.exists(path):
+def hprof_fixture() -> tuple[str, dict]:
+    """(path, ground-truth) for the deterministic synthetic test dump,
+    built once per process at a fixed scratch path and reused —
+    repeated driver-gate/bench runs previously leaked a fresh mkdtemp
+    per call. Built to a temp name and os.replace'd so concurrent
+    callers see either nothing or a complete file, never a partial
+    write. The truth dict carries the object index / reference edges /
+    GC roots recorded while writing (hprof_writer.build_test_dump), so
+    oracles can recompute graph results independently of ingest."""
+    global _FIXTURE
+    if _FIXTURE is None:
+        import tempfile
+
+        from ..ingest.hprof_writer import build_test_dump
+
+        d = os.path.join(tempfile.gettempdir(), "hds_hprof_fixture")
         os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "t.hprof")
         tmp = os.path.join(d, f"t.hprof.tmp.{os.getpid()}")
-        build_test_dump(tmp)
+        truth = build_test_dump(tmp)
         os.replace(tmp, path)
-    return path
+        _FIXTURE = (path, truth)
+    return _FIXTURE
+
+
+def hprof_fixture_path() -> str:
+    return hprof_fixture()[0]
+
+
+def _fixture_warehouse(spark: SparkSession):
+    """The test dump ingested once into a cached warehouse beside the
+    fixture (keyed by the ingest _SUCCESS marker) — lets graph queries
+    run against real ingested tables without re-converting per call."""
+    from ..catalog import Warehouse
+    from ..ingest import ingest_hprof
+
+    path = hprof_fixture_path()
+    wh_dir = os.path.join(os.path.dirname(path), "wh")
+    if not os.path.exists(os.path.join(wh_dir, "_SUCCESS")):
+        ingest_hprof(spark, path, wh_dir, overwrite=True)
+    return Warehouse(spark, wh_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1194,4 +1220,69 @@ def hprof_object_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_n"),
         )
         .orderBy("kind")
+    )
+
+
+def _reachability_oracle() -> str:
+    """Recursive-CTE oracle for reachability_live_census, derived from
+    the fixture writer's recorded graph truth (edges/roots/objects) —
+    DuckDB traverses the same graph with WITH RECURSIVE while Spark
+    runs the iterative-join BFS over the *ingested* warehouse, so the
+    two engines compute reachability through entirely different
+    machinery (the hierarchy_closure pattern, applied to the heap)."""
+    _, truth = hprof_fixture()
+    edges = ", ".join(f"({s}, {d})" for s, d in truth["edges"])
+    roots = ", ".join(f"({r})" for r in truth["roots"] if r != 0)
+    objs = ", ".join(f"({o}, '{t}')" for o, t in truth["objects"])
+    return f"""
+    WITH RECURSIVE
+    edges(src, dst) AS (SELECT * FROM (VALUES {edges}) e(src, dst)),
+    roots(obj_id) AS (SELECT DISTINCT r FROM (VALUES {roots}) r(r)),
+    objects(obj_id, type_name) AS (SELECT * FROM (VALUES {objs}) o(i, t)),
+    reach(obj_id) AS (
+        SELECT obj_id FROM roots
+        UNION
+        SELECT e.dst FROM reach r JOIN edges e ON e.src = r.obj_id
+    )
+    SELECT o.type_name,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(count(r.obj_id) AS BIGINT) AS n_reachable,
+           CAST(count(*) - count(r.obj_id) AS BIGINT) AS n_unreachable
+    FROM objects o LEFT JOIN reach r USING (obj_id)
+    GROUP BY o.type_name
+    ORDER BY type_name
+    """
+
+
+@query("reachability_live_census", oracle=_reachability_oracle())
+def reachability_live_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type liveness census over the INGESTED heap warehouse:
+    GC-root reachability (analytics/reachability.py — BFS as iterative
+    joins with anti-join dedup, arbitrary depth) joined back to
+    `_object_index`, counting reachable vs floating-garbage objects
+    per type. This is the arbitrary-depth traversal the reference's
+    fixed-join SQL surface cannot express (server.py:179-184 walks a
+    fixed number of hops); here it is driver-gated with a recursive-CTE
+    DuckDB oracle over the same graph.
+
+    Scale shape: the BFS frontier/visited sets are (obj_id) longs, the
+    per-round work is one join + one anti-join, rounds = reference-
+    chain depth with a non-convergence guard; the census itself is one
+    broadcast-sized join (live set ≪ index) + one aggregation."""
+    from ..analytics.reachability import reachable_from_roots
+
+    wh = _fixture_warehouse(spark)
+    live = reachable_from_roots(wh).withColumn("live", F.lit(1))
+    return (
+        wh.table("_object_index")
+        .join(live, "obj_id", "left")
+        .groupBy("type_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum(F.coalesce("live", F.lit(0))).cast("long").alias("n_reachable"),
+            F.sum(F.when(F.col("live").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unreachable"),
+        )
+        .orderBy("type_name")
     )

@@ -21,9 +21,43 @@ def media(spark):
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
 
-def test_decode_is_stubbed(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.decode(media)
+def test_decode_non_png_without_codec_raises(media):
+    # No injected codec and no PNG magic → the builtin dispatch raises
+    # executor-side (surfaced by Spark as a PythonException on action).
+    with pytest.raises(Exception, match="codec"):
+        M.decode(media).collect()
+
+
+def _pattern_rgb(width, height, salt):
+    return bytes(
+        (x * 7 + y * 13 + c * 31 + salt * 3) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+def test_png_roundtrip_all_filters():
+    """encode→decode must reproduce pixels exactly under every PNG
+    filter type (0-4) and under the per-row cycling default."""
+    rgb = _pattern_rgb(9, 7, 1)
+    for ft in (0, 1, 2, 3, 4, None):
+        png = M.encode_png(9, 7, rgb, filter_type=ft)
+        assert M.decode_png(png) == rgb, f"filter {ft}"
+
+
+def test_decode_builtin_png_through_spark(spark):
+    """Real PNG bytes through decode()'s mapInPandas with the builtin
+    stdlib codec — decoded pixels verified value-for-value."""
+    rows = [
+        (k, "image", M.encode_png(8 + k, 5 + k, _pattern_rgb(8 + k, 5 + k, k)),
+         ("png", 8 + k, 5 + k, None, None))
+        for k in range(4)
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: bytes(r["decoded"]) for r in M.decode(df).collect()}
+    for k in range(4):
+        assert out[k] == _pattern_rgb(8 + k, 5 + k, k)
 
 
 def test_decode_with_injected_decoder(media):
