@@ -48,6 +48,15 @@ from .findings import (
 )
 
 
+# Auto-sampling rule for the duplicate-strings scan, mirroring the
+# reference's "sample 20% above 5M strings" heuristic
+# (analyze_heap_parquet.py:264-274): when the caller passes no explicit
+# sample_fraction and the String table exceeds AUTO_SAMPLE_ROWS rows,
+# a seeded Bernoulli sample engages and results are scaled up.
+AUTO_SAMPLE_ROWS = 5_000_000
+AUTO_SAMPLE_FRACTION = 0.20
+
+
 def _table(wh: Warehouse, name: str) -> Optional[DataFrame]:
     try:
         return wh.table(name)
@@ -84,8 +93,8 @@ def check_duplicate_strings(
 
     scale = 1.0
     s = strings.select("obj_id", F.col("value").alias("byte_id"))
-    if sample_fraction is None and strings.count() > 5_000_000:
-        sample_fraction = 0.20  # auto-engage, like the reference's >5M rule
+    if sample_fraction is None and strings.count() > AUTO_SAMPLE_ROWS:
+        sample_fraction = AUTO_SAMPLE_FRACTION  # reference's >5M rule
     if sample_fraction is not None and sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=42)
         scale = 1.0 / sample_fraction

@@ -236,3 +236,19 @@ def test_sampled_duplicate_strings(wh):
     f = W.check_duplicate_strings(wh, sample_fraction=0.5)
     assert f is not None
     assert "[sampled 50%, scaled]" in f.details
+
+
+def test_auto_engaged_sampling_above_row_threshold(wh, monkeypatch):
+    """Above AUTO_SAMPLE_ROWS strings the 20% Bernoulli sample engages
+    automatically (reference's >5M rule) without an explicit
+    sample_fraction; an explicit fraction still overrides."""
+    monkeypatch.setattr(W, "AUTO_SAMPLE_ROWS", 3)
+    f = W.check_duplicate_strings(wh)
+    assert f is not None and "[sampled 20%, scaled]" in f.details
+    # explicit override still wins over the auto rule
+    f2 = W.check_duplicate_strings(wh, sample_fraction=0.5)
+    assert f2 is not None and "[sampled 50%, scaled]" in f2.details
+    # and below the threshold the scan stays exact
+    monkeypatch.setattr(W, "AUTO_SAMPLE_ROWS", 5_000_000)
+    f3 = W.check_duplicate_strings(wh)
+    assert f3 is not None and "sampled" not in f3.details
