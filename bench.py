@@ -5,6 +5,22 @@ one JSON line with per-query wall seconds.
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver), so timings measure the engine, not result
 transfer.
+
+Beyond the sf0.1 headline loop, the same JSON line carries the scale
+evidence the 100-TB posture rests on (each block skippable via env):
+
+- ``sf1``        (SPARK_GRAFT_SF1=0 to skip): the full headline set at
+  sf1 — 10x rows, deterministically derived from sf0.1 by
+  scripts/make_scale_data.py, cached under .bench/sf1 — with per-query
+  wall and the sf1/sf0.1 scale ratio. A query whose ratio grows well
+  past 10x has a super-linear term the small bench hides.
+- ``ingest``     (SPARK_GRAFT_BENCH_INGEST=0 to skip): HPROF-ingest
+  throughput (MB/s, rows/s) on a cached synthetic dump — the engine
+  side of the reference converter's wall-clock claims
+  (/root/reference/src/commands/dump_to_parquet.rs:938-941).
+- ``waste_pipeline`` (same knob): the reference's real user journey —
+  ingest output warehouse → all tier-1+2 waste checks — as one wall
+  number (analyze_heap MCP tool ≙ analytics/runner.py).
 """
 
 from __future__ import annotations
@@ -55,6 +71,128 @@ HEADLINE = CORE + LLM_OPS
 # plan over checkpointed intermediates.
 ITERATIVE = {"dedup_connected_components", "kmeans_embedding_clusters"}
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_queries(spark, sf_dir: str, reps: int = 2, warm: bool = True) -> dict:
+    """Per-query best-of-*reps* wall seconds over *sf_dir*.
+
+    Steady-state methodology: one untimed execution first (JIT/codegen
+    compile + file-listing warmup), then best-of-N timed runs — the min
+    of warm runs is the scheduler-noise-resistant statistic
+    round-over-round comparisons should track. The sf1 pass passes
+    warm=False, reps=1: one cold run is the right cost model for a
+    query someone runs once against a big corpus, and it keeps the
+    bench inside the driver's timeout.
+    """
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = hds.QUERIES[name]
+        if name in ITERATIVE:
+            if warm:
+                _noop(fn(spark, sf_dir))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _noop(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = fn(spark, sf_dir)
+            if warm:
+                _noop(df)
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _noop(df)
+                best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def bench_sf1(spark, base_timings: dict) -> dict:
+    """Scale-stress pass: same queries, 10x the rows (cached derived
+    dataset), one cold run each, with per-query and core-13 ratios
+    against the sf0.1 numbers from this same invocation."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from make_scale_data import REPLICAS, build_scale_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(_REPO, ".bench", "sf1")
+    )
+    t0 = time.perf_counter()
+    build_scale_dir(spark, src, sf1_dir)
+    build_s = round(time.perf_counter() - t0, 2)
+    timings = time_queries(spark, sf1_dir, reps=1, warm=False)
+    total = round(sum(timings.values()), 3)
+    ratios = {
+        q: round(timings[q] / base_timings[q], 1)
+        for q in timings
+        if base_timings.get(q)
+    }
+    core = round(sum(timings[q] for q in CORE), 3)
+    base_core = sum(base_timings.get(q, 0) for q in CORE)
+    return {
+        "replicas": REPLICAS,
+        "build_s": build_s,
+        "total": total,
+        "core13_total": core,
+        "core13_ratio_vs_sf0.1": round(core / base_core, 1) if base_core else None,
+        "queries": timings,
+        "ratio_vs_sf0.1": ratios,
+    }
+
+
+def bench_ingest_and_waste(spark) -> tuple[dict, dict]:
+    """HPROF ingest throughput + the ingest→waste-checks user journey,
+    on a cached deterministic synthetic dump (~240 MB at scale 1.0)."""
+    from heapdumpstardiver_spark.analytics.runner import run_waste_analysis
+    from heapdumpstardiver_spark.catalog import Warehouse
+    from heapdumpstardiver_spark.ingest import ingest_hprof
+    from heapdumpstardiver_spark.ingest.hprof_writer import build_scale_dump
+
+    scale = float(os.environ.get("SPARK_GRAFT_INGEST_SCALE", "1.0"))
+    bench_dir = os.path.join(_REPO, ".bench")
+    os.makedirs(bench_dir, exist_ok=True)
+    dump = os.path.join(bench_dir, f"ingest_scale_{scale}.hprof")
+    if not os.path.exists(dump):
+        build_scale_dump(
+            dump,
+            n_instances=int(3_000_000 * scale),
+            n_prim_arrays=int(800_000 * scale),
+            n_obj_arrays=int(400_000 * scale),
+        )
+    out_dir = os.path.join(bench_dir, "ingest_wh")
+
+    t0 = time.perf_counter()
+    manifest = ingest_hprof(spark, dump, out_dir, overwrite=True)
+    wall = time.perf_counter() - t0
+    size_mb = os.path.getsize(dump) / 1e6
+    ingest = {
+        "mb_per_s": round(size_mb / wall, 2),
+        "wall_s": round(wall, 2),
+        "dump_mb": round(size_mb, 1),
+        "rows": manifest["total_rows"],
+        "rows_per_s": round(manifest["total_rows"] / wall),
+        "n_splits": manifest["n_splits"],
+        "scale": scale,
+    }
+
+    wh = Warehouse(spark, out_dir)
+    t0 = time.perf_counter()
+    findings = run_waste_analysis(wh, max_tier=2)
+    waste_wall = time.perf_counter() - t0
+    waste = {
+        "wall_s": round(waste_wall, 2),
+        "n_findings": len(findings),
+        "end_to_end_s": round(wall + waste_wall, 2),
+    }
+    return ingest, waste
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,45 +205,23 @@ def main() -> None:
         1000
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = hds.QUERIES[name]
-        # Steady-state methodology: one untimed execution first (JIT/
-        # codegen compile + file-listing warmup), then best-of-two
-        # timed runs. Cold-start compile is a per-process constant, not
-        # a property of the plan; the min of warm runs is the
-        # scheduler-noise-resistant statistic round-over-round
-        # comparisons should track.
-        if name in ITERATIVE:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-        else:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
+    timings = time_queries(spark, sf_dir, reps=2, warm=True)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "core13_total": round(sum(timings[q] for q in CORE), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "core13_total": round(sum(timings[q] for q in CORE), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        out["sf1"] = bench_sf1(spark, timings)
+    if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
+        out["ingest"], out["waste_pipeline"] = bench_ingest_and_waste(spark)
+
+    print(json.dumps(out))
     spark.stop()
 
 

