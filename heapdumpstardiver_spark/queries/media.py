@@ -237,7 +237,13 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k in range(_N_PNG)
     ]
-    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA).repartition(4)
+    # Parallelism set at the source (numSlices), NOT via .repartition:
+    # a repartition would put the payload bytes through a round-robin
+    # exchange, breaking the payloads-never-shuffle contract the plan
+    # test pins.
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
 
     byte_sum = F.pandas_udf(
         lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"

@@ -226,3 +226,40 @@ def test_hierarchy_closure_rounds_are_broadcast_joins(spark):
     df = hds.QUERIES["hierarchy_closure"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_png_decode_payload_never_shuffles(spark):
+    """multimodal_png_decode: media payloads stay inside one narrow
+    mapInPandas stage — no exchange below the decode, binary columns
+    pruned before the stats exchange, and the pixel reduction is
+    Arrow-batched (never row-at-a-time Python)."""
+    df = hds.QUERIES["multimodal_png_decode"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the only exchange is the final stats ordering; no payload-bearing
+    # round-robin/hash repartition anywhere
+    assert "RoundRobinPartitioning" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "rangepartitioning" not in ln:
+            raise AssertionError(f"unexpected exchange: {ln.strip()}")
+
+
+def test_reachability_census_broadcasts_live_set(spark):
+    """reachability_live_census: the BFS result (obj_id longs, tiny
+    next to the object index) is the broadcast side of the census
+    join, the index scan reads only (obj_id, type_name), and partial
+    aggregation runs before the exchange."""
+    df = hds.QUERIES["reachability_live_census"](spark, SF_DIR)
+    df.collect()  # AQE-final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter, BuildRight" in plan
+    bcast = plan.split("BroadcastExchange")[1]
+    assert "sys_object_index" not in bcast.split("== Initial Plan ==")[0]
+    (scan,) = [
+        ln for ln in plan.split("== Initial Plan ==")[0].splitlines()
+        if "FileScan parquet" in ln and "sys_object_index" in ln
+    ]
+    assert "obj_id" in scan and "type_name" in scan
+    assert "partial_count" in plan
