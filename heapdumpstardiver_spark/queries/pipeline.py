@@ -881,7 +881,11 @@ def _km_update(src: str, dst: str) -> str:
                  FROM m{dst} GROUP BY cid, pos) GROUP BY cid)"""
 
 
-_KMEANS_ORACLE = f"""
+# Shared CTE chain: deterministic-init 2-round Lloyd over the
+# embeddings view, ending in per-vector assignments (a3; rn = 1 rows
+# are each vector's argmin centroid). Reused by the k-means census
+# and the SemDeDup-style within-cluster pruning oracle.
+_KMEANS_ASG_CTE = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 4),
 a1 AS (SELECT a.vec_id, a.v, c.cid,
@@ -892,44 +896,33 @@ a2 AS (SELECT a.vec_id, a.v, c.cid,
               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_KM_DIST} ASC, c.cid) rn
        FROM v a CROSS JOIN c1 c),
 {_km_update("a2", "2")},
-a3 AS (SELECT a.vec_id, c.cid, {_KM_DIST} AS dist,
+a3 AS (SELECT a.vec_id, a.v, c.cid, {_KM_DIST} AS dist,
               row_number() OVER (PARTITION BY a.vec_id ORDER BY {_KM_DIST} ASC, c.cid) rn
-       FROM v a CROSS JOIN c2 c)
+       FROM v a CROSS JOIN c2 c)"""
+
+_KMEANS_ORACLE = f"""
+{_KMEANS_ASG_CTE}
 SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n_vectors,
        {_km_rnd("sum(dist)", 2)} AS inertia
 FROM a3 WHERE rn = 1 GROUP BY cid
 """
 
 
-@query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE)
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means clustering over the embedding corpus (k=4, two exact
-    Lloyd iterations, deterministic init = vec_id < k): the curation
-    stage behind cluster-balanced sampling and semantic dedup at
-    corpus scale. Output: per-cluster membership count and inertia.
+def _lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = 4,
+                       rounds: int = 2) -> DataFrame:
+    """(vec_id, v, cid, dist) after *rounds* exact Lloyd iterations
+    with deterministic init (vec_id < k) — the shared clustering core
+    behind kmeans_embedding_clusters and semantic_dedup_centroid;
+    mirrors the a3 CTE of _KMEANS_ASG_CTE value-for-value.
 
-    Scale shape — the same posture as `similarity_ivf_probe`: the
-    centroid set is k-bounded INDEX METADATA. Each Lloyd round is (a)
-    a narrow argmin projection over the corpus (centroids unrolled as
-    literal vectors; no join, no shuffle of the vectors) and (b) one
-    (cid, dim) hash aggregation whose k x d result is collected and
-    re-broadcast — the corpus itself never moves or materializes per-
-    iteration state. Iteration count is fixed (driver loop over
-    bounded aggregates), matching how MLlib's own k-means schedules
-    rounds. Parity: all dot products are sequential folds
-    (exprs.dot ≙ list_dot_product), centroid components are rounded
-    to 6 dp each round to pin down summation-order drift, and ties in
-    the argmin break to the smallest centroid id in both engines.
-    """
+    The loop input is loop-invariant: checkpointed once so each
+    round's assignment reads the materialized vectors instead of
+    re-scanning the embeddings parquet per iteration (at 100 TB you
+    persist the assignment input, not re-read the corpus per round —
+    the same posture as _cc_labels' edge-list checkpoint)."""
     from ..exprs import dot
 
-    k = 4
     e = _t(spark, sf_dir, "embeddings")
-    # The Lloyd loop's input is loop-invariant: checkpoint it once so
-    # each round's assignment reads the materialized vectors instead of
-    # re-scanning the embeddings parquet per iteration (at 100 TB you
-    # persist the assignment input, not re-read the corpus per round —
-    # the same posture as _cc_labels' edge-list checkpoint).
     v = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).localCheckpoint()
@@ -971,7 +964,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist", -best.getField("negd")
         )
 
-    for _ in range(2):
+    for _ in range(rounds):
         rows = (
             assign(cents)
             .select("cid", F.posexplode("v").alias("pos", "val"))
@@ -986,14 +979,114 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by.items()
         )
 
+    return assign(cents)
+
+
+@query("kmeans_embedding_clusters", oracle=_KMEANS_ORACLE)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding corpus (k=4, two exact
+    Lloyd iterations, deterministic init = vec_id < k): the curation
+    stage behind cluster-balanced sampling and semantic dedup at
+    corpus scale. Output: per-cluster membership count and inertia.
+
+    Scale shape — the same posture as `similarity_ivf_probe`: the
+    centroid set is k-bounded INDEX METADATA. Each Lloyd round is (a)
+    a narrow argmin projection over the corpus (centroids unrolled as
+    literal vectors; no join, no shuffle of the vectors) and (b) one
+    (cid, dim) hash aggregation whose k x d result is collected and
+    re-broadcast — the corpus itself never moves or materializes per-
+    iteration state. Iteration count is fixed (driver loop over
+    bounded aggregates), matching how MLlib's own k-means schedules
+    rounds. Parity: all dot products are sequential folds
+    (exprs.dot ≙ list_dot_product), centroid components are rounded
+    to 6 dp each round to pin down summation-order drift, and ties in
+    the argmin break to the smallest centroid id in both engines.
+    """
     return (
-        assign(cents)
+        _lloyd_assignments(spark, sf_dir)
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             round_col(F.sum("dist"), 2).alias("inertia"),
         )
         .select(F.col("cid").cast("int").alias("cluster_id"), "n_vectors", "inertia")
+    )
+
+
+@query(
+    "semantic_dedup_centroid",
+    oracle=f"""
+    {_KMEANS_ASG_CTE},
+    asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+    pairs AS (
+        SELECT a.cid, b.vec_id AS drop_id
+        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.35
+    ),
+    dropped AS (SELECT DISTINCT cid, drop_id FROM pairs)
+    SELECT CAST(asg.cid AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(d.drop_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.drop_id) AS BIGINT) AS n_kept
+    FROM asg LEFT JOIN dropped d
+      ON asg.cid = d.cid AND asg.vec_id = d.drop_id
+    GROUP BY asg.cid
+    ORDER BY cluster_id
+    """,
+)
+def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    corpus is k-means-clustered (shared 2-round Lloyd core,
+    `_lloyd_assignments`), then near-duplicate pruning runs only
+    WITHIN each cluster — a vector is dropped when a lower-id
+    same-cluster neighbor exceeds cosine 0.35 (keep-min rule, same
+    determinism as the dedup family). Output: per-cluster kept/dropped
+    census.
+
+    Scale shape: clustering makes the quadratic term per-cluster, not
+    corpus-wide — pairs form inside a cid-equijoin, so the shuffle key
+    is the cluster id and k grows with the corpus to bound cluster
+    size (same bucketing discipline as the LSH families; here the
+    "bucket" is learned rather than hashed). Both engines evaluate
+    the identical sequential-fold cosine, so the threshold comparison
+    is exact."""
+    from ..exprs import dot
+
+    asg = _lloyd_assignments(spark, sf_dir).select(
+        "vec_id", "v", "cid"
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = asg.alias("a"), asg.alias("b")
+    cs = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cs > 0.35)
+        .select(F.col("b.cid").alias("cid"), F.col("b.vec_id").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        asg.join(
+            dropped,
+            (asg.cid == dropped.cid) & (asg.vec_id == dropped.drop_id),
+            "left",
+        )
+        .groupBy(asg.cid)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("drop_id").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("drop_id")).alias("n_kept"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_vectors",
+            "n_dropped",
+            "n_kept",
+        )
+        .orderBy("cluster_id")
     )
 
 
