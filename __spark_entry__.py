@@ -55,7 +55,7 @@ _CHECK_PRIORITY = [
     "approx_distinct_sketch",
     # new this round (r4)
     "reachability_live_census", "multimodal_png_decode",
-    "semantic_dedup_centroid",
+    "semantic_dedup_centroid", "bigram_logprob_score",
 ]
 
 

@@ -638,6 +638,76 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(tokens, 1) AS pos, unnest(tokens) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    seq AS (
+        SELECT doc_id, pos, token,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks WHERE token <> ''
+    ),
+    bg AS (SELECT doc_id, prev, token FROM seq WHERE prev IS NOT NULL),
+    freq AS (
+        SELECT doc_id,
+               count(*) OVER (PARTITION BY prev, token) AS c2,
+               count(*) OVER (PARTITION BY prev) AS c1
+        FROM bg
+    )
+    SELECT doc_id,
+           {round_sql("-avg(ln(CAST(c2 AS DOUBLE) / c1))", 6)} AS nll,
+           count(*) AS n_bigrams
+    FROM freq
+    GROUP BY doc_id
+    ORDER BY nll DESC, doc_id
+    LIMIT 50
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: mean negative conditional
+    log-probability -avg(ln P(w_i | w_{i-1})) of each document under
+    the corpus's own bigram distribution (MLE: bigram count over
+    context count) — one step up the n-gram ladder from
+    `unigram_logprob_score`, sensitive to unusual TRANSITIONS (word
+    salad, shuffled boilerplate) that unigram frequency cannot see.
+    Top-50 most atypical documents.
+
+    Shape: positions from one posexplode, adjacency from a per-doc lag
+    window, both corpus counts (bigram and its context) as window
+    counts over the same bigram relation — no aggregate-then-join-back
+    branch re-scanning the corpus; the per-doc rollup is one further
+    shuffle. All counts are exact integers; both engines evaluate the
+    identical ln ratio."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    seq = toks.withColumn(
+        "prev",
+        F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    bg = seq.filter(F.col("prev").isNotNull()).select("doc_id", "prev", "token")
+    freq = bg.withColumn(
+        "c2", F.count(F.lit(1)).over(Window.partitionBy("prev", "token"))
+    ).withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("prev")))
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            round_col(
+                -F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6
+            ).alias("nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy(F.desc("nll"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
     "repetition_filter_gopher",
     oracle=f"""
     WITH toks AS (

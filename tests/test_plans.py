@@ -263,3 +263,13 @@ def test_reachability_census_broadcasts_live_set(spark):
     ]
     assert "obj_id" in scan and "type_name" in scan
     assert "partial_count" in plan
+
+
+def test_bigram_score_single_scan(spark):
+    """bigram_logprob_score: positions, adjacency and both corpus
+    counts all derive from ONE documents scan (window counts, no
+    aggregate-then-join-back branch that would re-read the corpus)."""
+    df = hds.QUERIES["bigram_logprob_score"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(scan_lines(plan, "documents")) == 1
+    assert "BatchEvalPython" not in plan
