@@ -1087,10 +1087,20 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup_centroid",
     oracle=f"""
     {_KMEANS_ASG_CTE},
-    asg AS (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+    asg AS (
+        SELECT vec_id, v, cid,
+               (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM a3 WHERE rn = 1
+    ),
     pairs AS (
         SELECT a.cid, b.vec_id AS drop_id
-        FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.35
     ),
@@ -1109,29 +1119,48 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
     corpus is k-means-clustered (shared 2-round Lloyd core,
     `_lloyd_assignments`), then near-duplicate pruning runs only
-    WITHIN each cluster — a vector is dropped when a lower-id
-    same-cluster neighbor exceeds cosine 0.35 (keep-min rule, same
-    determinism as the dedup family). Output: per-cluster kept/dropped
-    census.
+    within each cluster — a vector is dropped when a lower-id
+    neighbor in the same (cluster, sign-bucket) block exceeds cosine
+    0.35 (keep-min rule, same determinism as the dedup family).
+    Output: per-cluster kept/dropped census.
 
-    Scale shape: clustering makes the quadratic term per-cluster, not
-    corpus-wide — pairs form inside a cid-equijoin, so the shuffle key
-    is the cluster id and k grows with the corpus to bound cluster
-    size (same bucketing discipline as the LSH families; here the
-    "bucket" is learned rather than hashed). Both engines evaluate
-    the identical sequential-fold cosine, so the threshold comparison
-    is exact."""
+    Scale shape — TWO-LEVEL blocking, learned x hashed: the pair join
+    keys on (cid, sign-bucket), where the bucket reuses
+    embedding_near_dup_pairs' corpus-scaled plane count
+    ``max(6, ceil(log2(n/32)))``. Clustering alone is NOT enough: the
+    r4 all-query sf1 sweep caught the cid-only version going 44x at
+    10x rows (fixed k=4 ⇒ clusters grow 10x ⇒ within-cluster pairs
+    100x). With the hashed second level the per-block quadratic stays
+    bounded no matter how k relates to n. The oracle pins 6 sign bits,
+    which the formula yields at every oracle scale (n <= 2048). Both
+    engines evaluate the identical sequential-fold cosine, so the
+    threshold comparison is exact."""
+    import math
+
     from ..exprs import dot
 
-    asg = _lloyd_assignments(spark, sf_dir).select(
-        "vec_id", "v", "cid"
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    n = _t(spark, sf_dir, "embeddings").count()
+    planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
+    bucket = sum(
+        (
+            F.when(F.element_at("v", i + 1) > 0, 1 << (planes - 1 - i)).otherwise(0)
+            for i in range(planes)
+        ),
+        start=F.lit(0),
+    )
+    asg = (
+        _lloyd_assignments(spark, sf_dir)
+        .select("vec_id", "v", "cid")
+        .withColumn("bucket", bucket)
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
     a, b = asg.alias("a"), asg.alias("b")
     cs = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     dropped = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cs > 0.35)

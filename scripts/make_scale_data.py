@@ -49,8 +49,11 @@ _KEYS = {
 }
 _COPY = ("region", "nation")
 # output file counts sized so partitions stay in the tens of MB
-_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 4,
-          "embeddings": 2, "customer": 2, "part": 2, "supplier": 1}
+# documents gets 16 files although it is small: the explode-heavy
+# queries (frame sampling, shingles) parallelize by input split, and
+# 4 files starved them 8x at sf1 (r4 sweep).
+_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 16,
+          "embeddings": 4, "customer": 2, "part": 2, "supplier": 1}
 
 _VOWELS = "aeiou"
 
