@@ -53,9 +53,10 @@ _CHECK_PRIORITY = [
     # rows-only sketch (no oracle by design) — weakest check, last of
     # the stale block
     "approx_distinct_sketch",
-    # new this round (r4)
+    # new this round (r4) — exactly fills the ~50-query cap
     "reachability_live_census", "multimodal_png_decode",
     "semantic_dedup_centroid", "bigram_logprob_score",
+    "single_retainer_bytes",
 ]
 
 

@@ -143,10 +143,14 @@ def build_test_dump(
     w = HprofWriter(id_size=id_size)
     truth: dict = {}
     # Graph-level ground truth recorded while writing, so oracles can
-    # recompute reachability independently: (obj_id, type_name) for
-    # every object the ingest `_object_index` will list, (src, dst)
-    # for every non-null reference edge, and the GC-root object ids.
-    objects: list[tuple[int, str]] = []
+    # recompute reachability and memory attribution independently:
+    # (obj_id, type_name, shallow_bytes) for every object the ingest
+    # `_object_index` will list — shallow_bytes = 16-byte header +
+    # packed field bytes (instances) or element bytes (arrays), the
+    # same additive model the engine derives from `_field_types` /
+    # array lengths — plus (src, dst) for every non-null reference
+    # edge and the GC-root object ids.
+    objects: list[tuple[int, str, int]] = []
     edges: list[tuple[int, int]] = []
     roots: list[int] = []
 
@@ -185,10 +189,10 @@ def build_test_dump(
     )
     seg += w.class_dump(CHILD, BASE, 25, [], [(w.sid("id"), 10), (w.sid("ref"), 2)])
     objects += [
-        (OBJ, "class java.lang.Object"),
-        (STR, "class java.lang.String"),
-        (BASE, "class com.test.Base"),
-        (CHILD, "class com.test.Child"),
+        (OBJ, "class java.lang.Object", 16),
+        (STR, "class java.lang.String", 16),
+        (BASE, "class com.test.Base", 16),
+        (CHILD, "class com.test.Child", 16),
     ]
     edges.append((BASE, 0xBEEF))  # Base.SHARED static Object ref
 
@@ -199,13 +203,14 @@ def build_test_dump(
         oid = w.oid()
         barr_ids.append(oid)
         seg += w.prim_array(oid, 8, "b", content)
-        objects.append((oid, "byte[]"))
+        objects.append((oid, "byte[]", 16 + len(content)))
     truth["byte_arrays"] = len(barr_ids)
     # an int array + a double array + empty long array
     ia = w.oid(); seg += w.prim_array(ia, 10, "i", [0, 0, 0])         # all-zero
     da = w.oid(); seg += w.prim_array(da, 7, "d", [1.5, -2.25])
     la = w.oid(); seg += w.prim_array(la, 11, "q", [])                # zero-length
-    objects += [(ia, "int[]"), (da, "double[]"), (la, "long[]")]
+    objects += [(ia, "int[]", 16 + 3 * 4), (da, "double[]", 16 + 2 * 8),
+                (la, "long[]", 16)]
     # strings: 4 strings → first three share the dup byte array contents
     str_ids = []
     for i, b in enumerate(barr_ids[:4]):
@@ -213,15 +218,16 @@ def build_test_dump(
         str_ids.append(oid)
         packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x01"
         seg += w.instance(oid, STR, packed)
-        objects.append((oid, "java.lang.String"))
+        objects.append((oid, "java.lang.String", 16 + len(packed)))
         edges.append((oid, b))  # String.value
     truth["strings"] = len(str_ids)
 
     # Base + Child instances (Child packed: own fields first, then Base's)
     base_inst = w.oid()
     if not omit_base:
-        seg += w.instance(base_inst, BASE, struct.pack(">q", 1234567) + b"\x01")
-        objects.append((base_inst, "com.test.Base"))
+        base_packed = struct.pack(">q", 1234567) + b"\x01"
+        seg += w.instance(base_inst, BASE, base_packed)
+        objects.append((base_inst, "com.test.Base", 16 + len(base_packed)))
     child_inst = w.oid()
     child_packed = (
         struct.pack(">i", 77)            # Child.id (int)
@@ -230,7 +236,7 @@ def build_test_dump(
         + b"\x00"                        # Base.flag
     )
     seg += w.instance(child_inst, CHILD, child_packed)
-    objects.append((child_inst, "com.test.Child"))
+    objects.append((child_inst, "com.test.Child", 16 + len(child_packed)))
     edges.append((child_inst, str_ids[0]))  # Child.ref
     truth["child_inst"] = child_inst
     truth["child_ref"] = str_ids[0]
@@ -238,7 +244,8 @@ def build_test_dump(
     # object arrays
     oa1 = w.oid(); seg += w.obj_array(oa1, OARR, [str_ids[0], 0, str_ids[1]])
     oa2 = w.oid(); seg += w.obj_array(oa2, OARR, [])
-    objects += [(oa1, "java.lang.Object[]"), (oa2, "java.lang.Object[]")]
+    objects += [(oa1, "java.lang.Object[]", 16 + 8 * 3),
+                (oa2, "java.lang.Object[]", 16)]
     edges += [(oa1, str_ids[0]), (oa1, str_ids[1])]  # null slot → no edge
     truth["object_arrays"] = 2
 
@@ -266,14 +273,14 @@ def build_test_dump(
         extra_strs.append(oid)
         packed = w.pack_id(b) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
-        objects.append((oid, "java.lang.String"))
+        objects.append((oid, "java.lang.String", 16 + len(packed)))
         edges.append((oid, b))
     truth["strings"] += 2
     for _ in range(extra_strings):
         oid = w.oid()
         packed = w.pack_id(barr_ids[0]) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
-        objects.append((oid, "java.lang.String"))
+        objects.append((oid, "java.lang.String", 16 + len(packed)))
         edges.append((oid, barr_ids[0]))
     truth["strings"] += extra_strings
     w.heap_segment(bytes(seg2))

@@ -1233,7 +1233,7 @@ def _reachability_oracle() -> str:
     _, truth = hprof_fixture()
     edges = ", ".join(f"({s}, {d})" for s, d in truth["edges"])
     roots = ", ".join(f"({r})" for r in truth["roots"] if r != 0)
-    objs = ", ".join(f"({o}, '{t}')" for o, t in truth["objects"])
+    objs = ", ".join(f"({o}, '{t}')" for o, t, _sz in truth["objects"])
     return f"""
     WITH RECURSIVE
     edges(src, dst) AS (SELECT * FROM (VALUES {edges}) e(src, dst)),
@@ -1285,4 +1285,149 @@ def reachability_live_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unreachable"),
         )
         .orderBy("type_name")
+    )
+
+
+def _retainer_oracle() -> str:
+    """Oracle for single_retainer_bytes from the fixture writer's
+    recorded graph truth: DuckDB recomputes in-degrees over the edge
+    VALUES and aggregates shallow sizes recorded at write time, while
+    Spark derives the same quantities from the INGESTED warehouse
+    (edge assembly from _field_types/_object_arrays/_static_fields,
+    sizes from field-width sums and array lengths) — two independent
+    derivations of the same additive size model."""
+    _, truth = hprof_fixture()
+    edges = ", ".join(f"({s}, {d})" for s, d in truth["edges"])
+    objs = ", ".join(f"({o}, '{t}', {sz})" for o, t, sz in truth["objects"])
+    return f"""
+    WITH
+    edges(src, dst) AS (SELECT DISTINCT * FROM (VALUES {edges}) e(src, dst)),
+    objects(obj_id, type_name, shallow_bytes) AS (
+        SELECT * FROM (VALUES {objs}) o(i, t, b)),
+    indeg AS (
+        SELECT dst, count(*) AS n, min(src) AS retainer
+        FROM edges GROUP BY dst HAVING count(*) = 1
+    )
+    SELECT ro.type_name AS retainer_type,
+           oo.type_name AS retained_type,
+           CAST(count(*) AS BIGINT) AS n_objects,
+           CAST(sum(oo.shallow_bytes) AS BIGINT) AS retained_bytes
+    FROM indeg i
+    JOIN objects oo ON oo.obj_id = i.dst
+    JOIN objects ro ON ro.obj_id = i.retainer
+    GROUP BY ro.type_name, oo.type_name
+    ORDER BY retained_bytes DESC, retainer_type, retained_type
+    """
+
+
+# Primitive widths by _field_types name / primitive-array table suffix.
+_PRIM_WIDTHS = {
+    "Object": 8, "long": 8, "double": 8, "int": 4, "float": 4,
+    "short": 2, "char": 2, "byte": 1, "boolean": 1,
+}
+_OBJ_HEADER = 16
+
+
+@query("single_retainer_bytes", oracle=_retainer_oracle())
+def single_retainer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory attribution by sole retainer — the poor-man's dominator
+    tree: every object with exactly ONE incoming reference edge is
+    retained by that referrer, so its shallow bytes attribute to the
+    (retainer type, retained type) pair. This is the "who is holding
+    this memory" triage view behind MAT-style retained-size analysis;
+    single-retainer attribution is exact (freeing the retainer frees
+    the object) and needs no dominator-tree computation. Shallow
+    sizes use the additive model header(16) + field bytes (from the
+    `_field_types` layout) for instances and header + element bytes
+    for arrays — derived entirely from warehouse metadata, while the
+    oracle replays sizes recorded independently at dump-write time.
+
+    Scale shape: in-degree is one groupBy over the fixed-width edge
+    list; sizes come from metadata-bounded per-class maps plus one
+    `size()` projection per array table; the final rollup is a
+    (type, type) aggregation — nothing driver-side beyond the class
+    registry."""
+    from ..analytics.reachability import heap_edges
+
+    wh = _fixture_warehouse(spark)
+    edges = heap_edges(wh).distinct()
+    single = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("src").alias("retainer"))
+        .filter(F.col("n") == 1)
+    )
+
+    # Per-class shallow size from the declared layout (class-registry
+    # bounded, same posture as heap_edges' field discovery).
+    ft = wh.table("_field_types")
+    class_sizes = ft.groupBy("class_name").agg(
+        (
+            F.lit(_OBJ_HEADER)
+            + F.sum(
+                F.coalesce(
+                    *[
+                        F.when(F.col("field_type") == name, F.lit(w))
+                        for name, w in _PRIM_WIDTHS.items()
+                    ]
+                )
+            )
+        ).alias("shallow_bytes")
+    )
+    oi = wh.table("_object_index")
+    inst_sizes = oi.join(
+        F.broadcast(class_sizes), oi.type_name == class_sizes.class_name
+    ).select("obj_id", "shallow_bytes")
+    parts = [inst_sizes]
+    for suffix, width in (
+        ("byte", 1), ("boolean", 1), ("char", 2), ("short", 2),
+        ("int", 4), ("float", 4), ("long", 8), ("double", 8),
+    ):
+        try:
+            t = wh.table(f"_primitive_arrays_{suffix}")
+        except KeyError:
+            continue
+        parts.append(
+            t.select(
+                "obj_id",
+                (F.lit(_OBJ_HEADER) + F.size("values") * width)
+                .cast("long")
+                .alias("shallow_bytes"),
+            )
+        )
+    try:
+        oa = wh.table("_object_arrays")
+        parts.append(
+            oa.select(
+                "obj_id",
+                (F.lit(_OBJ_HEADER) + F.size("elements") * 8)
+                .cast("long")
+                .alias("shallow_bytes"),
+            )
+        )
+    except KeyError:
+        pass
+    sizes = parts[0]
+    for p in parts[1:]:
+        sizes = sizes.unionByName(p)
+
+    retained = single.join(sizes, single.dst == sizes.obj_id).join(
+        oi.select(
+            F.col("obj_id").alias("r_obj"), F.col("type_name").alias("retained_type")
+        ),
+        F.col("dst") == F.col("r_obj"),
+    )
+    return (
+        retained.join(
+            oi.select(
+                F.col("obj_id").alias("t_obj"),
+                F.col("type_name").alias("retainer_type"),
+            ),
+            F.col("retainer") == F.col("t_obj"),
+        )
+        .groupBy("retainer_type", "retained_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("shallow_bytes").cast("long").alias("retained_bytes"),
+        )
+        .orderBy(F.desc("retained_bytes"), "retainer_type", "retained_type")
     )
