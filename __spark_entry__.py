@@ -57,6 +57,9 @@ _CHECK_PRIORITY = [
     "reachability_live_census", "multimodal_png_decode",
     "semantic_dedup_centroid", "bigram_logprob_score",
     "single_retainer_bytes",
+    # past the r4 cap by design: front of the r5 queue (locally
+    # parity-tested every round regardless)
+    "gc_root_path",
 ]
 
 

@@ -1431,3 +1431,96 @@ def single_retainer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("retained_bytes"), "retainer_type", "retained_type")
     )
+
+
+def _root_path_oracle() -> str:
+    """Oracle for gc_root_path: DuckDB enumerates every root-to-object
+    path with a recursive CTE (depth-bounded cycle guard) and picks,
+    per object, the (depth, path)-minimal one; Spark's BFS keeps one
+    min path per node per layer. With fixed-width id segments,
+    per-layer greedy prefix minimality equals the global
+    (depth, path) minimum, so the two constructions agree exactly."""
+    _, truth = hprof_fixture()
+    edges = ", ".join(f"({s}, {d})" for s, d in truth["edges"])
+    roots = ", ".join(f"({r})" for r in truth["roots"] if r != 0)
+    objs = ", ".join(f"({o}, '{t}')" for o, t, _sz in truth["objects"])
+    return f"""
+    WITH RECURSIVE
+    edges(src, dst) AS (SELECT DISTINCT * FROM (VALUES {edges}) e(src, dst)),
+    roots(obj_id) AS (SELECT DISTINCT r FROM (VALUES {roots}) r(r)),
+    objects(obj_id, type_name) AS (SELECT * FROM (VALUES {objs}) o(i, t)),
+    walk(node, depth, path) AS (
+        SELECT obj_id, 0, lpad(CAST(obj_id AS VARCHAR), 8, '0') FROM roots
+        UNION
+        SELECT e.dst, w.depth + 1,
+               w.path || '->' || lpad(CAST(e.dst AS VARCHAR), 8, '0')
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 16
+    ),
+    best AS (
+        SELECT node, depth, path,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY depth, path) AS rn
+        FROM walk
+    )
+    SELECT o.obj_id, o.type_name,
+           CAST(b.depth AS INT) AS depth, b.path
+    FROM best b JOIN objects o ON o.obj_id = b.node
+    WHERE b.rn = 1
+    ORDER BY o.obj_id
+    """
+
+
+@query("gc_root_path", oracle=_root_path_oracle())
+def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why-is-this-alive: for every reachable object, the shortest
+    reference path from a GC root (ties broken by the lexicographically
+    smallest fixed-width path), as `root->...->object`. This is the
+    path-to-GC-roots view every heap analyzer leads with and the
+    reference's fixed-JOIN SQL cannot express for arbitrary depth.
+
+    BFS with path tracking: the frontier carries (node, path); each
+    round extends paths over the edge list, keeps one min path per
+    newly-discovered node, and anti-joins the visited set — per-round
+    state is one fixed-width string per node, rounds = reference-chain
+    depth. Ids are zero-padded so lexicographic order equals numeric
+    order, which makes the per-layer greedy choice equal the global
+    (depth, path) minimum the oracle computes by full enumeration."""
+    from ..analytics.reachability import heap_edges
+
+    wh = _fixture_warehouse(spark)
+    edges = heap_edges(wh).distinct().localCheckpoint()
+    pad = lambda c: F.lpad(c.cast("string"), 8, "0")  # noqa: E731
+    roots = (
+        wh.table("_gc_roots")
+        .filter(F.col("obj_id") != 0)
+        .select("obj_id")
+        .distinct()
+        .select("obj_id", F.lit(0).alias("depth"), pad(F.col("obj_id")).alias("path"))
+        .localCheckpoint()
+    )
+    visited = roots
+    frontier = roots
+    for depth in range(1, 17):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.obj_id)
+            .select(
+                F.col("dst").alias("obj_id"),
+                F.lit(depth).alias("depth"),
+                F.concat(F.col("path"), F.lit("->"), pad(F.col("dst"))).alias("path"),
+            )
+            .groupBy("obj_id", "depth")
+            .agg(F.min("path").alias("path"))
+            .join(visited, "obj_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    oi = wh.table("_object_index")
+    return (
+        visited.join(oi, "obj_id")
+        .select("obj_id", "type_name", F.col("depth").cast("int").alias("depth"), "path")
+        .orderBy("obj_id")
+    )
