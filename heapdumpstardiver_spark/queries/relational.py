@@ -1476,8 +1476,11 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Why-is-this-alive: for every reachable object, the shortest
     reference path from a GC root (ties broken by the lexicographically
     smallest fixed-width path), as `root->...->object`. This is the
-    path-to-GC-roots view every heap analyzer leads with and the
-    reference's fixed-JOIN SQL cannot express for arbitrary depth.
+    path-to-GC-roots view every heap analyzer leads with; the
+    reference's relational surface can only walk a fixed number of
+    hops by writing one JOIN per hop
+    (/root/reference/mcp_server/server.py:179-184), so arbitrary-depth
+    paths are outside its expressible queries.
 
     BFS with path tracking: the frontier carries (node, path); each
     round extends paths over the edge list, keeps one min path per
