@@ -59,7 +59,8 @@ _CHECK_PRIORITY = [
     "single_retainer_bytes",
     # past the r4 cap by design: front of the r5 queue (locally
     # parity-tested every round regardless)
-    "gc_root_path",
+    "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
+    "quality_classifier_score", "vocab_oov_coverage",
 ]
 
 

@@ -1060,3 +1060,130 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_counts.join(kept, "source").select(
         "source", "batch_docs", "kept_docs"
     )
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               CAST(n_chars AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t <> '')) AS cpt,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t <> '')) AS sw
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               1.0 / (1.0 + exp(-(-1.0 + 0.02 * (n_tokens / 10.0)
+                                  + 0.1 * cpt + 2.0 * sw))) AS score
+        FROM feat
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           {round_sql("avg(score)", 4)} AS avg_score
+    FROM scored GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed linear classifier
+    (fastText-style quality model distilled to literal weights) scored
+    entirely JVM-side — features (token count, chars/token, stopword
+    ratio) from one pass of higher-order array functions, then a
+    sigmoid and a per-source pass-rate rollup. This is the "apply the
+    quality model to the whole crawl" stage; in production the
+    weights come from a trained model, the plan is identical.
+
+    One scan, one aggregation shuffle; no UDF (sigmoid is exp(), a
+    JVM intrinsic). The oracle replays the identical feature formulas
+    and weights in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    cpt = F.col("n_chars").cast("double") / n_tokens
+    sw = (
+        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a"))).cast("double")
+        / n_tokens
+    )
+    z = (
+        F.lit(-1.0)
+        + F.lit(0.02) * (n_tokens / F.lit(10.0))
+        + F.lit(0.1) * cpt
+        + F.lit(2.0) * sw
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            round_col(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_oov_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tk AS (SELECT * FROM toks WHERE token <> ''),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, row_number() OVER (
+                ORDER BY count(*) DESC, token) AS rk
+            FROM tk GROUP BY token
+        ) WHERE rk <= 256
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens
+    FROM tk LEFT JOIN vocab v USING (token)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage: build the top-256 corpus
+    vocabulary (frequency, deterministic tie-break) and measure each
+    source's out-of-vocabulary token volume — the decide-the-vocab-size
+    question every tokenizer build answers first.
+
+    The vocabulary is top-k of a token aggregation (TakeOrdered-sized,
+    k-bounded) broadcast back against the token stream — the corpus
+    never shuffles for the membership test, and the final rollup is
+    one aggregation on source. Exact integer counts only."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(256)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -705,3 +705,167 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", round_col(F.col("ema"), 4).alias("ema"), "n_events"
     )
+
+
+@query(
+    "time_weighted_avg_user",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS tu, value,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, value, (nxt - tu) AS dt_us
+        FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           {round_sql("sum(value * dt_us) / sum(dt_us)", 6)} AS twa_value,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value over
+    irregularly-spaced samples (TimescaleDB's `time_weight('LOCF')`
+    semantics): each observation holds until the next one, so it
+    contributes value x holding-duration, and the average divides by
+    total covered time — the correct mean for unevenly sampled
+    signals, where a plain AVG over-weights bursts.
+
+    One lead() window per user gives each sample its holding duration
+    (microsecond integers, exact in both engines); the rollup is one
+    aggregation. Same single-shuffle cost profile as any per-user
+    window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("tu"),
+        "value",
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            round_col(
+                F.sum(F.col("value") * (F.col("nxt") - F.col("tu")))
+                / F.sum(F.col("nxt") - F.col("tu")),
+                6,
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts,
+               avg(value) AS v
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(hour_ts) AS lo, max(hour_ts) AS hi
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT b.user_id, g.h AS hour_ts
+        FROM bounds b,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    joined AS (
+        SELECT g.user_id, g.hour_ts, h.v,
+               epoch(g.hour_ts) AS tx
+        FROM grid g LEFT JOIN hourly h
+          ON h.user_id = g.user_id AND h.hour_ts = g.hour_ts
+    ),
+    ctx AS (
+        SELECT user_id, hour_ts, v, tx,
+               max_by(v, tx) FILTER (v IS NOT NULL) OVER (
+                   PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               max_by(tx, tx) FILTER (v IS NOT NULL) OVER (
+                   PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               min_by(v, tx) FILTER (v IS NOT NULL) OVER (
+                   PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               min_by(tx, tx) FILTER (v IS NOT NULL) OVER (
+                   PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM joined
+    )
+    SELECT user_id, hour_ts,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled,
+           {round_sql("coalesce(v, pv + (nv - pv) * (tx - pt) / (nt - pt))", 6)} AS value
+    FROM ctx
+    ORDER BY user_id, hour_ts
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with linear interpolation (TimescaleDB
+    `time_bucket_gapfill` + `interpolate`): per-user hourly averages
+    are projected onto a dense hour grid spanning each user's observed
+    range, and missing buckets are linearly interpolated between the
+    nearest real observations on either side. Interior gaps only (the
+    grid spans min..max per user), so both neighbors always exist.
+
+    Shape: grid = per-user sequence() explode of bounded size
+    (hours-in-range); neighbor lookup = two unbounded window passes
+    (last non-null before, first non-null after) — no self-join, no
+    per-gap scan. The interpolation arithmetic runs on epoch-second
+    integers, identical in both engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left").withColumn(
+        "tx", F.unix_timestamp("hour_ts")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+        .withColumn(
+            "pt",
+            F.last(F.when(F.col("v").isNotNull(), F.col("tx")), ignorenulls=True).over(wb),
+        )
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn(
+            "nt",
+            F.first(F.when(F.col("v").isNotNull(), F.col("tx")), ignorenulls=True).over(wf),
+        )
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("tx") - F.col("pt")
+    ) / (F.col("nt") - F.col("pt"))
+    return ctx.select(
+        "user_id",
+        "hour_ts",
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("filled"),
+        round_col(F.coalesce(F.col("v"), interp), 6).alias("value"),
+    ).orderBy("user_id", "hour_ts")

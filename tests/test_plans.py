@@ -273,3 +273,12 @@ def test_bigram_score_single_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(scan_lines(plan, "documents")) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """vocab_oov_coverage: the top-256 vocabulary is the broadcast side
+    of the membership join — the token stream never shuffles for it."""
+    df = hds.QUERIES["vocab_oov_coverage"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter, BuildRight" in plan
+    assert "TakeOrderedAndProject" in plan  # top-256 vocab, no global sort
