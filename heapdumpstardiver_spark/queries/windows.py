@@ -869,3 +869,184 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("filled"),
         round_col(F.coalesce(F.col("v"), interp), 6).alias("value"),
     ).orderBy("user_id", "hour_ts")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    staged AS (
+        SELECT user_id, t_view,
+               CASE WHEN t_click > t_view THEN t_click END AS t_click_after,
+               CASE WHEN t_click > t_view
+                     AND t_purchase > t_click THEN t_purchase END AS t_purch_after
+        FROM firsts WHERE t_view IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(t_click_after) AS BIGINT) AS n_view_click,
+           CAST(count(t_purch_after) AS BIGINT) AS n_view_click_purchase
+    FROM staged
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view → click → purchase): a user converts
+    a stage only if its first event strictly follows the first event
+    of the previous stage — the standard product-analytics funnel,
+    which naive per-type counting (ignoring order) overstates.
+
+    One conditional-min aggregation per user collapses the event
+    stream to three timestamps, then the ordering predicates are pure
+    row-local CASE logic — a single shuffle on user_id, no joins, no
+    window. Timestamps compare exactly in both engines (microsecond
+    values from the same parquet)."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    staged = firsts.filter(F.col("t_view").isNotNull()).select(
+        F.when(F.col("t_click") > F.col("t_view"), F.col("t_click")).alias(
+            "t_click_after"
+        ),
+        F.when(
+            (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click")),
+            F.col("t_purchase"),
+        ).alias("t_purch_after"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click_after").alias("n_view_click"),
+        F.count("t_purch_after").alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               min(date_trunc('year', o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey, c.cohort_year,
+               date_diff('year', c.cohort_year,
+                         date_trunc('year', o.o_orderdate)) AS age_years
+        FROM orders o JOIN cust c ON o.o_custkey = c.o_custkey
+    )
+    SELECT CAST(date_part('year', cohort_year) AS INT) AS cohort_year,
+           CAST(age_years AS INT) AS age_years,
+           CAST(count(*) AS BIGINT) AS n_active_customers
+    FROM activity
+    GROUP BY 1, 2
+    ORDER BY cohort_year, age_years
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: customers grouped by first-order
+    year, counted as active in each subsequent year they ordered —
+    the classic warehouse retention analysis. Two aggregations and one
+    equi-join on the customer key: the cohort map is customer-sized
+    (small side of the join); the activity distinct collapses
+    multiple orders per (customer, year) before counting.
+
+    Integer year arithmetic only (no timezone or day-boundary
+    subtleties survive date_trunc to year)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("year", "o_orderdate")).alias("cohort_year")
+    )
+    activity = (
+        o.join(cust, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_year",
+            (
+                F.year(F.date_trunc("year", "o_orderdate")) - F.year("cohort_year")
+            ).alias("age_years"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.year("cohort_year").cast("int").alias("cohort_year"),
+            F.col("age_years").cast("int").alias("age_years"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+        .orderBy("cohort_year", "age_years")
+    )
+
+
+@query(
+    "anomaly_zscore_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, day, v,
+               avg(v) OVER w AS mu,
+               stddev_samp(v) OVER w AS sd,
+               count(*) OVER w AS n_prior
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day,
+           {round_sql("v", 4)} AS day_value,
+           {round_sql("(v - mu) / sd", 4)} AS zscore
+    FROM stats
+    WHERE n_prior >= 4 AND sd > 0 AND abs((v - mu) / sd) > 2.5
+    ORDER BY user_id, day
+    """,
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each user's daily value sum
+    is scored against the mean/stddev of their own trailing 7 days
+    (strictly prior — the current day never contaminates its own
+    baseline), and days beyond |z| > 2.5 with at least 4 days of
+    history are flagged — the standard monitoring/outlier sweep over
+    behavioral telemetry.
+
+    One daily pre-aggregation (map-side combinable), one bounded
+    ROWS-frame window per user, a row-local filter. The bounded frame
+    keeps per-row state O(8) regardless of history length — the shape
+    a years-long hypertable needs. stddev_samp over the same doubles
+    matches across engines at 4 dp."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sd")
+    return (
+        stats.filter(
+            (F.col("n_prior") >= 4) & (F.col("sd") > 0) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "user_id",
+            "day",
+            round_col(F.col("v"), 4).alias("day_value"),
+            round_col(z, 4).alias("zscore"),
+        )
+        .orderBy("user_id", "day")
+    )
