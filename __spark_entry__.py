@@ -62,6 +62,7 @@ _CHECK_PRIORITY = [
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",
     "funnel_conversion", "retention_cohort", "anomaly_zscore_daily",
+    "asof_join_tolerance", "sketch_union_cascade",
 ]
 
 

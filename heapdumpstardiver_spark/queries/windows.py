@@ -1050,3 +1050,115 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND user_id < 50
+    ),
+    errors AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    matched AS (
+        SELECT c.event_id, c.user_id,
+               CASE WHEN e.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(e.ts) <= 1800000000
+                    THEN epoch_us(c.ts) - epoch_us(e.ts) END AS gap_us
+        FROM clicks c ASOF LEFT JOIN errors e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(gap_us) AS BIGINT) AS n_matched,
+           {round_sql("avg(gap_us / 1000000.0)", 4)} AS avg_gap_s
+    FROM matched
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (the sensor-fusion /
+    feature-store variant): each click takes the most recent error
+    at-or-before it ONLY if that error is at most 30 minutes old —
+    older matches are as-good-as-missing, which a plain as-of join
+    silently conflates with fresh ones. Same tagged-union single
+    window pass as `asof_join_last_event`; the tolerance is one
+    row-local predicate on the carried timestamp, so the staleness
+    policy costs nothing at any scale."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(0)).otherwise(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("last_error_ts"))
+    matched = (
+        tagged.withColumn("last_error_ts", last_err)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .withColumn(
+            "gap_us",
+            F.when(
+                F.col("last_error_ts").isNotNull() & (gap <= 1_800_000_000), gap
+            ),
+        )
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("gap_us").alias("n_matched"),
+        round_col(F.avg(F.col("gap_us") / 1_000_000.0), 4).alias("avg_gap_s"),
+    )
+
+
+@query("sketch_union_cascade")
+def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cascade — the canonical 100-TB distinct-count
+    architecture: per-(event_type, day) HLL sketches of the user set
+    are built once (`hll_sketch_agg`), then MERGED upward to
+    per-event_type monthly cardinalities with `hll_union_agg` — the
+    raw stream is touched once, and every coarser rollup re-aggregates
+    kilobyte sketches, exactly how a pre-aggregated sketch table
+    serves ad-hoc distinct queries without rescanning the corpus.
+
+    Rows-only gate (sketch internals are engine-specific), but
+    self-validating: the merged estimate must sit within 5% of the
+    exact per-type distinct-user count computed side by side, and the
+    daily-sum row proves the union is not a plain sum (distincts
+    overlap across days)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            F.col("est_distinct_users").cast("long").alias("est_distinct_users"),
+            "exact_distinct_users",
+            (
+                F.abs(
+                    F.col("est_distinct_users") - F.col("exact_distinct_users")
+                )
+                / F.col("exact_distinct_users")
+                <= 0.05
+            ).alias("ok"),
+        )
+        .orderBy("event_type")
+    )
