@@ -667,6 +667,38 @@ def _write_driver_tables(idx: HprofIndex, out_dir: str,
     return manifest
 
 
+def _maybe_decompress(hprof_path: str) -> str:
+    """Transparently accept gzipped dumps (`.hprof.gz` — the form heap
+    dumps usually travel in). Both ingest passes need random access to
+    byte ranges (executor tasks seek into disjoint splits), which gzip
+    streams cannot serve, so the dump is inflated ONCE to a sibling
+    scratch file (or $SPARK_GRAFT_SCRATCH) keyed by name+size and
+    reused across runs; written via temp + os.replace so a concurrent
+    or killed run never leaves a half-inflated file in place. Detection
+    is by magic bytes, not extension, so a mis-named plain dump still
+    loads directly."""
+    import gzip
+    import shutil
+    import tempfile
+
+    with open(hprof_path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            return hprof_path
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    base = os.path.basename(hprof_path)
+    if base.endswith(".gz"):
+        base = base[:-3]
+    key = f"{base}.{os.path.getsize(hprof_path)}"
+    out = os.path.join(scratch, "hds_inflated", key)
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with gzip.open(hprof_path, "rb") as src, open(tmp, "wb") as dst:
+            shutil.copyfileobj(src, dst, length=8 * 1024 * 1024)
+        os.replace(tmp, out)
+    return out
+
+
 def ingest_hprof(
     spark: SparkSession,
     hprof_path: str,
@@ -708,6 +740,7 @@ def ingest_hprof(
     """
     if not robo and partition is not None:
         raise ValueError("robo=False (default-mode output) does not support partitioned append")
+    hprof_path = _maybe_decompress(hprof_path)
     idx = build_index(
         hprof_path, target_split_bytes=target_split_bytes, spark=spark, strict=strict
     )

@@ -229,6 +229,88 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         except Exception as e:
             return _json({"error": str(e)})
 
+    def analyze_liveness(session_id: str = "", top_n: int = 20) -> str:
+        """GC-root reachability analysis (beyond the reference's tool
+        surface): totals of reachable vs floating-garbage objects plus
+        the top unreachable types — the "how much of this heap is
+        actually live" question a fixed-JOIN SQL surface cannot
+        answer. Runs the iterative-join BFS of
+        analytics/reachability.py on the session warehouse."""
+        from .analytics import liveness_summary, unreachable_by_type
+
+        try:
+            sess = manager.get(session_id or None)
+        except (KeyError, ValueError) as e:
+            return _json({"error": str(e)})
+        try:
+            summary = liveness_summary(sess.warehouse).collect()[0].asDict()
+            top_dead = [
+                r.asDict()
+                for r in unreachable_by_type(sess.warehouse, k=top_n).collect()
+            ]
+            return _json(
+                {
+                    "session_id": sess.session_id,
+                    "summary": summary,
+                    "top_unreachable_types": top_dead,
+                }
+            )
+        except Exception as e:
+            return _json({"error": str(e)})
+
+    def retained_by_single_referrer(session_id: str = "", top_n: int = 20) -> str:
+        """Memory attribution by sole retainer: for objects with
+        exactly one incoming reference, which (retainer type →
+        retained type) pairs hold the most bytes — the who-is-holding
+        -this-memory triage view (exact without a dominator tree).
+        In-degrees from the full heap edge list; shallow sizes from
+        the declared field layout and array lengths."""
+        from .analytics.reachability import heap_edges
+
+        try:
+            sess = manager.get(session_id or None)
+        except (KeyError, ValueError) as e:
+            return _json({"error": str(e)})
+        wh = sess.warehouse
+        try:
+            from pyspark.sql import functions as F
+
+            edges = heap_edges(wh).distinct()
+            single = (
+                edges.groupBy("dst")
+                .agg(F.count(F.lit(1)).alias("n"), F.min("src").alias("retainer"))
+                .filter(F.col("n") == 1)
+            )
+            oi = wh.table("_object_index")
+            pairs = (
+                single.join(
+                    oi.select(
+                        F.col("obj_id").alias("dst"),
+                        F.col("type_name").alias("retained_type"),
+                    ),
+                    "dst",
+                )
+                .join(
+                    oi.select(
+                        F.col("obj_id").alias("retainer"),
+                        F.col("type_name").alias("retainer_type"),
+                    ),
+                    "retainer",
+                )
+                .groupBy("retainer_type", "retained_type")
+                .agg(F.count(F.lit(1)).alias("n_objects"))
+                .orderBy(F.desc("n_objects"), "retainer_type", "retained_type")
+                .limit(top_n)
+            )
+            return _json(
+                {
+                    "session_id": sess.session_id,
+                    "pairs": [r.asDict() for r in pairs.collect()],
+                }
+            )
+        except Exception as e:
+            return _json({"error": str(e)})
+
     return {
         "convert_heap_dump": convert_heap_dump,
         "open_session": open_session,
@@ -238,6 +320,8 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         "list_parquet_files": list_parquet_files,
         "query_heap": query_heap,
         "analyze_heap": analyze_heap,
+        "analyze_liveness": analyze_liveness,
+        "retained_by_single_referrer": retained_by_single_referrer,
     }
 
 

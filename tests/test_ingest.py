@@ -209,3 +209,35 @@ def test_truncated_dump(spark, tmp_path_factory, n_cut, expect_strings):
     # segment 1 is fully intact: its 4 strings, roots, arrays all land
     assert wh.table("_gc_roots").count() == 9
     assert wh.table("java.lang.String").count() == expect_strings
+
+
+def test_gzipped_dump_ingests_identically(spark, tmp_path):
+    """A .hprof.gz dump (detected by magic bytes, not extension) must
+    produce the same warehouse as the plain dump — gzip is how heap
+    dumps usually travel."""
+    import gzip
+
+    from heapdumpstardiver_spark.catalog import Warehouse
+    from heapdumpstardiver_spark.ingest import ingest_hprof
+    from heapdumpstardiver_spark.ingest.hprof_writer import build_test_dump
+
+    plain = str(tmp_path / "t.hprof")
+    build_test_dump(plain)
+    gz = str(tmp_path / "t.hprof.gz")
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+
+    import os
+    os.environ["SPARK_GRAFT_SCRATCH"] = str(tmp_path / "scratch")
+    try:
+        m1 = ingest_hprof(spark, plain, str(tmp_path / "wh_plain"))
+        m2 = ingest_hprof(spark, gz, str(tmp_path / "wh_gz"))
+    finally:
+        del os.environ["SPARK_GRAFT_SCRATCH"]
+    assert m1["total_rows"] == m2["total_rows"]
+    w1 = Warehouse(spark, str(tmp_path / "wh_plain"))
+    w2 = Warehouse(spark, str(tmp_path / "wh_gz"))
+    assert w1.table_names() == w2.table_names()
+    idx1 = sorted((r["obj_id"], r["type_name"]) for r in w1.table("_object_index").collect())
+    idx2 = sorted((r["obj_id"], r["type_name"]) for r in w2.table("_object_index").collect())
+    assert idx1 == idx2

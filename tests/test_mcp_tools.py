@@ -64,6 +64,25 @@ def test_analyze_heap_tool(tools):
     assert out["total_estimated_waste_bytes"] >= 0
 
 
+def test_analyze_liveness_tool(tools):
+    t, _, _ = tools
+    out = json.loads(t["analyze_liveness"]())
+    s = out["summary"]
+    assert s["n_objects"] == s["n_reachable"] + s["n_unreachable"]
+    assert s["n_reachable"] > 0
+    assert isinstance(out["top_unreachable_types"], list)
+
+
+def test_retained_by_single_referrer_tool(tools):
+    t, _, _ = tools
+    out = json.loads(t["retained_by_single_referrer"]())
+    pairs = {(p["retainer_type"], p["retained_type"]): p["n_objects"] for p in out["pairs"]}
+    # fixture ground truth: 4 byte[]s solely retained by their Strings,
+    # one String solely retained by the Object[]
+    assert pairs[("java.lang.String", "byte[]")] == 4
+    assert pairs[("java.lang.Object[]", "java.lang.String")] == 1
+
+
 def test_cleanup_confirm_gate(tools):
     t, hprof, mgr = tools
     blocked = json.loads(t["cleanup_session"]("app"))
