@@ -50,15 +50,16 @@ _CHECK_PRIORITY = [
     "scan_filter_project", "like_patterns", "pagination",
     "join_fact_fact", "enrichment_join", "join_ratio_filter",
     "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
-    # rows-only sketch (no oracle by design) — weakest check, last of
-    # the stale block
-    "approx_distinct_sketch",
-    # new this round (r4) — exactly fills the ~50-query cap
+    # new this round (r4) — exactly fills the ~50-query cap; the
+    # rows-only approx_distinct_sketch (no oracle by design — weakest
+    # check, per verdict guidance) rotates to the r5 queue to make
+    # room for the oracle-paired dominator_retained
     "reachability_live_census", "multimodal_png_decode",
     "semantic_dedup_centroid", "bigram_logprob_score",
-    "single_retainer_bytes",
+    "single_retainer_bytes", "dominator_retained",
     # past the r4 cap by design: front of the r5 queue (locally
     # parity-tested every round regardless)
+    "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",
     "funnel_conversion", "retention_cohort", "anomaly_zscore_daily",

@@ -1,0 +1,288 @@
+"""Dominator-tree retained size over the heap object graph — the
+MAT-style "retained heap" metric as iterative DataFrame dataflow.
+
+The reference attributes memory only by class histogram and (in this
+engine's `single_retainer_bytes`) by sole-retainer in-degree; neither
+answers "how many bytes become collectible if THIS object dies", which
+needs dominators: d dominates n iff every path from a GC root to n
+passes through d, and retained(d) = Σ shallow(m) over all m dominated
+by d. Computed here with the classic dataflow equations
+
+    dom(n) = {n} ∪ ⋂_{p ∈ preds(n)} dom(p)
+
+iterated to the greatest fixpoint, entirely as joins/aggregations:
+
+1. add a virtual super-root 0 with an edge to every GC root (0 is the
+   HPROF null sentinel, so no real object carries it);
+2. BFS from the super-root recording one tree path per node (the
+   gc_root_path construction) — its node set is a valid upper bound
+   for dom(n) (every dominator lies on EVERY root path, hence on this
+   one), and because the bound comes from a tree, one dataflow step
+   only shrinks it, so Kleene iteration converges downward to the
+   greatest fixpoint = the dominator sets;
+3. each round: explode dom(p) over the edge list, count votes per
+   (n, candidate), keep candidates voted by ALL in-edges, re-add {n}.
+   Fixpoint when the pair count stops shrinking (the sequence is
+   strictly decreasing until convergence). Driver traffic is one
+   scalar count per round; lineage is checkpoint-truncated.
+
+idom(n) is then the deepest strict dominator (dominators of n are
+totally ordered, so argmax by |dom(d)| is unique), and retained sizes
+are one explode + join + groupBy over the final (node, dominator)
+pair set.
+
+Scale notes: state is the (node, dominator) pair list — Σ|dom(n)| =
+Σ depth(n), the same bound as storing one root path per node
+(gc_root_path). Heap graphs are shallow in practice; rounds are
+fixpoint-bounded with a non-convergence guard like reachability's
+BFS. At 100 TB the pair list shuffles on fixed-width longs only, and
+per-round work is one join + one aggregation — no driver-side graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import Warehouse
+from .reachability import heap_edges
+
+#: virtual super-root object id — the HPROF null sentinel, never a
+#: real object id, so it cannot collide.
+SUPER_ROOT = 0
+
+# Primitive field widths (bytes) for the additive shallow-size model:
+# 16-byte header + packed field bytes / array element bytes.
+_PRIM_WIDTHS = {
+    "Object": 8, "long": 8, "double": 8, "int": 4, "float": 4,
+    "short": 2, "char": 2, "byte": 1, "boolean": 1,
+}
+_OBJ_HEADER = 16
+
+
+def shallow_sizes(wh: Warehouse) -> DataFrame:
+    """(obj_id, shallow_bytes) for every object: header + field widths
+    from the declared `_field_types` layout (instances) or header +
+    element bytes (arrays). Class-registry-bounded metadata joins, one
+    `size()` projection per array table — no per-object driver work."""
+    ft = wh.table("_field_types")
+    class_sizes = ft.groupBy("class_name").agg(
+        (
+            F.lit(_OBJ_HEADER)
+            + F.sum(
+                F.coalesce(
+                    *[
+                        F.when(F.col("field_type") == name, F.lit(w))
+                        for name, w in _PRIM_WIDTHS.items()
+                    ]
+                )
+            )
+        ).alias("shallow_bytes")
+    )
+    oi = wh.table("_object_index")
+    parts = [
+        oi.join(
+            F.broadcast(class_sizes), oi.type_name == class_sizes.class_name
+        ).select("obj_id", "shallow_bytes")
+    ]
+    for suffix, width in (
+        ("byte", 1), ("boolean", 1), ("char", 2), ("short", 2),
+        ("int", 4), ("float", 4), ("long", 8), ("double", 8),
+    ):
+        try:
+            t = wh.table(f"_primitive_arrays_{suffix}")
+        except KeyError:
+            continue
+        parts.append(
+            t.select(
+                "obj_id",
+                (F.lit(_OBJ_HEADER) + F.size("values") * width)
+                .cast("long")
+                .alias("shallow_bytes"),
+            )
+        )
+    try:
+        oa = wh.table("_object_arrays")
+        parts.append(
+            oa.select(
+                "obj_id",
+                (F.lit(_OBJ_HEADER) + F.size("elements") * 8)
+                .cast("long")
+                .alias("shallow_bytes"),
+            )
+        )
+    except KeyError:
+        pass
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _rooted_edges(wh: Warehouse) -> DataFrame:
+    """Distinct (src, dst) edges with the virtual super-root attached
+    to every GC root; self-edges dropped (they never affect
+    dominance — any path using one revisits the node)."""
+    edges = heap_edges(wh).filter(F.col("src") != F.col("dst"))
+    try:
+        roots = (
+            wh.table("_gc_roots")
+            .filter(F.col("obj_id") != 0)
+            .select(
+                F.lit(SUPER_ROOT).cast("long").alias("src"),
+                F.col("obj_id").alias("dst"),
+            )
+        )
+    except KeyError:
+        roots = wh.spark.createDataFrame([], "src long, dst long")
+    return edges.unionByName(roots).distinct()
+
+
+def dominator_pairs(wh: Warehouse, max_rounds: int = 256) -> DataFrame:
+    """(obj_id, dom) — every (node, dominator) pair over the reachable
+    subgraph, including (n, n) self-pairs and the super-root's
+    dominance of everything. Greatest-fixpoint dataflow per the module
+    docstring; raises on non-convergence rather than returning an
+    unsound over-approximation."""
+    return dominator_pairs_from(wh.spark, _rooted_edges(wh), max_rounds)
+
+
+def dominator_pairs_from(
+    spark, rooted_edges: DataFrame, max_rounds: int = 256
+) -> DataFrame:
+    """Fixpoint core over an explicit (src, dst) edge DataFrame that
+    already includes super-root→root edges (src=0). Exposed so tests
+    can drive arbitrary synthetic graphs without an HPROF ingest."""
+    edges = rooted_edges.localCheckpoint()
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+
+    # BFS tree path per node, min-(depth, path) like gc_root_path.
+    start = spark.createDataFrame([(SUPER_ROOT,)], "obj_id long").select(
+        "obj_id", pad(F.col("obj_id")).alias("path")
+    )
+    visited, frontier = start.localCheckpoint(), start
+    for _ in range(max_rounds):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.obj_id)
+            .select(
+                F.col("dst").alias("obj_id"),
+                F.concat(F.col("path"), F.lit("|"), pad(F.col("dst"))).alias("path"),
+            )
+            .groupBy("obj_id")
+            .agg(F.min("path").alias("path"))
+            .join(visited, "obj_id", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"dominator BFS did not converge within {max_rounds} rounds"
+        )
+
+    reachable = visited.select("obj_id").localCheckpoint()
+    # Init dom(n) = nodes on n's BFS tree path (a superset of dom(n)).
+    dom = visited.select(
+        "obj_id",
+        F.explode(
+            F.transform(F.split("path", r"\|"), lambda s: s.cast("long"))
+        ).alias("dom"),
+    ).localCheckpoint()
+
+    redges = (
+        edges.join(reachable, edges.src == reachable.obj_id)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    indeg = redges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    selfpairs = reachable.select("obj_id", F.col("obj_id").alias("dom"))
+
+    prev_n = dom.count()
+    for _ in range(max_rounds):
+        voted = (
+            redges.join(dom, redges.src == dom.obj_id)
+            .select(F.col("dst"), F.col("dom"))
+            .groupBy("dst", "dom")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .join(indeg, "dst")
+            .filter(F.col("votes") == F.col("indeg"))
+            .select(F.col("dst").alias("obj_id"), "dom")
+        )
+        dom = (
+            voted.unionByName(selfpairs).distinct().localCheckpoint()
+        )
+        n = dom.count()
+        if n == prev_n:
+            return dom
+        prev_n = n
+    raise RuntimeError(
+        f"dominator dataflow did not converge within {max_rounds} rounds"
+    )
+
+
+def dominator_tree(wh: Warehouse) -> DataFrame:
+    """(obj_id, idom) — the immediate dominator of every reachable
+    object (idom = the deepest strict dominator; unique because a
+    node's dominators are totally ordered). The super-root appears as
+    idom 0: "kept alive directly by a GC root"."""
+    return dominator_tree_from_pairs(dominator_pairs(wh))
+
+
+def retained_sizes(wh: Warehouse) -> DataFrame:
+    """(obj_id, type_name, idom, n_dominated, retained_bytes) per
+    reachable object: the bytes that become collectible if the object
+    dies — Σ shallow over its dominated set (itself included), the
+    MAT "retained heap" column. One explode-free join + aggregation
+    over the dominator pair set."""
+    dom = dominator_pairs(wh).localCheckpoint()
+    sizes = shallow_sizes(wh)
+    retained = (
+        dom.filter(F.col("dom") != SUPER_ROOT)
+        .join(sizes, "obj_id")
+        .groupBy("dom")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated"),
+            F.sum("shallow_bytes").cast("long").alias("retained_bytes"),
+        )
+        .withColumnRenamed("dom", "obj_id")
+    )
+    idom = dominator_tree_from_pairs(dom)
+    oi = wh.table("_object_index").select("obj_id", "type_name")
+    return (
+        retained.join(oi, "obj_id")
+        .join(idom, "obj_id")
+        .select("obj_id", "type_name", "idom", "n_dominated", "retained_bytes")
+        .orderBy(F.desc("retained_bytes"), "obj_id")
+    )
+
+
+def dominator_tree_from_pairs(dom: DataFrame) -> DataFrame:
+    """idom extraction when the pair set is already materialized."""
+    depths = dom.groupBy("obj_id").agg(F.count(F.lit(1)).alias("depth"))
+    d_depth = depths.select(
+        F.col("obj_id").alias("dom"), F.col("depth").alias("dom_depth")
+    )
+    return (
+        dom.filter(F.col("dom") != F.col("obj_id"))
+        .join(d_depth, "dom")
+        .groupBy("obj_id")
+        .agg(F.max_by("dom", "dom_depth").alias("idom"))
+    )
+
+
+def retained_by_class(wh: Warehouse, k: int = 20) -> DataFrame:
+    """Top-k classes by total retained bytes of their instances — the
+    class-level triage view ("which TYPE holds the heap")."""
+    return (
+        retained_sizes(wh)
+        .groupBy("type_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("retained_bytes").cast("long").alias("total_retained"),
+            F.max("retained_bytes").cast("long").alias("max_retained"),
+        )
+        .orderBy(F.desc("total_retained"), "type_name")
+        .limit(k)
+    )

@@ -366,3 +366,85 @@ def build_scale_dump(
         "prim_arrays": n_prim_arrays,
         "obj_arrays": n_obj_arrays,
     }
+
+
+def build_graph_dump(path: str, id_size: int = 8) -> dict:
+    """Deterministic dump whose object graph is purpose-built for
+    dominator/retained-size analysis: a diamond (dominator != parent),
+    a multi-root confluence (idom jumps to the virtual super-root), a
+    linked chain (deep single-pred dominance), a reachable cycle, a
+    shared payload, and unreachable garbage. Returns the same
+    ground-truth dict shape as build_test_dump (objects/edges/roots)
+    so oracles can recompute graph results independently of ingest.
+
+    Layout (R, R2 are GC roots; -1 below means the virtual super-root):
+
+        R -> A -> B -> D -> E1 -> E2 -> E3 -> E4 -> F1 <-> F2
+              \\-> C -/                               F1 -> PF
+        R2 -------^                                   E2 -> PE
+        B -> PB <- C          D -> PD                 G1 -> G2 (no root)
+
+    Expected idoms: A<-R, B<-A, C<- -1 (reachable two ways), D<- -1,
+    E1<-D, ..., F2<-F1, PB<- -1, PD<-D, PE<-E2, PF<-F1.
+    """
+    w = HprofWriter(id_size=id_size)
+    objects: list[tuple[int, str, int]] = []
+    edges: list[tuple[int, int]] = []
+    roots: list[int] = []
+
+    OBJ, NODE, BARR = 0x10, 0x11, 0x12
+    w.load_class(1, OBJ, "java/lang/Object")
+    w.load_class(2, NODE, "com/graph/Node")
+    w.load_class(3, BARR, "[B")
+
+    seg = bytearray()
+    seg += w.class_dump(OBJ, 0, 0, [], [])
+    # Node: two Object-typed fields (next, data) -> 2 edges max per node
+    seg += w.class_dump(
+        NODE, OBJ, 16, [], [(w.sid("next"), 2), (w.sid("data"), 2)]
+    )
+    objects += [
+        (OBJ, "class java.lang.Object", 16),
+        (NODE, "class com.graph.Node", 16),
+    ]
+
+    ids: dict[str, int] = {}
+    for name in ("R", "R2", "A", "B", "C", "D", "E1", "E2", "E3", "E4",
+                 "F1", "F2", "G1", "G2"):
+        ids[name] = w.oid()
+    # payload byte arrays with distinctive sizes
+    payloads = {"PB": 400, "PD": 200, "PE": 64, "PF": 32}
+    for name, n in payloads.items():
+        oid = w.oid()
+        ids[name] = oid
+        seg += w.prim_array(oid, 8, "b", [7] * n)
+        objects.append((oid, "byte[]", 16 + n))
+
+    links = {  # name -> (next, data); 0 = null (no edge)
+        "R": ("A", 0), "R2": ("C", 0),
+        "A": ("B", "C"), "B": ("D", "PB"), "C": ("D", "PB"),
+        "D": ("E1", "PD"),
+        "E1": ("E2", 0), "E2": ("E3", "PE"), "E3": ("E4", 0),
+        "E4": ("F1", 0),
+        "F1": ("F2", "PF"), "F2": ("F1", 0),
+        "G1": ("G2", 0), "G2": (0, 0),
+    }
+    for name, (nxt, data) in links.items():
+        oid = ids[name]
+        nid = ids[nxt] if nxt else 0
+        did = ids[data] if data else 0
+        seg += w.instance(oid, NODE, w.pack_id(nid) + w.pack_id(did))
+        objects.append((oid, "com.graph.Node", 16 + 2 * id_size))
+        for ref in (nid, did):
+            if ref:
+                edges.append((oid, ref))
+
+    seg += w.root(0xFF, ids["R"])
+    seg += w.root(0x05, ids["R2"])
+    roots += [ids["R"], ids["R2"]]
+
+    w.heap_segment(bytes(seg))
+    w.heap_end()
+    with open(path, "wb") as f:
+        f.write(w.buf)
+    return {"objects": objects, "edges": edges, "roots": roots, "ids": ids}

@@ -311,6 +311,37 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         except Exception as e:
             return _json({"error": str(e)})
 
+    def retained_sizes_dominator(
+        session_id: str = "", top_n: int = 20, by_class: bool = False
+    ) -> str:
+        """MAT-style retained heap via a true dominator tree: per
+        object (or per class with by_class), the bytes that become
+        collectible if it dies — Σ shallow over its dominated set.
+        Dominators from the BFS-seeded greatest-fixpoint dataflow of
+        analytics/dominators.py; idom 0 means "held directly by a GC
+        root". Strictly stronger than retained_by_single_referrer
+        (which only attributes in-degree-1 objects)."""
+        from .analytics.dominators import retained_by_class, retained_sizes
+
+        try:
+            sess = manager.get(session_id or None)
+        except (KeyError, ValueError) as e:
+            return _json({"error": str(e)})
+        try:
+            if by_class:
+                rows = retained_by_class(sess.warehouse, k=top_n).collect()
+            else:
+                rows = retained_sizes(sess.warehouse).limit(top_n).collect()
+            return _json(
+                {
+                    "session_id": sess.session_id,
+                    "by_class": by_class,
+                    "top_retainers": [r.asDict() for r in rows],
+                }
+            )
+        except Exception as e:
+            return _json({"error": str(e)})
+
     return {
         "convert_heap_dump": convert_heap_dump,
         "open_session": open_session,
@@ -322,6 +353,7 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         "analyze_heap": analyze_heap,
         "analyze_liveness": analyze_liveness,
         "retained_by_single_referrer": retained_by_single_referrer,
+        "retained_sizes_dominator": retained_sizes_dominator,
     }
 
 

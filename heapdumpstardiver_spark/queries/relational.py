@@ -1527,3 +1527,117 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("obj_id", "type_name", F.col("depth").cast("int").alias("depth"), "path")
         .orderBy("obj_id")
     )
+
+
+_GRAPH_FIXTURE: tuple[str, dict] | None = None
+
+
+def graph_fixture() -> tuple[str, dict]:
+    """(path, ground-truth) for the dominator-analysis graph dump
+    (ingest/hprof_writer.build_graph_dump) — diamond, multi-root
+    confluence, chain, cycle, shared payload, garbage. Cached at a
+    fixed scratch path like hprof_fixture."""
+    global _GRAPH_FIXTURE
+    if _GRAPH_FIXTURE is None:
+        import tempfile
+
+        from ..ingest.hprof_writer import build_graph_dump
+
+        d = os.path.join(tempfile.gettempdir(), "hds_graph_fixture")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "g.hprof")
+        tmp = os.path.join(d, f"g.hprof.tmp.{os.getpid()}")
+        truth = build_graph_dump(tmp)
+        os.replace(tmp, path)
+        _GRAPH_FIXTURE = (path, truth)
+    return _GRAPH_FIXTURE
+
+
+def _graph_warehouse(spark: SparkSession):
+    from ..catalog import Warehouse
+    from ..ingest import ingest_hprof
+
+    path, _ = graph_fixture()
+    wh_dir = os.path.join(os.path.dirname(path), "wh")
+    if not os.path.exists(os.path.join(wh_dir, "_SUCCESS")):
+        ingest_hprof(spark, path, wh_dir, overwrite=True)
+    return Warehouse(spark, wh_dir)
+
+
+def _dominator_oracle() -> str:
+    """Oracle for dominator_retained: DuckDB derives dominator sets
+    from FIRST PRINCIPLES — enumerate every simple root-to-node path
+    with a recursive CTE, then d dominates n iff d appears on ALL of
+    n's paths (the definition; simple paths suffice because any walk
+    contains a simple subpath over a subset of its nodes). Spark
+    instead runs the BFS-seeded greatest-fixpoint dataflow over the
+    INGESTED warehouse, so construction, engine, and input all differ."""
+    _, truth = graph_fixture()
+    edges = ", ".join(f"({s}, {d})" for s, d in truth["edges"])
+    roots = ", ".join(f"({r})" for r in sorted(set(truth["roots"])))
+    objs = ", ".join(f"({o}, '{t}', {sz})" for o, t, sz in truth["objects"])
+    return f"""
+    WITH RECURSIVE
+    edges(src, dst) AS (
+        SELECT DISTINCT * FROM (VALUES {edges}) e(s, d) WHERE s <> d),
+    roots(obj_id) AS (SELECT DISTINCT r FROM (VALUES {roots}) r(r)),
+    objects(obj_id, type_name, shallow_bytes) AS (
+        SELECT * FROM (VALUES {objs}) o(i, t, b)),
+    alledges(src, dst) AS (
+        SELECT src, dst FROM edges UNION SELECT 0, obj_id FROM roots),
+    walk(node, path) AS (
+        SELECT CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+        UNION ALL
+        SELECT e.dst, list_append(w.path, CAST(e.dst AS BIGINT))
+        FROM walk w JOIN alledges e ON e.src = w.node
+        WHERE NOT list_contains(w.path, e.dst)
+    ),
+    npaths AS (SELECT node, count(*) AS np FROM walk GROUP BY node),
+    members AS (SELECT node, unnest(path) AS d FROM walk),
+    domsets AS (
+        SELECT m.node, m.d
+        FROM members m JOIN npaths p USING (node)
+        GROUP BY m.node, m.d, p.np
+        HAVING count(*) = p.np
+    ),
+    depths AS (SELECT node, count(*) AS depth FROM domsets GROUP BY node),
+    idom AS (
+        SELECT s.node AS obj_id, arg_max(s.d, dd.depth) AS idom
+        FROM domsets s JOIN depths dd ON dd.node = s.d
+        WHERE s.d <> s.node AND s.node <> 0
+        GROUP BY s.node
+    ),
+    retained AS (
+        SELECT s.d AS obj_id,
+               CAST(count(*) AS BIGINT) AS n_dominated,
+               CAST(sum(o.shallow_bytes) AS BIGINT) AS retained_bytes
+        FROM domsets s JOIN objects o ON o.obj_id = s.node
+        WHERE s.d <> 0
+        GROUP BY s.d
+    )
+    SELECT r.obj_id, o.type_name, i.idom, r.n_dominated, r.retained_bytes
+    FROM retained r JOIN objects o USING (obj_id) JOIN idom i USING (obj_id)
+    ORDER BY retained_bytes DESC, obj_id
+    """
+
+
+@query("dominator_retained", oracle=_dominator_oracle())
+def dominator_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAT-style retained heap per object over the INGESTED graph
+    dump: dominator sets via BFS-seeded greatest-fixpoint dataflow
+    (analytics/dominators.py), then retained_bytes = Σ shallow over
+    each object's dominated set and idom = its deepest strict
+    dominator. This is the "how many bytes die with this object"
+    metric neither the reference's class histograms
+    (analyze_heap_parquet.py) nor fixed-hop joins (server.py:179-184)
+    can express — it needs an arbitrary-depth all-paths property.
+
+    Scale shape: state is the (node, dominator) pair set, bounded by
+    Σ depth(n) — the same budget as storing one root path per node;
+    per-round work is one join + one count aggregation on fixed-width
+    longs, rounds are fixpoint-bounded with a non-convergence guard,
+    and the driver only ever sees a scalar pair count per round."""
+    from ..analytics.dominators import retained_sizes
+
+    wh = _graph_warehouse(spark)
+    return retained_sizes(wh)

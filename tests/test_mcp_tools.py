@@ -83,6 +83,21 @@ def test_retained_by_single_referrer_tool(tools):
     assert pairs[("java.lang.Object[]", "java.lang.String")] == 1
 
 
+def test_retained_sizes_dominator_tool(tools):
+    t, _, _ = tools
+    out = json.loads(t["retained_sizes_dominator"](top_n=50))
+    rows = out["top_retainers"]
+    assert rows and not out["by_class"]
+    by_id = {r["obj_id"]: r for r in rows}
+    # every row carries a positive retained size >= its own shallow 16B
+    assert all(r["retained_bytes"] >= 16 and r["n_dominated"] >= 1 for r in rows)
+    # each String solely retaining its byte[] retains both objects
+    strings = [r for r in rows if r["type_name"] == "java.lang.String"]
+    assert any(r["n_dominated"] == 2 for r in strings)
+    cls = json.loads(t["retained_sizes_dominator"](by_class=True))
+    assert cls["by_class"] and cls["top_retainers"]
+
+
 def test_cleanup_confirm_gate(tools):
     t, hprof, mgr = tools
     blocked = json.loads(t["cleanup_session"]("app"))
