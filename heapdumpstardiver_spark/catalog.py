@@ -32,6 +32,37 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTERS only (driver-side pyarrow
+    metadata read, cached) — for scale-adaptive knobs like LSH plane
+    counts that need |corpus| before building the plan. Avoids
+    spending a whole Spark job on a number the footers already hold;
+    at cluster scale the same footer read is how AQE/statistics get
+    it. Cache key includes the file set and mtimes, so a rewritten
+    table re-probes."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    key = (tuple(files), tuple(int(os.path.getmtime(f)) for f in files))
+    hit = _ROW_CACHE.get((sf_dir, name))
+    if hit and hit[0] == key:
+        return hit[1]
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    _ROW_CACHE[(sf_dir, name)] = (key, n)
+    return n
+
+
+_ROW_CACHE: dict[tuple[str, str], tuple[tuple, int]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one logical table. Spark globs directories natively, so a
     single-file layout and a chunked layout resolve identically.

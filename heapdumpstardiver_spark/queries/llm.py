@@ -523,10 +523,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-bucket quadratic term stays bounded as the corpus grows
     (the r4 sf1 bench caught the fixed-64-bucket version going 32x at
     10x rows; each extra bit halves candidate pairs). The count probe
-    behind the formula reads only parquet footers. The oracle pins 6
-    bits, which the formula yields for every oracle scale (n <= 2048
-    — sf0.01 has 500 vectors, sf0.1 has 2000), so the gate stays
-    exact while big corpora get more buckets.
+    behind the formula is a driver-side parquet-footer read
+    (catalog.table_rows) — no Spark job is spent on it. The oracle
+    pins 6 bits, which the formula yields for every oracle scale
+    (n <= 2048 — sf0.01 has 500 vectors, sf0.1 has 2000), so the gate
+    stays exact while big corpora get more buckets.
 
     Per-vector norms are computed ONCE before the pair join — the pair
     stage evaluates a single 64-dim fold per candidate instead of
@@ -535,8 +536,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     import math
 
+    from ..catalog import table_rows
+
     e = _t(spark, sf_dir, "embeddings")
-    n = e.count()
+    n = table_rows(sf_dir, "embeddings")
     planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
     bucket = sum(
         (
@@ -1186,4 +1189,122 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "exact_substring_runs",
+    oracle="""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+        -- 8-token shingles; DuckDB list slicing is end-inclusive, so
+        -- toks[p:p+7] = 8 tokens = Spark slice(toks, p, 8)
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               md5(array_to_string(toks[p:p+7], ' ')) AS h
+        FROM arr, UNNEST(range(1, len(toks) - 6)) AS r(p)
+    ), ok AS (
+        -- occurrence cap, the Spark side's hot-bucket guard verbatim
+        SELECT h FROM sh GROUP BY h HAVING count(*) <= 64
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.pos AS pos_a, b.pos AS pos_b
+        FROM sh a JOIN sh b USING (h) JOIN ok USING (h)
+        WHERE a.doc_id < b.doc_id
+    ), runs AS (
+        SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b
+                   ORDER BY pos_a) AS grp
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS n_tokens
+    FROM runs
+    GROUP BY doc_a, doc_b, diag, grp
+    ORDER BY n_tokens DESC, doc_a, doc_b, start_a
+    LIMIT 50
+    """,
+)
+def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection — the ExactSubstr dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (2022), re-expressed relationally instead of with a suffix
+    array: two documents share a duplicated substring of >= 8 tokens
+    iff they share a run of consecutive 8-token shingles on one
+    diagonal (pos_a - pos_b constant). Finds each maximal run and
+    reports its start offsets and token length — the spans a training
+    pipeline would cut, where passage_dup_coverage only scores
+    coverage.
+
+    Shape: one explode to (doc, pos, md5) rows; ONE shuffle on the
+    shingle hash groups occurrences into buckets (hot buckets —
+    stop-phrases — capped at SHINGLE_DF_CAP occurrences, mirrored in
+    the oracle, so no task ever builds a quadratic blowup); in-bucket
+    ordered cross-doc pair generation JVM-side; then the islands
+    trick (pos - row_number per diagonal) turns consecutive matches
+    into maximal runs with one window pass + one aggregation keyed on
+    the (pair, diagonal) — every stage shuffles fixed-width keys,
+    never token arrays. A suffix array would find runs crossing
+    >cap-frequency shingles; at corpus scale those are stop-phrase
+    bridges, not dedup signal (same trade as ngram_shingle_overlap)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n = 8
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    hashed = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
+    )
+    occ = (
+        toks.filter(F.size("tokens") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(hashed).alias("pos0", "h"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+        .groupBy("h")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("occs")
+        )
+        .filter((F.size("occs") > 1) & (F.size("occs") <= SHINGLE_DF_CAP))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "occs",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("occs", i + 2, F.size("occs")),
+                    lambda y: y.doc_id > x.doc_id,
+                ),
+                lambda y: F.struct(
+                    x.doc_id.alias("doc_a"),
+                    y.doc_id.alias("doc_b"),
+                    x.pos.alias("pos_a"),
+                    y.pos.alias("pos_b"),
+                ),
+            ),
+        )
+    )
+    m = (
+        occ.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.pos_a", "p.pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("long").alias("start_a"),
+            (F.min("pos_a") - F.first("diag")).cast("long").alias("start_b"),
+            (F.count(F.lit(1)) + n - 1).cast("long").alias("n_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_tokens")
+        .orderBy(F.desc("n_tokens"), "doc_a", "doc_b", "start_a")
+        .limit(50)
     )

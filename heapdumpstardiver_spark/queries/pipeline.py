@@ -1137,9 +1137,10 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparison is exact."""
     import math
 
+    from ..catalog import table_rows
     from ..exprs import dot
 
-    n = _t(spark, sf_dir, "embeddings").count()
+    n = table_rows(sf_dir, "embeddings")  # footer-only, no Spark job
     planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
     bucket = sum(
         (
