@@ -64,7 +64,7 @@ _CHECK_PRIORITY = [
     "quality_classifier_score", "vocab_oov_coverage",
     "funnel_conversion", "retention_cohort", "anomaly_zscore_daily",
     "asof_join_tolerance", "sketch_union_cascade",
-    "exact_substring_runs",
+    "exact_substring_runs", "similarity_pq_adc",
 ]
 
 

@@ -1308,3 +1308,180 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), "doc_a", "doc_b", "start_a")
         .limit(50)
     )
+
+
+def _pq_oracle() -> str:
+    """Product-quantization oracle: per 16-dim subspace, one exact
+    Lloyd update from deterministic init (vec_id < 4), then encode
+    every vector as its argmin centroid id and score queries against
+    RECONSTRUCTED vectors (asymmetric distance). Mirrors the Spark
+    path CTE-for-stage; all dot products are sequential list folds,
+    centroid components rounded to 6 dp (the _KMEANS_ASG_CTE
+    conventions), and the four subspace contributions are added in
+    one explicit left-to-right chain so IEEE order matches."""
+    dist = (
+        "(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv))"
+    )
+    subs = []
+    for s in range(4):
+        a, b = 16 * s + 1, 16 * s + 16
+        subs.append(f"""
+    vs{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM v),
+    c0s{s} AS (SELECT vec_id AS cid, v AS cv FROM vs{s} WHERE vec_id < 4),
+    a1s{s} AS (SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist} ASC, c.cid) AS rn
+        FROM vs{s} a CROSS JOIN c0s{s} c),
+    ms{s} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+              FROM a1s{s} WHERE rn = 1),
+    cs{s} AS (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+                SELECT cid, pos, {round_sql("avg(val)", 6)} AS val
+                FROM ms{s} GROUP BY cid, pos) GROUP BY cid),
+    enc{s} AS (SELECT a.vec_id, c.cid, c.cv,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist} ASC, c.cid) AS rn
+        FROM vs{s} a CROSS JOIN cs{s} c),
+    d{s} AS (SELECT q.vec_id AS query_id, t.vec_id AS vec_id,
+                (list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, t.cv)
+                 + list_dot_product(t.cv, t.cv)) AS d
+        FROM (SELECT vec_id, v FROM vs{s} WHERE vec_id < 3) q
+        CROSS JOIN (SELECT vec_id, cv FROM enc{s} WHERE rn = 1) t)""")
+    body = ",".join(subs)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {body},
+    tot AS (SELECT d0.query_id, d0.vec_id,
+                   ((d0.d + d1.d) + d2.d) + d3.d AS adist
+            FROM d0 JOIN d1 USING (query_id, vec_id)
+                    JOIN d2 USING (query_id, vec_id)
+                    JOIN d3 USING (query_id, vec_id)),
+    rk AS (SELECT query_id, vec_id, adist,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, vec_id) AS rn
+           FROM tot)
+    SELECT query_id, vec_id, {round_sql("adist", 4)} AS adist
+    FROM rk WHERE rn <= 10
+    ORDER BY query_id, adist, vec_id
+    """
+
+
+@query("similarity_pq_adc", oracle=_pq_oracle())
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance lookup (the
+    FAISS IVFPQ scoring core, Jégou et al. 2011) — completes the
+    similarity family's scale ladder: brute (similarity_topk) →
+    sign-LSH → IVF → PQ. The 64-dim corpus is split into 4 subspaces
+    of 16 dims; each trains a 4-centroid codebook (one exact Lloyd
+    update, deterministic init vec_id < k — the
+    kmeans_embedding_clusters conventions) and every vector compresses
+    to 4 small codes. Queries never touch raw corpus vectors again:
+    per query, a k x m distance LOOKUP TABLE to the codebook
+    reconstruction is precomputed driver-side and scoring is m
+    element_at fetches + 3 adds per candidate.
+
+    Scale shape: codebooks and LUTs are k x d INDEX METADATA (the only
+    collects, like IVF's); encoding is a narrow argmin projection; each
+    query's top-k is TakeOrderedAndProject over the checkpointed coded
+    corpus — no shuffle anywhere, union of per-query limits. At 100 TB
+    the coded corpus is 8 bits/vector — the point of PQ: memory-resident
+    scoring over a 1000x-compressed index, re-ranking only the top-k
+    against raw vectors (which would be one id-semi-join per query)."""
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint()
+    )
+    m, k, dsub, nq, topk = 4, 4, 16, 3, 10
+
+    def fold_dot(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc = acc + x * y
+        return acc
+
+    def argmin_struct(sv, cents):
+        # greatest over (-dist, -cid) == argmin over (dist, cid); the
+        # _lloyd_assignments tie-break conventions
+        scored = [
+            F.struct(
+                (
+                    -(
+                        dot(sv, sv)
+                        - 2 * dot(sv, F.array(*[F.lit(float(x)) for x in cv]))
+                        + F.lit(fold_dot(cv, cv))
+                    )
+                ).alias("negd"),
+                F.lit(-cid).alias("ncid"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+        return F.greatest(*scored).getField("cid")
+
+    codebooks = []
+    for s in range(m):
+        sub = v.select("vec_id", F.slice("v", 16 * s + 1, dsub).alias("sv"))
+        init = sorted(
+            (r["vec_id"], list(r["sv"]))
+            for r in sub.filter(F.col("vec_id") < k).collect()
+        )
+        rows = (
+            sub.withColumn("cid", argmin_struct(F.col("sv"), init))
+            .select("cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(round_col(F.avg("val"), 6).alias("val"))
+            .collect()
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        codebooks.append(
+            sorted((cid, [d[p] for p in range(len(d))]) for cid, d in by.items())
+        )
+
+    enc = v.select(
+        "vec_id",
+        *[
+            argmin_struct(F.slice("v", 16 * s + 1, dsub), codebooks[s]).alias(f"c{s}")
+            for s in range(m)
+        ],
+    ).localCheckpoint()
+
+    queries = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in v.filter(F.col("vec_id") < nq).collect()
+    )
+    per_query = []
+    for qid, qv in queries:
+        ds = []
+        for s in range(m):
+            qsub = qv[16 * s : 16 * s + dsub]
+            qq = fold_dot(qsub, qsub)
+            # lut[cid] = ||q_s - cv||^2 with the oracle's exact
+            # expression shape: qq - 2*qc + cc (left-assoc IEEE)
+            lut = [
+                qq - 2 * fold_dot(qsub, cv) + fold_dot(cv, cv)
+                for _cid, cv in codebooks[s]
+            ]
+            ds.append(
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in lut]), F.col(f"c{s}") + 1
+                )
+            )
+        adist = ((ds[0] + ds[1]) + ds[2]) + ds[3]
+        per_query.append(
+            enc.select(
+                F.lit(int(qid)).alias("query_id"),
+                "vec_id",
+                adist.alias("adist"),
+            )
+            .orderBy("adist", "vec_id")
+            .limit(topk)
+        )
+    out = per_query[0]
+    for p in per_query[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id", "vec_id", round_col(F.col("adist"), 4).alias("adist")
+    ).orderBy("query_id", "adist", "vec_id")
