@@ -111,8 +111,9 @@ def click_view_attribution(
     views: DataFrame,
     watermark: str = "2 hours",
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: every click pairs with the same user's
+    """Stream-stream join: every click pairs with the same user's
     views in the preceding *horizon* — the attribution join of an
     event pipeline. Both sides carry a watermark and the join condition
     bounds event-time distance, so Spark can size the join state to the
@@ -120,6 +121,13 @@ def click_view_attribution(
     O(traffic within horizon) regardless of stream lifetime — the only
     stream-stream join shape that survives at 100 TB/day. Append-mode
     output (rows emit once both watermarks pass the join window).
+
+    With ``how="left_outer"`` unmatched clicks ALSO emit — with null
+    view columns — once the view-side watermark passes their match
+    window, i.e. when no qualifying view can arrive anymore: the
+    "unattributed conversion" stream. Same bounded state; the null
+    emission is driven by watermark-timed state eviction, so it is
+    exactly as late as the watermark and no later.
     """
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
@@ -136,6 +144,7 @@ def click_view_attribution(
         (F.col("c_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

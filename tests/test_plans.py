@@ -282,3 +282,42 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftOuter, BuildRight" in plan
     assert "TakeOrderedAndProject" in plan  # top-256 vocab, no global sort
+
+
+def test_substring_runs_shuffle_fixed_width_only(spark):
+    """exact_substring_runs: the shingle explode carries (doc_id, pos,
+    md5) — never token arrays — across the single bucket shuffle, and
+    the islands stage shuffles only (pair, diagonal) keys. No Python
+    in the plan; final top-k is a heap, not a global sort."""
+    plan = plan_of(spark, "exact_substring_runs")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, plan
+    for ln in exchanges:
+        assert "tokens" not in ln, ln  # token arrays never cross a shuffle
+
+
+def test_pq_adc_has_no_shuffle(spark):
+    """similarity_pq_adc: after codebook training (driver-side
+    metadata), scoring is a narrow projection + per-query TakeOrdered
+    union — the executed plan must contain NO exchange at all and no
+    Python evaluation."""
+    plan = plan_of(spark, "similarity_pq_adc")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_dominator_rounds_shuffle_long_pairs_only(spark):
+    """dominator_retained: every fixpoint round shuffles fixed-width
+    (node, dominator) longs — the BFS path strings exist only inside
+    the seeding stage, never in the final retained-size plan — and no
+    Python evaluation appears anywhere."""
+    plan = plan_of(spark, "dominator_retained")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "path" not in ln, ln

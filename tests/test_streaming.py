@@ -252,3 +252,66 @@ def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
     g = {(r["event_id"], r["c_name"]) for r in got.collect()}
     w = {(r["event_id"], r["c_name"]) for r in want.collect()}
     assert g == w and len(g) > 1000
+
+
+def test_click_view_attribution_left_outer(spark, events_dir, tmp_path):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    inner join exactly, AND unattributed clicks emit with null views
+    — all of them for clicks whose match window the final view-side
+    watermark has passed, and never a click the batch join matched."""
+    ev = S.stream_events(spark, events_dir)
+    stream = S.click_view_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        S.stream_events(spark, events_dir).filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    got = _drain(spark, stream, "t_attrib_outer", tmp_path, mode="append")
+    b = spark.read.parquet(events_dir)
+    c = b.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    v = b.filter("event_type = 'view'").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    inner = c.join(
+        v,
+        (F.col("u") == F.col("vu"))
+        & (F.col("vts") <= F.col("cts"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    want_pairs = {(r["click_id"], r["view_id"]) for r in inner.collect()}
+    got_rows = got.collect()
+    got_pairs = {
+        (r["click_id"], r["view_id"]) for r in got_rows if r["view_id"] is not None
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 10
+
+    matched_clicks = {p[0] for p in want_pairs}
+    null_clicks = {r["click_id"] for r in got_rows if r["view_id"] is None}
+    # never a matched click, and some unattributed clicks must emit
+    assert not (null_clicks & matched_clicks)
+    assert null_clicks
+    # completeness: every unmatched click safely below the final
+    # global watermark must have emitted its null row. The eviction
+    # boundary is (min-side max ts - 2h watermark) minus the 1h join
+    # interval Spark folds into the outer-state watermark.
+    import datetime
+
+    wm = min(
+        b.filter("event_type = 'view'").agg(F.max("ts")).collect()[0][0],
+        b.filter("event_type = 'click'").agg(F.max("ts")).collect()[0][0],
+    ) - datetime.timedelta(hours=2)
+    horizon_closed = wm - datetime.timedelta(hours=1)
+    all_clicks = {r["click_id"]: r["cts"] for r in c.collect()}
+    expected_null = {
+        cid
+        for cid, cts in all_clicks.items()
+        if cid not in matched_clicks and cts < horizon_closed
+    }
+    assert expected_null <= null_clicks, (
+        f"{len(expected_null - null_clicks)} overdue null emissions missing"
+    )
