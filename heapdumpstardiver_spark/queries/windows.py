@@ -991,7 +991,8 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore_daily",
     oracle=f"""
     WITH daily AS (
-        SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(value) AS v
         FROM events GROUP BY 1, 2
     ),
     stats AS (
