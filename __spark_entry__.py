@@ -65,6 +65,8 @@ _CHECK_PRIORITY = [
     "funnel_conversion", "retention_cohort", "anomaly_zscore_daily",
     "asof_join_tolerance", "sketch_union_cascade",
     "exact_substring_runs", "similarity_pq_adc",
+    "table_profile", "join_key_skew_profile",
+    "importance_resample_dsir", "bpe_pair_merge_candidates",
 ]
 
 

@@ -27,6 +27,13 @@ Layout:
 from .registry import ORACLE_SQL, QUERIES  # noqa: F401
 
 # Importing the query modules populates the registry.
-from .queries import llm, media, pipeline, relational, windows  # noqa: E402,F401
+from .queries import (  # noqa: E402,F401
+    diagnostics,
+    llm,
+    media,
+    pipeline,
+    relational,
+    windows,
+)
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,190 @@
+"""Pre-flight data-engineering diagnostics: the profiling queries an
+operator runs against a 100-TB table BEFORE committing to a plan —
+per-column statistics (the input to partition/bucket/sort-key choices)
+and join-key skew measurement (the input to salting / AQE-skew-join
+decisions).
+
+Mirrors the reference's warehouse-introspection surface
+(`heap_state.py` table listing / `analyze_heap_parquet.py`'s
+pre-check row-count probes) generalized into reusable operators.
+Both queries are single-scan aggregations: the profile is one
+wide aggregate unpivoted driver-free, the skew probe is one
+groupBy plus a broadcast scalar join — nothing here collects
+per-row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import round_col, round_sql
+from ..registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# table_profile — per-column stats in ONE scan
+# ---------------------------------------------------------------------------
+
+# (column, kind) pairs for the profiled table. Kind selects the
+# engine-portable string rendering of min/max: bigints and varchars
+# cast exactly; doubles go through the portable half-up rounding then
+# DECIMAL(18,2) (exact decimal → identical string in both engines, no
+# scientific-notation divergence); timestamps through an explicit
+# format string (Spark and DuckDB default timestamp→string renderings
+# disagree on fractional seconds).
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "dbl"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "int":
+            mn, mx = f"CAST(min({col}) AS VARCHAR)", f"CAST(max({col}) AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = f"min({col})", f"max({col})"
+        elif kind == "dbl":
+            mn = f"CAST(CAST({round_sql(f'min({col})')} AS DECIMAL(18,2)) AS VARCHAR)"
+            mx = f"CAST(CAST({round_sql(f'max({col})')} AS DECIMAL(18,2)) AS VARCHAR)"
+        else:  # ts
+            mn = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S')"
+        parts.append(
+            f"""
+    SELECT '{col}' AS col_name, count(*) AS n_rows,
+           count(*) - count({col}) AS n_nulls,
+           count(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_val, {mx} AS max_val
+    FROM orders"""
+        )
+    return "\nUNION ALL".join(parts) + "\nORDER BY col_name"
+
+
+@query("table_profile", oracle=_profile_oracle())
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile — rows, nulls, distinct count, min/max
+    — in a single scan of the fact table (the oracle's UNION-ALL of
+    per-column scans is the semantic spec; the Spark plan computes all
+    columns' aggregates in ONE pass, then unpivots the single wide row
+    with an explode of struct literals — no second scan, no driver
+    loop). The reference's `list_tables` reports schema + row counts
+    (heap_state.py ≙ service.list_tables); this is that surface
+    deepened to the stats a partition/sort-key choice needs.
+
+    Scale: multiple COUNT(DISTINCT)s in one aggregate → Catalyst
+    Expand (rows × #distinct-aggs) into one exchange; at 100 TB you
+    would swap exact distinct for approx_count_distinct per column,
+    which drops the Expand entirely — exact is kept here because the
+    oracle must hash-match."""
+    o = _t(spark, sf_dir, "orders")
+
+    aggs, fields = [], []
+    for col, kind in _PROFILE_COLS:
+        aggs.append(F.count(F.lit(1)).alias(f"{col}__rows"))
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__distinct"))
+        if kind == "int":
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        elif kind == "str":
+            mn, mx = F.min(col), F.max(col)
+        elif kind == "dbl":
+            mn = round_col(F.min(col)).cast("decimal(18,2)").cast("string")
+            mx = round_col(F.max(col)).cast("decimal(18,2)").cast("string")
+        else:  # ts
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        aggs.append(mn.alias(f"{col}__min"))
+        aggs.append(mx.alias(f"{col}__max"))
+        fields.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}__rows").alias("n_rows"),
+                F.col(f"{col}__nulls").alias("n_nulls"),
+                F.col(f"{col}__distinct").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_val"),
+                F.col(f"{col}__max").alias("max_val"),
+            )
+        )
+
+    wide = o.agg(*aggs)
+    return (
+        wide.select(F.explode(F.array(*fields)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_key_skew_profile — hot-key detection before a big join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, count(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total_rows,
+               sum(cnt) / count(*) AS avg_cnt
+        FROM per_key
+    )
+    SELECT key, cnt, n_keys, total_rows,
+           {round_sql("100.0 * cnt / total_rows", 4)} AS share_pct,
+           {round_sql("cnt / avg_cnt", 4)} AS ratio_vs_avg
+    FROM per_key, stats
+    ORDER BY cnt DESC, key LIMIT 5
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: per-key row counts on the proposed
+    shuffle key, the 5 hottest keys with their share of the table and
+    ratio over the mean key. This is the measurement that decides
+    between a plain shuffle join, salting (`salted_heavy_hitter_agg`),
+    and AQE's skew-join splitting — run it BEFORE the 100-TB join, on
+    the key you are about to shuffle on.
+
+    Plan: one scan → partial-agg'd groupBy(key); the global stats row
+    aggregates the (already tiny) per-key table and broadcasts back
+    over it (1-row crossJoin); top-5 via TakeOrdered — no global
+    sort, no driver-side data."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        (F.sum("cnt") / F.count(F.lit(1))).alias("avg_cnt"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            "n_keys",
+            "total_rows",
+            round_col(100.0 * F.col("cnt") / F.col("total_rows"), 4).alias(
+                "share_pct"
+            ),
+            round_col(F.col("cnt") / F.col("avg_cnt"), 4).alias("ratio_vs_avg"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(5)
+    )

@@ -1286,3 +1286,190 @@ def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "importance_resample_dsir",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, generate_subscripts(t, 1) AS pos, unnest(t) AS token
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+    ),
+    seq AS (
+        SELECT doc_id, lang, token,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks WHERE token <> ''
+    ),
+    feats AS (
+        SELECT doc_id, lang, token AS f FROM seq
+        UNION ALL
+        SELECT doc_id, lang, prev || ' ' || token AS f
+        FROM seq WHERE prev IS NOT NULL
+    ),
+    db AS (
+        SELECT doc_id, lang, substr(md5(f), 1, 2) AS b, count(*) AS cnt
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    bstat AS (
+        SELECT b, sum(cnt) AS s_cnt,
+               sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS t_cnt
+        FROM db GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(s_cnt) AS DOUBLE) AS s_tot,
+               CAST(sum(t_cnt) AS DOUBLE) AS t_tot
+        FROM bstat
+    ),
+    w AS (
+        SELECT doc_id,
+               sum(cnt * (ln((t_cnt + 1) / (t_tot + 256))
+                        - ln((s_cnt + 1) / (s_tot + 256)))) AS lw,
+               CAST(sum(cnt) AS BIGINT) AS n_feats
+        FROM db JOIN bstat USING (b), tot
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, n_feats,
+           {round_sql("lw", 6)} AS logweight
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY logweight DESC, d.doc_id LIMIT 40
+    """,
+)
+def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every source document by how much more
+    likely its hashed n-gram features are under a TARGET distribution
+    (here: the corpus's `lang='en'` slice, standing in for a
+    benchmark/domain sample) than under the raw-source distribution,
+    then keep the top-weighted documents. Features are unigrams +
+    bigrams hashed into 256 buckets (md5-prefix bucket ids — string
+    keys, no hex→int conversion); both bucket multinomials get
+    Laplace +1 smoothing; a document's log importance weight is the
+    feature-count-weighted sum of log(p_target/p_source) over its
+    buckets.
+
+    Scale shape: the corpus is tokenized ONCE into per-(doc, bucket)
+    counts — everything downstream operates on that reduced relation:
+    the bucket table is ≤256 rows (broadcast back), totals are one
+    scalar row (broadcast crossJoin), the per-doc rollup shuffles
+    doc×bucket counts, never tokens. At 100 TB the hashed-feature
+    reduction is the point of DSIR: model fitting touches only
+    fixed-width count vectors."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    seq = toks.withColumn(
+        "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    uni = seq.select("doc_id", "lang", F.col("token").alias("f"))
+    bi = seq.filter(F.col("prev").isNotNull()).select(
+        "doc_id", "lang", F.concat_ws(" ", "prev", "token").alias("f")
+    )
+    feats = uni.unionByName(bi)
+    db = feats.groupBy(
+        "doc_id", "lang", F.substring(F.md5("f"), 1, 2).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bstat = db.groupBy("b").agg(
+        F.sum("cnt").alias("s_cnt"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
+            "t_cnt"
+        ),
+    )
+    tot = bstat.agg(
+        F.sum("s_cnt").cast("double").alias("s_tot"),
+        F.sum("t_cnt").cast("double").alias("t_tot"),
+    )
+    lw_term = F.col("cnt") * (
+        F.log((F.col("t_cnt") + 1) / (F.col("t_tot") + 256))
+        - F.log((F.col("s_cnt") + 1) / (F.col("s_tot") + 256))
+    )
+    w = (
+        db.join(F.broadcast(bstat), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lw_term).alias("lw"),
+            F.sum("cnt").cast("long").alias("n_feats"),
+        )
+    )
+    return (
+        w.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_feats",
+            round_col(F.col("lw"), 6).alias("logweight"),
+        )
+        .orderBy(F.desc("logweight"), "doc_id")
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training prep: first merge-candidate pair counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_merge_candidates",
+    oracle="""
+    WITH words AS (
+        SELECT token AS word, count(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    pairs AS (
+        SELECT substr(word, i, 2) AS pair, word, wf
+        FROM words, unnest(range(1, length(word))) AS r(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS total_cnt,
+           count(DISTINCT word) AS n_distinct_words
+    FROM pairs GROUP BY pair
+    ORDER BY total_cnt DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training preparation: corpus-frequency-weighted
+    counts of adjacent symbol pairs — exactly the statistic the first
+    BPE merge step maximizes (Sennrich et al. 2016, arXiv:1508.07909).
+    Top-20 merge candidates with their total occurrence count and the
+    number of distinct word types containing them.
+
+    Scale shape: the corpus collapses to a (distinct word, frequency)
+    table FIRST — the classic BPE trick; every later merge iteration
+    operates on word types, not corpus tokens, so pair extraction
+    touches |vocab| rows regardless of corpus size. Pair explosion is
+    a JVM-side transform over character positions (no Python), the
+    rollup is one shuffle on the pair, and top-20 is TakeOrdered."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "word",
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wf").cast("long").alias("total_cnt"),
+            F.count_distinct(F.col("word")).alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("total_cnt"), "pair")
+        .limit(20)
+    )

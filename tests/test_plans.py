@@ -321,3 +321,47 @@ def test_dominator_rounds_shuffle_long_pairs_only(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "path" not in ln, ln
+
+
+def test_table_profile_is_one_scan(spark):
+    """table_profile computes all six columns' aggregates in a single
+    pass: exactly one parquet scan (the oracle's UNION-ALL of per-
+    column scans is spec, not plan), no Python evaluation."""
+    plan = plan_of(spark, "table_profile")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skew_profile_broadcasts_stats_and_takes_ordered(spark):
+    """join_key_skew_profile: the global stats row joins back over the
+    per-key table as a broadcast (1-row side), and top-5 is a heap
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "join_key_skew_profile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_dsir_reduces_to_bucket_counts_before_model_join(spark):
+    """importance_resample_dsir: the bucket model (≤256 rows) and the
+    totals row come back over the per-(doc,bucket) counts as
+    broadcasts — the corpus-sized relations never join each other
+    directly — and everything stays JVM-side."""
+    plan = plan_of(spark, "importance_resample_dsir")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_bpe_pairs_explode_word_types_not_corpus(spark):
+    """bpe_pair_merge_candidates: pair extraction runs AFTER the
+    word-frequency aggregation (vocab-sized input), so the plan has
+    the word rollup exchange upstream of the generator/explode, and
+    top-20 is TakeOrdered."""
+    plan = plan_of(spark, "bpe_pair_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    gen = plan.index("Generate explode")
+    scan = plan.index("Scan parquet")
+    # plan string prints top-down: the explode sits ABOVE (before) the
+    # scan, and between them there must be the word-count exchange.
+    assert "Exchange hashpartitioning" in plan[gen:scan], plan
