@@ -270,3 +270,35 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str, ou
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_foreach_batch_idempotent(
+    stream_df: DataFrame, out_dir: str, checkpoint: str, query_name: str = "fb_sink"
+):
+    """foreachBatch sink with the idempotent-overwrite pattern: each
+    micro-batch lands in ``out_dir/batch_id=<n>`` with
+    ``mode("overwrite")``, so a batch REPLAYED after a failure (Spark's
+    foreachBatch delivery is at-least-once: the epoch commits to the
+    checkpoint only after the sink function returns) overwrites its own
+    partition instead of appending twice. Idempotent writes over
+    at-least-once delivery is how end-to-end exactly-once is built for
+    sinks without transactional commit — the parquet analogue of the
+    MERGE-by-batch-id pattern.
+
+    The batch-id directory is also a Hive partition column, so
+    downstream reads of ``out_dir`` see one logical table and can
+    partition-prune by ingestion batch."""
+    import os
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

@@ -315,3 +315,52 @@ def test_click_view_attribution_left_outer(spark, events_dir, tmp_path):
     assert expected_null <= null_clicks, (
         f"{len(expected_null - null_clicks)} overdue null emissions missing"
     )
+
+
+def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
+    """The foreachBatch sink must (a) deliver exactly the batch input
+    to the output table, and (b) be idempotent under batch replay —
+    re-running the same epoch overwrites its batch partition rather
+    than appending, so a crash between sink write and checkpoint
+    commit cannot double rows."""
+    import glob as _glob
+    import os
+
+    from heapdumpstardiver_spark.streaming.windowed import (
+        stream_events,
+        write_foreach_batch_idempotent,
+    )
+
+    out = str(tmp_path / "fb_out")
+    ck = str(tmp_path / "fb_ck")
+    src = stream_events(spark, events_dir).filter("event_type = 'click'")
+    q = write_foreach_batch_idempotent(src, out, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = (
+        spark.read.parquet(events_dir)
+        .filter("event_type = 'click'")
+        .count()
+    )
+    assert got.count() == want
+    assert "batch_id" in got.columns  # partition column surfaces
+
+    # Replay epoch 0 by hand (at-least-once redelivery): same data,
+    # same batch id → the partition is overwritten, counts unchanged.
+    batch0 = spark.read.parquet(events_dir).filter("event_type = 'click'")
+    batch0.write.mode("overwrite").parquet(os.path.join(out, "batch_id=0"))
+    assert spark.read.parquet(out).count() == want
+
+    # Restart from the same checkpoint with no new data: nothing
+    # reprocesses, output unchanged.
+    q2 = write_foreach_batch_idempotent(
+        stream_events(spark, events_dir).filter("event_type = 'click'"),
+        out,
+        ck,
+        query_name="fb_sink_restart",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == want
+    # exactly one batch directory — the replay never forked a new one
+    assert len(_glob.glob(os.path.join(out, "batch_id=*"))) == 1
