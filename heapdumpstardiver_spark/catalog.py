@@ -63,7 +63,9 @@ def table_rows(sf_dir: str, name: str) -> int:
 _ROW_CACHE: dict[tuple[str, str], tuple[tuple, int]] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, ignore_corrupt: bool = False
+) -> DataFrame:
     """Read one logical table. Spark globs directories natively, so a
     single-file layout and a chunked layout resolve identically.
 
@@ -72,13 +74,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted losslessly to a microsecond timestamp with integral
     arithmetic (``DIV`` — a double division would lose precision above
     2^53 ns).
-    """
+
+    ``ignore_corrupt=True`` turns on the per-read ``ignoreCorruptFiles``
+    option: a shard with a damaged footer or truncated pages is skipped
+    (logged by Spark) instead of failing the whole scan. At 100-TB
+    scale a multi-hour job must survive the occasional bad object-store
+    shard; default is strict (fail loudly) because silently dropping
+    data is the wrong default for correctness-gated work — turn it on
+    deliberately, then reconcile counts against the manifest
+    (`verify_manifest`)."""
     if name == "events":
-        return _load_events(spark, table_path(sf_dir, name))
-    return spark.read.parquet(table_path(sf_dir, name))
+        return _load_events(spark, table_path(sf_dir, name), ignore_corrupt)
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
+def _load_events(
+    spark: SparkSession, path: str, ignore_corrupt: bool = False
+) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -97,7 +112,10 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -142,3 +142,23 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     n_z = wh.table("li_z").filter(F.col("b").between(100, 131)).count()
     n_a = wh.table("li_a").filter(F.col("b").between(100, 131)).count()
     assert n_z == n_a > 0
+
+
+def test_corrupt_shard_tolerance(spark, tmp_path):
+    """A damaged parquet shard fails a strict read loudly (default) and
+    is skipped under ignore_corrupt=True — the posture a multi-hour
+    100-TB scan needs for the occasional bad object-store shard, as an
+    explicit opt-in rather than a silent default."""
+    import pytest as _pytest
+
+    from heapdumpstardiver_spark.catalog import load_table
+
+    d = tmp_path / "lineitem.parquet"
+    spark.range(200).selectExpr("id AS l_orderkey").write.parquet(str(d))
+    (d / "part-corrupt-shard.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+
+    with _pytest.raises(Exception):
+        load_table(spark, str(tmp_path), "lineitem").count()
+
+    ok = load_table(spark, str(tmp_path), "lineitem", ignore_corrupt=True)
+    assert ok.count() == 200
