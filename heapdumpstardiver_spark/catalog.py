@@ -345,6 +345,103 @@ def write_table(df, root: str, name: str, mode: str = "overwrite",
     return path
 
 
+def upsert_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    updates: DataFrame,
+    keys: list[str],
+    warehouse: "Warehouse | None" = None,
+) -> dict:
+    """MERGE-style upsert: rows in *updates* replace target rows with
+    the same *keys* tuple; unmatched update rows insert; unmatched
+    target rows are kept. The missing mutation primitive between
+    `write_table` (overwrite/append) and `ingest/snapshots.py`
+    (append-only history).
+
+    Two physical strategies, chosen by layout:
+
+    - **Partition-scoped** (Hive-partitioned table AND the partition
+      columns present in *updates*): only the partitions the updates
+      touch are read (partition-pruned scan), merged (left_anti on
+      keys + unionByName), and swapped in via Spark's dynamic
+      partition overwrite — untouched partitions are never read or
+      rewritten. This is the Delta/Iceberg MERGE cost model: work
+      scales with the touched slice, not the table; at 100 TB an
+      upsert of one day's corrections reads and writes one day.
+    - **Full-rewrite** (unpartitioned table): merge everything to a
+      temp directory, then the same atomic two-rename swap
+      `compact_table` uses. Correct at any size, but O(table); the
+      docstring-level advice at scale is: partition (or bucket by
+      key — `bucketing.py` — to make the anti-join shuffle-free) any
+      table that expects upserts.
+
+    Single-writer contract, like `compact_table`. Returns
+    {"strategy", "rows_updated", "rows_inserted", "partitions_touched"}.
+    """
+    import shutil
+
+    wh = warehouse if warehouse is not None else Warehouse(spark, root)
+    path = wh._resolve(name)
+    part_keys = (
+        sorted(
+            {
+                e.split("=", 1)[0]
+                for e in os.listdir(path)
+                if "=" in e and os.path.isdir(os.path.join(path, e))
+            }
+        )
+        if os.path.isdir(path)
+        else []
+    )
+    target = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    if part_keys and set(part_keys) <= set(updates.columns):
+        touched = updates.select(*part_keys).distinct()
+        pruned = target.join(F.broadcast(touched), part_keys, "left_semi")
+        survivors = pruned.join(updates, keys, "left_anti")
+        merged = survivors.unionByName(updates.select(*pruned.columns))
+        n_touched = touched.count()
+        n_matched = pruned.join(updates, keys, "left_semi").count()
+        old_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").option("compression", "snappy") \
+                .partitionBy(*part_keys).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        wh.invalidate(name)
+        return {
+            "strategy": "partition-scoped",
+            "rows_updated": n_matched,
+            "rows_inserted": updates.count() - n_matched,
+            "partitions_touched": n_touched,
+        }
+
+    n_matched = target.join(updates, keys, "left_semi").count()
+    merged = target.join(updates, keys, "left_anti").unionByName(
+        updates.select(*target.columns)
+    )
+    tmp = path + ".upsert-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    old = path + ".upsert-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    wh.invalidate(name)
+    return {
+        "strategy": "full-rewrite",
+        "rows_updated": n_matched,
+        "rows_inserted": updates.count() - n_matched,
+        "partitions_touched": 0,
+    }
+
+
 def zorder_key(a, b, bits: int = 16):
     """Z-order (Morton) interleaving of two non-negative int columns,
     as a pure Catalyst expression: the top *bits* of each value's
