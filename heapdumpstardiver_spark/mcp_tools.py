@@ -26,7 +26,9 @@ from pathlib import Path
 from typing import Any, Callable
 
 from .service import DEFAULT_PAGE_SIZE, SessionManager
+from .service import explain_query as _svc_explain_query
 from .service import list_tables as _svc_list_tables
+from .service import profile_table as _svc_profile_table
 from .service import query_heap as _svc_query_heap
 
 
@@ -175,6 +177,17 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         return _json(
             _svc_query_heap(manager, sql, session_id or None, limit=limit, offset=offset)
         )
+
+    def explain_query(sql: str, session_id: str = "", mode: str = "formatted") -> str:
+        """Show the physical plan for a SQL query WITHOUT running it:
+        scan pushdowns, join strategies, exchanges. Modes: formatted,
+        extended, cost, codegen."""
+        return _json(_svc_explain_query(manager, sql, session_id or None, mode=mode))
+
+    def profile_table(session_id: str = "", table: str = "") -> str:
+        """Per-column profile of one session table (rows, nulls,
+        distinct counts, min/max) computed in a single scan."""
+        return _json(_svc_profile_table(manager, table, session_id or None))
 
     def analyze_heap(
         session_id: str = "",
@@ -350,6 +363,8 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         "cleanup_session": cleanup_session,
         "list_parquet_files": list_parquet_files,
         "query_heap": query_heap,
+        "explain_query": explain_query,
+        "profile_table": profile_table,
         "analyze_heap": analyze_heap,
         "analyze_liveness": analyze_liveness,
         "retained_by_single_referrer": retained_by_single_referrer,

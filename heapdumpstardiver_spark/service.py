@@ -205,3 +205,87 @@ def list_tables(manager: SessionManager, session_id: str | None = None) -> dict[
             "columns": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         }
     return {"session_id": sess.session_id, "tables": tables}
+
+
+def explain_query(
+    manager: SessionManager,
+    sql: str,
+    session_id: str | None = None,
+    mode: str = "formatted",
+) -> dict[str, Any]:
+    """Plan introspection WITHOUT execution — the "is my filter pushed
+    down / which join strategy did I get / how many shuffles" question,
+    answered through the service surface before anyone pays for a run.
+    The reference has no counterpart (DuckDB's EXPLAIN exists but is
+    not exposed through its MCP server); at 100 TB, inspecting the
+    plan first is an operational necessity, so the engine exposes it
+    as a first-class tool. *mode*: formatted | extended | cost |
+    codegen (Spark EXPLAIN variants)."""
+    if mode not in ("formatted", "extended", "cost", "codegen", "simple"):
+        return {"error": f"unknown explain mode '{mode}'"}
+    try:
+        sess = manager.get(session_id)
+    except (KeyError, ValueError) as e:
+        return {"error": str(e)}
+    try:
+        rows = manager.spark.sql(f"EXPLAIN {mode.upper()} {sql}").collect()
+        return {
+            "session_id": sess.session_id,
+            "mode": mode,
+            "plan": "\n".join(r[0] for r in rows),
+        }
+    except Exception as e:
+        return {"error": str(e)}
+
+
+def profile_table(
+    manager: SessionManager,
+    table: str,
+    session_id: str | None = None,
+    max_distinct_cols: int = 32,
+) -> dict[str, Any]:
+    """Per-column profile of one session table — rows, nulls, distinct
+    count, min/max — computed in a SINGLE scan (one wide aggregate;
+    the generic-service twin of the oracle-paired `table_profile`
+    query). Columns beyond *max_distinct_cols* skip the exact
+    COUNT(DISTINCT) (each one widens the Expand) and report
+    approx_count_distinct instead — the 100-TB default."""
+    from pyspark.sql import functions as F
+
+    try:
+        sess = manager.get(session_id)
+    except (KeyError, ValueError) as e:
+        return {"error": str(e)}
+    try:
+        df = sess.warehouse.table(table)
+    except KeyError as e:
+        return {"error": str(e)}
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, f in enumerate(fields):
+        c = F.col(f"`{f.name}`")
+        aggs.append(F.count(c).alias(f"__nn_{i}"))
+        if i < max_distinct_cols:
+            aggs.append(F.count_distinct(c).alias(f"__nd_{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{i}"))
+        if f.dataType.simpleString() not in ("binary", "array<double>", "array<float>"):
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{i}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    cols = {}
+    for i, f in enumerate(fields):
+        cols[f.name] = {
+            "type": f.dataType.simpleString(),
+            "n_nulls": row["__rows"] - row[f"__nn_{i}"],
+            "n_distinct": row[f"__nd_{i}"],
+            "distinct_exact": i < max_distinct_cols,
+            "min": row.get(f"__mn_{i}"),
+            "max": row.get(f"__mx_{i}"),
+        }
+    return {
+        "session_id": sess.session_id,
+        "table": table,
+        "n_rows": row["__rows"],
+        "columns": cols,
+    }

@@ -133,3 +133,39 @@ def test_open_session_on_reference_layout(tools, spark, tmp_path):
     )
     assert q["rows"][0]["n"] > 0
     json.loads(t["close_session"]("refsess"))
+
+
+def _ensure_session(t, mgr, hprof):
+    """Self-sufficient session setup: earlier tests may have cleaned up
+    the module session (cleanup_confirm_gate deletes it)."""
+    if "app" not in mgr.sessions:
+        out = json.loads(t["convert_heap_dump"](hprof))
+        assert out["status"] == "ok"
+
+
+def test_explain_query_tool(tools):
+    t, hprof, mgr = tools
+    _ensure_session(t, mgr, hprof)
+    view = mgr.get("app").view_name("_object_index")
+    out = json.loads(
+        t["explain_query"](
+            f"SELECT count(*) FROM {view} WHERE type_name LIKE 'java%'"
+        )
+    )
+    assert out["mode"] == "formatted"
+    # plan text, not results: a scan node and the pushed filter appear
+    assert "Scan" in out["plan"] and "type_name" in out["plan"]
+    assert "error" in json.loads(t["explain_query"]("SELECT 1", mode="bogus"))
+
+
+def test_profile_table_tool(tools):
+    t, hprof, mgr = tools
+    _ensure_session(t, mgr, hprof)
+    out = json.loads(t["profile_table"](table="_object_index"))
+    assert out["n_rows"] > 0
+    cols = out["columns"]
+    assert cols["type_name"]["n_nulls"] == 0
+    assert cols["type_name"]["n_distinct"] > 1
+    assert cols["type_name"]["distinct_exact"] is True
+    assert cols["obj_id"]["min"] is not None
+    assert "error" in json.loads(t["profile_table"](table="nope"))
