@@ -67,6 +67,7 @@ _CHECK_PRIORITY = [
     "exact_substring_runs", "similarity_pq_adc",
     "table_profile", "join_key_skew_profile",
     "importance_resample_dsir", "bpe_pair_merge_candidates",
+    "chunk_documents_overlap", "bigram_pmi_topk",
 ]
 
 

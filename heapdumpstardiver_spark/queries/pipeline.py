@@ -1473,3 +1473,146 @@ def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_cnt"), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: fixed-size overlapping token windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               (i - 1) // 48 AS chunk_idx,
+               t[i:least(i + 63, len(t))] AS chunk
+        FROM toks, unnest(range(1, len(t) + 1, 48)) AS r(i)
+    )
+    SELECT doc_id, chunk_idx,
+           len(chunk) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the stage that turns documents into
+    model-sized pieces (pretraining sequence prep, RAG indexing):
+    64-token windows at stride 48 (16-token overlap so no boundary
+    context is lost), each chunk identified by (doc_id, chunk_idx) and
+    content-addressed with a hash (the dedup/join key downstream
+    chunk-level pipelines use).
+
+    Scale shape: chunk starts come from one JVM-side `sequence()` per
+    document and chunks from `slice()` — a single scan, one generator
+    explode, no shuffle at all until a downstream consumer groups by
+    chunk_hash. Chunk count ~= corpus_tokens/stride regardless of
+    document skew; a 1 M-token document explodes into rows, never into
+    one executor-killing string."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(t), 48)")).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.expr("(i - 1) div 48").alias("chunk_idx"),
+        F.expr("slice(t, i, 64)").alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram PMI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    seq AS (
+        SELECT doc_id, pos, token,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks WHERE token <> ''
+    ),
+    c2 AS (
+        SELECT prev, token, count(*) AS n2
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, token
+    ),
+    marg AS (
+        SELECT prev, token, n2,
+               sum(n2) OVER (PARTITION BY prev) AS nl,
+               sum(n2) OVER (PARTITION BY token) AS nr,
+               sum(n2) OVER () AS n
+        FROM c2
+    )
+    SELECT prev, token, CAST(n2 AS BIGINT) AS n2,
+           {round_sql("ln(CAST(n2 AS DOUBLE) * n / (nl * nr))", 6)} AS pmi
+    FROM marg
+    WHERE n2 >= 5
+    ORDER BY pmi DESC, prev, token LIMIT 20
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln(p(x,y) / (p_l(x) p_r(y))) with the marginals
+    taken over bigram events — the standard phrase-detection statistic
+    (Church & Hanks 1990; word2phrase). Pairs occurring ≥5 times,
+    top-20 most-associated. Feeds tokenizer/vocab decisions (which
+    multi-word units deserve merges) alongside `bpe_pair_merge_candidates`
+    (character level) and `vocab_topk` (unigram level).
+
+    Scale shape: the corpus reduces to the distinct-bigram count table
+    in one shuffle; marginals are window sums OVER that reduced table
+    (|distinct bigrams| rows, not corpus rows — the single-partition
+    global-sum window is over the same reduced relation); top-20 is
+    TakeOrdered."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    seq = toks.withColumn(
+        "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    c2 = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    marg = (
+        c2.withColumn("nl", F.sum("n2").over(Window.partitionBy("prev")))
+        .withColumn("nr", F.sum("n2").over(Window.partitionBy("token")))
+        .withColumn("n", F.sum("n2").over(Window.partitionBy()))
+    )
+    pmi = F.log(F.col("n2").cast("double") * F.col("n") / (F.col("nl") * F.col("nr")))
+    return (
+        marg.filter(F.col("n2") >= 5)
+        .select(
+            "prev",
+            "token",
+            F.col("n2").cast("long").alias("n2"),
+            round_col(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "prev", "token")
+        .limit(20)
+    )

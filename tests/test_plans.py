@@ -365,3 +365,26 @@ def test_bpe_pairs_explode_word_types_not_corpus(spark):
     # plan string prints top-down: the explode sits ABOVE (before) the
     # scan, and between them there must be the word-count exchange.
     assert "Exchange hashpartitioning" in plan[gen:scan], plan
+
+
+def test_chunking_explodes_jvm_side_no_hash_shuffle(spark):
+    """chunk_documents_overlap: starts/slices come from JVM generators
+    (sequence + slice inside Generate), no Python, and no hash
+    exchange — the only exchange is the presentation orderBy's range
+    partitioning."""
+    plan = plan_of(spark, "chunk_documents_overlap")
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pmi_windows_run_over_reduced_bigram_table(spark):
+    """bigram_pmi_topk: the PMI marginal windows must consume the
+    aggregated distinct-bigram relation — i.e. the plan has the
+    bigram-count hash aggregate BELOW the window operators — and
+    top-20 is TakeOrdered, all JVM-side."""
+    plan = plan_of(spark, "bigram_pmi_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
