@@ -323,13 +323,22 @@ def test_dominator_rounds_shuffle_long_pairs_only(spark):
             assert "path" not in ln, ln
 
 
-def test_table_profile_is_one_scan(spark):
-    """table_profile computes all six columns' aggregates in a single
-    pass: exactly one parquet scan (the oracle's UNION-ALL of per-
-    column scans is spec, not plan), no Python evaluation."""
+def test_table_profile_is_one_scan_two_hash_aggs(spark):
+    """table_profile computes all six columns' stats in a single pass
+    (the oracle's UNION-ALL of per-column scans is spec, not plan) via
+    unpivot + two-level HASH aggregation — the multi-COUNT(DISTINCT)
+    Expand→SortAggregate shape (double grouping key disables hash agg;
+    measured 3-4x slower) must not come back."""
     plan = plan_of(spark, "table_profile")
     assert plan.count("Scan parquet") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Expand" not in plan, plan
+    # The corpus-sized level-1 (column, value) reduction must hash-agg.
+    # (Level 2 legitimately sort-aggs — min/max(string) buffers are not
+    # hash-compatible — but it consumes the already-reduced relation.)
+    lines = plan.splitlines()
+    lvl1 = [ln for ln in lines if "Aggregate" in ln and "lv#" in ln and "keys=" in ln]
+    assert lvl1 and all("HashAggregate" in ln for ln in lvl1), plan
 
 
 def test_skew_profile_broadcasts_stats_and_takes_ordered(spark):
