@@ -1641,3 +1641,73 @@ def dominator_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = _graph_warehouse(spark)
     return retained_sizes(wh)
+
+
+@query(
+    "star_join_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           count(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def star_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star join (local supplier volume):
+    revenue by nation where customer and supplier share the nation,
+    restricted to one region and a two-year order window. The
+    join-ORDERING showcase: a naive left-to-right execution would
+    shuffle lineitem twice and join region last; the correct plan
+    prunes region→nation→supplier first (three broadcasts), shuffles
+    the two fact tables once each on their join key, and pushes both
+    the date range and (via the nation broadcast) the region
+    restriction below the joins. The query is written in the
+    declarative order a user would write it — Catalyst's join
+    reordering + AQE produce the efficient order; the plan test pins
+    the broadcast count and the pushed date filter.
+
+    Cites the reference's single-table scope: its SQL surface has no
+    multi-way join planner to compare against (mcp_server/server.py
+    passthrough executes whatever single-statement SQL DuckDB gets);
+    this query demonstrates the capability its users gain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            round_col(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

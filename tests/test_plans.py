@@ -397,3 +397,21 @@ def test_pmi_windows_run_over_reduced_bigram_table(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[first_window:], plan
+
+
+def test_star_join_broadcasts_dims_prunes_and_pushes(spark):
+    """star_join_supplier_volume: the six-table star must never plan a
+    cartesian product, must broadcast the dimension chain, must push
+    the date range into the orders scan, and must read only the four
+    lineitem columns the query touches."""
+    import re
+
+    plan = plan_of(spark, "star_join_supplier_volume")
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for ln in plan.splitlines():
+        if "FileScan parquet" in ln and "orders.parquet" in ln:
+            assert "o_orderdate" in ln.split("DataFilters:")[1][:400], ln
+        if "FileScan parquet" in ln and "lineitem.parquet" in ln:
+            cols = re.search(r"FileScan parquet \[([^\]]*)\]", ln).group(1)
+            assert len(cols.split(",")) <= 5, cols
