@@ -68,7 +68,7 @@ _CHECK_PRIORITY = [
     "table_profile", "join_key_skew_profile",
     "importance_resample_dsir", "bpe_pair_merge_candidates",
     "chunk_documents_overlap", "bigram_pmi_topk",
-    "star_join_supplier_volume",
+    "star_join_supplier_volume", "k_anonymity_audit",
 ]
 
 

@@ -1616,3 +1616,64 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "prev", "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy governance: k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH eq_classes AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS class_size
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT 5 AS k,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_classes,
+           CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(class_size) AS BIGINT) AS min_class_size,
+           {round_sql("100.0 * sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) / sum(class_size)", 4)}
+               AS pct_rows_at_risk
+    FROM eq_classes
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group the table by its
+    quasi-identifier columns (here mktsegment × nationkey standing in
+    for the zip/birthdate/sex-style identifiers) and measure the
+    equivalence classes smaller than k=5 — the classes whose members a
+    linkage attack can single out. Reports violating-class and
+    at-risk-row counts and the minimum class size (the dataset's
+    actual k). The release-gate companion to `pii_redaction_scrub`:
+    scrubbing removes direct identifiers, this audits the indirect
+    ones before a dataset ships.
+
+    Scale shape: one scan, one partial-agg'd groupBy on the
+    quasi-identifier tuple, then a scalar rollup of the (already
+    group-count-sized) class table — the audit costs one
+    aggregation regardless of table size."""
+    c = _t(spark, sf_dir, "customer")
+    eq = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    small = F.col("class_size") < 5
+    return eq.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("violating_classes"),
+        F.sum(F.when(small, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        round_col(
+            100.0
+            * F.sum(F.when(small, F.col("class_size")).otherwise(0))
+            / F.sum("class_size"),
+            4,
+        ).alias("pct_rows_at_risk"),
+    )
