@@ -69,6 +69,7 @@ _CHECK_PRIORITY = [
     "importance_resample_dsir", "bpe_pair_merge_candidates",
     "chunk_documents_overlap", "bigram_pmi_topk",
     "star_join_supplier_volume", "k_anonymity_audit",
+    "curation_funnel_accounting", "zipf_alpha_fit",
 ]
 
 

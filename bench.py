@@ -62,7 +62,16 @@ LLM_OPS = [
     "dedup_connected_components",
     "kmeans_embedding_clusters",
 ]
-HEADLINE = CORE + LLM_OPS
+# Round-4 session additions tracked separately (same pattern as
+# LLM_OPS): join reordering, one-scan profiling, selection modeling,
+# and the composed curation funnel.
+EXT_OPS = [
+    "star_join_supplier_volume",
+    "table_profile",
+    "importance_resample_dsir",
+    "curation_funnel_accounting",
+]
+HEADLINE = CORE + LLM_OPS + EXT_OPS
 
 # Queries that execute jobs during DataFrame *construction* (iterative
 # label propagation's convergence rounds, k-means' centroid updates).

@@ -1485,3 +1485,77 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", round_col(F.col("adist"), 4).alias("adist")
     ).orderBy("query_id", "adist", "vec_id")
+
+
+@query(
+    "zipf_alpha_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vf AS (SELECT t, count(*) AS f FROM toks WHERE t <> '' GROUP BY t),
+    ranked AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM vf
+    ),
+    pts AS (SELECT ln(r * 1.0) AS x, ln(f * 1.0) AS y, f FROM ranked),
+    m AS (
+        SELECT count(*) AS n, CAST(sum(f) AS BIGINT) AS total_tokens,
+               avg(x) AS mx, avg(y) AS my,
+               avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+        FROM pts
+    )
+    SELECT n AS n_types, total_tokens,
+           {round_sql("-(mxy - mx * my) / (mxx - mx * mx)", 4)} AS alpha,
+           {round_sql("(mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my))", 4)} AS r2
+    FROM m
+    """,
+)
+def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus rank-frequency curve: OLS slope of
+    ln(frequency) against ln(rank) gives the Zipf exponent alpha
+    (natural-language corpora sit near alpha≈1; the fit r² measures
+    how heavy-tailed/duplicated the vocabulary actually is) — a
+    one-row corpus-health diagnostic that catches boilerplate floods
+    (alpha inflates) and synthetic/shuffled text (fit collapses)
+    before training.
+
+    Shape: corpus → vocabulary counts (one shuffle); ranking and the
+    regression moments run over the REDUCED vocab relation (the
+    single-partition rank window is |vocab|-sized, not corpus-sized);
+    the output is one row of closed-form OLS aggregates — no iterative
+    fitting."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    vf = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = vf.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "t"))
+    )
+    pts = ranked.select(
+        F.log(F.col("r") * 1.0).alias("x"),
+        F.log(F.col("f") * 1.0).alias("y"),
+        "f",
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").cast("long").alias("total_tokens"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    varx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vary = F.col("myy") - F.col("my") * F.col("my")
+    return m.select(
+        F.col("n").alias("n_types"),
+        "total_tokens",
+        round_col(-cov / varx, 4).alias("alpha"),
+        round_col(cov * cov / (varx * vary), 4).alias("r2"),
+    )

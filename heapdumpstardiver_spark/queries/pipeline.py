@@ -1677,3 +1677,184 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_rows_at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: the curation funnel with per-stage accounting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_funnel_accounting",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
+    ),
+    corpus AS (SELECT * FROM base WHERE doc_id % 50 <> 0),
+    tf AS (
+        SELECT doc_id, t, count(*) AS c
+        FROM corpus, unnest(tokens) AS u(t) GROUP BY doc_id, t
+    ),
+    q AS (
+        SELECT c.doc_id, c.text,
+               len(c.tokens) AS n_tok,
+               len(list_filter(c.tokens, t -> t = 'the' OR t = 'a')) AS n_stop,
+               (SELECT max(tf.c) FROM tf WHERE tf.doc_id = c.doc_id) AS max_tf
+        FROM corpus c
+    ),
+    qpass AS (
+        SELECT doc_id, text FROM q
+        WHERE NOT (n_tok < 20 OR n_stop * 1.0 / n_tok > 0.25
+                   OR max_tf * 1.0 / n_tok > 0.12)
+    ),
+    dd AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM qpass
+        ) WHERE rn = 1
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tokens[i:i+4], ' ')) AS g
+        FROM base, unnest(range(1, len(tokens) - 5 + 2)) AS t(i)
+    ),
+    bench_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT gr.doc_id
+        FROM grams gr JOIN bench_g b USING (g)
+        WHERE gr.doc_id IN (SELECT doc_id FROM dd)
+    ),
+    clean AS (
+        SELECT doc_id FROM dd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s AS (
+        SELECT (SELECT count(*) FROM corpus) AS n0,
+               (SELECT count(*) FROM qpass) AS n1,
+               (SELECT count(*) FROM dd) AS n2,
+               (SELECT count(*) FROM clean) AS n3
+    )
+    SELECT stage_no, stage, docs_in, docs_out,
+           docs_in - docs_out AS dropped
+    FROM (
+        SELECT 1 AS stage_no, 'quality_gate' AS stage,
+               n0 AS docs_in, n1 AS docs_out FROM s
+        UNION ALL
+        SELECT 2, 'exact_dedup', n1, n2 FROM s
+        UNION ALL
+        SELECT 3, 'decontaminate', n2, n3 FROM s
+    ) ORDER BY stage_no
+    """,
+)
+def curation_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline as ONE dataflow with per-stage
+    funnel accounting — the run-report a data team reads after every
+    crawl: corpus in → quality gate (the `quality_filter_chain`
+    rules) → exact dedup keep-first (`dedup_exact` semantics) →
+    benchmark decontamination (`decontaminate_ngram_overlap`
+    semantics) → training-ready, with docs in/out/dropped per stage.
+    Demonstrates that the individual operators COMPOSE: each stage
+    consumes the previous stage's survivors, and the whole report is
+    one lazy plan (four 1-row aggregates broadcast-joined, stages
+    unpivoted from struct literals — no driver-side counting loop).
+
+    Scale: the expensive relations (token frequencies, gram sets) are
+    each built once; stage counts are scalar aggregates over
+    progressively smaller survivors. The benchmark gram set stays the
+    only broadcast of data size."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("tokens")
+    )
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+
+    tf = (
+        corpus.select("doc_id", F.explode("tokens").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    max_tf = tf.groupBy("doc_id").agg(F.max("c").alias("max_tf"))
+    q = corpus.select(
+        "doc_id",
+        "text",
+        F.size("tokens").alias("n_tok"),
+        F.size(
+            F.expr("filter(tokens, t -> t = 'the' OR t = 'a')")
+        ).alias("n_stop"),
+    ).join(max_tf, "doc_id")
+    qpass = q.filter(
+        ~(
+            (F.col("n_tok") < 20)
+            | (F.col("n_stop") * 1.0 / F.col("n_tok") > 0.25)
+            | (F.col("max_tf") * 1.0 / F.col("n_tok") > 0.12)
+        )
+    ).select("doc_id", "text")
+
+    from pyspark.sql import Window
+
+    dd = (
+        qpass.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+
+    n = 5
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - n + 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n))),
+    )
+    grams = (
+        d.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(gram_hashes).alias("g"))
+        .distinct()
+    )
+    bench_g = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    contaminated = (
+        grams.join(dd.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dd.join(contaminated, "doc_id", "left_anti")
+
+    n0 = corpus.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = qpass.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = dd.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = clean.agg(F.count(F.lit(1)).alias("n3"))
+    s = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_no"),
+            F.lit("quality_gate").alias("stage"),
+            F.col("n0").alias("docs_in"),
+            F.col("n1").alias("docs_out"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_no"),
+            F.lit("exact_dedup").alias("stage"),
+            F.col("n1").alias("docs_in"),
+            F.col("n2").alias("docs_out"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_no"),
+            F.lit("decontaminate").alias("stage"),
+            F.col("n2").alias("docs_in"),
+            F.col("n3").alias("docs_out"),
+        ),
+    )
+    return (
+        s.select(F.explode(stages).alias("p"))
+        .select("p.*")
+        .withColumn("dropped", F.col("docs_in") - F.col("docs_out"))
+        .orderBy("stage_no")
+    )
