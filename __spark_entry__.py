@@ -70,6 +70,7 @@ _CHECK_PRIORITY = [
     "chunk_documents_overlap", "bigram_pmi_topk",
     "star_join_supplier_volume", "k_anonymity_audit",
     "curation_funnel_accounting", "zipf_alpha_fit",
+    "fuzzy_join_levenshtein",
 ]
 
 

@@ -1711,3 +1711,58 @@ def star_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+        SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY dist, name_a, name_b
+    LIMIT 50
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: name pairs within edit distance 2,
+    joined only INSIDE blocks keyed by the name's last token — the
+    entity-resolution workhorse (match near-identical product/vendor
+    names without an O(n²) cross join). Both engines implement the
+    same Levenshtein definition, so distances are integer-exact.
+
+    Scale shape: candidate space first collapses to DISTINCT names
+    (the classic dedup-before-match reduction), then ONE equi-join on
+    the block key with the edit-distance predicate as a residual
+    filter — per-block quadratic, globally linear in the number of
+    blocks; a skewed block would show up in `join_key_skew_profile`
+    on the block key, and the fix (longer block keys: last token +
+    length band) changes only the key expression."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    keyed = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("dist", "name_a", "name_b")
+        .limit(50)
+    )

@@ -415,3 +415,35 @@ def test_star_join_broadcasts_dims_prunes_and_pushes(spark):
         if "FileScan parquet" in ln and "lineitem.parquet" in ln:
             cols = re.search(r"FileScan parquet \[([^\]]*)\]", ln).group(1)
             assert len(cols.split(",")) <= 5, cols
+
+
+def test_fuzzy_join_blocks_before_distance(spark):
+    """fuzzy_join_levenshtein: the pair space must come from an
+    EQUI-join on the block key (hash or broadcast-hash join with the
+    edit distance as residual condition) — never a nested-loop over
+    all name pairs."""
+    plan = plan_of(spark, "fuzzy_join_levenshtein")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_funnel_benchmark_grams_broadcast_no_cartesian(spark):
+    """curation_funnel_accounting: the only data-sized join inputs are
+    the gram/dedup relations — benchmark grams broadcast, the four
+    scalar stage counts joined as 1-row broadcasts, and no cartesian
+    anywhere."""
+    plan = plan_of(spark, "curation_funnel_accounting")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_zipf_moments_over_reduced_vocab(spark):
+    """zipf_alpha_fit: one corpus scan; the rank window and OLS
+    moments consume the aggregated vocab relation."""
+    plan = plan_of(spark, "zipf_alpha_fit")
+    assert plan.count("Scan parquet") == 1, plan
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
