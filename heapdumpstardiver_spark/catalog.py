@@ -64,7 +64,11 @@ _ROW_CACHE: dict[tuple[str, str], tuple[tuple, int]] = {}
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, ignore_corrupt: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ignore_corrupt: bool = False,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read one logical table. Spark globs directories natively, so a
     single-file layout and a chunked layout resolve identically.
@@ -82,12 +86,21 @@ def load_table(
     shard; default is strict (fail loudly) because silently dropping
     data is the wrong default for correctness-gated work — turn it on
     deliberately, then reconcile counts against the manifest
-    (`verify_manifest`)."""
+    (`verify_manifest`).
+
+    ``merge_schema=True`` turns on per-read ``mergeSchema``: a table
+    whose later shards gained columns (schema evolution across append
+    epochs) reads as the union schema, older rows null-filled. Default
+    off — schema merging reads every file footer (expensive at large
+    file counts) and Spark's default first-footer schema is right for
+    the homogeneous tables ingest writes."""
     if name == "events":
         return _load_events(spark, table_path(sf_dir, name), ignore_corrupt)
     reader = spark.read
     if ignore_corrupt:
         reader = reader.option("ignoreCorruptFiles", "true")
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return reader.parquet(table_path(sf_dir, name))
 
 

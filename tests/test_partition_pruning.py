@@ -162,3 +162,21 @@ def test_corrupt_shard_tolerance(spark, tmp_path):
 
     ok = load_table(spark, str(tmp_path), "lineitem", ignore_corrupt=True)
     assert ok.count() == 200
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A table appended across epochs with an added column reads as
+    the union schema under merge_schema=True (old rows null-filled);
+    the default read keeps the homogeneous fast path."""
+    from heapdumpstardiver_spark.catalog import load_table
+
+    d = tmp_path / "orders.parquet"
+    spark.createDataFrame([(1, 10.0)], "k LONG, v DOUBLE").write.parquet(str(d))
+    spark.createDataFrame(
+        [(2, 20.0, "new")], "k LONG, v DOUBLE, tag STRING"
+    ).write.mode("append").parquet(str(d))
+
+    merged = load_table(spark, str(tmp_path), "orders", merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "tag"}
+    rows = {r.k: r.tag for r in merged.collect()}
+    assert rows == {1: None, 2: "new"}

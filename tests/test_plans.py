@@ -447,3 +447,39 @@ def test_zipf_moments_over_reduced_vocab(spark):
     assert plan.count("Scan parquet") == 1, plan
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[first_window:], plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """DEPLOY.md claims AQE skew-join splitting is the engine's
+    first-line answer to hot join keys; prove it engages. A synthetic
+    join where one key holds ~80% of the fact side must show
+    `skew=true` AQEShuffleReads in the FINAL adaptive plan (thresholds
+    lowered so local fixture sizes qualify — on a cluster the 256MB
+    defaults fire on exactly this pattern; broadcast disabled so the
+    join actually shuffles)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(7).alias("v"),
+        )
+        dim = spark.range(0, 400_000, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        agg = fact.join(dim, "k").agg(F.sum("v"))
+        agg.collect()  # AQE finalizes only on the DF's own execution
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
