@@ -83,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     p_an.add_argument("-w", "--warehouse", required=True)
     p_an.add_argument("--max-tier", type=int, default=3)
 
+    p_pr = sub.add_parser(
+        "profile", help="per-column stats of one warehouse table (single scan)"
+    )
+    p_pr.add_argument("-w", "--warehouse", required=True)
+    p_pr.add_argument("-t", "--table", required=True)
+
     p_q = sub.add_parser("query", help="SQL over warehouse views (paginated)")
     p_q.add_argument("-w", "--warehouse", required=True)
     p_q.add_argument("--sql", required=True)
@@ -190,6 +196,18 @@ def main(argv: list[str] | None = None) -> int:
                 chunks=args.chunks,
             )
             print(json.dumps(summary, indent=2))
+        elif args.cmd == "profile":
+            from .service import SessionManager, profile_table
+
+            mgr = SessionManager(spark)
+            mgr.create_session(args.warehouse, session_id="cli")
+            print(
+                json.dumps(
+                    profile_table(mgr, args.table, "cli"),
+                    indent=2,
+                    default=str,
+                )
+            )
         elif args.cmd == "analyze":
             from .analytics import run_waste_analysis
             from .interop import open_warehouse

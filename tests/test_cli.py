@@ -59,6 +59,12 @@ def test_convert_then_query(dump, tmp_path_factory):
     assert "error" not in out, out
     assert out["rows"][0]["n"] == manifest["tables"]["_object_index"]
 
+    r3 = run_cli("profile", "-w", wh, "-t", "_object_index")
+    assert r3.returncode == 0, r3.stderr
+    prof = json.loads(r3.stdout[r3.stdout.index("{") :])
+    assert prof["n_rows"] == manifest["tables"]["_object_index"]
+    assert prof["columns"]["type_name"]["n_distinct"] > 1
+
 
 def test_snapshot_cli_roundtrip(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli_snap")
