@@ -415,7 +415,14 @@ def upsert_table(
         pruned = target.join(F.broadcast(touched), part_keys, "left_semi")
         survivors = pruned.join(updates, keys, "left_anti")
         merged = survivors.unionByName(updates.select(*pruned.columns))
+        # Count BEFORE the overwrite: if the caller derived *updates*
+        # from this very table, a post-write count would re-read the
+        # already-merged data. (Caveat shared with every partitioned
+        # MERGE: a key must not move between partition values, or its
+        # old row survives in the untouched partition — make partition
+        # columns functionally dependent on the keys.)
         n_touched = touched.count()
+        n_updates = updates.count()
         n_matched = pruned.join(updates, keys, "left_semi").count()
         old_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -430,10 +437,11 @@ def upsert_table(
         return {
             "strategy": "partition-scoped",
             "rows_updated": n_matched,
-            "rows_inserted": updates.count() - n_matched,
+            "rows_inserted": n_updates - n_matched,
             "partitions_touched": n_touched,
         }
 
+    n_updates = updates.count()
     n_matched = target.join(updates, keys, "left_semi").count()
     merged = target.join(updates, keys, "left_anti").unionByName(
         updates.select(*target.columns)
@@ -450,7 +458,7 @@ def upsert_table(
     return {
         "strategy": "full-rewrite",
         "rows_updated": n_matched,
-        "rows_inserted": updates.count() - n_matched,
+        "rows_inserted": n_updates - n_matched,
         "partitions_touched": 0,
     }
 

@@ -1519,7 +1519,10 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(text, ' '), x -> x != '')").alias("t"),
     )
-    chunks = toks.select(
+    # size guard: Spark's sequence(1, 0, 48) throws on an empty token
+    # list where DuckDB's range(1, 1, 48) yields no rows — filter
+    # empty documents out before the generator (no output either way).
+    chunks = toks.filter(F.size("t") >= 1).select(
         "doc_id",
         F.explode(F.expr("sequence(1, size(t), 48)")).alias("i"),
         F.col("t"),
