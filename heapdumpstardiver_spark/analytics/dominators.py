@@ -64,26 +64,51 @@ def shallow_sizes(wh: Warehouse) -> DataFrame:
     """(obj_id, shallow_bytes) for every object: header + field widths
     from the declared `_field_types` layout (instances) or header +
     element bytes (arrays). Class-registry-bounded metadata joins, one
-    `size()` projection per array table — no per-object driver work."""
+    `size()` projection per array table — no per-object driver work.
+
+    Robustness on real dumps: field widths are summed per
+    class_obj_id FIRST, then collapsed per class name with max() —
+    two same-named classes from different loaders must never have
+    their layouts added together — and instances join the size map
+    with a LEFT join + header-only fallback, so a zero-field class
+    (java.lang.Object locks/sentinels, which have no `_field_types`
+    rows at all) still contributes its header bytes instead of
+    silently vanishing from every retained-size rollup. (The object
+    index is name-keyed, mirroring the reference's name-keyed class
+    tables, so per-loader disambiguation of INSTANCES is not
+    representable; max() makes the name-level size an upper bound
+    rather than a double count.)"""
     ft = wh.table("_field_types")
-    class_sizes = ft.groupBy("class_name").agg(
-        (
-            F.lit(_OBJ_HEADER)
-            + F.sum(
-                F.coalesce(
-                    *[
-                        F.when(F.col("field_type") == name, F.lit(w))
-                        for name, w in _PRIM_WIDTHS.items()
-                    ]
-                )
+    per_class = ft.groupBy("class_obj_id", "class_name").agg(
+        F.sum(
+            F.coalesce(
+                *[
+                    F.when(F.col("field_type") == name, F.lit(w))
+                    for name, w in _PRIM_WIDTHS.items()
+                ]
             )
-        ).alias("shallow_bytes")
+        ).alias("field_bytes")
+    )
+    class_sizes = per_class.groupBy("class_name").agg(
+        (F.lit(_OBJ_HEADER) + F.max("field_bytes")).alias("shallow_bytes")
     )
     oi = wh.table("_object_index")
+    # Arrays live in the object index too (`T[]` type names) but get
+    # their sizes from the array tables below — keep them out of the
+    # instance branch or the left join would emit a second,
+    # header-only row for every array object.
+    inst = oi.filter(~F.col("type_name").endswith("[]"))
     parts = [
-        oi.join(
-            F.broadcast(class_sizes), oi.type_name == class_sizes.class_name
-        ).select("obj_id", "shallow_bytes")
+        inst.join(
+            F.broadcast(class_sizes),
+            inst.type_name == class_sizes.class_name,
+            "left",
+        ).select(
+            "obj_id",
+            F.coalesce("shallow_bytes", F.lit(_OBJ_HEADER)).alias(
+                "shallow_bytes"
+            ),
+        )
     ]
     for suffix, width in (
         ("byte", 1), ("boolean", 1), ("char", 2), ("short", 2),

@@ -396,17 +396,24 @@ def upsert_table(
 
     wh = warehouse if warehouse is not None else Warehouse(spark, root)
     path = wh._resolve(name)
-    part_keys = (
-        sorted(
-            {
-                e.split("=", 1)[0]
-                for e in os.listdir(path)
-                if "=" in e and os.path.isdir(os.path.join(path, e))
-            }
-        )
-        if os.path.isdir(path)
-        else []
-    )
+
+    def _partition_keys(p: str) -> list[str]:
+        """Walk the Hive directory levels IN ORDER (day=/hour=/...) —
+        a single-level scan would rewrite a multi-level table with a
+        flattened layout, corrupting it against untouched partitions."""
+        keys: list[str] = []
+        while os.path.isdir(p):
+            level = sorted(
+                e for e in os.listdir(p)
+                if "=" in e and os.path.isdir(os.path.join(p, e))
+            )
+            if not level:
+                break
+            keys.append(level[0].split("=", 1)[0])
+            p = os.path.join(p, level[0])
+        return keys
+
+    part_keys = _partition_keys(path)
     target = spark.read.parquet(path)
     from pyspark.sql import functions as F
 

@@ -672,11 +672,12 @@ def _maybe_decompress(hprof_path: str) -> str:
     dumps usually travel in). Both ingest passes need random access to
     byte ranges (executor tasks seek into disjoint splits), which gzip
     streams cannot serve, so the dump is inflated ONCE to a sibling
-    scratch file (or $SPARK_GRAFT_SCRATCH) keyed by name+size and
-    reused across runs; written via temp + os.replace so a concurrent
-    or killed run never leaves a half-inflated file in place. Detection
-    is by magic bytes, not extension, so a mis-named plain dump still
-    loads directly."""
+    scratch file (or $SPARK_GRAFT_SCRATCH) keyed by name+size+mtime
+    (mtime so a re-exported dump of coincidentally equal size never
+    reuses stale bytes) and reused across runs; written via temp +
+    os.replace so a concurrent or killed run never leaves a
+    half-inflated file in place. Detection is by magic bytes, not
+    extension, so a mis-named plain dump still loads directly."""
     import gzip
     import shutil
     import tempfile
@@ -688,7 +689,8 @@ def _maybe_decompress(hprof_path: str) -> str:
     base = os.path.basename(hprof_path)
     if base.endswith(".gz"):
         base = base[:-3]
-    key = f"{base}.{os.path.getsize(hprof_path)}"
+    st = os.stat(hprof_path)
+    key = f"{base}.{st.st_size}.{int(st.st_mtime)}"
     out = os.path.join(scratch, "hds_inflated", key)
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -68,14 +68,30 @@ def hprof_fixture_path() -> str:
 def _fixture_warehouse(spark: SparkSession):
     """The test dump ingested once into a cached warehouse beside the
     fixture (keyed by the ingest _SUCCESS marker) — lets graph queries
-    run against real ingested tables without re-converting per call."""
+    run against real ingested tables without re-converting per call.
+
+    Concurrency: like the fixture dump itself (temp name +
+    os.replace in hprof_fixture), the warehouse is built in a
+    process-private staging directory and atomically renamed into
+    place, so two processes racing (driver gate + pytest) each build
+    a complete warehouse and one rename wins — a reader can never
+    trust a half-written directory just because _SUCCESS appeared."""
     from ..catalog import Warehouse
     from ..ingest import ingest_hprof
 
     path = hprof_fixture_path()
     wh_dir = os.path.join(os.path.dirname(path), "wh")
     if not os.path.exists(os.path.join(wh_dir, "_SUCCESS")):
-        ingest_hprof(spark, path, wh_dir, overwrite=True)
+        staging = f"{wh_dir}.build.{os.getpid()}"
+        ingest_hprof(spark, path, staging, overwrite=True)
+        try:
+            os.rename(staging, wh_dir)
+        except OSError:
+            # lost the race — another process's complete build is in
+            # place; discard ours
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return Warehouse(spark, wh_dir)
 
 
@@ -1320,14 +1336,6 @@ def _retainer_oracle() -> str:
     """
 
 
-# Primitive widths by _field_types name / primitive-array table suffix.
-_PRIM_WIDTHS = {
-    "Object": 8, "long": 8, "double": 8, "int": 4, "float": 4,
-    "short": 2, "char": 2, "byte": 1, "boolean": 1,
-}
-_OBJ_HEADER = 16
-
-
 @query("single_retainer_bytes", oracle=_retainer_oracle())
 def single_retainer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memory attribution by sole retainer — the poor-man's dominator
@@ -1357,58 +1365,14 @@ def single_retainer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") == 1)
     )
 
-    # Per-class shallow size from the declared layout (class-registry
-    # bounded, same posture as heap_edges' field discovery).
-    ft = wh.table("_field_types")
-    class_sizes = ft.groupBy("class_name").agg(
-        (
-            F.lit(_OBJ_HEADER)
-            + F.sum(
-                F.coalesce(
-                    *[
-                        F.when(F.col("field_type") == name, F.lit(w))
-                        for name, w in _PRIM_WIDTHS.items()
-                    ]
-                )
-            )
-        ).alias("shallow_bytes")
-    )
+    # Shared additive size model (header + field widths / element
+    # bytes) — one implementation, analytics/dominators.shallow_sizes,
+    # serves this query, the dominator tree, and the MCP tools, so a
+    # model fix (e.g. the zero-field-class fallback) lands everywhere.
+    from ..analytics.dominators import shallow_sizes
+
     oi = wh.table("_object_index")
-    inst_sizes = oi.join(
-        F.broadcast(class_sizes), oi.type_name == class_sizes.class_name
-    ).select("obj_id", "shallow_bytes")
-    parts = [inst_sizes]
-    for suffix, width in (
-        ("byte", 1), ("boolean", 1), ("char", 2), ("short", 2),
-        ("int", 4), ("float", 4), ("long", 8), ("double", 8),
-    ):
-        try:
-            t = wh.table(f"_primitive_arrays_{suffix}")
-        except KeyError:
-            continue
-        parts.append(
-            t.select(
-                "obj_id",
-                (F.lit(_OBJ_HEADER) + F.size("values") * width)
-                .cast("long")
-                .alias("shallow_bytes"),
-            )
-        )
-    try:
-        oa = wh.table("_object_arrays")
-        parts.append(
-            oa.select(
-                "obj_id",
-                (F.lit(_OBJ_HEADER) + F.size("elements") * 8)
-                .cast("long")
-                .alias("shallow_bytes"),
-            )
-        )
-    except KeyError:
-        pass
-    sizes = parts[0]
-    for p in parts[1:]:
-        sizes = sizes.unionByName(p)
+    sizes = shallow_sizes(wh)
 
     retained = single.join(sizes, single.dst == sizes.obj_id).join(
         oi.select(
@@ -1504,7 +1468,8 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = roots
     frontier = roots
-    for depth in range(1, 17):
+    max_depth = 64  # runaway backstop, not a truncation: see raise below
+    for depth in range(1, max_depth + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.obj_id)
             .select(
@@ -1518,9 +1483,19 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         if nxt.isEmpty():
+            frontier = None
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    if frontier is not None:
+        # Same contract as reachable_from_roots / dominator_pairs_from:
+        # a still-growing frontier at the round cap means objects
+        # deeper than max_depth exist — refuse to return a silently
+        # partial "every reachable object" result.
+        raise RuntimeError(
+            f"gc_root_path did not converge within {max_depth} rounds; "
+            "reference chains exceed the depth cap"
+        )
     oi = wh.table("_object_index")
     return (
         visited.join(oi, "obj_id")

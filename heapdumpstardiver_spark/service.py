@@ -228,7 +228,10 @@ def explain_query(
     except (KeyError, ValueError) as e:
         return {"error": str(e)}
     try:
-        rows = manager.spark.sql(f"EXPLAIN {mode.upper()} {sql}").collect()
+        # "simple" is Spark's DEFAULT explain — its grammar has no
+        # SIMPLE keyword, so emit a bare EXPLAIN for it.
+        kw = "" if mode == "simple" else f" {mode.upper()}"
+        rows = manager.spark.sql(f"EXPLAIN{kw} {sql}").collect()
         return {
             "session_id": sess.session_id,
             "mode": mode,

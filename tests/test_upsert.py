@@ -75,3 +75,28 @@ def test_upsert_survives_overwrite_of_read_path(spark, wh_dir):
     df = spark.read.parquet(os.path.join(wh_dir, "t"))
     assert df.count() == 1000
     assert df.filter("v = -1.0").count() == 500
+
+
+def test_multilevel_partition_upsert_preserves_layout(spark, wh_dir):
+    """A day=/hour= two-level table must be rewritten with BOTH
+    partition levels — a single-level rewrite flattens the touched
+    day and corrupts the table against untouched ones."""
+    base = spark.createDataFrame(
+        [(1, "d1", 0, 1.0), (2, "d1", 1, 2.0), (3, "d2", 0, 3.0)],
+        "k LONG, day STRING, hr LONG, v DOUBLE",
+    )
+    write_table(base, wh_dir, "t", partition_by=["day", "hr"])
+    path = os.path.join(wh_dir, "t")
+
+    upd = spark.createDataFrame(
+        [(1, "d1", 0, 9.0), (4, "d1", 0, 4.0)], "k LONG, day STRING, hr LONG, v DOUBLE"
+    )
+    stats = upsert_table(spark, wh_dir, "t", upd, keys=["k"])
+    assert stats["strategy"] == "partition-scoped"
+    # layout intact: hour level still present under the touched day
+    assert os.path.isdir(os.path.join(path, "day=d1", "hr=0"))
+    assert os.path.isdir(os.path.join(path, "day=d1", "hr=1"))
+    got = {r.k: (r.day, r.hr, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("d1", 0, 9.0), 2: ("d1", 1, 2.0), 3: ("d2", 0, 3.0), 4: ("d1", 0, 4.0),
+    }
