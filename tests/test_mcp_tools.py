@@ -156,6 +156,10 @@ def test_explain_query_tool(tools):
     # plan text, not results: a scan node and the pushed filter appear
     assert "Scan" in out["plan"] and "type_name" in out["plan"]
     assert "error" in json.loads(t["explain_query"]("SELECT 1", mode="bogus"))
+    # "simple" is Spark's default explain — no SIMPLE keyword exists,
+    # so the tool must emit a bare EXPLAIN for it (regression guard).
+    simple = json.loads(t["explain_query"]("SELECT 1", mode="simple"))
+    assert "error" not in simple and "Physical Plan" in simple["plan"], simple
 
 
 def test_profile_table_tool(tools):
