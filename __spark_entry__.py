@@ -70,7 +70,7 @@ _CHECK_PRIORITY = [
     "chunk_documents_overlap", "bigram_pmi_topk",
     "star_join_supplier_volume", "k_anonymity_audit",
     "curation_funnel_accounting", "zipf_alpha_fit",
-    "fuzzy_join_levenshtein",
+    "fuzzy_join_levenshtein", "seasonal_naive_error",
 ]
 
 

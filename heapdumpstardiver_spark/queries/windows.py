@@ -1163,3 +1163,58 @@ def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "seasonal_naive_error",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT event_type, h, v,
+               lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS v_prev
+        FROM hourly
+    )
+    SELECT event_type,
+           count(*) AS n_hours,
+           {round_sql("avg(abs(v - v_prev))", 4)} AS mae,
+           {round_sql("avg(abs(v - v_prev) / abs(v_prev))", 4)} AS mape
+    FROM paired
+    WHERE v_prev IS NOT NULL AND v_prev <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast error: score the classic same-hour-
+    yesterday baseline (v̂_t = v_{t-24h}) over hourly value sums, per
+    event type — MAE and MAPE. This is the floor every real forecast
+    model must beat, and computing it is the standard first step of
+    time-series capacity planning over telemetry.
+
+    Shape: one hourly pre-aggregation (map-side combinable), one
+    bounded lag window per event type (ROWS offset 24 ⇒ O(1) state
+    per row), one small rollup. Note the lag is positional over
+    OBSERVED hours — production data with gaps composes this with
+    `gap_fill_interpolate` first so position 24 means 24 HOURS."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    paired = hourly.withColumn("v_prev", F.lag("v", 24).over(w))
+    err = F.abs(F.col("v") - F.col("v_prev"))
+    return (
+        paired.filter(F.col("v_prev").isNotNull() & (F.col("v_prev") != 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            round_col(F.avg(err), 4).alias("mae"),
+            round_col(F.avg(err / F.abs(F.col("v_prev"))), 4).alias("mape"),
+        )
+        .orderBy("event_type")
+    )

@@ -364,3 +364,33 @@ def test_foreach_batch_idempotent_sink(spark, events_dir, tmp_path):
     assert spark.read.parquet(out).count() == want
     # exactly one batch directory — the replay never forked a new one
     assert len(_glob.glob(os.path.join(out, "batch_id=*"))) == 1
+
+
+def test_foreach_batch_multi_epoch(spark, events_dir, tmp_path):
+    """maxFilesPerTrigger=1 forces one micro-batch per source file —
+    the sink must land each epoch in its own batch partition and the
+    union must equal the batch-query total (incremental processing
+    across epochs, not one availableNow mega-batch)."""
+    import glob as _glob
+    import os
+
+    from heapdumpstardiver_spark.streaming.windowed import (
+        EVENT_SCHEMA,
+        write_foreach_batch_idempotent,
+    )
+
+    n_files = len(_glob.glob(os.path.join(events_dir, "*.parquet")))
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = str(tmp_path / "fb_multi_out")
+    q = write_foreach_batch_idempotent(
+        src, out, str(tmp_path / "fb_multi_ck"), query_name="fb_multi"
+    )
+    q.awaitTermination(180)
+
+    dirs = _glob.glob(os.path.join(out, "batch_id=*"))
+    assert len(dirs) == n_files, dirs
+    assert spark.read.parquet(out).count() == spark.read.parquet(events_dir).count()
