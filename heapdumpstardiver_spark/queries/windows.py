@@ -1218,3 +1218,93 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "decile_feature_binning",
+    oracle=f"""
+    WITH binned AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           count(*) AS n_orders,
+           {round_sql("min(o_totalprice)")} AS lo,
+           {round_sql("max(o_totalprice)")} AS hi,
+           {round_sql("avg(o_totalprice)", 4)} AS mean
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+)
+def decile_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning via NTILE: assign every order
+    its price decile (ties broken by key so both engines bin
+    identically), report per-bin count/range/mean — the quantile
+    bucketing step of feature engineering and drift monitoring
+    (monotone binning for scorecards, per-bin PSI inputs).
+
+    Shape: one global-order window over a single scalar column (the
+    one legitimate global sort — NTILE is order-defined; at 100 TB
+    swap to approx_percentile cut points and a range join, trading
+    exactness for no global sort), then a 10-group rollup."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_totalprice", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_col(F.min("o_totalprice")).alias("lo"),
+            round_col(F.max("o_totalprice")).alias("hi"),
+            round_col(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "latest_event_per_user",
+    # DuckDB's max_by has no composite-key overload, so the oracle
+    # expresses the same argmax as a ranked window — semantically
+    # identical because event_id is unique within the table.
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+        WHERE user_id < 50
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           {round_sql("value", 4)} AS last_value,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           n_events
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state snapshot per key via MAX_BY — the argmax aggregate
+    that answers "each user's most recent event" in ONE aggregation
+    instead of a row_number window + filter (half the shuffle width:
+    only the winning row's columns travel, not every row ranked).
+    Ties on ts break by event_id so both engines pick the same row.
+
+    This is the compaction shape of a CDC/state table: group by key,
+    max_by every tracked column on the event-time tuple."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", key).alias("last_event_type"),
+            round_col(F.max_by("value", key), 4).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
