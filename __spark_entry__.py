@@ -71,6 +71,8 @@ _CHECK_PRIORITY = [
     "star_join_supplier_volume", "k_anonymity_audit",
     "curation_funnel_accounting", "zipf_alpha_fit",
     "fuzzy_join_levenshtein", "seasonal_naive_error",
+    "decile_feature_binning", "latest_event_per_user",
+    "textrank_keywords", "price_trend_regression",
 ]
 
 

@@ -1861,3 +1861,120 @@ def curation_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dropped", F.col("docs_in") - F.col("docs_out"))
         .orderBy("stage_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph centrality: TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def _textrank_iter_sql(prev: str, out: str) -> str:
+    """One PageRank iteration as a CTE body (damping 0.85)."""
+    return f"""
+    {out} AS (
+        SELECT node,
+               0.15 + 0.85 * coalesce(c.s, 0) AS score
+        FROM nodes LEFT JOIN (
+            SELECT dst, sum(frac * score) AS s
+            FROM e JOIN {prev} ON e.src = {prev}.node
+            GROUP BY dst
+        ) c ON nodes.node = c.dst
+    )"""
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    seq AS (
+        SELECT doc_id, pos, token,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks WHERE token <> ''
+    ),
+    pairs AS (
+        SELECT prev AS src, token AS dst
+        FROM seq WHERE prev IS NOT NULL AND prev <> token
+    ),
+    edges AS (
+        SELECT src, dst, count(*) AS w
+        FROM (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst AS src, src AS dst FROM pairs)
+        GROUP BY src, dst
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+    e AS (
+        SELECT edges.src, edges.dst, CAST(w AS DOUBLE) / ow AS frac
+        FROM edges JOIN outw USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+    {_textrank_iter_sql("r0", "r1")},
+    {_textrank_iter_sql("r1", "r2")},
+    {_textrank_iter_sql("r2", "r3")}
+    SELECT node AS word, {round_sql("score", 6)} AS score
+    FROM r3 ORDER BY score DESC, word LIMIT 15
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the undirected token co-occurrence graph (adjacent-pair
+    edges, co-occurrence counts as weights), damping 0.85, uniform
+    init, THREE fixed iterations — rank(i) = 0.15 + 0.85 *
+    sum_j w(j,i)/outw(j) * rank(j) — then the top-15 keywords. The
+    graph-centrality member of the text-analysis family (PMI finds
+    phrases, TF-IDF finds per-doc terms; TextRank finds corpus-level
+    salient vocabulary), and the same bounded-iteration join-agg shape
+    CommonCrawl-style curation uses for harmonic/PageRank host
+    centrality.
+
+    Scale shape: the corpus reduces to the distinct-edge table in one
+    shuffle (|vocab|-bounded, corpus-independent thereafter), which is
+    `localCheckpoint`ed eagerly — without that, the unrolled plan
+    re-expands the corpus-explode subtree once per reference (measured
+    20 scans of documents.parquet); with it the corpus is scanned
+    exactly once and each iteration is one join + one groupBy over the
+    compact edge relation, the `_cc_labels` pattern. Ranks stay a
+    vocab-sized table throughout."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    seq = toks.withColumn(
+        "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    pairs = seq.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("token"))
+    ).select(F.col("prev").alias("src"), F.col("token").alias("dst"))
+    edges = (
+        pairs.unionAll(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("frac")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0).alias("score"))
+    for _ in range(3):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("score")).alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node", (F.lit(0.15) + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias("score")
+        )
+    return (
+        ranks.select("node", "score")
+        .withColumnRenamed("node", "word")
+        .select("word", round_col(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "word")
+        .limit(15)
+    )

@@ -1741,3 +1741,55 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "name_a", "name_b")
         .limit(50)
     )
+
+
+@query(
+    "price_trend_regression",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               CAST(datediff('day', DATE '1996-01-01', o_orderdate) AS DOUBLE) AS x,
+               o_totalprice AS y
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n,
+           {round_sql("corr(y, x)", 5)} AS price_date_corr,
+           {round_sql("covar_samp(y, x) / var_samp(x)", 5)} AS slope_per_day,
+           {round_sql("avg(y) - covar_samp(y, x) / var_samp(x) * avg(x)", 2)} AS intercept,
+           {round_sql("stddev_samp(y)", 2)} AS price_stddev
+    FROM pts GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend via the statistical aggregates:
+    corr / covar_samp / var_samp / stddev_samp — is order value
+    drifting over time, per priority class? slope = cov(y,x)/var(x),
+    intercept = E[y] - slope*E[x]; x is centered on a fixed mid-range
+    date so the moment sums stay small-magnitude (catastrophic
+    cancellation in cov/var is what breaks cross-engine float parity
+    on epoch-scale x values).
+
+    Both engines use single-pass co-moment accumulation for these
+    aggregates, so one scan + one shuffle yields the full regression —
+    the drift-monitoring shape (price/quality/score vs time per
+    segment) that at 100 TB replaces any collect-and-fit: the fit IS
+    the aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1996-01-01")).cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    slope = F.covar_samp("y", "x") / F.var_samp("x")
+    return (
+        pts.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_col(F.corr("y", "x"), 5).alias("price_date_corr"),
+            round_col(slope, 5).alias("slope_per_day"),
+            round_col(F.avg("y") - slope * F.avg("x"), 2).alias("intercept"),
+            round_col(F.stddev_samp("y"), 2).alias("price_stddev"),
+        )
+        .orderBy("o_orderpriority")
+    )

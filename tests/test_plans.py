@@ -483,3 +483,32 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_textrank_scans_corpus_once_via_checkpoint(spark):
+    # The unrolled 3-iteration PageRank references the edge relation
+    # ~10 times; without the eager localCheckpoint the plan re-expands
+    # the corpus explode per reference (measured 20 document scans).
+    plan = plan_of(spark, "textrank_keywords")
+    assert "documents.parquet" not in plan  # iterations read the RDD
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan  # top-15, no global sort
+
+
+def test_regression_aggregates_are_one_scan_one_shuffle(spark):
+    plan = plan_of(spark, "price_trend_regression")
+    (scan,) = scan_lines(plan, "orders")
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    # Pruned to the three needed columns.
+    assert len(cols.split(",")) == 3, cols
+    # Partial co-moment aggregation before the single exchange.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_latest_event_argmax_is_single_aggregate_no_window(spark):
+    # MAX_BY compiles to one partial+final aggregate pair — no Window
+    # operator, no rank-then-filter double pass.
+    plan = plan_of(spark, "latest_event_per_user")
+    assert "Window" not in plan
+    assert "max_by" in plan.lower()
