@@ -73,6 +73,7 @@ _CHECK_PRIORITY = [
     "fuzzy_join_levenshtein", "seasonal_naive_error",
     "decile_feature_binning", "latest_event_per_user",
     "textrank_keywords", "price_trend_regression",
+    "rolling_1h_range_frame", "locf_forward_fill",
 ]
 
 

@@ -1308,3 +1308,99 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "rolling_1h_range_frame",
+    oracle=f"""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           {round_sql("sum(value) OVER w", 4)} AS sum_1h
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def rolling_1h_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling count/sum per user via a VALUE-based
+    RANGE frame over event time — the construct that stays correct on
+    irregularly spaced events, where any fixed ROWS frame is wrong
+    (N rows is not N minutes). Frame bounds are integer microseconds
+    (`unix_micros` ↔ DuckDB `epoch_us`), so both engines see the
+    identical frame, peers included.
+
+    Scale shape: one shuffle on user_id, one ordered pass per
+    partition with a two-pointer sliding frame — O(1) amortized
+    per-row state, no self-join against the trailing hour (the
+    range-join spelling of the same question materializes every
+    event-pair within an hour)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        round_col(F.sum("value").over(w), 4).alias("sum_1h"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "locf_forward_fill",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value END AS reading
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+           {round_sql("last_value(reading IGNORE NULLS) OVER w", 4)} AS filled_value,
+           CAST((reading IS NULL AND
+                 last_value(reading IGNORE NULLS) OVER w IS NOT NULL)
+                AS BOOLEAN) AS is_carried
+    FROM r
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat purchase values as the
+    observed signal and forward-fill it across every subsequent event
+    via `last(..., ignorenulls=True)` over an unbounded-preceding ROWS
+    frame — the sparse-to-dense state propagation (sensor readings,
+    feature freshness, config-as-of) without a self-join per gap.
+    Rows before a user's first observation stay NULL; `is_carried`
+    marks propagated rows.
+
+    Scale shape: one shuffle on user_id, one ordered pass, O(1)
+    per-row carried state — contrast `gap_fill_interpolate`, which
+    densifies onto a generated grid; LOCF fills on the existing event
+    spine."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    reading = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(reading, ignorenulls=True).over(w)
+    return e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        round_col(filled, 4).alias("filled_value"),
+        (reading.isNull() & filled.isNotNull()).alias("is_carried"),
+    ).orderBy("user_id", "ts", "event_id")

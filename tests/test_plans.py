@@ -512,3 +512,21 @@ def test_latest_event_argmax_is_single_aggregate_no_window(spark):
     plan = plan_of(spark, "latest_event_per_user")
     assert "Window" not in plan
     assert "max_by" in plan.lower()
+
+
+def test_range_frame_single_window_pass_no_self_join(spark):
+    # The trailing-1h rolling aggregate must be ONE value-based window
+    # frame (two-pointer per-partition pass), never the range-join
+    # spelling that materializes every event pair within the hour.
+    plan = plan_of(spark, "rolling_1h_range_frame")
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    (scan,) = scan_lines(plan, "events")
+    assert "user_id" in scan.split("DataFilters:")[1][:200]  # pushed filter
+
+
+def test_locf_single_window_pass_no_self_join(spark):
+    plan = plan_of(spark, "locf_forward_fill")
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
