@@ -1404,3 +1404,64 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(filled, 4).alias("filled_value"),
         (reading.isNull() & filled.isNotNull()).alias("is_carried"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+def _cont_quantile_sql(q: float, n: int = 4) -> str:
+    """Explicit PERCENTILE_CONT for the oracle: linear interpolation at
+    0-indexed position q*(n-1), spelled out so the check depends on no
+    engine's quantile built-in. `lo` is the 1-indexed lower neighbor;
+    the upper neighbor falls back to `lo` at the top boundary."""
+    lo = f"CAST(floor({q} * (mx - 1)) AS BIGINT) + 1"
+    vlo = f"max(CASE WHEN rn = {lo} THEN value END)"
+    vhi = f"coalesce(max(CASE WHEN rn = {lo} + 1 THEN value END), {vlo})"
+    frac = (
+        f"({q} * CAST(max(mx) - 1 AS DOUBLE)"
+        f" - floor({q} * CAST(max(mx) - 1 AS DOUBLE)))"
+    )
+    return round_sql(f"{vlo} + {frac} * ({vhi} - {vlo})", n)
+
+
+@query(
+    "percentile_cont_groups",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    g AS (SELECT event_type, value, rn, max(n) OVER (PARTITION BY event_type) AS mx FROM ranked)
+    SELECT event_type,
+           {_cont_quantile_sql(0.25)} AS q25,
+           {_cont_quantile_sql(0.5)} AS q50,
+           {_cont_quantile_sql(0.75)} AS q75,
+           {_cont_quantile_sql(0.9)} AS q90,
+           max(mx) AS n_events
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_cont_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) quantiles per group via Spark's exact
+    `percentile` aggregate — the PERCENTILE_CONT complement of
+    `percentile_disc_groups` (which selects raw ranked values). The
+    oracle writes the q*(n-1) linear interpolation out explicitly, so
+    agreement proves Spark's built-in implements the SQL-standard
+    definition rather than assuming two engines' built-ins coincide.
+
+    Scale shape: one shuffle on the group key; exact percentile holds
+    the group's values, so at 100 TB per-group cardinality bounds
+    memory — swap to approx_percentile (GK sketch, fixed memory) when
+    groups stop fitting, as `approx_quantile_sketch` demonstrates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            round_col(F.percentile("value", F.lit(0.25)), 4).alias("q25"),
+            round_col(F.percentile("value", F.lit(0.5)), 4).alias("q50"),
+            round_col(F.percentile("value", F.lit(0.75)), 4).alias("q75"),
+            round_col(F.percentile("value", F.lit(0.9)), 4).alias("q90"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
