@@ -74,7 +74,7 @@ _CHECK_PRIORITY = [
     "decile_feature_binning", "latest_event_per_user",
     "textrank_keywords", "price_trend_regression",
     "rolling_1h_range_frame", "locf_forward_fill",
-    "percentile_cont_groups",
+    "percentile_cont_groups", "decile_binning_broadcast_cuts",
 ]
 
 

@@ -1465,3 +1465,78 @@ def percentile_cont_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "decile_binning_broadcast_cuts",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_totalprice AS v,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS mx
+        FROM orders
+    ),
+    cuts AS (
+        SELECT q,
+               {_cont_quantile_sql("q", 4).replace("value", "v")} AS cut
+        FROM ranked, (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                             (0.6), (0.7), (0.8), (0.9)) qs(q)
+        GROUP BY q
+    ),
+    binned AS (
+        SELECT o.o_totalprice,
+               1 + (SELECT count(*) FROM cuts c
+                    WHERE o.o_totalprice > c.cut) AS bin
+        FROM orders o
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           count(*) AS n_orders,
+           {round_sql("min(o_totalprice)")} AS lo,
+           {round_sql("max(o_totalprice)")} AS hi,
+           {round_sql("avg(o_totalprice)", 4)} AS mean
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def decile_binning_broadcast_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB spelling of `decile_feature_binning`: instead of a
+    global-order NTILE window (single-partition sort), compute the 9
+    decile cut points ONCE as k-bounded driver metadata (exact
+    interpolated percentiles, rounded to 4dp on both engines so the
+    boundary comparison is bit-identical), then assign bins with a
+    broadcast comparison chain — an embarrassingly parallel projection
+    over the fact table, no global sort, no shuffle beyond the final
+    10-group rollup. Bin edges are value-based (ties share a bin), so
+    counts near-equal rather than exactly equal — the standard trade
+    when swapping NTILE for cut points.
+
+    The cut-point collect is the same k-bounded-index-metadata pattern
+    as the k-means centroids and IVF codebooks: 9 scalars cross the
+    driver, never data."""
+    from functools import reduce
+
+    o = load_table(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts_row = o.agg(
+        *[
+            round_col(F.percentile("o_totalprice", F.lit(q)), 4).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    cuts = [float(cuts_row[i]) for i in range(9)]
+    bin_col = reduce(
+        lambda acc, c: acc
+        + F.when(F.col("o_totalprice") > F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(1),
+    )
+    return (
+        o.select("o_totalprice", bin_col.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_col(F.min("o_totalprice")).alias("lo"),
+            round_col(F.max("o_totalprice")).alias("hi"),
+            round_col(F.avg("o_totalprice"), 4).alias("mean"),
+        )
+        .orderBy("bin")
+    )

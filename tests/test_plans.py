@@ -530,3 +530,18 @@ def test_locf_single_window_pass_no_self_join(spark):
     assert plan.count("Window") >= 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_broadcast_cut_binning_has_no_global_sort(spark):
+    # The scale-path decile binning must NOT contain the NTILE global
+    # sort: cut points are driver metadata, assignment is a projection,
+    # and the only exchange is the final 10-group rollup.
+    plan = plan_of(spark, "decile_binning_broadcast_cuts")
+    assert "Window" not in plan
+    # The only range exchange permitted is the presentation orderBy on
+    # the 10-row aggregate (keyed on bin); the fact column must never
+    # be range-partitioned.
+    for ln in plan.lower().splitlines():
+        if "rangepartitioning" in ln:
+            assert "bin" in ln and "o_totalprice" not in ln, ln
+    assert plan.count("Exchange hashpartitioning") == 1
