@@ -58,7 +58,10 @@ _CHECK_PRIORITY = [
     "semantic_dedup_centroid", "bigram_logprob_score",
     "single_retainer_bytes", "dominator_retained",
     # past the r4 cap by design: front of the r5 queue (locally
-    # parity-tested every round regardless)
+    # parity-tested every round regardless). Queries born late in r4
+    # go first so their first driver row lands in r5.
+    "decile_binning_broadcast_cuts", "shipping_priority_topk",
+    "returned_item_revenue", "dormant_rich_customers",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",
@@ -74,7 +77,7 @@ _CHECK_PRIORITY = [
     "decile_feature_binning", "latest_event_per_user",
     "textrank_keywords", "price_trend_regression",
     "rolling_1h_range_frame", "locf_forward_fill",
-    "percentile_cont_groups", "decile_binning_broadcast_cuts",
+    "percentile_cont_groups",
 ]
 
 

@@ -1793,3 +1793,172 @@ def price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: the 10 highest-revenue
+    unshipped orders for one market segment as of a cutoff date. The
+    canonical selective-dimension → fact → fact chain: the segment
+    filter keeps ~20% of customers, both date predicates push into the
+    parquet scans (plan-pinned), the customer side broadcasts after
+    filtering, and the final top-10 is TakeOrdered on the ROUNDED
+    revenue (per-partition heap + driver merge, no global sort; ties
+    broken by orderdate then orderkey so both engines pick identical
+    rows).
+
+    At 100 TB: lineitem shuffles once on l_orderkey; orders arrives
+    already filtered. The reference's single-statement DuckDB
+    passthrough (mcp_server/server.py:343) runs this shape
+    single-node; here Catalyst distributes it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            round_col(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "returned_item_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {round_sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+           {round_sql("any_value(c_acctbal)")} AS c_acctbal,
+           any_value(n_name) AS n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: the 20 customers who
+    returned the most revenue in one quarter. Group keys are kept
+    MINIMAL (custkey, name) with the functionally-dependent columns
+    (acctbal, nation) carried through `any_value` — narrower shuffle
+    rows than grouping on all five columns, same semantics since they
+    are constant per customer.
+
+    Scale shape: the returnflag + quarter predicates push to the
+    scans, nation broadcasts, lineitem→orders join shuffles each fact
+    once on the order key, then ONE partial-aggregated exchange on
+    custkey and a TakeOrdered(20) on the rounded revenue (ties broken
+    by custkey — both engines pick identical rows)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            round_col(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            round_col(F.any_value("c_acctbal")).alias("c_acctbal"),
+            F.any_value("n_name").alias("n_name"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "dormant_rich_customers",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT {round_sql("avg(c_acctbal)", 4)} AS cutoff
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name,
+           count(*) AS n_cust,
+           {round_sql("sum(c_acctbal)")} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey, thresh
+    WHERE c_acctbal > cutoff
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-account analysis: customers with an
+    above-average balance and no order in the trailing window (the
+    churn-risk cut), rolled up by nation. Three planner shapes in one query: a GLOBAL scalar
+    aggregate (the average balance, rounded 4dp on both engines so the
+    comparison threshold is bit-identical) re-entering the pipeline as
+    a 1-row broadcast crossJoin; a LEFT ANTI join against the orders
+    key set (Spark builds the hash set once, never materializes the
+    non-matches); and the final small rollup.
+
+    At 100 TB the threshold is one Exchange-free scalar scan, the anti
+    join shuffles customer once on custkey (or bloom-prunes first —
+    the runtime filter the planner injects for selective anti joins),
+    and orders contributes only its join key column (pruned scan)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        round_col(F.avg("c_acctbal"), 4).alias("cutoff")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            round_col(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )

@@ -545,3 +545,41 @@ def test_broadcast_cut_binning_has_no_global_sort(spark):
         if "rangepartitioning" in ln:
             assert "bin" in ln and "o_totalprice" not in ln, ln
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_shipping_priority_pushdown_and_takeordered(spark):
+    plan = plan_of(spark, "shipping_priority_topk")
+    # Top-10 must be a per-partition heap, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+    # Both date predicates reach their scans.
+    (oscan,) = scan_lines(plan, "orders")
+    assert "o_orderdate" in oscan.split("DataFilters:")[1][:400]
+    (lscan,) = scan_lines(plan, "lineitem")
+    assert "l_shipdate" in lscan.split("DataFilters:")[1][:400]
+    # The segment-filtered customer side broadcasts.
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_returned_item_minimal_group_keys(spark):
+    plan = plan_of(spark, "returned_item_revenue")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter is pushed down to the lineitem scan.
+    (lscan,) = scan_lines(plan, "lineitem")
+    assert "l_returnflag" in lscan.split("DataFilters:")[1][:400]
+    # nation is broadcast, never shuffled.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dormant_customers_anti_join_shape(spark):
+    plan = plan_of(spark, "dormant_rich_customers")
+    # The NOT EXISTS is a hash anti join, not a subquery re-execution.
+    assert "LeftAnti" in plan
+    # The scalar threshold enters as a broadcast nested loop over ONE
+    # row, never a shuffle.
+    assert "BroadcastNestedLoopJoin" in plan
+    # The orders scan is pruned to the join key + pushed date filter.
+    (oscan,) = scan_lines(plan, "orders")
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", oscan).group(1)
+    assert len(cols.split(",")) <= 2, cols
+    assert "BatchEvalPython" not in plan
