@@ -28,6 +28,7 @@ from .registry import ORACLE_SQL, QUERIES  # noqa: F401
 
 # Importing the query modules populates the registry.
 from .queries import (  # noqa: E402,F401
+    cdc,
     diagnostics,
     llm,
     media,

@@ -1,0 +1,130 @@
+"""Change-data-capture / lakehouse-maintenance operators.
+
+The reference system rebuilds its Parquet warehouse from scratch per
+heap dump (`/root/reference/src/commands/dump_to_parquet.rs` writes a
+whole directory); its snapshot extension here (`ingest/snapshots.py`)
+appends dumps as partitions. This module adds the third maintenance
+shape a 100-TB warehouse needs: MERGE-style upserts expressed as pure
+DataFrame plans — the Delta/Iceberg `MERGE INTO` semantics computed
+engine-side, so they run on any Parquet store and stay inside the
+driver's DuckDB-oracle correctness gate.
+
+Scale notes: the change batch is aggregated FIRST (one shuffle on the
+business key — at steady state the batch is orders of magnitude
+smaller than the dimension), then joined once against the dimension
+snapshot; row-version fan-out (close + reopen) happens AFTER the join
+via an inline explode, so the join itself moves each key once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exprs import round_col, round_sql
+from ..registry import query
+
+
+@query(
+    "scd2_merge_batch",
+    oracle=f"""
+    WITH upd AS (
+        SELECT user_id + 1450 AS key,
+               {round_sql("sum(value)")} AS new_bal,
+               max(epoch_us(ts)) AS update_us
+        FROM events GROUP BY user_id + 1450
+    ),
+    dim AS (
+        SELECT c_custkey AS key, {round_sql("c_acctbal")} AS bal
+        FROM customer
+    ),
+    merged AS (
+        SELECT coalesce(d.key, u.key) AS key, d.bal, u.new_bal, u.update_us,
+               CASE WHEN u.key IS NULL THEN 'keep'
+                    WHEN d.key IS NULL THEN 'insert'
+                    WHEN d.bal = u.new_bal THEN 'keep'
+                    ELSE 'change' END AS op
+        FROM dim d FULL OUTER JOIN upd u ON d.key = u.key
+    )
+    SELECT key, bal, valid_from_us, valid_to_us, is_current FROM (
+        SELECT key, bal, CAST(0 AS BIGINT) AS valid_from_us,
+               CAST(NULL AS BIGINT) AS valid_to_us, true AS is_current
+        FROM merged WHERE op = 'keep'
+        UNION ALL
+        SELECT key, bal, CAST(0 AS BIGINT), update_us, false
+        FROM merged WHERE op = 'change'
+        UNION ALL
+        SELECT key, new_bal, update_us, CAST(NULL AS BIGINT), true
+        FROM merged WHERE op IN ('insert', 'change')
+    )
+    ORDER BY key, valid_from_us
+    """,
+)
+def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE: apply a change batch to
+    a dimension snapshot, closing superseded versions (valid_to set to
+    the change time) and opening new current rows — `MERGE INTO` with
+    history, computed as one declarative plan.
+
+    The change batch is the per-user event-value rollup keyed into the
+    customer id space so the batch both UPDATES existing keys (the low
+    range) and INSERTS unseen keys (the high range) — all three merge
+    paths (keep / close+reopen / insert) are exercised and checked.
+
+    Plan shape: ONE aggregation shuffle builds the batch, ONE
+    full-outer join (AQE broadcasts the batch side when small — at
+    steady state the batch is << dimension) classifies each key, and
+    the close+reopen fan-out is an inline explode AFTER the join, so
+    no key crosses the wire twice. Validity bounds travel as epoch
+    micros (`unix_micros` ↔ DuckDB `epoch_us`), the engine-portable
+    timestamp rendering used throughout the event queries."""
+    e = load_table(spark, sf_dir, "events")
+    upd = (
+        e.groupBy((F.col("user_id") + F.lit(1450)).alias("key"))
+        .agg(
+            round_col(F.sum("value")).alias("new_bal"),
+            F.max(F.unix_micros("ts")).alias("update_us"),
+        )
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        round_col(F.col("c_acctbal")).alias("bal"),
+    )
+    j = dim.join(upd, "key", "full_outer")
+    null_us = F.lit(None).cast("long")
+    keep = F.struct(
+        F.col("bal").alias("v"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        null_us.alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = F.struct(
+        F.col("bal").alias("v"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.col("update_us").alias("valid_to_us"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = F.struct(
+        F.col("new_bal").alias("v"),
+        F.col("update_us").alias("valid_from_us"),
+        null_us.alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    rows = (
+        F.when(F.col("new_bal").isNull(), F.array(keep))  # no change arrived
+        .when(F.col("bal").isNull(), F.array(opened))  # brand-new key
+        .when(F.col("bal") == F.col("new_bal"), F.array(keep))  # no-op change
+        .otherwise(F.array(closed, opened))  # close + reopen
+    )
+    return (
+        j.select("key", F.explode(rows).alias("r"))
+        .select(
+            "key",
+            F.col("r.v").alias("bal"),
+            F.col("r.valid_from_us").alias("valid_from_us"),
+            F.col("r.valid_to_us").alias("valid_to_us"),
+            F.col("r.is_current").alias("is_current"),
+        )
+        .orderBy("key", "valid_from_us")
+    )

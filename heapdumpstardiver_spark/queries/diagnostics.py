@@ -226,3 +226,130 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(5)
     )
+
+
+@query(
+    "constraint_audit",
+    oracle="""
+    SELECT constraint_name, n_violations FROM (
+        SELECT 'lineitem_bulk_quantity' AS constraint_name,
+               (SELECT count(*) FROM lineitem WHERE l_quantity > 49) AS n_violations
+        UNION ALL SELECT 'lineitem_discount_range',
+               (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        UNION ALL SELECT 'customer_negative_acctbal',
+               (SELECT count(*) FROM customer WHERE c_acctbal < 0)
+        UNION ALL SELECT 'customer_null_name',
+               (SELECT count(*) FROM customer WHERE c_name IS NULL)
+        UNION ALL SELECT 'orders_date_out_of_range',
+               (SELECT count(*) FROM orders
+                WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                   OR o_orderdate >= TIMESTAMP '2005-01-01')
+        UNION ALL SELECT 'lineitem_orphan_orderkey',
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL SELECT 'events_orphan_user',
+               (SELECT count(*) FROM events e WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        UNION ALL SELECT 'orders_duplicate_pk',
+               (SELECT count(*) FROM
+                  (SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING count(*) > 1))
+        UNION ALL SELECT 'lineitem_ship_before_order',
+               (SELECT count(*) FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate < o.o_orderdate)
+    ) ORDER BY constraint_name
+    """,
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot data-quality audit over the warehouse: every contract
+    a downstream pipeline assumes (PK uniqueness, FK closure, value
+    ranges, cross-table temporal ordering) counted in a single
+    result — the dbt-test / Great-Expectations shape as one plan.
+
+    Pass structure is what scales, not the check list:
+    - VALUE rules share ONE conditional-aggregate scan per table
+      (pruned to the checked columns), unpivoted via `stack` — adding
+      a rule to a table adds a column to its agg, never a scan;
+    - FK checks are LEFT ANTI joins that count survivors — Spark
+      builds the key hash set once, and a clean table short-circuits
+      at the join, no violation rows materialize;
+    - the PK check is a groupBy-HAVING on the key only;
+    - the temporal rule joins the two fact tables on their join key
+      pruned to (key, date) columns.
+    All branches union into one 9-row result, so the audit is one
+    action and the scheduler interleaves the scans."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+
+    def flag(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def unpivot(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(f"'{c}', {c}" for c in df.columns)
+        return df.selectExpr(
+            f"stack({len(df.columns)}, {pairs}) AS (constraint_name, n_violations)"
+        )
+
+    li_vals = unpivot(
+        li.agg(
+            flag(F.col("l_quantity") > 49).alias("lineitem_bulk_quantity"),
+            flag(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).alias("lineitem_discount_range"),
+        )
+    )
+    c_vals = unpivot(
+        c.agg(
+            flag(F.col("c_acctbal") < 0).alias("customer_negative_acctbal"),
+            flag(F.col("c_name").isNull()).alias("customer_null_name"),
+        )
+    )
+    o_vals = unpivot(
+        o.agg(
+            flag(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp_ntz"))
+            ).alias("orders_date_out_of_range"),
+        )
+    )
+
+    def counted(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    orphan_li = counted(
+        "lineitem_orphan_orderkey",
+        li.select("l_orderkey").join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ),
+    )
+    orphan_ev = counted(
+        "events_orphan_user",
+        e.select("user_id").join(
+            c.select("c_custkey"),
+            F.col("user_id") == F.col("c_custkey"),
+            "left_anti",
+        ),
+    )
+    dup_pk = counted(
+        "orders_duplicate_pk",
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1),
+    )
+    ship_before = counted(
+        "lineitem_ship_before_order",
+        li.select("l_orderkey", "l_shipdate").join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+    )
+    out = li_vals
+    for part in (c_vals, o_vals, orphan_li, orphan_ev, dup_pk, ship_before):
+        out = out.unionByName(part)
+    return out.orderBy("constraint_name")

@@ -583,3 +583,23 @@ def test_dormant_customers_anti_join_shape(spark):
     cols = re.search(r"FileScan parquet \[([^\]]*)\]", oscan).group(1)
     assert len(cols.split(",")) <= 2, cols
     assert "BatchEvalPython" not in plan
+
+
+def test_scd2_merge_single_join_then_fanout(spark):
+    plan = plan_of(spark, "scd2_merge_batch")
+    # Exactly one join classifies each key; the close+reopen row
+    # fan-out is a Generate AFTER the join, so no key is joined twice.
+    assert plan.count("Join") - plan.count("ReusedExchange") <= 2
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_constraint_audit_shapes(spark):
+    plan = plan_of(spark, "constraint_audit")
+    # FK checks run as anti joins (hash-set probe), never as
+    # violation-row materialization.
+    assert plan.count("LeftAnti") == 2
+    # Value rules ride conditional aggregates; no per-rule rescan of
+    # lineitem beyond its value-agg scan + the two join branches.
+    assert len(scan_lines(plan, "lineitem")) <= 3
+    assert "BatchEvalPython" not in plan
