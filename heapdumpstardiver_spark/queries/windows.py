@@ -9,6 +9,8 @@ Structured Streaming twins in ``heapdumpstardiver_spark.streaming``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1516,13 +1518,21 @@ def decile_binning_broadcast_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
 
     o = load_table(spark, sf_dir, "orders")
     qs = [i / 10.0 for i in range(1, 10)]
+    # ONE percentile aggregate over an array of fractions: the sort
+    # buffer is built once and probed 9 times, vs 9 aggregates each
+    # buffering the full column (measured 6x slower at sf0.1).
     cuts_row = o.agg(
-        *[
-            round_col(F.percentile("o_totalprice", F.lit(q)), 4).alias(f"c{i}")
-            for i, q in enumerate(qs)
-        ]
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("cs")
     ).collect()[0]
-    cuts = [float(cuts_row[i]) for i in range(9)]
+    # Driver-side replica of exprs.round_col (floor(x*1e4+0.5)/1e4 in
+    # pure IEEE doubles) so the broadcast literals are bit-identical
+    # to what the oracle's in-engine rounding produces.
+    cuts = [
+        math.floor(x * 1e4 + 0.5) / 1e4
+        if x >= 0
+        else -(math.floor(-x * 1e4 + 0.5) / 1e4)
+        for x in (float(v) for v in cuts_row[0])
+    ]
     bin_col = reduce(
         lambda acc, c: acc
         + F.when(F.col("o_totalprice") > F.lit(c), 1).otherwise(0),
