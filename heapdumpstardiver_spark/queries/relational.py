@@ -1962,3 +1962,113 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "copurchase_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    deg AS (
+        SELECT v, count(*) AS d FROM (
+            SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+        ) GROUP BY v
+    ),
+    e AS (
+        SELECT CASE WHEN da.d * 1000000000 + a < db.d * 1000000000 + b
+                    THEN da.d * 1000000000 + a
+                    ELSE db.d * 1000000000 + b END AS src,
+               CASE WHEN da.d * 1000000000 + a < db.d * 1000000000 + b
+                    THEN db.d * 1000000000 + b
+                    ELSE da.d * 1000000000 + a END AS dst
+        FROM pairs JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_vertices,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*) FROM e e1
+            JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst) AS n_triangles
+    """,
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts appearing
+    in the same order within one ship year) — the graph-motif census
+    behind community/cohesion metrics on item graphs.
+
+    The naive wedge join is quadratic in vertex degree (sum of deg²
+    wedge candidates — the 'curse of the last reducer'); this uses the
+    standard distributed fix: ORIENT every edge from its lower-
+    (degree, id) endpoint to its higher one, which (a) counts each
+    triangle exactly once from its lowest-order apex and (b) bounds
+    out-degree by O(sqrt(E)), so the wedge set stays near-linear even
+    with power-law degrees — the skew-proof shape at 100 TB. The
+    (degree, id) total order is encoded as deg*1e9+id in one BIGINT so
+    both engines compare identically.
+
+    Plan: pairs = one self-join co-partitioned on l_orderkey (one
+    exchange, reused for both sides) + DISTINCT; degrees = one
+    groupBy; the oriented edge list is localCheckpoint'ed ONCE and
+    feeds all three legs of the triangle join — without it the whole
+    pairs pipeline would re-execute per leg."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    oa = F.col("da.d") * F.lit(1000000000) + F.col("a")
+    ob = F.col("db.d") * F.lit(1000000000) + F.col("b")
+    e = (
+        pairs.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(oa < ob, oa).otherwise(ob).alias("src"),
+            F.when(oa < ob, ob).otherwise(oa).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nv.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))

@@ -603,3 +603,15 @@ def test_constraint_audit_shapes(spark):
     # lineitem beyond its value-agg scan + the two join branches.
     assert len(scan_lines(plan, "lineitem")) <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_triangle_count_oriented_join_shape(spark):
+    plan = plan_of(spark, "copurchase_triangle_count")
+    # The oriented edge list is checkpointed: the triangle legs scan
+    # the checkpoint RDD, not three re-executions of the pairs
+    # pipeline (no lineitem scan may survive into the final plan).
+    assert len(scan_lines(plan, "lineitem")) == 0
+    # The only nested-loop joins are the two 1-row scalar broadcasts.
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
