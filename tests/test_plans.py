@@ -615,3 +615,13 @@ def test_triangle_count_oriented_join_shape(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_concurrency_sweep_partitions_by_day(spark):
+    plan = plan_of(spark, "concurrent_sessions_peak")
+    # The running sum must be partitioned (per-day shards), never the
+    # single-partition global Window.
+    win_lines = [ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window", "+- Window", ": +- Window")) or "Window [" in ln]
+    assert win_lines, plan
+    assert any("[day#" in ln for ln in win_lines), win_lines
+    assert "BatchEvalPython" not in plan
