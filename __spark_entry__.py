@@ -63,7 +63,8 @@ _CHECK_PRIORITY = [
     "decile_binning_broadcast_cuts", "shipping_priority_topk",
     "returned_item_revenue", "dormant_rich_customers",
     "scd2_merge_batch", "constraint_audit", "copurchase_triangle_count",
-    "concurrent_sessions_peak",
+    "concurrent_sessions_peak", "bm25_keyword_search",
+    "relational_division", "revenue_mom_change",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

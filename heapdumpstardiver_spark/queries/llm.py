@@ -1559,3 +1559,89 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(-cov / varx, 4).alias("alpha"),
         round_col(cov * cov / (varx * vary), 4).alias("r2"),
     )
+
+
+@query(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dlen FROM base),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS token FROM base
+        )
+        WHERE token IN ('join', 'scan', 'merge')
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT t.doc_id,
+               sum(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl))
+               ) AS score
+        FROM tf t
+        JOIN df d ON t.token = d.token
+        JOIN dl l ON t.doc_id = l.doc_id, stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, {round_sql("score", 4)} AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene
+    idf variant ln(1+(N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) for a fixed
+    keyword query over the corpus — the lexical-search scoring half of
+    a RAG/retrieval stack, as one declarative plan.
+
+    Decomposition is what scales: doc length comes from `size()` on
+    the tokenized array (no explode — the explode happens ONLY for
+    query-term rows, so the shuffled token stream is |terms|-bounded,
+    not corpus-length-bounded); df and the corpus stats (N, avgdl) are
+    k-bounded broadcast scalars; the final score is one partial-
+    aggregated shuffle on doc_id and a TakeOrdered(20). An inverted
+    index materializes nothing here because the term list prunes the
+    token stream before it ever moves."""
+    d = _t(spark, sf_dir, "documents")
+    terms = ["join", "scan", "merge"]
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
+        .groupBy("doc_id")
+        .agg(round_col(F.sum("part"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -2072,3 +2072,47 @@ def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
     ne = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return nv.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+
+
+@query(
+    "relational_division",
+    oracle=f"""
+    WITH k AS (SELECT count(DISTINCT o_orderpriority) AS k FROM orders),
+    per AS (
+        SELECT o_custkey,
+               count(DISTINCT o_orderpriority) AS np,
+               count(*) AS n_orders,
+               {round_sql("sum(o_totalprice)")} AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, spend
+    FROM per, k WHERE np = k.k
+    ORDER BY o_custkey
+    """,
+)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers whose orders span
+    EVERY priority class present in the data — the universal
+    quantifier query (suppliers covering all regions, users hitting
+    all feature flags) that naive SQL writes as nested NOT EXISTS
+    pairs. The set-cover count identity does it in ONE aggregation:
+    count distinct per group == global distinct count.
+
+    The divisor cardinality is computed from the data (1-row broadcast
+    crossJoin), never hardcoded, so the query stays correct when the
+    domain grows. One shuffle on the group key; the global distinct is
+    a 5-row scalar scan. No join against the divisor SET is needed at
+    all — the count identity replaces it."""
+    o = _t(spark, sf_dir, "orders")
+    k = o.agg(F.countDistinct("o_orderpriority").alias("k"))
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("np"),
+        F.count(F.lit(1)).alias("n_orders"),
+        round_col(F.sum("o_totalprice")).alias("spend"),
+    )
+    return (
+        per.crossJoin(F.broadcast(k))
+        .filter(F.col("np") == F.col("k"))
+        .select("o_custkey", "n_orders", "spend")
+        .orderBy("o_custkey")
+    )

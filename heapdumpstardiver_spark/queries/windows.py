@@ -1620,3 +1620,50 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("long").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@query(
+    "revenue_mom_change",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               {round_sql("sum(o_totalprice)")} AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           {round_sql(
+               "100.0 * (revenue - lag(revenue) OVER (ORDER BY month))"
+               " / lag(revenue) OVER (ORDER BY month)", 4)} AS mom_pct
+    FROM m ORDER BY month
+    """,
+)
+def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: the period-over-period BI
+    report (growth dashboards, anomaly triage) — aggregate to months
+    FIRST, then lag over the aggregate.
+
+    The unpartitioned window is deliberate and safe: it runs over the
+    ALREADY-AGGREGATED month table (one row per month — bounded by
+    calendar time, ~1k rows a century), never over the fact stream.
+    The fact-side work is one partial-aggregated shuffle on the month
+    key; the global sort the lag needs touches only the tiny
+    aggregate. First month's delta is NULL, preserved as-is."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            round_col(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        round_col(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4).alias(
+            "mom_pct"
+        ),
+    ).orderBy("month")

@@ -625,3 +625,35 @@ def test_concurrency_sweep_partitions_by_day(spark):
     assert win_lines, plan
     assert any("[day#" in ln for ln in win_lines), win_lines
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_broadcasts_and_takeordered(spark):
+    plan = plan_of(spark, "bm25_keyword_search")
+    assert "TakeOrderedAndProject" in plan
+    # df table and corpus stats are broadcast; doc-length join may
+    # shuffle, but no more than two hash exchanges total feed it
+    # (tf groupBy + dl join).
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats
+    assert "BatchEvalPython" not in plan
+
+
+def test_relational_division_single_fact_shuffle(spark):
+    plan = plan_of(spark, "relational_division")
+    # The divisor cardinality enters as a 1-row broadcast (Catalyst
+    # even turns the filtered crossJoin into a BroadcastHashJoin keyed
+    # on the count identity), never a join on the divisor set.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+    # Single-distinct aggregate plans as two-level HashAggregate, not
+    # the multi-distinct Expand.
+    assert "Expand" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mom_window_runs_on_aggregate_only(spark):
+    plan = plan_of(spark, "revenue_mom_change")
+    # The lag's global sort happens AFTER the month aggregation: only
+    # one hash exchange (the month groupBy) exists in the plan.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
