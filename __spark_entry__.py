@@ -65,6 +65,7 @@ _CHECK_PRIORITY = [
     "scd2_merge_batch", "constraint_audit", "copurchase_triangle_count",
     "concurrent_sessions_peak", "bm25_keyword_search",
     "relational_division", "revenue_mom_change",
+    "embedding_covariance_block", "weighted_sample_aes",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

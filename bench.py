@@ -70,6 +70,9 @@ EXT_OPS = [
     "table_profile",
     "importance_resample_dsir",
     "curation_funnel_accounting",
+    "copurchase_triangle_count",
+    "scd2_merge_batch",
+    "bm25_keyword_search",
 ]
 HEADLINE = CORE + LLM_OPS + EXT_OPS
 
@@ -78,7 +81,12 @@ HEADLINE = CORE + LLM_OPS + EXT_OPS
 # For these the honest wall time is construct+execute per run —
 # re-saving the returned DataFrame alone would replay only the final
 # plan over checkpointed intermediates.
-ITERATIVE = {"dedup_connected_components", "kmeans_embedding_clusters"}
+ITERATIVE = {
+    "dedup_connected_components",
+    "kmeans_embedding_clusters",
+    # eager localCheckpoints run jobs at construction time
+    "copurchase_triangle_count",
+}
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 

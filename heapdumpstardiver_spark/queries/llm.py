@@ -1645,3 +1645,52 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "embedding_covariance_block",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range(1, 9) i, range(1, 9) j
+        WHERE i.range <= j.range
+    )
+    SELECT i, j,
+           {round_sql(
+               "covar_samp(CAST(embedding[i] AS DOUBLE),"
+               " CAST(embedding[j] AS DOUBLE))", 6)} AS cov
+    FROM embeddings, pairs
+    GROUP BY i, j ORDER BY i, j
+    """,
+)
+def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance block of the embedding matrix (dims 1-8, upper
+    triangle) — the input to PCA/whitening/decorrelation diagnostics
+    over a vector corpus. Computed as ONE wide aggregate: every
+    `covar_samp(x_i, x_j)` pair is a column of a single scan+reduce
+    (single-pass co-moment accumulation, cancellation-safe — the
+    price_trend_regression convention), then unpivoted via stack into
+    (i, j, cov) rows. No explode: the corpus never fans out 64x into
+    an (element, index) stream; the d*d fan-out happens in the
+    k-bounded AGGREGATE STATE, which is the right side of the
+    trade at 100 TB. Full-matrix variant = dimension-blocked passes of
+    this same query (8 dims per block bounds aggregate width)."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dim(i: int):
+        return F.element_at("embedding", i).cast("double")
+
+    ij = [(i, j) for i in range(1, 9) for j in range(1, 9) if i <= j]
+    wide = emb.agg(
+        *[
+            round_col(F.covar_samp(dim(i), dim(j)), 6).alias(f"c_{i}_{j}")
+            for i, j in ij
+        ]
+    )
+    pairs = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), c_{i}_{j}" for i, j in ij
+    )
+    return (
+        wide.selectExpr(f"stack({len(ij)}, {pairs}) AS (i, j, cov)")
+        .orderBy("i", "j")
+    )

@@ -1978,3 +1978,47 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "word")
         .limit(15)
     )
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars, {round_sql("k", 8)} AS sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT 20
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (Efraimidis & Spirakis 2006, A-ES): each row draws key
+    -ln(u)/w and the k smallest keys ARE a weighted sample without
+    replacement — the one-pass answer to "sample 10k docs
+    proportional to length" that per-row Bernoulli can't give (it
+    controls expectation, not exact k) and sequential reservoirs
+    can't give distributed (they need a serial scan).
+
+    Here w = n_chars and u is a deterministic uniform from the
+    content hash (md5 first 8 hex → (h+0.5)/2^32, the same portable
+    hash-to-uniform used by train_test_split_hash) so both engines
+    draw identical keys and the sample is reproducible — the property
+    a training pipeline needs for repeatable corpus snapshots.
+
+    Scale shape: ONE scan computing a key column + TakeOrdered(k) —
+    per-partition heaps, a k-row driver merge, no shuffle of the
+    corpus at all. Weights change = one expression edit."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", round_col(key, 8).alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(20)
+    )

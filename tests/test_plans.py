@@ -657,3 +657,20 @@ def test_mom_window_runs_on_aggregate_only(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_covariance_block_single_scan_no_explode(spark):
+    plan = plan_of(spark, "embedding_covariance_block")
+    # The d*d fan-out lives in aggregate state, never as exploded rows.
+    assert "Generate explode" not in plan
+    assert len(scan_lines(plan, "embeddings")) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_single_scan_takeordered(spark):
+    plan = plan_of(spark, "weighted_sample_aes")
+    assert "TakeOrderedAndProject" in plan
+    # One scan, no shuffle of the corpus (TakeOrdered merges k rows
+    # on the driver; no Exchange hashpartitioning at all).
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
