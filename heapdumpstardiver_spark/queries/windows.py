@@ -1667,3 +1667,69 @@ def revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_pct"
         ),
     ).orderBy("month")
+
+
+@query(
+    "pareto_frontier_per_group",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT o_orderpriority, o_totalprice, o_orderdate
+        FROM orders
+    ),
+    swept AS (
+        SELECT o_orderpriority, o_totalprice, o_orderdate,
+               max(o_orderdate) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderdate DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_prev_date
+        FROM pts
+    )
+    SELECT o_orderpriority,
+           {round_sql("o_totalprice")} AS totalprice,
+           o_orderdate
+    FROM swept
+    WHERE best_prev_date IS NULL OR o_orderdate > best_prev_date
+    ORDER BY o_orderpriority, totalprice DESC
+    """,
+)
+def pareto_frontier_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skyline (Pareto frontier): the orders not dominated in
+    (totalprice, recency) by any other order of the same priority —
+    multi-objective "best trade-offs" extraction (price/freshness,
+    quality/cost, score/length) without scoring weights.
+
+    The naive skyline is an O(n²) self-anti-join; in 2-D it collapses
+    to ONE ordered scan: sort by price desc (date desc tiebreak), and
+    a point survives iff its date beats the running max date of all
+    PRECEDING (≥ price) points — the classic sweep. As a window over
+    (priority) partitions it runs as |groups| independent sorted
+    scans; no join anywhere in the plan. DISTINCT first so duplicate
+    points don't mutually eliminate. No float arithmetic enters the
+    dominance test (raw column comparisons only), so cross-engine
+    parity is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select("o_orderpriority", "o_totalprice", "o_orderdate").distinct()
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.desc("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_prev_date"),
+    )
+    return (
+        swept.filter(
+            F.col("best_prev_date").isNull()
+            | (F.col("o_orderdate") > F.col("best_prev_date"))
+        )
+        .select(
+            "o_orderpriority",
+            round_col(F.col("o_totalprice")).alias("totalprice"),
+            "o_orderdate",
+        )
+        .orderBy("o_orderpriority", F.desc("totalprice"))
+    )

@@ -674,3 +674,12 @@ def test_weighted_sample_single_scan_takeordered(spark):
     # on the driver; no Exchange hashpartitioning at all).
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pareto_frontier_no_join_partitioned_window(spark):
+    plan = plan_of(spark, "pareto_frontier_per_group")
+    # The skyline must be the one-pass sweep: no self-join of any kind.
+    assert "Join" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("o_orderpriority#" in ln.split("], [", 1)[-1] for ln in win_lines), win_lines
+    assert "BatchEvalPython" not in plan
