@@ -26,6 +26,59 @@ from ..exprs import round_col, round_sql
 from ..registry import query
 
 
+def apply_scd2(state: DataFrame, upd: DataFrame) -> DataFrame:
+    """Apply one change batch to an SCD2 history table.
+
+    *state* columns: (key, bal, valid_from_us, valid_to_us,
+    is_current); *upd* columns: (key, new_bal, update_us). Closed
+    history rows pass through untouched; only the CURRENT row per key
+    joins the batch. All three merge paths are handled: unmatched /
+    equal-value rows keep, changed rows close (valid_to = update_us)
+    and reopen, unseen keys insert.
+
+    Plan shape: one join on the current slice (AQE broadcasts the
+    aggregated batch when small), close+reopen fan-out via inline
+    explode AFTER the join, one union with the pass-through history —
+    no key crosses the wire twice, and history volume never enters
+    the join."""
+    closed_hist = state.filter(~F.col("is_current"))
+    cur = state.filter(F.col("is_current"))
+    j = cur.join(upd, "key", "full_outer")
+    null_us = F.lit(None).cast("long")
+    keep = F.struct(
+        F.col("bal").alias("v"),
+        F.col("valid_from_us").alias("valid_from_us"),
+        null_us.alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    close = F.struct(
+        F.col("bal").alias("v"),
+        F.col("valid_from_us").alias("valid_from_us"),
+        F.col("update_us").alias("valid_to_us"),
+        F.lit(False).alias("is_current"),
+    )
+    reopen = F.struct(
+        F.col("new_bal").alias("v"),
+        F.col("update_us").alias("valid_from_us"),
+        null_us.alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    rows = (
+        F.when(F.col("new_bal").isNull(), F.array(keep))  # no change arrived
+        .when(F.col("bal").isNull(), F.array(reopen))  # brand-new key
+        .when(F.col("bal") == F.col("new_bal"), F.array(keep))  # no-op change
+        .otherwise(F.array(close, reopen))  # close + reopen
+    )
+    merged = j.select("key", F.explode(rows).alias("r")).select(
+        "key",
+        F.col("r.v").alias("bal"),
+        F.col("r.valid_from_us").alias("valid_from_us"),
+        F.col("r.valid_to_us").alias("valid_to_us"),
+        F.col("r.is_current").alias("is_current"),
+    )
+    return closed_hist.unionByName(merged)
+
+
 @query(
     "scd2_merge_batch",
     oracle=f"""
@@ -91,40 +144,11 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key"),
         round_col(F.col("c_acctbal")).alias("bal"),
     )
-    j = dim.join(upd, "key", "full_outer")
-    null_us = F.lit(None).cast("long")
-    keep = F.struct(
-        F.col("bal").alias("v"),
+    state0 = dim.select(
+        "key",
+        "bal",
         F.lit(0).cast("long").alias("valid_from_us"),
-        null_us.alias("valid_to_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
         F.lit(True).alias("is_current"),
     )
-    closed = F.struct(
-        F.col("bal").alias("v"),
-        F.lit(0).cast("long").alias("valid_from_us"),
-        F.col("update_us").alias("valid_to_us"),
-        F.lit(False).alias("is_current"),
-    )
-    opened = F.struct(
-        F.col("new_bal").alias("v"),
-        F.col("update_us").alias("valid_from_us"),
-        null_us.alias("valid_to_us"),
-        F.lit(True).alias("is_current"),
-    )
-    rows = (
-        F.when(F.col("new_bal").isNull(), F.array(keep))  # no change arrived
-        .when(F.col("bal").isNull(), F.array(opened))  # brand-new key
-        .when(F.col("bal") == F.col("new_bal"), F.array(keep))  # no-op change
-        .otherwise(F.array(closed, opened))  # close + reopen
-    )
-    return (
-        j.select("key", F.explode(rows).alias("r"))
-        .select(
-            "key",
-            F.col("r.v").alias("bal"),
-            F.col("r.valid_from_us").alias("valid_from_us"),
-            F.col("r.valid_to_us").alias("valid_to_us"),
-            F.col("r.is_current").alias("is_current"),
-        )
-        .orderBy("key", "valid_from_us")
-    )
+    return apply_scd2(state0, upd).orderBy("key", "valid_from_us")

@@ -1,3 +1,7 @@
+from .cdc_apply import (  # noqa: F401
+    read_state,
+    streaming_scd2_apply,
+)
 from .windowed import (  # noqa: F401
     click_view_attribution,
     running_counts_stateful,

@@ -394,3 +394,79 @@ def test_foreach_batch_multi_epoch(spark, events_dir, tmp_path):
     dirs = _glob.glob(os.path.join(out, "batch_id=*"))
     assert len(dirs) == n_files, dirs
     assert spark.read.parquet(out).count() == spark.read.parquet(events_dir).count()
+
+
+def test_streaming_scd2_apply_matches_sequential_batch(spark, tmp_path):
+    """Drive the SCD2 maintenance sink over three controlled epochs
+    (one availableNow drain per staged file, same checkpoint) and
+    check the committed state EXACTLY equals applying the same three
+    batches sequentially with the batch merge — plus the SCD2
+    structural invariants and idempotent replay of the last epoch."""
+    import os
+
+    from heapdumpstardiver_spark.queries.cdc import apply_scd2
+    from heapdumpstardiver_spark.streaming.cdc_apply import (
+        STATE_SCHEMA,
+        apply_batch,
+        batch_changes,
+        read_state,
+        streaming_scd2_apply,
+    )
+    from heapdumpstardiver_spark.streaming.windowed import EVENT_SCHEMA
+
+    ev = load_table(spark, SF_DIR, "events")
+    src_dir = str(tmp_path / "scd2_src")
+    state_dir = str(tmp_path / "scd2_state")
+    ck = str(tmp_path / "scd2_ck")
+    chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    os.makedirs(src_dir, exist_ok=True)
+    expected = spark.createDataFrame([], STATE_SCHEMA)
+    for i, chunk in enumerate(chunks):
+        # stage as FLAT files (the file stream lists src_dir itself)
+        stage = str(tmp_path / f"stage_{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        import glob as _glob
+        import shutil as _shutil
+
+        for j, part in enumerate(sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))):
+            _shutil.move(part, os.path.join(src_dir, f"chunk_{i}_{j}.parquet"))
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src_dir)
+        q = streaming_scd2_apply(stream, state_dir, ck, query_name=f"scd2_e{i}")
+        q.awaitTermination(120)
+        # batch twin over the same epoch, collected to pin the state
+        expected_rows = apply_scd2(expected, batch_changes(chunk)).collect()
+        expected = spark.createDataFrame(expected_rows, STATE_SCHEMA)
+
+    got = read_state(spark, state_dir)
+    key = lambda r: (r["key"], r["valid_from_us"], r["is_current"])
+    got_rows = sorted(got.collect(), key=key)
+    want_rows = sorted(expected.collect(), key=key)
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    # SCD2 invariants: exactly one current row per key; each closed
+    # row's valid_to chains to a successor's valid_from.
+    per_key = {}
+    for r in got_rows:
+        per_key.setdefault(r["key"], []).append(r)
+    for rows in per_key.values():
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        starts = {r["valid_from_us"] for r in rows}
+        for r in rows:
+            if not r["is_current"]:
+                assert r["valid_to_us"] in starts, rows
+
+    # Idempotent replay: re-deliver the last epoch with its batch_id —
+    # the version overwrite + pointer swap must leave state unchanged.
+    with open(os.path.join(state_dir, "_CURRENT")) as f:
+        last_version = f.read().strip()
+    last_id = int(last_version[1:])
+    # parent pointer must be restored for a faithful replay: the
+    # pointer still named the parent when the original delivery ran
+    parent = f"v{last_id - 1}" if last_id > 0 else None
+    assert parent is not None and os.path.isdir(os.path.join(state_dir, parent))
+    with open(os.path.join(state_dir, "_CURRENT"), "w") as f:
+        f.write(parent)
+    apply_batch(chunks[-1], last_id, state_dir)
+    replay_rows = sorted(read_state(spark, state_dir).collect(), key=key)
+    assert replay_rows == got_rows
