@@ -353,3 +353,69 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (c_vals, o_vals, orphan_li, orphan_ev, dup_pk, ship_before):
         out = out.unionByName(part)
     return out.orderBy("constraint_name")
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substr(printf('%.2f', o_totalprice), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT digit, n,
+           {round_sql("n * 1.0 / t", 6)} AS obs_frac,
+           {round_sql("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)", 6)}
+               AS benford_frac,
+           {round_sql(
+               "t * power(n * 1.0 / t - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 2)"
+               " / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))", 4)}
+               AS chi2_term
+    FROM counts, tot ORDER BY digit
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of a monetary column — the
+    forensic screen for fabricated/duplicated numeric data (synthetic
+    injections skew the leading-digit distribution long before
+    summary stats move). Emits per-digit observed vs expected
+    frequency and the chi-square contribution; a healthy organic
+    column keeps every term small.
+
+    The leading digit comes from `printf('%.2f')` + substr — pure
+    string slicing, bit-identical cross-engine — rather than
+    floor(log10(x)), whose libm boundary behavior at exact powers of
+    ten differs between engines. One conditional scan, a 9-row
+    aggregate, a 1-row total broadcast: nothing here scales with
+    anything but the scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    counts = (
+        o.select(
+            F.substring(F.format_string("%.2f", "o_totalprice"), 1, 1).alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    obs = F.col("n") * F.lit(1.0) / F.col("t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            round_col(obs, 6).alias("obs_frac"),
+            round_col(benford, 6).alias("benford_frac"),
+            round_col(
+                F.col("t") * F.pow(obs - benford, F.lit(2.0)) / benford, 4
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
