@@ -1733,3 +1733,61 @@ def pareto_frontier_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", F.desc("totalprice"))
     )
+
+
+@query(
+    "markov_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    trans AS (
+        SELECT src, dst, count(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    outdeg AS (
+        SELECT src, sum(n) AS tot FROM trans GROUP BY src
+    )
+    SELECT t.src, t.dst, t.n,
+           {round_sql("t.n * 1.0 / o.tot", 6)} AS p
+    FROM trans t JOIN outdeg o ON t.src = o.src
+    ORDER BY t.src, t.dst
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    ordered pair of event types, how often does one IMMEDIATELY follow
+    the other within a user's timeline, and with what conditional
+    probability — the behavioral model behind next-action prediction,
+    funnel leak detection, and session simulation.
+
+    Successor extraction is ONE lead() window partitioned by user
+    (each user's timeline sorts independently — shards by key, no
+    global order); the transition counts are one shuffle on the
+    (src, dst) pair, and row-normalization joins the |event_types|²-
+    bounded count table against its own |event_types|-bounded marginal
+    — both k-bounded, so everything after the window is effectively
+    free at any corpus size. Ties on ts break by event_id so both
+    engines walk identical sequences."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    outdeg = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(outdeg), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            round_col(F.col("n") * F.lit(1.0) / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
