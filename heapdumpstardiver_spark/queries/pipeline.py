@@ -2022,3 +2022,63 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "quantile_normalize_by_source",
+    oracle=f"""
+    WITH grids AS (
+        SELECT source,
+               quantile_cont(n_chars, [x * 0.01 FOR x IN range(0, 101)]) AS sgrid
+        FROM documents GROUP BY source
+    ),
+    gglobal AS (
+        SELECT quantile_cont(n_chars, [x * 0.01 FOR x IN range(0, 101)]) AS ggrid
+        FROM documents
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           {round_sql(
+               "g.ggrid[least(len(list_filter(s.sgrid, v -> v < d.n_chars)) + 1, 101)]",
+               4)} AS norm_chars
+    FROM documents d
+    JOIN grids s ON d.source = s.source, gglobal g
+    ORDER BY d.doc_id
+    """,
+)
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: re-express each
+    document's length on the GLOBAL length distribution according to
+    its rank WITHIN its source — the feature-preprocessing step that
+    makes per-source quality/length signals comparable before mixing
+    corpora (a 90th-percentile doc of a short-doc source maps to the
+    global 90th percentile, not to its raw value).
+
+    Implemented grid-native, the way it scales: each source reduces
+    to a 101-point exact percentile grid (one aggregate — per-group
+    k-bounded state), the global distribution to one such grid, and a
+    document's within-source quantile is the count of source-grid
+    points below its value — a broadcast array probe, NO percent_rank
+    window, no per-source sort of the corpus. Sources × 101 doubles is
+    index metadata at any corpus size; the per-doc work is a pure
+    projection."""
+    d = _t(spark, sf_dir, "documents")
+    fracs = F.array(*[F.lit(x / 100.0) for x in range(101)])
+    grids = d.groupBy("source").agg(
+        F.percentile("n_chars", fracs).alias("sgrid")
+    )
+    gglobal = d.agg(F.percentile("n_chars", fracs).alias("ggrid"))
+    idx = F.least(
+        F.size(F.filter(F.col("sgrid"), lambda v: v < F.col("n_chars"))) + F.lit(1),
+        F.lit(101),
+    )
+    return (
+        d.join(F.broadcast(grids), "source")
+        .crossJoin(F.broadcast(gglobal))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            round_col(F.element_at("ggrid", idx), 4).alias("norm_chars"),
+        )
+        .orderBy("doc_id")
+    )

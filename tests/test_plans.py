@@ -683,3 +683,12 @@ def test_pareto_frontier_no_join_partitioned_window(spark):
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert any("o_orderpriority#" in ln.split("], [", 1)[-1] for ln in win_lines), win_lines
     assert "BatchEvalPython" not in plan
+
+
+def test_quantile_normalize_no_window_grids_broadcast(spark):
+    plan = plan_of(spark, "quantile_normalize_by_source")
+    # The scale property: NO percent_rank window over the corpus —
+    # quantiles come from k-bounded grids joined by broadcast.
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+    assert "BatchEvalPython" not in plan
