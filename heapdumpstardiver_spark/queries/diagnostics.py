@@ -359,7 +359,8 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benford_digit_audit",
     oracle=f"""
     WITH digits AS (
-        SELECT substr(printf('%.2f', o_totalprice), 1, 1) AS digit
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
         FROM orders WHERE o_totalprice >= 1.0
     ),
     counts AS (
@@ -385,18 +386,20 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency and the chi-square contribution; a healthy organic
     column keeps every term small.
 
-    The leading digit comes from `printf('%.2f')` + substr — pure
-    string slicing, bit-identical cross-engine — rather than
-    floor(log10(x)), whose libm boundary behavior at exact powers of
-    ten differs between engines. One conditional scan, a 9-row
+    The leading digit comes from floor → BIGINT → string → substr:
+    floor on a double is EXACT, so no rounding enters anywhere —
+    unlike floor(log10(x)) (libm boundary behavior at powers of ten
+    differs between engines) or printf('%.2f') (Java rounds half-up,
+    C half-even: 9.995 would flip its leading digit between engines).
+    One conditional scan, a 9-row
     aggregate, a 1-row total broadcast: nothing here scales with
     anything but the scan."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
     counts = (
         o.select(
-            F.substring(F.format_string("%.2f", "o_totalprice"), 1, 1).alias(
-                "digit"
-            )
+            F.substring(
+                F.floor("o_totalprice").cast("string"), 1, 1
+            ).alias("digit")
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
