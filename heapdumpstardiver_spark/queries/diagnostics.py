@@ -285,7 +285,11 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
 
     def flag(cond) -> F.Column:
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # coalesce: sum over an EMPTY table is NULL, the oracle's
+        # count(*) is 0 — an audit of an empty table must agree
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast(
+            "long"
+        )
 
     def unpivot(df: DataFrame) -> DataFrame:
         pairs = ", ".join(f"'{c}', {c}" for c in df.columns)

@@ -1817,11 +1817,16 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unshipped orders for one market segment as of a cutoff date. The
     canonical selective-dimension → fact → fact chain: the segment
     filter keeps ~20% of customers, both date predicates push into the
-    parquet scans (plan-pinned), the customer side broadcasts after
-    filtering, and the final top-10 is TakeOrdered on the ROUNDED
-    revenue (per-partition heap + driver merge, no global sort; ties
-    broken by orderdate then orderkey so both engines pick identical
-    rows).
+    parquet scans (plan-pinned), and the final top-10 is TakeOrdered
+    on the ROUNDED revenue (per-partition heap + driver merge, no
+    global sort; ties broken by orderdate then orderkey so both
+    engines pick identical rows).
+
+    The customer side carries NO broadcast hint on purpose: 20% of
+    customers is dimension-sized at test scale (AQE broadcasts it)
+    but NOT at 100 TB, where forcing the hint would OOM the
+    executors — size-dependent strategy is exactly what AQE's runtime
+    statistics are for.
 
     At 100 TB: lineitem shuffles once on l_orderkey; orders arrives
     already filtered. The reference's single-statement DuckDB
@@ -1835,8 +1840,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
     )
     return (
-        F.broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
+        c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
