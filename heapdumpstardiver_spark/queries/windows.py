@@ -1791,3 +1791,76 @@ def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "cuped_adjusted_metric",
+    oracle=f"""
+    WITH pre AS (
+        SELECT user_id, avg(value) AS x FROM events
+        WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+    ),
+    post AS (
+        SELECT user_id, avg(value) AS y FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY user_id
+    ),
+    u AS (
+        SELECT p.user_id, p.y, q.x FROM post p JOIN pre q ON p.user_id = q.user_id
+    ),
+    theta AS (
+        SELECT covar_pop(y, x) / var_pop(x) AS th, avg(x) AS xbar FROM u
+    )
+    SELECT user_id % 2 AS arm,
+           count(*) AS n_users,
+           {round_sql("avg(y)", 4)} AS raw_mean,
+           {round_sql("avg(y - th * (x - xbar))", 4)} AS adjusted_mean,
+           {round_sql("var_pop(y)", 4)} AS raw_var,
+           {round_sql("var_pop(y - th * (x - xbar))", 4)} AS adjusted_var
+    FROM u, theta GROUP BY user_id % 2 ORDER BY arm
+    """,
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust each
+    user's experiment-period metric by their PRE-period covariate,
+    y' = y - θ(x - x̄) with θ = cov(y,x)/var(x) — the standard
+    experimentation-platform trick that shrinks metric variance
+    (often 40-60%) so A/B tests need fewer users for the same power.
+    Arms here are a deterministic hash split (user_id parity);
+    emits per-arm raw vs adjusted mean AND variance so the reduction
+    is visible in the result itself.
+
+    Scale shape: two filtered per-user aggregates (each one shuffle
+    on user_id — the second reuses the partitioning), ONE inner join
+    on user_id, θ/x̄ as a 1-row broadcast, final 2-group rollup.
+    Single-pass co-moment aggregates (covar_pop/var_pop) keep the θ
+    estimate cancellation-safe on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    pre = (
+        e.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("x"))
+    )
+    post = (
+        e.filter(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("y"))
+    )
+    u = post.join(pre, "user_id")
+    theta = u.agg(
+        (F.covar_pop("y", "x") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))
+    return (
+        u.crossJoin(F.broadcast(theta))
+        .groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            round_col(F.avg("y"), 4).alias("raw_mean"),
+            round_col(F.avg(adj), 4).alias("adjusted_mean"),
+            round_col(F.var_pop("y"), 4).alias("raw_var"),
+            round_col(F.var_pop(adj), 4).alias("adjusted_var"),
+        )
+        .orderBy("arm")
+    )
