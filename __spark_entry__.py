@@ -68,7 +68,7 @@ _CHECK_PRIORITY = [
     "embedding_covariance_block", "weighted_sample_aes",
     "pareto_frontier_per_group", "benford_digit_audit",
     "markov_transition_matrix", "quantile_normalize_by_source",
-    "cuped_adjusted_metric",
+    "cuped_adjusted_metric", "survival_kaplan_meier",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

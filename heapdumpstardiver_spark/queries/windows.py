@@ -1864,3 +1864,135 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH signup AS (
+        SELECT user_id, min(ts) AS start, max(ts) AS last_seen
+        FROM events GROUP BY user_id
+        HAVING count(CASE WHEN event_type = 'signup' THEN 1 END) > 0
+    ),
+    s2 AS (
+        SELECT s.user_id,
+               (SELECT min(ts) FROM events e
+                WHERE e.user_id = s.user_id AND e.event_type = 'signup') AS start,
+               s.last_seen
+        FROM signup s
+    ),
+    conv AS (
+        SELECT s.user_id, s.start, s.last_seen, min(e.ts) AS converted
+        FROM s2 s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             AND e.ts >= s.start
+        GROUP BY s.user_id, s.start, s.last_seen
+    ),
+    durations AS (
+        SELECT user_id,
+               CAST(date_diff('day', CAST(start AS DATE),
+                    CAST(coalesce(converted, last_seen) AS DATE)) AS BIGINT) AS d,
+               CASE WHEN converted IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM conv
+    ),
+    by_day AS (
+        SELECT d, count(*) AS n_total,
+               CAST(sum(observed) AS BIGINT) AS n_events
+        FROM durations GROUP BY d
+    ),
+    km AS (
+        SELECT d, n_total, n_events,
+               (SELECT count(*) FROM durations) -
+               coalesce(sum(n_total) OVER (
+                   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS at_risk
+        FROM by_day
+    )
+    SELECT d, at_risk, n_events,
+           CAST(n_total - n_events AS BIGINT) AS n_censored,
+           {round_sql(
+               "exp(sum(ln(greatest(1.0 - n_events * 1.0 / at_risk, 1e-300)))"
+               " OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+               6)} AS survival
+    FROM km ORDER BY d
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion
+    time with right-censoring: users who never purchased after
+    signup are censored at their last observed event, not dropped —
+    the estimator that makes time-to-convert/churn curves honest when
+    the observation window truncates slow converters.
+
+    Pipeline: ONE pass builds per-user (first signup, last seen); a
+    second user-keyed join finds the first qualifying purchase
+    (co-partitioned with the first shuffle); durations collapse to a
+    day-indexed risk table BOUNDED by the observation window, so the
+    ordered product Π(1 - dᵢ/nᵢ) — computed as exp of a running
+    ln-sum, with a 1e-300 floor so a fully-depleted risk set yields
+    exactly-representable -690.77 on both engines instead of
+    engine-specific ln(0) — runs over dozens of rows, never the
+    corpus. Survival at the horizon is the conversion ceiling."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("start"),
+        F.max("ts").alias("last_seen"),
+    ).filter(F.col("start").isNotNull())
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    # the ts >= start predicate must live IN the join: a user whose
+    # purchases all precede signup still keeps their null row
+    # (censored), which a post-join filter would drop
+    conv = (
+        per_user.join(
+            purch,
+            (per_user.user_id == purch.user_id)
+            & (purch.pts >= per_user.start),
+            "left",
+        )
+        .groupBy(per_user.user_id, "start", "last_seen")
+        .agg(F.min("pts").alias("converted"))
+    )
+    durations = conv.select(
+        "user_id",
+        F.datediff(
+            F.coalesce("converted", "last_seen").cast("date"),
+            F.col("start").cast("date"),
+        )
+        .cast("long")
+        .alias("d"),
+        F.when(F.col("converted").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    by_day = durations.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_users"))
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    km = by_day.crossJoin(F.broadcast(total)).select(
+        "d",
+        "n_total",
+        "n_events",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("n_events") * F.lit(1.0) / F.col("at_risk"),
+            F.lit(1e-300),
+        )
+    )
+    return (
+        km.select(
+            "d",
+            "at_risk",
+            "n_events",
+            (F.col("n_total") - F.col("n_events")).cast("long").alias("n_censored"),
+            round_col(F.exp(F.sum(term).over(w_run)), 6).alias("survival"),
+        )
+        .orderBy("d")
+    )
