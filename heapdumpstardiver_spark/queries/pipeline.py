@@ -13,7 +13,7 @@ collected corpus state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2081,4 +2081,89 @@ def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_col(F.element_at("ggrid", idx), 4).alias("norm_chars"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "raking_ipf_mix_weights",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT sum(n) AS big_n,
+               count(DISTINCT source) AS ns,
+               count(DISTINCT lang) AS nl
+        FROM cells
+    ),
+    r1 AS (
+        SELECT source, lang, n,
+               n * (big_n / ns) / sum(n) OVER (PARTITION BY source) AS w
+        FROM cells, tot
+    ),
+    c1 AS (
+        SELECT source, lang, n,
+               w * (big_n / nl) / sum(w) OVER (PARTITION BY lang) AS w
+        FROM r1, tot
+    ),
+    r2 AS (
+        SELECT source, lang, n,
+               w * (big_n / ns) / sum(w) OVER (PARTITION BY source) AS w
+        FROM c1, tot
+    ),
+    c2 AS (
+        SELECT source, lang, n,
+               w * (big_n / nl) / sum(w) OVER (PARTITION BY lang) AS w
+        FROM r2, tot
+    )
+    SELECT source, lang, CAST(n AS BIGINT) AS n,
+           {round_sql("w", 4)} AS target_weight,
+           {round_sql("w / n", 6)} AS per_doc_factor
+    FROM c2 ORDER BY source, lang
+    """,
+)
+def raking_ipf_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the corpus mix:
+    reweight (source, lang) cells so BOTH marginals hit a uniform
+    target simultaneously — the 2-D generalization of single-axis mix
+    weighting (`data_mix_weighted_sample` adjusts one marginal; IPF is
+    what survey statisticians and data-mixture papers use when
+    source AND language quotas must hold at once). Two full
+    row/column scaling rounds, unrolled declaratively.
+
+    Scale shape: the corpus collapses to the |sources|x|langs| cell
+    table in ONE shuffle; every IPF iteration is a window-sum over
+    that k-bounded table — at 100 TB the iterations cost nothing and
+    the per-doc application (`per_doc_factor`) is a broadcast join
+    back. Uniform targets are derived from the data (big_n/ns,
+    big_n/nl), so the query needs no external config."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("big_n"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("lang").alias("nl"),
+    )
+    w_src = Window.partitionBy("source")
+    w_lang = Window.partitionBy("lang")
+    cur = cells.crossJoin(F.broadcast(tot)).withColumn("w", F.col("n"))
+    for axis_win, axis_n in ((w_src, "ns"), (w_lang, "nl"), (w_src, "ns"), (w_lang, "nl")):
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (F.col("big_n") / F.col(axis_n))
+            / F.sum("w").over(axis_win),
+        )
+    return (
+        cur.select(
+            "source",
+            "lang",
+            F.col("n").cast("long").alias("n"),
+            round_col(F.col("w"), 4).alias("target_weight"),
+            round_col(F.col("w") / F.col("n"), 6).alias("per_doc_factor"),
+        )
+        .orderBy("source", "lang")
     )

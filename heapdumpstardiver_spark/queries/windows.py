@@ -1996,3 +1996,56 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "user_acquisition_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, event_type,
+               CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+        FROM events GROUP BY user_id, event_type
+    ),
+    per_day AS (
+        SELECT event_type, day, count(*) AS new_users
+        FROM first_seen GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM per_day ORDER BY event_type, day
+    """,
+)
+def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption saturation curves: for each event type, the
+    day each user FIRST did it, daily adopter counts, and the
+    cumulative total — the growth curve every DAU/adoption dashboard
+    starts from, and the denominator retention metrics divide by.
+
+    The cumulative-distinct trap this avoids: a naive
+    count(DISTINCT user) per expanding window re-scans the corpus per
+    day. First-seen reduces the corpus to ONE row per (user, type)
+    (one shuffle), daily counts bound the table by types x calendar
+    days, and the running sum is a PARTITIONED window over that tiny
+    aggregate — same aggregate-first-then-window discipline as
+    `revenue_mom_change`."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id", "event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("event_type", "day")
