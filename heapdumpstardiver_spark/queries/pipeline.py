@@ -2167,3 +2167,91 @@ def raking_ipf_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH banded AS (
+        SELECT c_mktsegment, c_nationkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS sens
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_mktsegment, c_nationkey, sens, count(*) AS n
+        FROM banded GROUP BY c_mktsegment, c_nationkey, sens
+    ),
+    cells2 AS (
+        SELECT c_mktsegment, c_nationkey, n,
+               n * 1.0 / sum(n) OVER (PARTITION BY c_mktsegment, c_nationkey)
+                   AS p
+        FROM cells
+    ),
+    classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS distinct_sens,
+               sum(n) AS class_size,
+               -sum(p * ln(p)) AS entropy
+        FROM cells2 GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT 3 AS l,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN distinct_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l,
+           CAST(sum(CASE WHEN distinct_sens < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST(min(distinct_sens) AS BIGINT) AS min_distinct_sens,
+           {round_sql("min(entropy)", 6)} AS min_entropy
+    FROM classes
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: an
+    equivalence class can be large (k-safe) yet expose everyone in it
+    if the SENSITIVE attribute is homogeneous. Per quasi-identifier
+    class this measures distinct-l (how many sensitive values appear)
+    and entropy-l (how evenly), reporting the classes where an
+    attacker who re-identifies the class learns the sensitive value
+    anyway.
+
+    Same two-aggregation shape as `k_anonymity_audit` scaled up one
+    level: corpus → (class, sensitive) cells in one shuffle, cells →
+    per-class diversity via a partitioned window + groupBy (both
+    k-bounded), then a scalar rollup. Sensitive bands derive from the
+    data; swapping the real sensitive column is one expression."""
+    c = _t(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("sens"),
+    )
+    cells = banded.groupBy("c_mktsegment", "c_nationkey", "sens").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cls = Window.partitionBy("c_mktsegment", "c_nationkey")
+    p = F.col("n") * F.lit(1.0) / F.sum("n").over(w_cls)
+    classes = (
+        cells.withColumn("term", -p * F.log(p))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_sens"),
+            F.sum("n").alias("class_size"),
+            F.sum("term").alias("entropy"),
+        )
+    )
+    below = F.col("distinct_sens") < 3
+    return classes.agg(
+        F.lit(3).alias("l"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias("classes_below_l"),
+        F.sum(F.when(below, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("distinct_sens").cast("long").alias("min_distinct_sens"),
+        round_col(F.min("entropy"), 6).alias("min_entropy"),
+    )
