@@ -426,3 +426,98 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "psi_drift_by_decile",
+    oracle=f"""
+    WITH a AS (
+        SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    b AS (
+        SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    cuts AS (
+        SELECT quantile_cont(value, [x * 0.1 FOR x IN range(1, 10)]) AS cs
+        FROM a
+    ),
+    binned_a AS (
+        SELECT 1 + len(list_filter(c.cs, x -> x < a.value)) AS bin
+        FROM a, cuts c
+    ),
+    binned_b AS (
+        SELECT 1 + len(list_filter(c.cs, x -> x < b.value)) AS bin
+        FROM b, cuts c
+    ),
+    counts AS (
+        SELECT bin,
+               count(*) FILTER (WHERE src = 'a') AS n_a,
+               count(*) FILTER (WHERE src = 'b') AS n_b
+        FROM (
+            SELECT bin, 'a' AS src FROM binned_a
+            UNION ALL SELECT bin, 'b' AS src FROM binned_b
+        ) GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_a AS BIGINT) AS n_ref, CAST(n_b AS BIGINT) AS n_cur,
+           {round_sql("(n_a + 0.5) / (ta + 5.0)", 6)} AS p_ref,
+           {round_sql("(n_b + 0.5) / (tb + 5.0)", 6)} AS p_cur,
+           {round_sql(
+               "((n_b + 0.5) / (tb + 5.0) - (n_a + 0.5) / (ta + 5.0))"
+               " * ln(((n_b + 0.5) / (tb + 5.0)) / ((n_a + 0.5) / (ta + 5.0)))",
+               6)} AS psi_term
+    FROM counts, tot ORDER BY bin
+    """,
+)
+def psi_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period — the ML-ops drift gate (PSI > 0.2 = retrain/alert) run
+    before every model refresh and every training-data epoch: bin by
+    the REFERENCE period's deciles, compare bin mass, sum
+    (p_cur - p_ref)·ln(p_cur/p_ref).
+
+    Grid-native like `decile_binning_broadcast_cuts`: the reference
+    deciles are ONE percentile aggregate (k-bounded), bin assignment
+    is a broadcast cut-array probe on both periods' scans, counts are
+    one shuffle over ≤10 bins. Laplace smoothing (+0.5 per bin)
+    keeps the log finite when a bin empties — deterministic on both
+    engines, no epsilon hacks. Emits per-bin terms so the drifting
+    bins are visible, not just the headline sum."""
+    e = load_table(spark, sf_dir, "events")
+    cut_ts = F.lit("2024-01-16").cast("timestamp_ntz")
+    a = e.filter(F.col("ts") < cut_ts).select("value")
+    b = e.filter(F.col("ts") >= cut_ts).select("value")
+    fracs = F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+    cuts = a.agg(F.percentile("value", fracs).alias("cs"))
+    bin_of = (
+        F.lit(1)
+        + F.size(F.filter(F.col("cs"), lambda x: x < F.col("value")))
+    ).cast("long")
+    binned = (
+        a.withColumn("src", F.lit("a"))
+        .unionByName(b.withColumn("src", F.lit("b")))
+        .crossJoin(F.broadcast(cuts))
+        .select(bin_of.alias("bin"), "src")
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("src") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("src") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    p_ref = (F.col("n_a") + F.lit(0.5)) / (F.col("ta") + F.lit(5.0))
+    p_cur = (F.col("n_b") + F.lit(0.5)) / (F.col("tb") + F.lit(5.0))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n_a").cast("long").alias("n_ref"),
+            F.col("n_b").cast("long").alias("n_cur"),
+            round_col(p_ref, 6).alias("p_ref"),
+            round_col(p_cur, 6).alias("p_cur"),
+            round_col((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
