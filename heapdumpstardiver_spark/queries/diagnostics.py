@@ -15,7 +15,7 @@ per-row data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -520,4 +520,102 @@ def psi_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bin")
+    )
+
+
+@query(
+    "ks_test_two_sample",
+    oracle=f"""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+    b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    grid AS (
+        SELECT quantile_cont(value, [x * 0.01 FOR x IN range(0, 101)]) AS gs
+        FROM (SELECT value FROM a UNION ALL SELECT value FROM b)
+    ),
+    bins AS (
+        SELECT src, 1 + len(list_filter(g.gs, x -> x < s.value)) AS bin
+        FROM (
+            SELECT 'a' AS src, value FROM a
+            UNION ALL SELECT 'b' AS src, value FROM b
+        ) s, grid g
+    ),
+    counts AS (
+        SELECT bin,
+               count(*) FILTER (WHERE src = 'a') AS ca,
+               count(*) FILTER (WHERE src = 'b') AS cb
+        FROM bins GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+    ecdf AS (
+        SELECT sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) * 1.0 / na AS fa,
+               sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) * 1.0 / nb AS fb
+        FROM counts, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {round_sql("max(abs(fa - fb))", 6)} AS d_stat,
+           {round_sql("1.358 * sqrt((na + nb) * 1.0 / (na * nb))", 6)}
+               AS crit_05,
+           {round_sql("max(abs(fa - fb))", 6)} >
+               {round_sql("1.358 * sqrt((na + nb) * 1.0 / (na * nb))", 6)}
+               AS reject_05
+    FROM ecdf, tot GROUP BY na, nb
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (grid-native): are two
+    segments' value distributions the same? D = sup|F_A - F_B|
+    evaluated on the pooled distribution's 101-point quantile grid,
+    against the α=0.05 critical value 1.358·√((n_a+n_b)/(n_a·n_b)) —
+    the distribution-shift companion to `psi_drift_by_decile` (PSI
+    is binned mass, KS is worst-case CDF gap).
+
+    The textbook KS sorts the pooled sample globally; the grid
+    formulation needs only ONE percentile aggregate + a broadcast
+    cut-array probe per row + a 101-row cumulative window — nothing
+    global-ordered ever touches the corpus. The reject decision
+    compares the ROUNDED statistic to the ROUNDED critical value, so
+    the boolean can never diverge at an engine's last ulp."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("value")
+    b = e.filter(F.col("event_type") == "purchase").select("value")
+    pooled = a.unionByName(b)
+    fracs = F.array(*[F.lit(x / 100.0) for x in range(101)])
+    grid = pooled.agg(F.percentile("value", fracs).alias("gs"))
+    bin_of = (
+        F.lit(1) + F.size(F.filter(F.col("gs"), lambda x: x < F.col("value")))
+    ).alias("bin")
+    bins = (
+        a.withColumn("src", F.lit("a"))
+        .unionByName(b.withColumn("src", F.lit("b")))
+        .crossJoin(F.broadcast(grid))
+        .select("src", bin_of)
+    )
+    counts = bins.groupBy("bin").agg(
+        F.sum(F.when(F.col("src") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("src") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("ca").over(w) * F.lit(1.0) / F.col("na")).alias("fa"),
+        (F.sum("cb").over(w) * F.lit(1.0) / F.col("nb")).alias("fb"),
+        "na",
+        "nb",
+    )
+    d_stat = round_col(F.max(F.abs(F.col("fa") - F.col("fb"))), 6)
+    crit = round_col(
+        F.lit(1.358)
+        * F.sqrt((F.col("na") + F.col("nb")) * F.lit(1.0) / (F.col("na") * F.col("nb"))),
+        6,
+    )
+    return ecdf.groupBy("na", "nb").agg(
+        d_stat.alias("d_stat"), crit.alias("crit_05")
+    ).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        "d_stat",
+        "crit_05",
+        (F.col("d_stat") > F.col("crit_05")).alias("reject_05"),
     )
