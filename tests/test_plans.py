@@ -692,3 +692,20 @@ def test_quantile_normalize_no_window_grids_broadcast(spark):
     assert "Window" not in plan
     assert plan.count("BroadcastExchange") >= 1
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["psi_drift_by_decile", "ks_test_two_sample", "raking_ipf_mix_weights"]
+)
+def test_statistical_ops_stay_jvm_side(spark, name):
+    """The drift/raking family must stay whole-stage JVM (no Python in
+    the hot path) and keep its windows off the raw corpus: every
+    Window operates on an aggregate bounded by bins/cells."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    # windows (if any) must consume an aggregated input, which in
+    # these plans always follows a HashAggregate — cheap proxy: the
+    # plan never range-partitions a raw `value`/`n_chars` column.
+    for ln in plan.lower().splitlines():
+        if "rangepartitioning" in ln:
+            assert "value#" not in ln, ln
