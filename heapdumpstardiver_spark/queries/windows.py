@@ -2049,3 +2049,115 @@ def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("event_type", "day")
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!):
+# P(X<=0)=.36788, <=1 .73576, <=2 .91970, <=3 .98101, <=4 .99634 — a
+# draw above the last threshold is clamped to 5.
+_POIS_T = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563)
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, avg(value) AS x FROM events GROUP BY user_id
+    ),
+    draws AS (
+        SELECT b.range AS b, u.x,
+               (CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                    || CAST(b.range AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS r
+        FROM per_user u, range(0, 100) b
+    ),
+    weighted AS (
+        SELECT b, x,
+               CASE WHEN r < {_POIS_T[0]} THEN 0
+                    WHEN r < {_POIS_T[1]} THEN 1
+                    WHEN r < {_POIS_T[2]} THEN 2
+                    WHEN r < {_POIS_T[3]} THEN 3
+                    WHEN r < {_POIS_T[4]} THEN 4
+                    ELSE 5 END AS w
+        FROM draws
+    ),
+    resamples AS (
+        SELECT b, sum(w * x) / sum(w) AS m
+        FROM weighted GROUP BY b HAVING sum(w) > 0
+    )
+    SELECT (SELECT count(*) FROM per_user) AS n_users,
+           count(*) AS n_resamples,
+           {round_sql("(SELECT avg(x) FROM per_user)", 6)} AS point_est,
+           {round_sql("quantile_cont(m, 0.025)", 6)} AS ci_lo,
+           {round_sql("quantile_cont(m, 0.975)", 6)} AS ci_hi
+    FROM resamples
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for the mean per-user
+    metric — the bootstrap that actually runs distributed: classic
+    resampling needs n draws WITH replacement from one sorted pool
+    per replicate (a serial scan × B); the Poisson(1) approximation
+    gives every (row, replicate) an independent weight, so all B=100
+    replicates ride ONE explode + ONE shuffle. Resampling is at the
+    USER level (cluster bootstrap), which is the statistically honest
+    unit when rows within a user correlate — and collapses the fan-out
+    input from events to users first.
+
+    Determinism: the uniform driving each Poisson draw is the
+    portable md5-to-uniform of (user_id, replicate) — both engines
+    draw byte-identical weights, so the CI is reproducible, not just
+    its distribution. Inverse-CDF thresholds are exact double
+    literals shared by both plans."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.avg("value").alias("x"))
+    bs = F.array(*[F.lit(i) for i in range(100)])
+    r = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = (
+        F.when(r < F.lit(_POIS_T[0]), 0)
+        .when(r < F.lit(_POIS_T[1]), 1)
+        .when(r < F.lit(_POIS_T[2]), 2)
+        .when(r < F.lit(_POIS_T[3]), 3)
+        .when(r < F.lit(_POIS_T[4]), 4)
+        .otherwise(5)
+    )
+    resamples = (
+        per_user.select("user_id", "x", F.explode(bs).alias("b"))
+        .select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        round_col(F.avg("x"), 6).alias("point_est"),
+    )
+    return (
+        resamples.agg(
+            F.count(F.lit(1)).alias("n_resamples"),
+            round_col(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+            round_col(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("n_users", "n_resamples", "point_est", "ci_lo", "ci_hi")
+    )
