@@ -71,7 +71,7 @@ _CHECK_PRIORITY = [
     "cuped_adjusted_metric", "survival_kaplan_meier",
     "raking_ipf_mix_weights", "user_acquisition_curve",
     "l_diversity_audit", "psi_drift_by_decile", "ks_test_two_sample",
-    "bootstrap_mean_ci",
+    "bootstrap_mean_ci", "trimmed_robust_stats", "daily_acf",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

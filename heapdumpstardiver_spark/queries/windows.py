@@ -2161,3 +2161,125 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("n_users", "n_resamples", "point_est", "ci_lo", "ci_hi")
     )
+
+
+@query(
+    "trimmed_robust_stats",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.95) AS p95
+        FROM events
+    ),
+    mad AS (
+        SELECT quantile_cont(abs(value - c.p50), 0.50) AS mad
+        FROM events, cuts c
+    )
+    SELECT count(*) AS n,
+           {round_sql("avg(value)", 6)} AS mean,
+           {round_sql("avg(CASE WHEN value >= c.p05 AND value <= c.p95 THEN value END)", 6)}
+               AS trimmed_mean,
+           {round_sql("avg(greatest(least(value, c.p95), c.p05))", 6)}
+               AS winsorized_mean,
+           {round_sql("any_value(c.p50)", 6)} AS median,
+           {round_sql("any_value(m.mad)", 6)} AS mad
+    FROM events, cuts c, mad m
+    """,
+)
+def trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale estimates — 5% trimmed mean, winsorized
+    mean, median, and MAD — the outlier-resistant summary a metrics
+    pipeline reports next to the raw mean (one fat-fingered event
+    moves the mean arbitrarily; it moves these by O(1/n)).
+
+    Two-pass grid shape: pass 1 is ONE exact-percentile aggregate
+    (p05/p50/p95 in a single sort-buffer); its 1-row broadcast feeds
+    pass 2, where trim/winsorize are conditional-aggregate
+    expressions and MAD is a second percentile over |x - median|. No
+    per-group sort, no window; both passes are plain scan+reduce, so
+    the whole thing is two linear scans at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = e.agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.50)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    with_cuts = e.crossJoin(F.broadcast(cuts))
+    mad = with_cuts.agg(
+        F.percentile(F.abs(F.col("value") - F.col("p50")), F.lit(0.50)).alias(
+            "mad"
+        )
+    )
+    in_band = (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    wins = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    return (
+        with_cuts.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_col(F.avg("value"), 6).alias("mean"),
+            round_col(F.avg(F.when(in_band, F.col("value"))), 6).alias(
+                "trimmed_mean"
+            ),
+            round_col(F.avg(wins), 6).alias("winsorized_mean"),
+            round_col(F.any_value("p50"), 6).alias("median"),
+            round_col(F.any_value("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "daily_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(value) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT y,
+               lag(y, 1) OVER (ORDER BY day) AS y1,
+               lag(y, 2) OVER (ORDER BY day) AS y2,
+               lag(y, 3) OVER (ORDER BY day) AS y3,
+               lag(y, 7) OVER (ORDER BY day) AS y7
+        FROM daily
+    )
+    SELECT count(*) AS n_days,
+           {round_sql("corr(y, y1)", 6)} AS acf_1,
+           {round_sql("corr(y, y2)", 6)} AS acf_2,
+           {round_sql("corr(y, y3)", 6)} AS acf_3,
+           {round_sql("corr(y, y7)", 6)} AS acf_7
+    FROM lagged
+    """,
+)
+def daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics of the daily metric series at lags
+    1/2/3/7 — the pre-forecasting check that tells you whether
+    yesterday (momentum) or last week (weekly seasonality) predicts
+    today, and which lag a seasonal-naive or AR model should use
+    (companion to `seasonal_naive_error`, which ASSUMES lag 7).
+
+    Aggregate-first discipline: the corpus collapses to one row per
+    day, the lag windows and corr() run over that calendar-bounded
+    series — the unpartitioned window never sees the fact stream.
+    Pairwise corr over single-pass co-moments keeps both engines
+    bit-comparable at 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round_col(F.corr("y", "y1"), 6).alias("acf_1"),
+        round_col(F.corr("y", "y2"), 6).alias("acf_2"),
+        round_col(F.corr("y", "y3"), 6).alias("acf_3"),
+        round_col(F.corr("y", "y7"), 6).alias("acf_7"),
+    )
