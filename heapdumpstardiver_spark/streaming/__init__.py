@@ -2,6 +2,11 @@ from .cdc_apply import (  # noqa: F401
     read_state,
     streaming_scd2_apply,
 )
+from .drift import (  # noqa: F401
+    binned_window_counts,
+    psi_from_counts,
+    reference_cuts,
+)
 from .windowed import (  # noqa: F401
     click_view_attribution,
     running_counts_stateful,

@@ -470,3 +470,61 @@ def test_streaming_scd2_apply_matches_sequential_batch(spark, tmp_path):
     apply_batch(chunks[-1], last_id, state_dir)
     replay_rows = sorted(read_state(spark, state_dir).collect(), key=key)
     assert replay_rows == got_rows
+
+
+def test_streaming_psi_drift_matches_batch(spark, events_dir, tmp_path):
+    """Stream-side binned window counts + PSI arithmetic must equal
+    the same pipeline computed purely in batch over the same data:
+    the streaming piece is only the incremental count, so parity is
+    exact, not approximate."""
+    from heapdumpstardiver_spark.streaming.drift import (
+        binned_window_counts,
+        psi_from_counts,
+        reference_cuts,
+    )
+
+    batch = spark.read.parquet(events_dir)
+    ref_period = batch.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cuts = reference_cuts(ref_period)
+    assert len(cuts) == 9 and cuts == sorted(cuts)
+
+    # reference bin counts (batch, k-bounded)
+    from functools import reduce
+
+    bin_col = reduce(
+        lambda acc, c: acc + F.when(F.col("value") > F.lit(c), 1).otherwise(0),
+        cuts,
+        F.lit(1),
+    )
+    ref_counts = (
+        ref_period.select(bin_col.cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    stream = S.stream_events(spark, events_dir)
+    got_counts = _drain(
+        spark,
+        binned_window_counts(stream, cuts),
+        "t_drift_counts",
+        tmp_path,
+        mode="complete",
+    )
+    got = psi_from_counts(got_counts, ref_counts).collect()
+
+    want_counts = (
+        batch.select(F.col("ts"), bin_col.cast("long").alias("bin"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )
+    want = psi_from_counts(want_counts, ref_counts).collect()
+
+    g = {r["window_start"]: r["psi"] for r in got}
+    w = {r["window_start"]: r["psi"] for r in want}
+    assert g.keys() == w.keys() and len(g) >= 25
+    for k in g:
+        assert abs(g[k] - w[k]) < 1e-12, (k, g[k], w[k])
+    # reference-period windows should sit near zero PSI; at least one
+    # window must carry a meaningful (finite) statistic
+    assert all(abs(v) < 10 for v in g.values())
