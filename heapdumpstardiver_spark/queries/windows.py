@@ -2283,3 +2283,71 @@ def daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.corr("y", "y3"), 6).alias("acf_3"),
         round_col(F.corr("y", "y7"), 6).alias("acf_7"),
     )
+
+
+@query(
+    "ips_offpolicy_value",
+    oracle=f"""
+    WITH prop AS (
+        SELECT event_type, count(*) * 1.0 / sum(count(*)) OVER () AS p_log
+        FROM events GROUP BY event_type
+    ),
+    target AS (
+        SELECT * FROM (VALUES ('purchase', 0.4), ('click', 0.3),
+                              ('view', 0.2), ('signup', 0.1),
+                              ('error', 0.0)) t(event_type, p_tgt)
+    ),
+    weighted AS (
+        SELECT e.value AS reward, t.p_tgt / p.p_log AS w
+        FROM events e
+        JOIN prop p ON e.event_type = p.event_type
+        JOIN target t ON e.event_type = t.event_type
+    )
+    SELECT count(*) AS n,
+           {round_sql("avg(reward)", 6)} AS on_policy_value,
+           {round_sql("avg(reward * w)", 6)} AS ips_value,
+           {round_sql("sum(reward * w) / sum(w)", 6)} AS snips_value,
+           {round_sql("max(w)", 6)} AS max_weight
+    FROM weighted
+    """,
+)
+def ips_offpolicy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate
+    what a NEW action policy would earn from logs collected under the
+    old one — the counterfactual arithmetic behind every
+    recommender/bandit iteration that can't A/B test everything.
+    Logged propensities come from the data (action frequencies);
+    the target policy is an explicit distribution; reports plain IPS,
+    self-normalized IPS (bounded variance), and the max importance
+    weight (the overlap diagnostic — a huge weight means the target
+    acts where the logger rarely did, and the estimate is fragile).
+
+    Scale shape: propensities are an |actions|-bounded aggregate
+    broadcast back; the estimate is one conditional scan+reduce. No
+    model, no state — pure declarative reweighting."""
+    e = load_table(spark, sf_dir, "events")
+    prop = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = prop.agg(F.sum("cnt").alias("tot"))
+    prop = prop.crossJoin(F.broadcast(tot)).select(
+        "event_type", (F.col("cnt") * F.lit(1.0) / F.col("tot")).alias("p_log")
+    )
+    target = spark.createDataFrame(
+        [("purchase", 0.4), ("click", 0.3), ("view", 0.2),
+         ("signup", 0.1), ("error", 0.0)],
+        ["event_type", "p_tgt"],
+    )
+    w = F.col("p_tgt") / F.col("p_log")
+    return (
+        e.join(F.broadcast(prop), "event_type")
+        .join(F.broadcast(target), "event_type")
+        .select(F.col("value").alias("reward"), w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_col(F.avg("reward"), 6).alias("on_policy_value"),
+            round_col(F.avg(F.col("reward") * F.col("w")), 6).alias("ips_value"),
+            round_col(
+                F.sum(F.col("reward") * F.col("w")) / F.sum("w"), 6
+            ).alias("snips_value"),
+            round_col(F.max("w"), 6).alias("max_weight"),
+        )
+    )
