@@ -152,3 +152,71 @@ def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return apply_scd2(state0, upd).orderBy("key", "valid_from_us")
+
+
+@query(
+    "incremental_view_merge",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           {round_sql("sum(o_totalprice)")} AS revenue,
+           {round_sql("sum(o_totalprice) / count(*)", 4)} AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, date_trunc('month', o_orderdate)
+    ORDER BY o_orderstatus, month
+    """,
+)
+def incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a materialized aggregate
+    by merging its SAVED state with a delta batch's partial aggregate
+    — never rescanning the base. The implementation aggregates the
+    pre-cutoff "state" and the post-cutoff "delta" SEPARATELY and
+    merges them with a full-outer coalesce-sum; the ORACLE is the
+    straightforward full GROUP BY over everything, so the hash gate
+    PROVES the merge is lossless (the algebraic property IVM relies
+    on: counts and sums are mergeable, avg re-derives from them —
+    which is why avg itself must never be stored as state).
+
+    At 100 TB this is the nightly-refresh shape: the delta is a day,
+    the state is years; merge cost is O(|view| + |delta agg|),
+    independent of base size. Same mergeable-state discipline as the
+    sketch family, for exact aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp_ntz")
+    month = F.date_trunc("month", "o_orderdate")
+
+    def agg_part(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderstatus", month.alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("rev_sum"),
+        )
+
+    state = agg_part(o.filter(F.col("o_orderdate") < cut))
+    delta = agg_part(o.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        state.withColumnRenamed("n_orders", "n0")
+        .withColumnRenamed("rev_sum", "s0")
+        .join(delta, ["o_orderstatus", "month"], "full_outer")
+        .select(
+            "o_orderstatus",
+            "month",
+            (
+                F.coalesce(F.col("n0"), F.lit(0))
+                + F.coalesce(F.col("n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("s0"), F.lit(0.0))
+                + F.coalesce(F.col("rev_sum"), F.lit(0.0))
+            ).alias("rev_sum"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        "month",
+        "n_orders",
+        round_col(F.col("rev_sum")).alias("revenue"),
+        round_col(F.col("rev_sum") / F.col("n_orders"), 4).alias("avg_price"),
+    ).orderBy("o_orderstatus", "month")
