@@ -2351,3 +2351,61 @@ def ips_offpolicy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_col(F.max("w"), 6).alias("max_weight"),
         )
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, 'direct') AS channel,
+           count(*) AS n_purchases,
+           {round_sql("sum(value)")} AS attributed_value
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY coalesce(channel, 'direct')
+    ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent PRIOR touchpoint (click or view); purchases
+    with no prior touch are 'direct'. The batch twin of the streaming
+    `click_view_attribution` operator, and the revenue-by-channel
+    rollup every growth team reports.
+
+    The carry is `last_value(... IGNORE NULLS)` over a per-user
+    ordered frame ending at 1 PRECEDING — the same forward-fill
+    machinery as LOCF, repurposed to thread a dimension through an
+    event sequence in ONE window pass (no asof self-join, no
+    per-purchase lookback scan). Per-user partitions shard the sort;
+    the rollup is a |channels|-bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    tagged = e.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            round_col(F.sum("value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
