@@ -73,7 +73,7 @@ _CHECK_PRIORITY = [
     "l_diversity_audit", "psi_drift_by_decile", "ks_test_two_sample",
     "bootstrap_mean_ci", "trimmed_robust_stats", "daily_acf",
     "ips_offpolicy_value", "incremental_view_merge",
-    "attribution_last_touch",
+    "attribution_last_touch", "rfm_segmentation",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

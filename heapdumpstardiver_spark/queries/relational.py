@@ -2120,3 +2120,94 @@ def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "n_orders", "spend")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '2001-09-01') AS recency_days,
+               count(*) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM per_cust
+    ),
+    scored AS (
+        SELECT 5 - len(list_filter(c.rc, x -> x < p.recency_days)) AS r,
+               1 + len(list_filter(c.fc, x -> x < p.frequency)) AS f,
+               1 + len(list_filter(c.mc, x -> x < p.monetary)) AS m
+        FROM per_cust p, cuts c
+    )
+    SELECT CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+                WHEN r >= 3 AND f >= 3 THEN 'loyal'
+                WHEN r >= 4 THEN 'recent'
+                WHEN f >= 4 OR m >= 4 THEN 'at_risk_valuable'
+                ELSE 'hibernating' END AS segment,
+           count(*) AS n_customers,
+           {round_sql("avg(r)", 4)} AS avg_r,
+           {round_sql("avg(f)", 4)} AS avg_f,
+           {round_sql("avg(m)", 4)} AS avg_m
+    FROM scored GROUP BY 1 ORDER BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores rolled into named behavioral segments (champion,
+    loyal, recent, at-risk-valuable, hibernating): the lifecycle
+    classification behind retention and win-back campaigns.
+
+    All three quintile scorings use the broadcast-cut-points pattern
+    (ONE percentile aggregate over the per-customer rollup, probe via
+    comparison count) — never a global NTILE sort; recency scores
+    INVERTED (recent = high). The per-customer rollup is the only
+    fact-scale shuffle; everything after is k-bounded. The anchor
+    date is fixed (max order date + 1 month) so results are
+    reproducible, not wall-clock-dependent."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+    cuts = per_cust.agg(
+        F.percentile("recency_days", qs).alias("rc"),
+        F.percentile("frequency", qs).alias("fc"),
+        F.percentile("monetary", qs).alias("mc"),
+    )
+
+    def probe(arr: str, col: str):
+        return F.size(F.filter(F.col(arr), lambda x: x < F.col(col)))
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        (F.lit(5) - probe("rc", "recency_days")).alias("r"),
+        (F.lit(1) + probe("fc", "frequency")).alias("f"),
+        (F.lit(1) + probe("mc", "monetary")).alias("m"),
+    )
+    segment = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4) & (F.col("m") >= 4), "champion")
+        .when((F.col("r") >= 3) & (F.col("f") >= 3), "loyal")
+        .when(F.col("r") >= 4, "recent")
+        .when((F.col("f") >= 4) | (F.col("m") >= 4), "at_risk_valuable")
+        .otherwise("hibernating")
+    )
+    return (
+        scored.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_col(F.avg("r"), 4).alias("avg_r"),
+            round_col(F.avg("f"), 4).alias("avg_f"),
+            round_col(F.avg("m"), 4).alias("avg_m"),
+        )
+        .orderBy("segment")
+    )
