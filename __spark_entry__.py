@@ -74,6 +74,7 @@ _CHECK_PRIORITY = [
     "bootstrap_mean_ci", "trimmed_robust_stats", "daily_acf",
     "ips_offpolicy_value", "incremental_view_merge",
     "attribution_last_touch", "rfm_segmentation",
+    "late_supplier_blame", "large_volume_orders",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

@@ -2211,3 +2211,148 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "late_supplier_blame",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per AS (
+        SELECT l_orderkey, l_suppkey, max(late) AS late
+        FROM flagged GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT p.l_suppkey AS suppkey, count(*) AS n_blamed_orders
+    FROM per p
+    WHERE p.late = 1
+      AND EXISTS (SELECT 1 FROM per q
+                  WHERE q.l_orderkey = p.l_orderkey
+                    AND q.l_suppkey <> p.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM per r
+                      WHERE r.l_orderkey = p.l_orderkey
+                        AND r.l_suppkey <> p.l_suppkey
+                        AND r.late = 1)
+    GROUP BY p.l_suppkey
+    ORDER BY n_blamed_orders DESC, suppkey
+    LIMIT 20
+    """,
+)
+def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "who to blame": suppliers who were the SOLE
+    late shipper on finished multi-supplier orders — one EXISTS (other
+    suppliers participated) and one NOT EXISTS (none of them was also
+    late) correlated on the same relation, the classic
+    semi-join + anti-join planning pair.
+
+    Spark spelling: collapse lineitem to one row per (order, supplier,
+    late-flag) first — ONE aggregation that makes both subqueries
+    joins against a REDUCED relation — then a semi join for
+    co-suppliers and an anti join for other-late-suppliers, both on
+    l_orderkey with a non-equal-supplier residual. The reduced
+    relation is reused three times from one localCheckpoint, so the
+    fact table is scanned once.
+
+    The 60-day lateness predicate stands in for the reference
+    schema's receipt/commit dates (not present in this data model)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+        .localCheckpoint()
+    )
+    mine = per.filter(F.col("late") == 1)
+    others = per.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("late").alias("lt"),
+    )
+    co_exists = (
+        F.col("l_orderkey") == F.col("ok")
+    ) & (F.col("l_suppkey") != F.col("sk"))
+    blamed = (
+        mine.join(others, co_exists, "left_semi")
+        .join(
+            others.filter(F.col("lt") == 1),
+            co_exists,
+            "left_anti",
+        )
+    )
+    return (
+        blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+        .orderBy(F.desc("n_blamed_orders"), "suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 120
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           {round_sql("o.o_totalprice")} AS totalprice,
+           {round_sql("b.total_qty", 4)} AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 25
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    line quantity clears a threshold, joined BACK to orders+customer
+    for the details — the aggregate-then-rejoin pattern (HAVING on a
+    fact rollup used as a semi-filter for detail retrieval).
+
+    Scale shape: the quantity rollup is the only fact-sized shuffle
+    and emits just (orderkey, qty) survivors; the join back runs
+    survivor-side (AQE broadcasts it when the threshold is
+    selective — runtime stats, not a hint, since selectivity depends
+    on the cutoff), and customer attaches last. TakeOrdered(25) on the
+    rounded price, orderkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            round_col(F.col("o_totalprice")).alias("totalprice"),
+            round_col(F.col("total_qty"), 4).alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(25)
+    )

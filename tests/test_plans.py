@@ -709,3 +709,22 @@ def test_statistical_ops_stay_jvm_side(spark, name):
     for ln in plan.lower().splitlines():
         if "rangepartitioning" in ln:
             assert "value#" not in ln, ln
+
+
+def test_blame_query_semi_anti_on_reduced_relation(spark):
+    plan = plan_of(spark, "late_supplier_blame")
+    # Both correlated subqueries must run against the checkpointed
+    # reduction: the lineitem parquet is scanned at most once in the
+    # final plan (the reduction itself), never per subquery.
+    assert len(scan_lines(plan, "lineitem")) <= 1
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_large_volume_join_back_shape(spark):
+    plan = plan_of(spark, "large_volume_orders")
+    assert "TakeOrderedAndProject" in plan
+    # The rollup survivors drive the join; quantity filter applies at
+    # the aggregate (HAVING), not as a scan filter on orders.
+    assert "BatchEvalPython" not in plan
