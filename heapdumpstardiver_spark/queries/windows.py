@@ -1939,7 +1939,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
     ).filter(F.col("start").isNotNull())
     purch = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts")
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
     )
     # the ts >= start predicate must live IN the join: a user whose
     # purchases all precede signup still keeps their null row
@@ -1947,11 +1947,11 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = (
         per_user.join(
             purch,
-            (per_user.user_id == purch.user_id)
-            & (purch.pts >= per_user.start),
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") >= F.col("start")),
             "left",
         )
-        .groupBy(per_user.user_id, "start", "last_seen")
+        .groupBy("user_id", "start", "last_seen")
         .agg(F.min("pts").alias("converted"))
     )
     durations = conv.select(
