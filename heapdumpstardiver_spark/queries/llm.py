@@ -1694,3 +1694,86 @@ def embedding_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.selectExpr(f"stack({len(ij)}, {pairs}) AS (i, j, cov)")
         .orderBy("i", "j")
     )
+
+
+# Saved-search rules for the percolator: (rule_id, required terms).
+# Literal on both engines; a production system reads these from a
+# rules table — the plan is identical.
+_PERCOLATE_RULES = [
+    (1, ("join", "hash")),
+    (2, ("scan", "filter", "batch")),
+    (3, ("sort", "merge")),
+    (4, ("window", "agg")),
+    (5, ("spark", "table", "row")),
+]
+
+
+@query(
+    "reverse_search_percolate",
+    oracle=f"""
+    WITH rules(rule_id, term) AS (VALUES {", ".join(
+        f"({rid}, '{t}')" for rid, terms in _PERCOLATE_RULES for t in terms
+    )}),
+    rule_size AS (
+        SELECT rule_id, count(*) AS k FROM rules GROUP BY rule_id
+    ),
+    doc_terms AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    hits AS (
+        SELECT d.doc_id, r.rule_id, count(*) AS matched
+        FROM doc_terms d JOIN rules r ON d.token = r.term
+        GROUP BY d.doc_id, r.rule_id
+    )
+    SELECT h.rule_id,
+           count(*) AS n_matching_docs,
+           CAST(min(h.doc_id) AS BIGINT) AS first_doc
+    FROM hits h JOIN rule_size s ON h.rule_id = s.rule_id
+    WHERE h.matched = s.k
+    GROUP BY h.rule_id
+    ORDER BY h.rule_id
+    """,
+)
+def reverse_search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / reverse search: instead of finding documents for
+    a query, find which SAVED QUERIES match each incoming document —
+    the alerting/routing primitive (saved searches, content routing
+    rules, compliance triggers) that a crawl-scale pipeline evaluates
+    on every new batch.
+
+    A rule matches when ALL its terms appear in the document; the
+    conjunctive check is COUNTING, not boolean recursion: join the
+    doc's distinct terms against the (tiny, broadcast) rule-term
+    table, and a doc satisfies a rule iff its per-rule hit count
+    equals the rule's term count. Work is proportional to docs x
+    matching TERMS (the token stream is pruned by the broadcast join
+    before any shuffle), never docs x rules."""
+    d = _t(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        [(rid, t) for rid, terms in _PERCOLATE_RULES for t in terms],
+        ["rule_id", "term"],
+    )
+    rule_size = rules.groupBy("rule_id").agg(F.count(F.lit(1)).alias("k"))
+    doc_terms = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    hits = (
+        doc_terms.join(F.broadcast(rules), F.col("token") == F.col("term"))
+        .groupBy("doc_id", "rule_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        hits.join(F.broadcast(rule_size), "rule_id")
+        .filter(F.col("matched") == F.col("k"))
+        .groupBy("rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matching_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("rule_id")
+    )
