@@ -2409,3 +2409,115 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               avg(value) AS x
+        FROM events GROUP BY 1
+    ),
+    base AS (SELECT avg(x) AS mu FROM daily),
+    cus AS (
+        SELECT day, x,
+               {round_sql(
+                   "sum(x - mu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED"
+                   " PRECEDING AND CURRENT ROW)", 6)} AS cusum
+        FROM daily, base
+    ),
+    peak AS (SELECT max(abs(cusum)) AS peak FROM cus)
+    SELECT day, {round_sql("x", 6)} AS daily_mean, cusum,
+           abs(cusum) = p.peak AS is_changepoint
+    FROM cus, peak p ORDER BY day
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily metric series: the
+    running sum of deviations from the global mean drifts linearly
+    once the underlying level shifts, and the |CUSUM| peak marks the
+    most likely shift day — the classic "did the metric change, and
+    WHEN" answer that per-day z-scores (anomaly_zscore_daily) can't
+    give because they test days in isolation.
+
+    Aggregate-first: the corpus reduces to one row per day; the
+    baseline mean is a 1-row broadcast; the running sum and peak are
+    windows/aggregates over the calendar-bounded series. The
+    changepoint flag compares |cusum| to the peak AFTER the portable
+    6dp rounding on both sides — a CTE re-evaluated by two consumers
+    may re-sum in a different order, so unrounded float identity
+    across subplans is not a cross-engine invariant (observed: the
+    oracle's own peak missed its own cusum by one ulp)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    base = daily.agg(F.avg("x").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = daily.crossJoin(F.broadcast(base)).select(
+        "day",
+        "x",
+        round_col(F.sum(F.col("x") - F.col("mu")).over(w), 6).alias("cusum"),
+    )
+    peak = cus.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return (
+        cus.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            round_col(F.col("x"), 6).alias("daily_mean"),
+            "cusum",
+            (F.abs(F.col("cusum")) == F.col("peak")).alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "trending_leaderboard_decayed",
+    oracle=f"""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+    scored AS (
+        SELECT user_id,
+               value * exp(-(a.t_max - epoch_us(ts)) / 86400000000.0 * 0.5)
+                   AS decayed
+        FROM events, anchor a
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           {round_sql("sum(decayed)", 4)} AS decayed_score
+    FROM scored GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id LIMIT 20
+    """,
+)
+def trending_leaderboard_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed leaderboard (half-life ~1.4 days,
+    λ=0.5/day): recent activity counts full, old activity fades —
+    the "trending now" ranking that a plain all-time sum can't give
+    and a hard time-window gives with cliff artifacts.
+
+    The decay anchors to the data's max timestamp (1-row broadcast),
+    so the query is reproducible; at serving time the anchor is
+    `now()` and — the operational trick this encodes — scores decay
+    UNIFORMLY, so the RANKING only changes when new events arrive:
+    the leaderboard materialization is valid until the next append,
+    not the next second. One scan, one shuffle on the key,
+    TakeOrdered(20) on the rounded score."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    decayed = F.col("value") * F.exp(
+        -(F.col("t_max") - F.unix_micros("ts"))
+        / F.lit(86400000000.0)
+        * F.lit(0.5)
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .select("user_id", decayed.alias("decayed"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_col(F.sum("decayed"), 4).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(20)
+    )
