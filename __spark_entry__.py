@@ -75,7 +75,7 @@ _CHECK_PRIORITY = [
     "ips_offpolicy_value", "incremental_view_merge",
     "attribution_last_touch", "rfm_segmentation",
     "late_supplier_blame", "large_volume_orders",
-    "reverse_search_percolate", "cusum_changepoint",
+    "reverse_search_percolate", "cusum_changepoint", "containment_pairs",
     "trending_leaderboard_decayed",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",

@@ -1777,3 +1777,116 @@ def reverse_search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule_id")
     )
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    bounded AS (
+        SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 64
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN bounded c ON c.shingle = a.shingle
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT doc_a, doc_b, inter,
+           CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS smaller_set,
+           {round_sql(
+               "CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh)", 4)}
+               AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+    ORDER BY containment DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set CONTAINMENT |A∩B| / min(|A|,|B|) over 3-gram
+    shingles — the near-SUBSET detector symmetric Jaccard misses: a
+    paragraph quoted inside a 10x-longer article scores ~1.0 here but
+    ~0.1 on Jaccard, and subset duplication (quoting, concatenated
+    crawls, boilerplate wrapping) is the dominant contamination mode
+    Lee et al. 2022 found in web corpora.
+
+    Identical single-shuffle bucket machinery as `jaccard_pairs`
+    (same SHINGLE_DF_CAP hot-bucket guard, sizes riding in the bucket
+    structs, integer-exact division) — only the denominator and the
+    ≥0.8 gate differ, which is the point: the dedup family shares one
+    scalable candidate pipeline, and each similarity semantics is a
+    final-expression swap."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    n = 3
+    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
+    )
+    shingles = (
+        toks.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(hashes).alias("shingle"))
+        .distinct()
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    buckets = (
+        shingles.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
+            ).alias("docs")
+        )
+        .filter((F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    smaller = F.least(F.col("na"), F.col("nb"))
+    cont = F.col("inter").cast("double") / smaller
+    return (
+        shared.filter(cont >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            smaller.cast("long").alias("smaller_set"),
+            round_col(cont, 4).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(20)
+    )
