@@ -1890,3 +1890,87 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT token, min(doc_id) AS d0 FROM toks
+        WHERE token <> '' GROUP BY token
+    ),
+    new_per_doc AS (
+        SELECT d0 AS doc_id, count(*) AS new_types FROM first_seen GROUP BY d0
+    ),
+    docs AS (SELECT DISTINCT doc_id FROM documents),
+    growth AS (
+        SELECT row_number() OVER (ORDER BY d.doc_id) AS n,
+               sum(coalesce(np.new_types, 0)) OVER (
+                   ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS v
+        FROM docs d LEFT JOIN new_per_doc np ON d.doc_id = np.doc_id
+    ),
+    pts AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+        FROM growth
+    )
+    SELECT count(*) AS n_docs,
+           {round_sql("covar_samp(y, x) / var_samp(x)", 6)} AS heaps_beta,
+           {round_sql(
+               "exp(avg(y) - (covar_samp(y, x) / var_samp(x)) * avg(x))", 4)}
+               AS heaps_k,
+           {round_sql("corr(y, x)", 6)} AS log_log_corr
+    FROM pts
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(n) = K·n^β — the
+    corpus-health companion to `zipf_alpha_fit`: β far from the
+    natural-text band (~0.4-0.6) flags template/duplicated content
+    (vocabulary saturates, β→0) or synthetic noise (β→1), and the
+    fitted curve predicts how much NEW vocabulary the next 10x of
+    crawl will add — a budgeting input for tokenizer retraining.
+
+    The naive formulation recomputes distinct tokens per prefix
+    (quadratic). This reduces to each token's FIRST-seen document
+    (one shuffle on token), new-type counts per doc (vocab-bounded),
+    a cumulative sum over the doc-ordered sequence, then the OLS
+    slope in log-log space via single-pass co-moments — the same
+    corr/covar machinery as `price_trend_regression`. Doc order
+    stands in for crawl order; at scale you'd order by ingest
+    timestamp with the identical plan."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("d0"))
+    new_per_doc = first_seen.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    docs = d.select("doc_id").distinct()
+    w_ord = Window.orderBy("doc_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    growth = (
+        docs.join(new_per_doc, "doc_id", "left")
+        .select(
+            F.row_number().over(w_ord).alias("n"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w_run).alias("v"),
+        )
+    )
+    pts = growth.select(
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    slope = F.covar_samp("y", "x") / F.var_samp("x")
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_col(slope, 6).alias("heaps_beta"),
+        round_col(F.exp(F.avg("y") - slope * F.avg("x")), 4).alias("heaps_k"),
+        round_col(F.corr("y", "x"), 6).alias("log_log_corr"),
+    )

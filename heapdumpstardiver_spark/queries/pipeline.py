@@ -2255,3 +2255,126 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("distinct_sens").cast("long").alias("min_distinct_sens"),
         round_col(F.min("entropy"), 6).alias("min_entropy"),
     )
+
+
+@query(
+    "greedy_source_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS tokens FROM documents
+    ),
+    st AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS token
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    tot AS (SELECT count(DISTINCT token) AS v FROM st),
+    r1 AS (
+        SELECT source, count(*) AS gain FROM st
+        GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c1 AS (SELECT DISTINCT s.token FROM st s JOIN r1 ON s.source = r1.source),
+    rem2 AS (
+        SELECT s.source, s.token FROM st s
+        WHERE s.source NOT IN (SELECT source FROM r1)
+          AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.token = s.token)
+    ),
+    r2 AS (
+        SELECT source, count(*) AS gain FROM rem2
+        GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    ),
+    c2 AS (
+        SELECT token FROM c1
+        UNION
+        SELECT DISTINCT rem2.token FROM rem2 JOIN r2 ON rem2.source = r2.source
+    ),
+    rem3 AS (
+        SELECT s.source, s.token FROM st s
+        WHERE s.source NOT IN (SELECT source FROM r1
+                               UNION SELECT source FROM r2)
+          AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.token = s.token)
+    ),
+    r3 AS (
+        SELECT source, count(*) AS gain FROM rem3
+        GROUP BY source ORDER BY gain DESC, source LIMIT 1
+    )
+    SELECT pick, source, new_tokens, cum_tokens,
+           {round_sql("100.0 * cum_tokens / v", 4)} AS coverage_pct
+    FROM (
+        SELECT 1 AS pick, r1.source, CAST(r1.gain AS BIGINT) AS new_tokens,
+               CAST(r1.gain AS BIGINT) AS cum_tokens FROM r1
+        UNION ALL
+        SELECT 2, r2.source, CAST(r2.gain AS BIGINT),
+               CAST(r1.gain + r2.gain AS BIGINT) FROM r1, r2
+        UNION ALL
+        SELECT 3, r3.source, CAST(r3.gain AS BIGINT),
+               CAST(r1.gain + r2.gain + r3.gain AS BIGINT) FROM r1, r2, r3
+    ), tot ORDER BY pick
+    """,
+)
+def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage source selection: pick the 3 sources
+    that together cover the most distinct 3-gram shingles (the
+    passage-level diversity unit; the raw token vocabulary of this
+    corpus is too small to discriminate), one greedy round at a
+    time — the (1-1/e)-approximate answer to "which corpora do I
+    license/crawl first for diversity", and the submodular-selection
+    shape (facility location, exemplar selection) used in data-subset
+    papers.
+
+    Each round is: anti-join the (source, token) relation against the
+    covered-token set, count per source, take the argmax — the ONLY
+    driver traffic is the 1-row winner per round (k-bounded, the
+    k-means-centroid pattern), and the covered set stays a
+    vocab-bounded DataFrame, localCheckpointed per round to truncate
+    the growing anti-join lineage. Rounds are the algorithm's
+    inherent sequential dimension; everything inside a round is one
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.split("text", " ").alias("tokens"))
+    idx = F.sequence(F.lit(1), F.size("tokens") - 3 + 1)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
+    )
+    st = (
+        toks.filter(F.size("tokens") >= 3)
+        .select("source", F.explode(hashes).alias("token"))
+        .distinct()
+        .localCheckpoint()
+    )
+    total_v = st.select("token").distinct().count()
+    covered = None
+    picked: list[str] = []
+    rows = []
+    cum = 0
+    for pick in (1, 2, 3):
+        rem = st.filter(~F.col("source").isin(picked)) if picked else st
+        if covered is not None:
+            rem = rem.join(covered, "token", "left_anti")
+        top = (
+            rem.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "source")
+            .limit(1)
+            .collect()
+        )
+        src, gain = top[0]["source"], int(top[0]["gain"])
+        new_cov = rem.filter(F.col("source") == src).select("token").distinct()
+        covered = (
+            new_cov if covered is None else covered.unionByName(new_cov)
+        ).localCheckpoint()
+        picked.append(src)
+        cum += gain
+        rows.append((pick, src, gain, cum))
+    out = spark.createDataFrame(
+        rows, ["pick", "source", "new_tokens", "cum_tokens"]
+    )
+    return out.select(
+        "pick",
+        "source",
+        "new_tokens",
+        "cum_tokens",
+        round_col(
+            F.lit(100.0) * F.col("cum_tokens") / F.lit(float(total_v)), 4
+        ).alias("coverage_pct"),
+    ).orderBy("pick")
