@@ -2521,3 +2521,77 @@ def trending_leaderboard_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "eb_shrunk_rates",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    prior AS (
+        SELECT avg(k * 1.0 / n) AS m,
+               var_samp(k * 1.0 / n) AS v
+        FROM per_user
+    ),
+    ab AS (
+        SELECT m * (m * (1 - m) / v - 1) AS alpha,
+               (1 - m) * (m * (1 - m) / v - 1) AS beta
+        FROM prior
+    )
+    SELECT user_id, n, k,
+           {round_sql("k * 1.0 / n", 6)} AS raw_rate,
+           {round_sql("(k + alpha) / (n + alpha + beta)", 6)} AS shrunk_rate
+    FROM per_user, ab
+    ORDER BY shrunk_rate DESC, user_id LIMIT 20
+    """,
+)
+def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user conversion rates
+    (beta-binomial, method-of-moments prior): a user with 2/2
+    purchases should NOT outrank one with 95/100 — raw small-sample
+    rates are noise, and the posterior mean (k+α)/(n+α+β) pulls them
+    toward the population prior in proportion to their evidence.
+    This is the ranking-quality estimator behind review scores,
+    CTR ranking, and per-source quality gating on thin data.
+
+    Everything is two k-bounded passes: the per-user rollup (one
+    shuffle), then the prior's two moments over the rollup — the
+    MoM closed form needs no iteration, no optimizer. The prior
+    re-enters as a 1-row broadcast; ordering is on the ROUNDED
+    posterior so top-k tie-breaks agree across engines."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    rate = F.col("k") * F.lit(1.0) / F.col("n")
+    prior = per_user.agg(
+        F.avg(rate).alias("m"), F.var_samp(rate).alias("v")
+    )
+    scale = F.col("m") * (F.lit(1) - F.col("m")) / F.col("v") - F.lit(1)
+    ab = prior.select(
+        (F.col("m") * scale).alias("alpha"),
+        ((F.lit(1) - F.col("m")) * scale).alias("beta"),
+    )
+    shrunk = (F.col("k") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            "n",
+            "k",
+            round_col(rate, 6).alias("raw_rate"),
+            round_col(shrunk, 6).alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), "user_id")
+        .limit(20)
+    )
