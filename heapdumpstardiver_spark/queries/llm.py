@@ -1974,3 +1974,97 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.exp(F.avg("y") - slope * F.avg("x")), 4).alias("heaps_k"),
         round_col(F.corr("y", "x"), 6).alias("log_log_corr"),
     )
+
+
+@query(
+    "label_coherence_audit",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, i,
+               {round_sql("avg(CAST(embedding[i] AS DOUBLE))", 6)} AS c
+        FROM embeddings, range(1, 65) r(i)
+        GROUP BY label, i
+    ),
+    cvec AS (
+        SELECT label AS clabel, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        FROM embeddings e, cvec c
+    ),
+    per_vec AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN cos END) AS own,
+               max(CASE WHEN clabel <> label THEN cos END) AS best_other
+        FROM scored GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n,
+           {round_sql("avg(own)", 4)} AS avg_own_cos,
+           {round_sql("avg(own - best_other)", 4)} AS avg_margin,
+           CAST(sum(CASE WHEN best_other > own THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misaligned
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def label_coherence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit for embedded classification data: per
+    label, how tightly do its vectors hug their own centroid, and how
+    many sit CLOSER to another label's centroid (misaligned = likely
+    mislabeled or boundary noise — the vectors a label-cleaning pass
+    relitigates first). Negative margins flag label sets that
+    embedding-space treats as one cluster.
+
+    Centroids are 64 per-dimension means per label in ONE wide
+    aggregate, rounded 6dp BEFORE the cosine on both engines (the
+    averages are the only order-sensitive floats; rounding pins
+    them). Scoring is a |labels|-bounded broadcast crossJoin with the
+    sequential-fold dot product (`exprs.dot` ↔ `list_dot_product`) —
+    per-vector work is k cosines, no vector pair ever joins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from ..exprs import dot
+
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                round_col(F.avg(F.element_at("embedding", i)), 6)
+                for i in range(1, 65)
+            ]
+        ).alias("cv")
+    ).select(F.col("label").alias("clabel"), "cv")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cos = dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", cos.alias("cos")
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias(
+            "best_other"
+        ),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_col(F.avg("own"), 4).alias("avg_own_cos"),
+            round_col(F.avg(F.col("own") - F.col("best_other")), 4).alias(
+                "avg_margin"
+            ),
+            F.sum(
+                F.when(F.col("best_other") > F.col("own"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_misaligned"),
+        )
+        .orderBy("label")
+    )
