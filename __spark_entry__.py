@@ -77,7 +77,8 @@ _CHECK_PRIORITY = [
     "late_supplier_blame", "large_volume_orders",
     "reverse_search_percolate", "cusum_changepoint", "containment_pairs",
     "trending_leaderboard_decayed", "heaps_law_fit", "greedy_source_coverage",
-    "eb_shrunk_rates", "label_coherence_audit",
+    "eb_shrunk_rates", "label_coherence_audit", "tukey_outlier_fences",
+    "hard_negative_mining",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

@@ -2068,3 +2068,78 @@ def label_coherence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS aid, label AS alabel,
+               CAST(embedding AS DOUBLE[]) AS av
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT a.aid, a.alabel, e.vec_id AS nid, e.label AS nlabel,
+               {round_sql(
+                   "list_dot_product(a.av, CAST(e.embedding AS DOUBLE[]))"
+                   " / (sqrt(list_dot_product(a.av, a.av))"
+                   " * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+                   " CAST(e.embedding AS DOUBLE[]))))", 4)} AS cos
+        FROM anchors a JOIN embeddings e ON e.label <> a.alabel
+    ),
+    ranked AS (
+        SELECT aid, alabel, nid, nlabel, cos,
+               row_number() OVER (PARTITION BY aid
+                                  ORDER BY cos DESC, nid) AS rk
+        FROM scored
+    )
+    SELECT aid, alabel, nid, nlabel, cos, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY aid, rk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-3 most similar vectors with a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially far; hard ones define the margin). This
+    is the batch-mining step of every dual-encoder training loop
+    (DPR/SimCSE-style), run corpus-side where it belongs.
+
+    Anchors broadcast (the per-batch anchor set is small by
+    construction); candidate scoring is one scan of the corpus with
+    a label-mismatch residual filter; per-anchor top-3 via a window
+    rank PARTITIONED by anchor over ROUNDED cosines (rank ties break
+    by id, so both engines emit identical negatives). At 100 TB the
+    scan side swaps to the IVF/LSH-bucketed candidate path
+    (`similarity_ivf_probe`) with the same ranking tail."""
+    from pyspark.sql import Window
+
+    from ..exprs import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").cast("array<double>").alias("av"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    cos = dot(F.col("av"), F.col("nv")) / (
+        F.sqrt(dot(F.col("av"), F.col("av")))
+        * F.sqrt(dot(F.col("nv"), F.col("nv")))
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("nlabel") != F.col("alabel"))
+        .select("aid", "alabel", "nid", "nlabel", round_col(cos, 4).alias("cos"))
+    )
+    w = Window.partitionBy("aid").orderBy(F.desc("cos"), "nid")
+    return (
+        scored.select("aid", "alabel", "nid", "nlabel", "cos",
+                      F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("aid", "rk")
+    )

@@ -2595,3 +2595,66 @@ def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shrunk_rate"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "tukey_outlier_fences",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           {round_sql("any_value(q.q1)", 6)} AS q1,
+           {round_sql("any_value(q.q3)", 6)} AS q3,
+           {round_sql("any_value(q.q3 - q.q1)", 6)} AS iqr,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           {round_sql("max(e.value)", 4)} AS max_val
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey fences (1.5·IQR beyond the quartiles): the
+    boxplot outlier rule, per segment — robust where a z-score
+    threshold isn't (no normality assumption, quartiles immune to
+    the outliers being hunted). Reports each group's fences and how
+    many points breach them — the per-segment data-quality gate that
+    global `trimmed_robust_stats` can't give when segments have
+    different scales.
+
+    Two passes: per-group exact quartiles in ONE grouped percentile
+    aggregate (state is per-group sort buffers, group-bounded), then
+    a broadcast join back for the fence test as a conditional
+    aggregate. Fence comparisons use each engine's identically
+    derived quartile doubles — same parquet values, same
+    interpolation — so the counts are integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_col(F.any_value("q1"), 6).alias("q1"),
+            round_col(F.any_value("q3"), 6).alias("q3"),
+            round_col(F.any_value(iqr), 6).alias("iqr"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            round_col(F.max("value"), 4).alias("max_val"),
+        )
+        .orderBy("event_type")
+    )
