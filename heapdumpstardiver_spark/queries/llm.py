@@ -2143,3 +2143,84 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("aid", "rk")
     )
+
+
+@query(
+    "cohens_kappa_langid",
+    oracle=f"""
+    WITH judged AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS actual,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t = 'the')) >
+                         len(list_filter(string_split(text, ' '),
+                                         t -> t = 'a'))
+                    THEN 1 ELSE 0 END AS pred
+        FROM documents
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) * 1.0
+                   / count(*) AS po,
+               (sum(actual) * 1.0 / count(*)) * (sum(pred) * 1.0 / count(*))
+               + ((count(*) - sum(actual)) * 1.0 / count(*))
+                 * ((count(*) - sum(pred)) * 1.0 / count(*)) AS pe
+        FROM judged
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {round_sql("po", 6)} AS observed_agreement,
+           {round_sql("pe", 6)} AS chance_agreement,
+           {round_sql("(po - pe) / (1 - pe)", 6)} AS kappa
+    FROM m
+    """,
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-heuristic language guess and
+    the labeled `lang` column — chance-corrected agreement, the
+    metric that exposes a classifier that "agrees" only because both
+    marginals are lopsided (raw accuracy can't). Kappa ≈ 0 here is
+    the HONEST verdict on the fixture's mechanical heuristic, and the
+    pipeline is the general annotator-vs-annotator agreement audit a
+    labeling operation runs before trusting a rater pool.
+
+    One conditional scan builds the 2x2 contingency moments; po, pe,
+    and kappa are closed-form ratios of exact integer counts — no
+    float enters before the final rounded division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred = F.when(
+        F.size(F.filter(toks, lambda t: t == "the"))
+        > F.size(F.filter(toks, lambda t: t == "a")),
+        1,
+    ).otherwise(0)
+    actual = F.when(F.col("lang") == "en", 1).otherwise(0)
+    j = d.select(actual.alias("actual"), pred.alias("pred"))
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.when(F.col("actual") == F.col("pred"), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("po"),
+        (
+            (F.sum("actual") * F.lit(1.0) / F.count(F.lit(1)))
+            * (F.sum("pred") * F.lit(1.0) / F.count(F.lit(1)))
+            + (
+                (F.count(F.lit(1)) - F.sum("actual"))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            )
+            * (
+                (F.count(F.lit(1)) - F.sum("pred"))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            )
+        ).alias("pe"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        round_col(F.col("po"), 6).alias("observed_agreement"),
+        round_col(F.col("pe"), 6).alias("chance_agreement"),
+        round_col((F.col("po") - F.col("pe")) / (F.lit(1) - F.col("pe")), 6).alias(
+            "kappa"
+        ),
+    )

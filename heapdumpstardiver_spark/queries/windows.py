@@ -2658,3 +2658,94 @@ def tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "calibration_reliability",
+    oracle=f"""
+    WITH pre AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1.0
+                   / count(*) AS score
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        GROUP BY user_id
+    ),
+    post AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS outcome
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        GROUP BY user_id
+    ),
+    u AS (
+        SELECT p.score, q.outcome FROM pre p JOIN post q
+          ON p.user_id = q.user_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS cs FROM u
+    )
+    SELECT 1 + len(list_filter(c.cs, x -> x < u.score)) AS bin,
+           count(*) AS n_users,
+           {round_sql("avg(u.score)", 6)} AS mean_score,
+           {round_sql("avg(u.outcome)", 6)} AS observed_rate,
+           {round_sql("avg(u.outcome) - avg(u.score)", 6)} AS calibration_gap
+    FROM u, cuts c GROUP BY 1 ORDER BY bin
+    """,
+)
+def calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram with an honest TEMPORAL split: a user's
+    pre-period click share "predicts" purchase; the post-period
+    outcome judges it. Scores bin by pre-period quartiles (broadcast
+    cut probe — the grid pattern, no NTILE sort) and each bin reports
+    predicted-vs-observed rate and the calibration gap — the
+    model-monitoring table that catches a score whose RANKING is fine
+    but whose PROBABILITIES have drifted (AUC can't see it).
+
+    Same split discipline as `cuped_adjusted_metric` (train on pre,
+    evaluate on post — no leakage), same scale shape as every grid
+    op: two user-keyed aggregates, one join, a 3-double broadcast,
+    a 4-row rollup."""
+    e = load_table(spark, sf_dir, "events")
+    cut_ts = F.lit("2024-01-16").cast("timestamp_ntz")
+    pre = (
+        e.filter(F.col("ts") < cut_ts)
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            ).alias("score")
+        )
+    )
+    post = (
+        e.filter(F.col("ts") >= cut_ts)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("outcome")
+        )
+    )
+    u = pre.join(post, "user_id").select("score", "outcome")
+    cuts = u.agg(
+        F.percentile("score", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "cs"
+        )
+    )
+    bin_col = F.lit(1) + F.size(
+        F.filter(F.col("cs"), lambda x: x < F.col("score"))
+    )
+    return (
+        u.crossJoin(F.broadcast(cuts))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            round_col(F.avg("score"), 6).alias("mean_score"),
+            round_col(F.avg("outcome"), 6).alias("observed_rate"),
+            round_col(F.avg("outcome") - F.avg("score"), 6).alias(
+                "calibration_gap"
+            ),
+        )
+        .orderBy("bin")
+    )
