@@ -1906,13 +1906,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc AS (
         SELECT d0 AS doc_id, count(*) AS new_types FROM first_seen GROUP BY d0
     ),
-    docs AS (SELECT DISTINCT doc_id FROM documents),
     growth AS (
-        SELECT row_number() OVER (ORDER BY d.doc_id) AS n,
-               sum(coalesce(np.new_types, 0)) OVER (
-                   ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        SELECT doc_id + 1 AS n,
+               sum(new_types) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW) AS v
-        FROM docs d LEFT JOIN new_per_doc np ON d.doc_id = np.doc_id
+        FROM new_per_doc
     ),
     pts AS (
         SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
@@ -1936,13 +1935,13 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl will add — a budgeting input for tokenizer retraining.
 
     The naive formulation recomputes distinct tokens per prefix
-    (quadratic). This reduces to each token's FIRST-seen document
-    (one shuffle on token), new-type counts per doc (vocab-bounded),
-    a cumulative sum over the doc-ordered sequence, then the OLS
-    slope in log-log space via single-pass co-moments — the same
-    corr/covar machinery as `price_trend_regression`. Doc order
-    stands in for crawl order; at scale you'd order by ingest
-    timestamp with the identical plan."""
+    (quadratic in the corpus). This reduces to each token's
+    FIRST-seen document (one shuffle on token), new-type counts per
+    INTRODUCTION point — at most |vocab| rows, so the cumulative
+    window and the log-log OLS run over a vocabulary-bounded table,
+    never the corpus (the growth curve is fit at its jump points,
+    where all its information lives). n comes from the doc ordinal
+    (dense ids here; the ingest sequence number at scale)."""
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -1953,15 +1952,10 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc = first_seen.groupBy(F.col("d0").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("new_types")
     )
-    docs = d.select("doc_id").distinct()
-    w_ord = Window.orderBy("doc_id")
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    growth = (
-        docs.join(new_per_doc, "doc_id", "left")
-        .select(
-            F.row_number().over(w_ord).alias("n"),
-            F.sum(F.coalesce("new_types", F.lit(0))).over(w_run).alias("v"),
-        )
+    w_run = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    growth = new_per_doc.select(
+        (F.col("doc_id") + 1).alias("n"),
+        F.sum("new_types").over(w_run).alias("v"),
     )
     pts = growth.select(
         F.log(F.col("n").cast("double")).alias("x"),
