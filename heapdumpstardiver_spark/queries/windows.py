@@ -1710,12 +1710,58 @@ def pareto_frontier_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is exact."""
     o = load_table(spark, sf_dir, "orders")
     pts = o.select("o_orderpriority", "o_totalprice", "o_orderdate").distinct()
+
+    # Bucket-level PRE-PRUNING before the per-group ordered sweep: cut
+    # price into 256 fixed-width buckets, take each (group, bucket)'s
+    # max date, run a k-bounded running-max over buckets from the top,
+    # and drop every point whose date <= the max date of any strictly
+    # higher-price bucket (such a point is dominated for certain —
+    # any higher bucket's point has strictly higher price). The sweep
+    # then sorts only the survivors, so the |groups|-way partitioned
+    # window — the 2-D skyline's inherent serial dimension — sees a
+    # candidate set near the frontier size, not the corpus. Results
+    # are identical; the oracle is unchanged.
+    rng = pts.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(256.0))
+            ).cast("int"),
+        )
+    )
+    bpts = pts.join(F.broadcast(rng), "o_orderpriority").withColumn("b", bucket)
+    bmax = bpts.groupBy("o_orderpriority", "b").agg(
+        F.max("o_orderdate").alias("bdate")
+    )
+    w_hi = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.desc("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dom = bmax.select(
+        "o_orderpriority",
+        "b",
+        F.max("bdate").over(w_hi).alias("higher_bucket_max_date"),
+    )
+    survivors = (
+        bpts.join(dom, ["o_orderpriority", "b"])
+        .filter(
+            F.col("higher_bucket_max_date").isNull()
+            | (F.col("o_orderdate") > F.col("higher_bucket_max_date"))
+        )
+        .select("o_orderpriority", "o_totalprice", "o_orderdate")
+    )
+
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy(F.desc("o_totalprice"), F.desc("o_orderdate"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    swept = pts.select(
+    swept = survivors.select(
         "o_orderpriority",
         "o_totalprice",
         "o_orderdate",

