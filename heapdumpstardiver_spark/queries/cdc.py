@@ -220,3 +220,99 @@ def incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.col("rev_sum")).alias("revenue"),
         round_col(F.col("rev_sum") / F.col("n_orders"), 4).alias("avg_price"),
     ).orderBy("o_orderstatus", "month")
+
+
+@query(
+    "table_diff_audit",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS key, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    ),
+    v2 AS (
+        SELECT o_orderkey AS key, o_orderstatus,
+               CASE WHEN o_orderdate < TIMESTAMP '2000-01-01'
+                     AND o_orderstatus = 'F'
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders
+    ),
+    h1 AS (
+        SELECT key, md5(o_orderstatus || '|' ||
+                        CAST({round_sql("o_totalprice", 4)} AS VARCHAR)) AS h
+        FROM v1
+    ),
+    h2 AS (
+        SELECT key, md5(o_orderstatus || '|' ||
+                        CAST({round_sql("o_totalprice", 4)} AS VARCHAR)) AS h
+        FROM v2
+    ),
+    d AS (
+        SELECT coalesce(h1.key, h2.key) AS key,
+               CASE WHEN h1.key IS NULL THEN 'added'
+                    WHEN h2.key IS NULL THEN 'removed'
+                    WHEN h1.h <> h2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM h1 FULL OUTER JOIN h2 ON h1.key = h2.key
+    )
+    SELECT status, count(*) AS n_rows
+    FROM d GROUP BY status ORDER BY status
+    """,
+)
+def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed content-hash diff between two table versions — the
+    added / removed / changed / unchanged census a data-ops team runs
+    after every pipeline change or backfill ("did the refactor alter
+    rows it shouldn't have?"). Versions here are derived from one
+    table (v2 = v1 plus post-cutoff rows, with finished orders
+    repriced) so the expected diff is known and checked; pointing v1
+    and v2 at two real snapshot directories is the same plan.
+
+    Scale shape: each version reduces to (key, md5-of-normalized-row)
+    — hashes computed scan-side, so the full-outer join moves 16-byte
+    digests, never rows; doubles are rounded to a fixed scale before
+    hashing (float re-serialization is NOT a stable identity across
+    writers). One join on the key, a 4-group rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01").cast("timestamp_ntz")
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderstatus"),
+                    round_col(F.col("o_totalprice"), 4).cast("string"),
+                )
+            ).alias("h"),
+        )
+
+    v1 = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_orderkey").alias("key"), "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.select(
+        F.col("o_orderkey").alias("key"),
+        "o_orderstatus",
+        F.when(
+            (F.col("o_orderdate") < cut) & (F.col("o_orderstatus") == "F"),
+            F.col("o_totalprice") * 1.1,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    h1 = hashed(v1).withColumnRenamed("h", "h1")
+    h2 = hashed(v2).withColumnRenamed("h", "h2")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        h1.join(h2, "key", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
