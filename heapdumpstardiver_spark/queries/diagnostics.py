@@ -619,3 +619,72 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crit_05",
         (F.col("d_stat") > F.col("crit_05")).alias("reject_05"),
     )
+
+
+# Candidate partition keys for the advisor: (label, DuckDB value
+# expression, granularity note). The Spark side mirrors each
+# expression exactly.
+_PARTITION_CANDIDATES = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("month(o_orderdate)", "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)"),
+    ("o_custkey_mod_64", "CAST(o_custkey % 64 AS VARCHAR)"),
+]
+
+
+def _advisor_oracle() -> str:
+    parts = []
+    for label, expr in _PARTITION_CANDIDATES:
+        parts.append(f"""
+    SELECT '{label}' AS candidate,
+           count(*) AS n_partitions,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           CAST(min(c) AS BIGINT) AS min_rows,
+           {round_sql("100.0 * max(c) / sum(c)", 4)} AS max_share_pct,
+           {round_sql("ln(count(*)) * sum(c) / (count(*) * max(c))", 4)}
+               AS balance_score
+    FROM (SELECT {expr} AS k, count(*) AS c FROM orders GROUP BY 1)""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY candidate"
+
+
+@query("partition_key_advisor", oracle=_advisor_oracle())
+def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate layout key, the
+    partition count, worst-partition share, and a balance score
+    (ln(partitions) x mean/max ratio — rewards many EVEN partitions,
+    punishes both too-few and skewed) — the quantified version of the
+    layout decision every 100-TB table commits to once and lives
+    with. Composes with `join_key_skew_profile` (which judges a
+    SHUFFLE key; this judges a STORAGE key, where file-count and
+    pruning granularity dominate).
+
+    Each candidate costs one groupBy over its key expression rolled
+    into a 1-row summary; candidates union into one action, so the
+    scheduler interleaves the scans like `constraint_audit`."""
+    o = _t(spark, sf_dir, "orders")
+    exprs = {
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "month(o_orderdate)": F.date_trunc("month", "o_orderdate"),
+        "o_custkey_mod_64": (F.col("o_custkey") % 64).cast("string"),
+    }
+    out = None
+    for label, key in exprs.items():
+        per = o.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        summ = per.agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.max("c").cast("long").alias("max_rows"),
+            F.min("c").cast("long").alias("min_rows"),
+            round_col(
+                F.lit(100.0) * F.max("c") / F.sum("c"), 4
+            ).alias("max_share_pct"),
+            round_col(
+                F.log(F.count(F.lit(1)).cast("double"))
+                * F.sum("c")
+                / (F.count(F.lit(1)) * F.max("c")),
+                4,
+            ).alias("balance_score"),
+        )
+        out = summ if out is None else out.unionByName(summ)
+    return out.orderBy("candidate")
