@@ -2795,3 +2795,65 @@ def calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "ab_power_analysis",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               avg(value) AS mu,
+               var_samp(value) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {round_sql("mu", 4)} AS mean_value,
+           {round_sql("sqrt(s2)", 4)} AS stddev,
+           {round_sql("s2 / (mu * mu)", 6)} AS cv_squared,
+           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * s2
+                     / power(0.05 * mu, 2)) AS BIGINT)
+               AS n_per_arm_5pct,
+           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * s2
+                     / power(0.01 * mu, 2)) AS BIGINT)
+               AS n_per_arm_1pct
+    FROM m ORDER BY event_type
+    """,
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator from MEASURED variance: per metric
+    segment, the users-per-arm needed to detect a 5% (and 1%)
+    relative lift at α=0.05, power 0.8 — n = 2(z_α/2+z_β)²σ²/δ².
+    Run against the real metric distribution instead of a guessed σ,
+    this is the "can we even run this test" pre-flight every
+    experiment review asks for; the CV² column shows WHY some metrics
+    need 25x the traffic of others (variance, not mean, drives cost —
+    and is what `cuped_adjusted_metric` buys back).
+
+    One grouped scan of single-pass moments; z-quantiles are fixed
+    literals (1.96, 0.8416) shared by both plans; ceil on the closed
+    form is integer-exact cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("s2"),
+    )
+    z2 = F.pow(F.lit(1.959964 + 0.841621), F.lit(2.0))
+
+    def n_arm(rel: float):
+        return F.ceil(
+            F.lit(2.0) * z2 * F.col("s2") / F.pow(F.lit(rel) * F.col("mu"), F.lit(2.0))
+        ).cast("long")
+
+    return m.select(
+        "event_type",
+        "n",
+        round_col(F.col("mu"), 4).alias("mean_value"),
+        round_col(F.sqrt("s2"), 4).alias("stddev"),
+        round_col(F.col("s2") / (F.col("mu") * F.col("mu")), 6).alias(
+            "cv_squared"
+        ),
+        n_arm(0.05).alias("n_per_arm_5pct"),
+        n_arm(0.01).alias("n_per_arm_1pct"),
+    ).orderBy("event_type")
