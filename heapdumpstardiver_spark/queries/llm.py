@@ -2218,3 +2218,85 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+@query(
+    "cross_source_duplication",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS h
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        FROM hashed a JOIN hashed b
+          ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    per_source AS (
+        SELECT source, count(*) AS n_distinct FROM hashed GROUP BY source
+    )
+    SELECT p.source_a, p.source_b, p.shared,
+           CAST(least(sa.n_distinct, sb.n_distinct) AS BIGINT)
+               AS smaller_corpus
+    FROM pairs p
+    JOIN per_source sa ON sa.source = p.source_a
+    JOIN per_source sb ON sb.source = p.source_b
+    ORDER BY p.shared DESC, p.source_a, p.source_b
+    LIMIT 25
+    """,
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which SOURCE PAIRS share
+    content with an identical 16-token prefix (syndication, mirrors,
+    templated re-posts — prefix identity is the standard cheap proxy;
+    swap the hash input for full text or shingle sets for stricter
+    definitions, same plan) — the
+    corpus-level view the per-document dedup family doesn't give, and
+    the input to "drop the mirror, keep the origin" source policies
+    and to dedup-budget planning (a pair sharing half its content
+    halves the value of crawling both).
+
+    Shape: documents reduce to DISTINCT (source, content-hash) — the
+    only corpus-sized shuffle — then the pair join runs on hash
+    groups (content shared by k sources emits k(k-1)/2 pairs, k
+    bounded by source count, so no DF cap is needed), and per-source
+    distinct counts attach for scale context. Fixed-width hashes move
+    through every exchange, never text."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 16))).alias(
+            "h"
+        ),
+    ).distinct()
+    a = hashed.select(F.col("source").alias("source_a"), "h")
+    b = hashed.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    per_source = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("na")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.least("na", "nb").cast("long").alias("smaller_corpus"),
+        )
+        .orderBy(F.desc("shared"), "source_a", "source_b")
+        .limit(25)
+    )
