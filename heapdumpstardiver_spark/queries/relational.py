@@ -2356,3 +2356,77 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(25)
     )
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               sum(o.o_totalprice) AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    ranked AS (
+        SELECT segment, spend,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY spend, o_custkey) AS i,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM per_cust
+    )
+    SELECT segment,
+           CAST(any_value(n) AS BIGINT) AS n_customers,
+           {round_sql("sum(spend)")} AS total_spend,
+           {round_sql(
+               "2.0 * sum(i * spend) / (any_value(n) * sum(spend))"
+               " - (any_value(n) + 1.0) / any_value(n)", 6)} AS gini
+    FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per market segment —
+    the inequality metric behind "how dependent are we on our top
+    customers" (0 = everyone spends alike, →1 = one whale): the
+    business-risk lens on the same skew that `join_key_skew_profile`
+    measures for shuffles. Computed by the rank identity
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over spend ranked ascending.
+
+    The rank window partitions by segment — the exact formula's
+    inherent per-group ordered scan (ties broken by custkey so both
+    engines rank identically). At 100-TB customer counts the same
+    number falls out of the Lorenz curve sampled at percentile grid
+    points (the `decile_binning_broadcast_cuts` pattern, no rank
+    window); the exact form is kept here because the oracle
+    hash-matches it."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("segment").orderBy("spend", "o_custkey")
+    wn = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("i") * F.col("spend"))
+        / (F.any_value("n") * F.sum("spend"))
+        - (F.any_value("n") + F.lit(1.0)) / F.any_value("n")
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.any_value("n").cast("long").alias("n_customers"),
+            round_col(F.sum("spend")).alias("total_spend"),
+            round_col(gini, 6).alias("gini"),
+        )
+        .orderBy("segment")
+    )
