@@ -2857,3 +2857,103 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm(0.05).alias("n_per_arm_5pct"),
         n_arm(0.01).alias("n_per_arm_1pct"),
     ).orderBy("event_type")
+
+
+@query(
+    "seasonality_index_dow",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    base AS (SELECT avg(rev) AS mu FROM daily)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           count(*) AS n_days,
+           {round_sql("avg(rev)")} AS avg_daily_rev,
+           {round_sql("avg(rev) / mu", 6)} AS seasonal_index
+    FROM daily, base GROUP BY dow, mu ORDER BY dow
+    """,
+)
+def seasonality_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices: each weekday's average daily
+    revenue relative to the all-days mean — the multiplicative
+    seasonal profile that deseasonalizes a series before trend/anomaly
+    work (`anomaly_zscore_daily` on raw data flags every Sunday;
+    divided by these indices it flags only real anomalies), and the
+    lag-7 structure `daily_acf` detects, made explicit.
+
+    Aggregate-first twice: facts → days (one shuffle), days → 7
+    indices + a 1-row mean — nothing after the first rollup scales
+    with anything. Day numbering is normalized to Spark's 1=Sunday
+    convention (DuckDB's dayofweek is 0-based — the +1 in the oracle
+    is a real cross-engine calendar trap, caught by the gate)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    base = daily.agg(F.avg("rev").alias("mu"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy(F.col("dow").cast("long").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_col(F.avg("rev")).alias("avg_daily_rev"),
+            round_col(F.avg("rev") / F.any_value("mu"), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "importance_weight_ess",
+    oracle=f"""
+    WITH w AS (
+        SELECT n_chars * 1.0 / (SELECT avg(n_chars) FROM documents) AS wt
+        FROM documents
+    )
+    SELECT count(*) AS n,
+           {round_sql("sum(wt)", 4)} AS sum_w,
+           {round_sql("pow(sum(wt), 2) / sum(wt * wt)", 4)} AS ess,
+           {round_sql("pow(sum(wt), 2) / sum(wt * wt) / count(*)", 6)}
+               AS ess_ratio,
+           {round_sql("max(wt)", 6)} AS max_weight
+    FROM w
+    """,
+)
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of an importance-weighted corpus:
+    ESS = (Σw)²/Σw² — the health check for EVERY weighting scheme in
+    this library (`importance_resample_dsir`, `raking_ipf_mix_weights`,
+    `ips_offpolicy_value`, `weighted_sample_aes` inputs): weights that
+    concentrate on a few rows make the weighted estimate behave like
+    an ESS-sized sample no matter how big the corpus is. ESS ratio
+    near 1 = weights benign; near 0 = the weighting silently threw
+    the data away. Here the weights are length-proportional (the
+    A-ES sampler's), so the number directly qualifies that sampler.
+
+    One scan, one 1-row broadcast (the normalizing mean), closed-form
+    moments — the cheapest insurance in the weighted-data world."""
+    d = load_table(spark, sf_dir, "documents")
+    mean_chars = d.agg(F.avg("n_chars").alias("m"))
+    w = d.crossJoin(F.broadcast(mean_chars)).select(
+        (F.col("n_chars") * F.lit(1.0) / F.col("m")).alias("wt")
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        round_col(F.sum("wt"), 4).alias("sum_w"),
+        round_col(F.pow(F.sum("wt"), F.lit(2.0)) / F.sum(F.col("wt") * F.col("wt")), 4).alias(
+            "ess"
+        ),
+        round_col(
+            F.pow(F.sum("wt"), F.lit(2.0))
+            / F.sum(F.col("wt") * F.col("wt"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ess_ratio"),
+        round_col(F.max("wt"), 6).alias("max_weight"),
+    )
