@@ -2957,3 +2957,81 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ess_ratio"),
         round_col(F.max("wt"), 6).alias("max_weight"),
     )
+
+
+@query(
+    "mix_rate_decomposition",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_type,
+               count(*) * 1.0 / sum(count(*)) OVER () AS w1,
+               avg(value) AS r1
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        GROUP BY event_type
+    ),
+    b AS (
+        SELECT event_type,
+               count(*) * 1.0 / sum(count(*)) OVER () AS w2,
+               avg(value) AS r2
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        GROUP BY event_type
+    )
+    SELECT a.event_type,
+           {round_sql("a.w1", 6)} AS w_pre,
+           {round_sql("b.w2", 6)} AS w_post,
+           {round_sql("a.r1", 4)} AS rate_pre,
+           {round_sql("b.r2", 4)} AS rate_post,
+           {round_sql("(b.w2 - a.w1) * a.r1", 6)} AS mix_effect,
+           {round_sql("b.w2 * (b.r2 - a.r1)", 6)} AS rate_effect,
+           {round_sql("b.w2 * b.r2 - a.w1 * a.r1", 6)} AS total_contribution
+    FROM a JOIN b ON a.event_type = b.event_type
+    ORDER BY a.event_type
+    """,
+)
+def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate decomposition of a metric change (the Oaxaca-Blinder
+    shape): the overall mean moved between periods — was it because
+    segment COMPOSITION shifted (mix effect: (w₂-w₁)·r₁) or because
+    segments themselves changed (rate effect: w₂·(r₂-r₁))? Per
+    segment the two effects sum EXACTLY to its contribution
+    (w₂r₂ - w₁r₁), and contributions sum to the overall delta — the
+    root-cause table behind every "why did the metric move" review,
+    with no residual left unexplained.
+
+    Two filtered grouped-moment scans (share via a window over the
+    |segments|-bounded aggregate), one k-bounded join. Decomposition
+    identities are pure arithmetic on the rounded pieces."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+
+    def period(df, wn, rn):
+        agg = df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("c"), F.avg("value").alias(rn)
+        )
+        return agg.select(
+            "event_type",
+            (F.col("c") * F.lit(1.0) / F.sum("c").over(w_all)).alias(wn),
+            rn,
+        )
+    a = period(e.filter(F.col("ts") < cut), "w1", "r1")
+    b = period(e.filter(F.col("ts") >= cut), "w2", "r2")
+    j = a.join(b, "event_type")
+    return j.select(
+        "event_type",
+        round_col(F.col("w1"), 6).alias("w_pre"),
+        round_col(F.col("w2"), 6).alias("w_post"),
+        round_col(F.col("r1"), 4).alias("rate_pre"),
+        round_col(F.col("r2"), 4).alias("rate_post"),
+        round_col((F.col("w2") - F.col("w1")) * F.col("r1"), 6).alias(
+            "mix_effect"
+        ),
+        round_col(F.col("w2") * (F.col("r2") - F.col("r1")), 6).alias(
+            "rate_effect"
+        ),
+        round_col(
+            F.col("w2") * F.col("r2") - F.col("w1") * F.col("r1"), 6
+        ).alias("total_contribution"),
+    ).orderBy("event_type")
