@@ -82,7 +82,7 @@ _CHECK_PRIORITY = [
     "table_diff_audit", "partition_key_advisor", "ab_power_analysis",
     "cross_source_duplication", "gini_revenue_concentration",
     "seasonality_index_dow", "importance_weight_ess",
-    "mix_rate_decomposition",
+    "mix_rate_decomposition", "retention_decay_fit",
     "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",

@@ -3035,3 +3035,86 @@ def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w2") * F.col("r2") - F.col("w1") * F.col("r1"), 6
         ).alias("total_contribution"),
     ).orderBy("event_type")
+
+
+@query(
+    "retention_decay_fit",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               min(date_trunc('year', o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    activity AS (
+        SELECT DISTINCT o.o_custkey,
+               date_diff('year', c.cohort_year,
+                         date_trunc('year', o.o_orderdate)) AS age
+        FROM orders o JOIN cust c ON o.o_custkey = c.o_custkey
+    ),
+    by_age AS (
+        SELECT age, count(*) AS active FROM activity GROUP BY age
+    ),
+    base AS (SELECT active AS n0 FROM by_age WHERE age = 0),
+    pts AS (
+        SELECT CAST(age AS DOUBLE) AS x,
+               ln(active * 1.0 / n0) AS y
+        FROM by_age, base WHERE age > 0
+    )
+    SELECT count(*) AS n_ages,
+           {round_sql("-(covar_samp(y, x) / var_samp(x))", 6)}
+               AS decay_rate_per_year,
+           {round_sql(
+               "ln(2.0) / (-(covar_samp(y, x) / var_samp(x)))", 4)}
+               AS half_life_years,
+           {round_sql("corr(y, x)", 6)} AS log_linear_corr
+    FROM pts
+    """,
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric retention model: fit survival(age) ≈ e^(−λ·age) to
+    the pooled cohort-activity curve by log-linear OLS and report the
+    decay rate λ and customer half-life — the two numbers an LTV
+    model actually consumes, distilled from the `retention_cohort`
+    triangle (which shows the curve; this prices it). A poor
+    log-linear correlation is itself the finding: retention isn't
+    exponential, use a different family.
+
+    Scale shape: the corpus reduces to distinct (customer, age) in
+    one shuffle, ages collapse to a calendar-bounded table, and the
+    fit is the single-pass co-moment OLS used throughout
+    (`price_trend_regression` convention) — the age-0 base enters as
+    a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("year", "o_orderdate")).alias("cohort_year")
+    )
+    activity = (
+        o.join(cust, "o_custkey")
+        .select(
+            "o_custkey",
+            (
+                F.year(F.date_trunc("year", "o_orderdate"))
+                - F.year("cohort_year")
+            ).alias("age"),
+        )
+        .distinct()
+    )
+    by_age = activity.groupBy("age").agg(F.count(F.lit(1)).alias("active"))
+    base = by_age.filter(F.col("age") == 0).select(
+        F.col("active").alias("n0")
+    )
+    pts = (
+        by_age.filter(F.col("age") > 0)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("age").cast("double").alias("x"),
+            F.log(F.col("active") * F.lit(1.0) / F.col("n0")).alias("y"),
+        )
+    )
+    lam = -(F.covar_samp("y", "x") / F.var_samp("x"))
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_ages"),
+        round_col(lam, 6).alias("decay_rate_per_year"),
+        round_col(F.log(F.lit(2.0)) / lam, 4).alias("half_life_years"),
+        round_col(F.corr("y", "x"), 6).alias("log_linear_corr"),
+    )
