@@ -24,42 +24,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-check scheduling: the driver verifies at most ~50 queries per
-# round, taken in dict order. Order the registry so the least-recently
-# driver-verified queries come first: the 45 queries whose latest green
-# row is from r1/r2 (rotated out of r3's 50-slot cap), then queries
-# new this round, then the r3-checked set (freshest last). Keeps every
-# query's staleness bounded at one round; after r4 every query has a
-# green row from r3 or r4.
+# round, taken in dict order. Order the registry never-driver-checked
+# first so the cap drains the backlog: r5 front = the two streaming
+# batch-twins (r4 verdict item 7: fresh driver rows gate the streaming
+# layer) and the two plan-rewritten queries (items 3-4: bigram PMI's
+# global window → broadcast scalar, zipf's global row_number →
+# two-phase bucket rank — the rewrite needs a canonical green row),
+# then the 85 queries with no driver row yet in their r4 queue order.
+# The ~50-slot cap lands on the first 4 + ~46 of the backlog; the rest
+# plus anything new this round queue for r6. Everything below the
+# `== r4 cap ==` marker was driver-checked green in r3/r4 (freshest
+# last) and is locally parity-tested every round regardless
+# (scripts/verify_contract.py).
 _CHECK_PRIORITY = [
-    # last checked in r1/r2 — rotated out of r3's cap
-    "similarity_lsh_bucketed", "embedding_norms", "text_quality",
-    "token_count_regex", "lang_id_confusion", "doc_fingerprint",
-    "minhash_lsh_candidates", "embedding_near_dup_pairs",
-    "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
-    "vocab_topk", "dedup_keep_best", "tfidf_top_terms",
-    "token_entropy_by_source", "incremental_dedup_new_batch",
-    "multimodal_payload_stats", "multimodal_fingerprint_topk",
-    "multimodal_frame_sample", "multimodal_feature_extract",
-    "dedup_connected_components", "dedup_cluster_representatives",
-    "decontaminate_ngram_overlap", "data_mix_weighted_sample",
-    "train_test_split_hash", "quality_filter_chain",
-    "stratified_sample_per_source", "passage_dup_coverage",
-    "unigram_logprob_score", "repetition_filter_gopher",
-    "minhash_verify_jaccard", "token_budget_select",
-    "kmeans_embedding_clusters", "quality_percentile_gate",
-    "scan_filter_project", "like_patterns", "pagination",
-    "join_fact_fact", "enrichment_join", "join_ratio_filter",
-    "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
-    # new this round (r4) — exactly fills the ~50-query cap; the
-    # rows-only approx_distinct_sketch (no oracle by design — weakest
-    # check, per verdict guidance) rotates to the r5 queue to make
-    # room for the oracle-paired dominator_retained
-    "reachability_live_census", "multimodal_png_decode",
-    "semantic_dedup_centroid", "bigram_logprob_score",
-    "single_retainer_bytes", "dominator_retained",
-    # past the r4 cap by design: front of the r5 queue (locally
-    # parity-tested every round regardless). Queries born late in r4
-    # go first so their first driver row lands in r5.
+    # streaming batch-twins (r4 verdict item 7)
+    "window_sliding_15m", "session_window_native",
+    # plan-rewritten this round (r4 verdict items 3-4)
+    "bigram_pmi_topk", "zipf_alpha_fit",
+    # never driver-checked — r4 queue order
     "decile_binning_broadcast_cuts", "shipping_priority_topk",
     "returned_item_revenue", "dormant_rich_customers",
     "scd2_merge_batch", "constraint_audit", "copurchase_triangle_count",
@@ -81,6 +63,7 @@ _CHECK_PRIORITY = [
     "hard_negative_mining", "cohens_kappa_langid", "calibration_reliability",
     "table_diff_audit", "partition_key_advisor", "ab_power_analysis",
     "cross_source_duplication", "gini_revenue_concentration",
+    # ---- ~r5 cap lands about here (4 + 46) ----
     "seasonality_index_dow", "importance_weight_ess",
     "mix_rate_decomposition", "retention_decay_fit",
     "approx_distinct_sketch",
@@ -91,14 +74,38 @@ _CHECK_PRIORITY = [
     "exact_substring_runs", "similarity_pq_adc",
     "table_profile", "join_key_skew_profile",
     "importance_resample_dsir", "bpe_pair_merge_candidates",
-    "chunk_documents_overlap", "bigram_pmi_topk",
+    "chunk_documents_overlap",
     "star_join_supplier_volume", "k_anonymity_audit",
-    "curation_funnel_accounting", "zipf_alpha_fit",
+    "curation_funnel_accounting",
     "fuzzy_join_levenshtein", "seasonal_naive_error",
     "decile_feature_binning", "latest_event_per_user",
     "textrank_keywords", "price_trend_regression",
     "rolling_1h_range_frame", "locf_forward_fill",
     "percentile_cont_groups",
+    # ==== r4 cap ==== below here: driver-checked green in r3/r4.
+    # r3-checked (stale by one round):
+    "similarity_lsh_bucketed", "embedding_norms", "text_quality",
+    "token_count_regex", "lang_id_confusion", "doc_fingerprint",
+    "minhash_lsh_candidates", "embedding_near_dup_pairs",
+    "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
+    "vocab_topk", "dedup_keep_best", "tfidf_top_terms",
+    "token_entropy_by_source", "incremental_dedup_new_batch",
+    "multimodal_payload_stats", "multimodal_fingerprint_topk",
+    "multimodal_frame_sample", "multimodal_feature_extract",
+    "dedup_connected_components", "dedup_cluster_representatives",
+    "decontaminate_ngram_overlap", "data_mix_weighted_sample",
+    "train_test_split_hash", "quality_filter_chain",
+    "stratified_sample_per_source", "passage_dup_coverage",
+    "unigram_logprob_score", "repetition_filter_gopher",
+    "minhash_verify_jaccard", "token_budget_select",
+    "kmeans_embedding_clusters", "quality_percentile_gate",
+    "scan_filter_project", "like_patterns", "pagination",
+    "join_fact_fact", "enrichment_join", "join_ratio_filter",
+    "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
+    # r4-checked (freshest):
+    "reachability_live_census", "multimodal_png_decode",
+    "semantic_dedup_centroid", "bigram_logprob_score",
+    "single_retainer_bytes", "dominator_retained",
 ]
 
 

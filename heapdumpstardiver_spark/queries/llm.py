@@ -1519,11 +1519,16 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alpha inflates) and synthetic/shuffled text (fit collapses)
     before training.
 
-    Shape: corpus → vocabulary counts (one shuffle); ranking and the
-    regression moments run over the REDUCED vocab relation (the
-    single-partition rank window is |vocab|-sized, not corpus-sized);
-    the output is one row of closed-form OLS aggregates — no iterative
-    fitting."""
+    Shape: corpus → vocabulary counts (one shuffle); ranks are
+    assigned two-phase so NO global single-partition sort of the
+    vocabulary ever happens: (1) the frequency histogram (|distinct
+    frequency values| rows — tiny, Zipf packs the tail into shared low
+    counts) self-joins to get each frequency's rank offset = #types
+    with strictly higher frequency, (2) each type's rank = offset +
+    row_number within its own frequency bucket (window PARTITIONED by
+    f — distributed). Identical ranks to the naive global
+    row_number(ORDER BY f DESC, t); the OLS moments are one closed-form
+    aggregate — no iterative fitting."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
@@ -1533,8 +1538,16 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = vf.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("f"), "t"))
+    hist = vf.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = (
+        hist.alias("a")
+        .join(F.broadcast(hist.alias("b")), F.col("b.f") > F.col("a.f"), "left")
+        .groupBy(F.col("a.f").alias("f"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+    )
+    ranked = vf.join(F.broadcast(offsets), "f").withColumn(
+        "r",
+        F.col("off") + F.row_number().over(Window.partitionBy("f").orderBy("t")),
     )
     pts = ranked.select(
         F.log(F.col("r") * 1.0).alias("x"),

@@ -1584,10 +1584,11 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (character level) and `vocab_topk` (unigram level).
 
     Scale shape: the corpus reduces to the distinct-bigram count table
-    in one shuffle; marginals are window sums OVER that reduced table
-    (|distinct bigrams| rows, not corpus rows — the single-partition
-    global-sum window is over the same reduced relation); top-20 is
-    TakeOrdered."""
+    in one shuffle; the left/right marginals are window sums OVER that
+    reduced table partitioned by prev/token (distributed — never the
+    empty-partition global window, which would funnel every distinct
+    bigram through one task); the grand total N is a 1-row aggregate
+    broadcast back as a scalar; top-20 is TakeOrdered."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
@@ -1602,10 +1603,11 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", "token")
         .agg(F.count(F.lit(1)).alias("n2"))
     )
+    total = c2.agg(F.sum("n2").alias("n"))
     marg = (
         c2.withColumn("nl", F.sum("n2").over(Window.partitionBy("prev")))
         .withColumn("nr", F.sum("n2").over(Window.partitionBy("token")))
-        .withColumn("n", F.sum("n2").over(Window.partitionBy()))
+        .crossJoin(F.broadcast(total))
     )
     pmi = F.log(F.col("n2").cast("double") * F.col("n") / (F.col("nl") * F.col("nr")))
     return (

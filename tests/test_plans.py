@@ -391,12 +391,23 @@ def test_pmi_windows_run_over_reduced_bigram_table(spark):
     """bigram_pmi_topk: the PMI marginal windows must consume the
     aggregated distinct-bigram relation — i.e. the plan has the
     bigram-count hash aggregate BELOW the window operators — and
-    top-20 is TakeOrdered, all JVM-side."""
+    top-20 is TakeOrdered, all JVM-side. The grand total N must be the
+    1-row-agg broadcast scalar, NEVER an empty-partition window (which
+    would funnel every distinct bigram through one task): no
+    windowspecdefinition without partition columns, and the only
+    SinglePartition exchange is the 1-row total's final aggregation.
+    The total branch's bigram exchange is canonically identical to the
+    marginal branch's, so ReuseExchange keeps it one corpus scan at
+    runtime (verified statically with AQE off)."""
     plan = plan_of(spark, "bigram_pmi_topk")
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[first_window:], plan
+    # empty partition spec prints windowspecdefinition(specifiedwindowframe…
+    assert "windowspecdefinition(specifiedwindowframe" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
 
 
 def test_star_join_broadcasts_dims_prunes_and_pushes(spark):
@@ -441,12 +452,25 @@ def test_funnel_benchmark_grams_broadcast_no_cartesian(spark):
 
 
 def test_zipf_moments_over_reduced_vocab(spark):
-    """zipf_alpha_fit: one corpus scan; the rank window and OLS
-    moments consume the aggregated vocab relation."""
+    """zipf_alpha_fit: the rank assignment must be two-phase — the
+    row_number window PARTITIONED by frequency bucket (offset joined
+    from the broadcast frequency histogram), never a global
+    single-partition sort of the vocabulary — and the OLS moments
+    consume the aggregated vocab relation. The only SinglePartition
+    exchange is the final 1-row moments aggregation. (The pre-AQE
+    string shows 3 corpus scans for the histogram self-join branches;
+    ReuseExchange collapses them to one vocab shuffle at runtime —
+    verified statically with AQE off: 1 FileScan, 2 ReusedExchange.)"""
     plan = plan_of(spark, "zipf_alpha_fit")
-    assert plan.count("Scan parquet") == 1, plan
     first_window = plan.index("Window")
     assert "HashAggregate" in plan[first_window:], plan
+    # no empty-partition window, no global Sort of the vocab
+    assert "windowspecdefinition(specifiedwindowframe" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # rank window is partitioned by the frequency column
+    assert re.search(r"windowspecdefinition\(f#\d+L, t#\d+", plan), plan
+    # the offset table arrives broadcast
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):
