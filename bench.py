@@ -73,6 +73,9 @@ EXT_OPS = [
     "copurchase_triangle_count",
     "scd2_merge_batch",
     "bm25_keyword_search",
+    # iterative BFS-vote dominator pairs: the Σdepth state bound gets a
+    # measured sf1 ratio like every other iterative op (r4 verdict #6)
+    "dominator_retained",
 ]
 HEADLINE = CORE + LLM_OPS + EXT_OPS
 
@@ -86,6 +89,7 @@ ITERATIVE = {
     "kmeans_embedding_clusters",
     # eager localCheckpoints run jobs at construction time
     "copurchase_triangle_count",
+    "dominator_retained",
 }
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -209,13 +213,25 @@ def bench_ingest_and_waste(spark) -> tuple[dict, dict]:
     t0 = time.perf_counter()
     manifest = ingest_hprof(spark, dump, out_dir, overwrite=True)
     wall = time.perf_counter() - t0
+    # Second timed pass on warm executors (same dump, overwrite): the
+    # first in-process ingest pays Arrow/py-worker/codegen startup that
+    # a long-running service amortizes away — record BOTH so the
+    # artifact carries the cold number AND the steady-state throughput
+    # the reference's pass-2 claim compares against
+    # (/root/reference/src/commands/dump_to_parquet.rs:938-941).
+    t0 = time.perf_counter()
+    ingest_hprof(spark, dump, out_dir, overwrite=True)
+    wall2 = time.perf_counter() - t0
     size_mb = os.path.getsize(dump) / 1e6
     ingest = {
         "mb_per_s": round(size_mb / wall, 2),
         "wall_s": round(wall, 2),
+        "mb_per_s_steady": round(size_mb / wall2, 2),
+        "wall_s_steady": round(wall2, 2),
         "dump_mb": round(size_mb, 1),
         "rows": manifest["total_rows"],
         "rows_per_s": round(manifest["total_rows"] / wall),
+        "rows_per_s_steady": round(manifest["total_rows"] / wall2),
         "n_splits": manifest["n_splits"],
         "scale": scale,
     }
@@ -243,6 +259,10 @@ def main() -> None:
         1000
     ).write.format("noop").mode("overwrite").save()
 
+    # The sf0.1 headline loop runs FIRST, before the sf1 build / ingest
+    # / waste blocks, so the recorded core13 is never contention- or
+    # page-cache-inflated by the heavy blocks (r4: 4.903 recorded vs
+    # 4.311 clean).
     timings = time_queries(spark, sf_dir, reps=2, warm=True)
     total = round(sum(timings.values()), 3)
     out = {
@@ -254,10 +274,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Heavy detail blocks go to BENCH_DETAIL.json (and their own
+    # stdout lines ABOVE the headline line) — r4's single giant JSON
+    # line outgrew the driver's tail capture (parsed: null). The FINAL
+    # stdout line is the compact headline JSON with scalar summaries
+    # of each detail block.
+    detail: dict = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        out["sf1"] = bench_sf1(spark, timings)
+        sf1 = bench_sf1(spark, timings)
+        detail["sf1"] = sf1
+        print(json.dumps({"detail": "sf1", **sf1}))
+        out["sf1_core13_total"] = sf1["core13_total"]
+        out["sf1_core13_ratio"] = sf1["core13_ratio_vs_sf0.1"]
+        ratios = sf1["ratio_vs_sf0.1"]
+        if ratios:
+            worst = max(ratios, key=ratios.get)
+            out["sf1_worst_ratio"] = {worst: ratios[worst]}
     if os.environ.get("SPARK_GRAFT_BENCH_INGEST", "1") != "0":
-        out["ingest"], out["waste_pipeline"] = bench_ingest_and_waste(spark)
+        ingest, waste = bench_ingest_and_waste(spark)
+        detail["ingest"], detail["waste_pipeline"] = ingest, waste
+        print(json.dumps({"detail": "ingest", **ingest}))
+        print(json.dumps({"detail": "waste_pipeline", **waste}))
+        out["ingest_mb_per_s"] = ingest["mb_per_s"]
+        out["ingest_mb_per_s_steady"] = ingest["mb_per_s_steady"]
+        out["waste_pipeline_s"] = waste["wall_s"]
+    if detail:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
 
     print(json.dumps(out))
     spark.stop()
