@@ -108,10 +108,23 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
+# Environment blockage probed conclusively (r5): google.protobuf is
+# absent, the sandbox has no network (pip download protobuf fails with
+# NewConnectionError/Name-or-service-not-known against the index), and
+# a hand-vendored shim is infeasible — the generated
+# StateMessage_pb2 module needs the full descriptor-pool runtime, not
+# a stub surface. xfail(run=True) keeps the probe live: the moment an
+# env ships protobuf, the test RUNS and must pass (strict on the
+# inverse — if protobuf is present the xfail marker is absent).
+@pytest.mark.xfail(
     not _has_protobuf(),
-    reason="transformWithStateInPandas needs google.protobuf (absent in this env); "
-    "the operator builds its plan without it — see test_tws_plan_builds",
+    reason="transformWithStateInPandas needs google.protobuf: absent here and "
+    "unobtainable (no network — pip index unreachable; vendoring needs the "
+    "full descriptor-pool runtime). Plan construction is covered by "
+    "test_tws_plan_builds.",
+    raises=Exception,
+    run=True,
+    strict=False,
 )
 def test_running_counts_transform_with_state(spark, events_dir, tmp_path):
     """transformWithStateInPandas twin of the applyInPandasWithState
