@@ -24,49 +24,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-check scheduling: the driver verifies at most ~50 queries per
-# round, taken in dict order. Order the registry never-driver-checked
-# first so the cap drains the backlog: r5 front = the two streaming
-# batch-twins (r4 verdict item 7: fresh driver rows gate the streaming
-# layer) and the two plan-rewritten queries (items 3-4: bigram PMI's
-# global window → broadcast scalar, zipf's global row_number →
-# two-phase bucket rank — the rewrite needs a canonical green row),
-# then the 85 queries with no driver row yet in their r4 queue order.
-# The ~50-slot cap lands on the first 4 + ~46 of the backlog; the rest
-# plus anything new this round queue for r6. Everything below the
-# `== r4 cap ==` marker was driver-checked green in r3/r4 (freshest
-# last) and is locally parity-tested every round regardless
-# (scripts/verify_contract.py).
+# round, taken in dict order. r6 front: (1) survival_kaplan_meier — the
+# one red r5 driver row, rewritten this round with a bit-stable
+# fold-product and DECIMAL(18,6)->STRING rendering, so the canonical
+# record can go green; (2) the full 37-query never-driver-checked
+# backlog (r5 queue order preserved — 37 < the ~50 cap, so the backlog
+# reaches zero this round); (3) the queries whose hashed output was
+# re-rendered decimal-stable this round (exp/ln boundary sweep, r5
+# verdict item 3) — their existing green rows describe the previous
+# schema, so a fresh canonical row matters more than re-checking an
+# unchanged stale query. Staleness rotation (r1-r3 vintage greens)
+# follows and overflows into r7. Everything is locally parity-checked
+# every round regardless (scripts/verify_contract.py, 186/186).
 _CHECK_PRIORITY = [
-    # streaming batch-twins (r4 verdict item 7)
-    "window_sliding_15m", "session_window_native",
-    # plan-rewritten this round (r4 verdict items 3-4)
-    "bigram_pmi_topk", "zipf_alpha_fit",
-    # never driver-checked — r4 queue order
-    "decile_binning_broadcast_cuts", "shipping_priority_topk",
-    "returned_item_revenue", "dormant_rich_customers",
-    "scd2_merge_batch", "constraint_audit", "copurchase_triangle_count",
-    "concurrent_sessions_peak", "bm25_keyword_search",
-    "relational_division", "revenue_mom_change",
-    "embedding_covariance_block", "weighted_sample_aes",
-    "pareto_frontier_per_group", "benford_digit_audit",
-    "markov_transition_matrix", "quantile_normalize_by_source",
-    "cuped_adjusted_metric", "survival_kaplan_meier",
-    "raking_ipf_mix_weights", "user_acquisition_curve",
-    "l_diversity_audit", "psi_drift_by_decile", "ks_test_two_sample",
-    "bootstrap_mean_ci", "trimmed_robust_stats", "daily_acf",
-    "ips_offpolicy_value", "incremental_view_merge",
-    "attribution_last_touch", "rfm_segmentation",
-    "late_supplier_blame", "large_volume_orders",
-    "reverse_search_percolate", "cusum_changepoint", "containment_pairs",
-    "trending_leaderboard_decayed", "heaps_law_fit", "greedy_source_coverage",
-    "eb_shrunk_rates", "label_coherence_audit", "tukey_outlier_fences",
-    "hard_negative_mining", "cohens_kappa_langid", "calibration_reliability",
-    "table_diff_audit", "partition_key_advisor", "ab_power_analysis",
+    # 1: the only non-green driver row anywhere (r5: hash-only fail)
+    "survival_kaplan_meier",
+    # 2: never driver-checked backlog (37) — r5 queue order
+    "partition_key_advisor", "ab_power_analysis",
     "cross_source_duplication", "gini_revenue_concentration",
-    # ---- ~r5 cap lands about here (4 + 46) ----
     "seasonality_index_dow", "importance_weight_ess",
     "mix_rate_decomposition", "retention_decay_fit",
-    "approx_distinct_sketch",
     "gc_root_path", "time_weighted_avg_user", "gap_fill_interpolate",
     "quality_classifier_score", "vocab_oov_coverage",
     "funnel_conversion", "retention_cohort", "anomaly_zscore_daily",
@@ -82,30 +59,49 @@ _CHECK_PRIORITY = [
     "textrank_keywords", "price_trend_regression",
     "rolling_1h_range_frame", "locf_forward_fill",
     "percentile_cont_groups",
-    # ==== r4 cap ==== below here: driver-checked green in r3/r4.
-    # r3-checked (stale by one round):
+    # 3: output re-rendered decimal-stable this round — fresh rows wanted
+    "zipf_alpha_fit", "bigram_pmi_topk", "bm25_keyword_search",
+    "tfidf_top_terms", "unigram_logprob_score", "bigram_logprob_score",
+    "trending_leaderboard_decayed", "eb_shrunk_rates", "heaps_law_fit",
+    "weighted_sample_aes", "benford_digit_audit", "psi_drift_by_decile",
+    # ---- ~r6 cap lands about here (1 + 37 + 12) ----
+    "l_diversity_audit", "token_entropy_by_source",
+    # staleness rotation (oldest green rows first: r1-r3 vintage) — r7
+    "approx_distinct_sketch", "pricing_summary", "count_distinct",
+    "string_funcs", "arithmetic_charge", "dedup_exact",
+    "dedup_prefix_groups", "ngram_shingle_overlap", "similarity_topk",
+    "having_dup_groups", "conditional_agg", "two_level_agg",
+    "weighted_topk", "rollup_agg", "bucket_histogram",
+    "pattern_classifier", "category_like_chains", "global_topk",
+    "union_by_name", "bitmask_decode", "systematic_sample",
+    "pack_sequences_greedy", "sql_passthrough_reserved",
+    "struct_field_access", "cube_agg", "set_ops_except_intersect",
+    "pivot_status_year", "salted_heavy_hitter_agg",
+    "grouping_sets_agg", "correlated_scalar_subquery",
+    "unpivot_measures",
+    # r3/r4/r5-checked greens, freshest last:
     "similarity_lsh_bucketed", "embedding_norms", "text_quality",
     "token_count_regex", "lang_id_confusion", "doc_fingerprint",
     "minhash_lsh_candidates", "embedding_near_dup_pairs",
     "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
-    "vocab_topk", "dedup_keep_best", "tfidf_top_terms",
-    "token_entropy_by_source", "incremental_dedup_new_batch",
+    "vocab_topk", "dedup_keep_best", "incremental_dedup_new_batch",
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
     "dedup_connected_components", "dedup_cluster_representatives",
     "decontaminate_ngram_overlap", "data_mix_weighted_sample",
     "train_test_split_hash", "quality_filter_chain",
     "stratified_sample_per_source", "passage_dup_coverage",
-    "unigram_logprob_score", "repetition_filter_gopher",
+    "repetition_filter_gopher",
     "minhash_verify_jaccard", "token_budget_select",
     "kmeans_embedding_clusters", "quality_percentile_gate",
     "scan_filter_project", "like_patterns", "pagination",
     "join_fact_fact", "enrichment_join", "join_ratio_filter",
     "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
-    # r4-checked (freshest):
     "reachability_live_census", "multimodal_png_decode",
-    "semantic_dedup_centroid", "bigram_logprob_score",
+    "semantic_dedup_centroid",
     "single_retainer_bytes", "dominator_retained",
+    "window_sliding_15m", "session_window_native",
+    "decile_binning_broadcast_cuts",
 ]
 
 

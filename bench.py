@@ -99,7 +99,13 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_queries(spark, sf_dir: str, reps: int = 2, warm: bool = True) -> dict:
+def time_queries(
+    spark,
+    sf_dir: str,
+    reps: int = 2,
+    warm: bool = True,
+    second_rep_below: float | None = None,
+) -> dict:
     """Per-query best-of-*reps* wall seconds over *sf_dir*.
 
     Steady-state methodology: one untimed execution first (JIT/codegen
@@ -108,28 +114,31 @@ def time_queries(spark, sf_dir: str, reps: int = 2, warm: bool = True) -> dict:
     round-over-round comparisons should track. The sf1 pass passes
     warm=False, reps=1: one cold run is the right cost model for a
     query someone runs once against a big corpus, and it keeps the
-    bench inside the driver's timeout.
+    bench inside the driver's timeout — EXCEPT for sub-second queries
+    (``second_rep_below``), which get a second rep (min-of-2): on a
+    0.2 s query a single cold sample carries multi-x scheduler noise
+    (r5 recorded similarity_topk at 12.1x its r4 ratio purely from
+    one noisy sample), and the extra rep costs under a second.
     """
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = hds.QUERIES[name]
+
+        def run_once() -> float:
+            t0 = time.perf_counter()
+            _noop(fn(spark, sf_dir) if name in ITERATIVE else df)
+            return time.perf_counter() - t0
+
         if name in ITERATIVE:
             if warm:
                 _noop(fn(spark, sf_dir))
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                _noop(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
         else:
             df = fn(spark, sf_dir)
             if warm:
                 _noop(df)
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                _noop(df)
-                best = min(best, time.perf_counter() - t0)
+        best = min(run_once() for _ in range(reps))
+        if second_rep_below is not None and best < second_rep_below:
+            best = min(best, run_once())
         timings[name] = round(best, 3)
     return timings
 
@@ -160,7 +169,7 @@ def bench_sf1(spark, base_timings: dict) -> dict:
             _noop(hds.QUERIES[name](spark, tiny))
         except Exception:
             pass  # warmup only — the timed run below surfaces real errors
-    timings = time_queries(spark, sf1_dir, reps=1, warm=False)
+    timings = time_queries(spark, sf1_dir, reps=1, warm=False, second_rep_below=1.0)
     total = round(sum(timings.values()), 3)
     ratios = {
         q: round(timings[q] / base_timings[q], 1)
@@ -263,7 +272,7 @@ def main() -> None:
     # / waste blocks, so the recorded core13 is never contention- or
     # page-cache-inflated by the heavy blocks (r4: 4.903 recorded vs
     # 4.311 clean).
-    timings = time_queries(spark, sf_dir, reps=2, warm=True)
+    timings = time_queries(spark, sf_dir, reps=2, warm=True, second_rep_below=1.0)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",

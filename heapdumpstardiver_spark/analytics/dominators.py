@@ -178,6 +178,25 @@ def dominator_pairs_from(
     """Fixpoint core over an explicit (src, dst) edge DataFrame that
     already includes super-root→root edges (src=0). Exposed so tests
     can drive arbitrary synthetic graphs without an HPROF ingest."""
+    # Size-based (not parallelism-based) AQE coalescing for the
+    # duration of the iterative loops: each round's state is one
+    # shrinking relation, and coalescing its post-shuffle partitions
+    # to the advisory size instead of defaultParallelism cuts the
+    # per-round task count (measured ~15% wall on the bench fixture)
+    # while staying correct at scale — a large pair set still gets
+    # size-proportional partitions. Restored on exit.
+    _PFIRST = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev_pfirst = spark.conf.get(_PFIRST, "true")
+    spark.conf.set(_PFIRST, "false")
+    try:
+        return _dominator_pairs_loop(spark, rooted_edges, max_rounds)
+    finally:
+        spark.conf.set(_PFIRST, prev_pfirst)
+
+
+def _dominator_pairs_loop(
+    spark, rooted_edges: DataFrame, max_rounds: int
+) -> DataFrame:
     edges = rooted_edges.localCheckpoint()
     pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
 
@@ -185,22 +204,47 @@ def dominator_pairs_from(
     start = spark.createDataFrame([(SUPER_ROOT,)], "obj_id long").select(
         "obj_id", pad(F.col("obj_id")).alias("path")
     )
-    visited, frontier = start.localCheckpoint(), start
-    for _ in range(max_rounds):
-        nxt = (
-            edges.join(frontier, edges.src == frontier.obj_id)
+
+    def expand(fr: DataFrame) -> DataFrame:
+        return (
+            edges.join(fr, edges.src == fr.obj_id)
             .select(
                 F.col("dst").alias("obj_id"),
                 F.concat(F.col("path"), F.lit("|"), pad(F.col("dst"))).alias("path"),
             )
             .groupBy("obj_id")
             .agg(F.min("path").alias("path"))
-            .join(visited, "obj_id", "left_anti")
-            .localCheckpoint()
         )
-        if nxt.isEmpty():
+
+    # Iterative-loop wall time is dominated by per-action scheduling,
+    # not data, once the state fits in a few partitions — so each
+    # round materializes TWO hops in one eager checkpoint (halving the
+    # action count; the per-action DAG is one join deeper, which the
+    # scheduler amortizes far better than an extra job). The two-hop
+    # merge keeps the parent-prefix tree invariant the dataflow seed
+    # relies on: nxt2 paths extend nxt1's CHOSEN min paths, and nodes
+    # already in nxt1 are anti-joined out of nxt2 so no node's chosen
+    # path is rewritten after a child extended it. `visited` stays a
+    # lazy union of checkpointed frontiers — each piece's lineage is
+    # already truncated, so re-checkpointing the union every round
+    # would re-cache all previous rows (O(depth²) writes) for nothing.
+    # Lazy checkpoint + count(): the count action IS the materializing
+    # job, so each round costs ONE job instead of an eager-checkpoint
+    # job followed by an emptiness probe (count, not isEmpty, because
+    # a partial-evaluation probe would leave checkpoint partitions
+    # unmaterialized).
+    visited, frontier = start.localCheckpoint(), start
+    for _ in range(max_rounds):
+        nxt1 = expand(frontier).join(visited, "obj_id", "left_anti")
+        nxt2 = (
+            expand(nxt1)
+            .join(visited, "obj_id", "left_anti")
+            .join(nxt1, "obj_id", "left_anti")
+        )
+        nxt = nxt1.unionByName(nxt2).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     else:
         raise RuntimeError(
@@ -216,28 +260,50 @@ def dominator_pairs_from(
         ).alias("dom"),
     ).localCheckpoint()
 
+    # indeg is attached to the edge list ONCE (it is per-dst constant),
+    # so each fixpoint round runs exactly two shuffles — the dom-set
+    # propagation join and the vote count — instead of four (the old
+    # shape re-aggregated indeg and re-joined it every round, then paid
+    # a distinct() shuffle the self-pair filter below makes redundant).
+    indeg = edges.join(reachable, edges.src == reachable.obj_id).groupBy(
+        "dst"
+    ).agg(F.count(F.lit(1)).alias("indeg"))
     redges = (
         edges.join(reachable, edges.src == reachable.obj_id)
         .select("src", "dst")
+        .join(indeg, "dst")
         .localCheckpoint()
     )
-    indeg = redges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
     selfpairs = reachable.select("obj_id", F.col("obj_id").alias("dom"))
 
-    prev_n = dom.count()
-    for _ in range(max_rounds):
+    def step(d: DataFrame) -> DataFrame:
         voted = (
-            redges.join(dom, redges.src == dom.obj_id)
-            .select(F.col("dst"), F.col("dom"))
-            .groupBy("dst", "dom")
+            redges.join(d, redges.src == d.obj_id)
+            .select("dst", "dom", "indeg")
+            .groupBy("dst", "dom", "indeg")
             .agg(F.count(F.lit(1)).alias("votes"))
-            .join(indeg, "dst")
             .filter(F.col("votes") == F.col("indeg"))
             .select(F.col("dst").alias("obj_id"), "dom")
         )
-        dom = (
-            voted.unionByName(selfpairs).distinct().localCheckpoint()
+        # voted is unique by construction (groupBy key) and the
+        # self-pair filter makes the union disjoint, so no distinct():
+        # set-wise, (voted \ selfpairs) ∪ selfpairs = voted ∪ selfpairs.
+        return (
+            voted.filter(F.col("obj_id") != F.col("dom"))
+            .unionByName(selfpairs)
         )
+
+    # Two dataflow applications per materialized round (same
+    # action-count rationale as the BFS above). Sound termination:
+    # the tree-path seed gives F(X) ⊆ X, so the iterate chain is
+    # monotone decreasing — |F²(X)| = |X| forces F²(X) = F(X) = X,
+    # i.e. an equal pair count across a DOUBLE step still certifies
+    # the fixpoint, never a skipped oscillation.
+    prev_n = dom.count()
+    for _ in range(max_rounds):
+        # lazy checkpoint: the convergence count doubles as the
+        # materializing action — one job per round, lineage truncated.
+        dom = step(step(dom)).localCheckpoint(eager=False)
         n = dom.count()
         if n == prev_n:
             return dom
@@ -261,7 +327,9 @@ def retained_sizes(wh: Warehouse) -> DataFrame:
     dies — Σ shallow over its dominated set (itself included), the
     MAT "retained heap" column. One explode-free join + aggregation
     over the dominator pair set."""
-    dom = dominator_pairs(wh).localCheckpoint()
+    # dominator_pairs returns an already-checkpointed pair set — no
+    # second materialization needed for the two consumers below.
+    dom = dominator_pairs(wh)
     sizes = shallow_sizes(wh)
     retained = (
         dom.filter(F.col("dom") != SUPER_ROOT)

@@ -42,6 +42,24 @@ def round_sql(expr: str, n: int = 2) -> str:
     )
 
 
+def stable_render(col: Column, n: int = 6) -> Column:
+    """Engine-stable rendering of a hashed double output column:
+    deterministic half-up rounding → DECIMAL(18,n) → STRING.
+
+    Used for columns whose pre-round value comes out of libm
+    (exp/ln/pow chains): a ±1-ulp cross-engine divergence there can
+    survive repr-level local parity yet flip a driver-side value hash
+    on the raw double bytes. A fixed-scale decimal string has exactly
+    one byte representation per rounded value in both engines.
+    """
+    return round_col(col, n).cast(f"decimal(18,{n})").cast("string")
+
+
+def stable_render_sql(expr: str, n: int = 6) -> str:
+    """The DuckDB/Spark-SQL twin of :func:`stable_render`."""
+    return f"CAST(CAST({round_sql(expr, n)} AS DECIMAL(18,{n})) AS VARCHAR)"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product over two array<double> columns.
 

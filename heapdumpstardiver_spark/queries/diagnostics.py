@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import round_col, round_sql
+from ..exprs import round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
 
 
@@ -373,9 +373,9 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n) AS t FROM counts)
     SELECT digit, n,
            {round_sql("n * 1.0 / t", 6)} AS obs_frac,
-           {round_sql("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)", 6)}
+           {stable_render_sql("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)", 6)}
                AS benford_frac,
-           {round_sql(
+           {stable_render_sql(
                "t * power(n * 1.0 / t - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 2)"
                " / (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))", 4)}
                AS chi2_term
@@ -419,8 +419,8 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit",
             "n",
             round_col(obs, 6).alias("obs_frac"),
-            round_col(benford, 6).alias("benford_frac"),
-            round_col(
+            stable_render(benford, 6).alias("benford_frac"),
+            stable_render(
                 F.col("t") * F.pow(obs - benford, F.lit(2.0)) / benford, 4
             ).alias("chi2_term"),
         )
@@ -463,7 +463,7 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_a AS BIGINT) AS n_ref, CAST(n_b AS BIGINT) AS n_cur,
            {round_sql("(n_a + 0.5) / (ta + 5.0)", 6)} AS p_ref,
            {round_sql("(n_b + 0.5) / (tb + 5.0)", 6)} AS p_cur,
-           {round_sql(
+           {stable_render_sql(
                "((n_b + 0.5) / (tb + 5.0) - (n_a + 0.5) / (ta + 5.0))"
                " * ln(((n_b + 0.5) / (tb + 5.0)) / ((n_a + 0.5) / (ta + 5.0)))",
                6)} AS psi_term
@@ -515,7 +515,7 @@ def psi_drift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("long").alias("n_cur"),
             round_col(p_ref, 6).alias("p_ref"),
             round_col(p_cur, 6).alias("p_cur"),
-            round_col((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            stable_render((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
                 "psi_term"
             ),
         )
@@ -641,7 +641,7 @@ def _advisor_oracle() -> str:
            CAST(max(c) AS BIGINT) AS max_rows,
            CAST(min(c) AS BIGINT) AS min_rows,
            {round_sql("100.0 * max(c) / sum(c)", 4)} AS max_share_pct,
-           {round_sql("ln(count(*)) * sum(c) / (count(*) * max(c))", 4)}
+           {stable_render_sql("ln(count(*)) * sum(c) / (count(*) * max(c))", 4)}
                AS balance_score
     FROM (SELECT {expr} AS k, count(*) AS c FROM orders GROUP BY 1)""")
     return "\nUNION ALL".join(parts) + "\nORDER BY candidate"
@@ -679,7 +679,7 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_col(
                 F.lit(100.0) * F.max("c") / F.sum("c"), 4
             ).alias("max_share_pct"),
-            round_col(
+            stable_render(
                 F.log(F.count(F.lit(1)).cast("double"))
                 * F.sum("c")
                 / (F.count(F.lit(1)) * F.max("c")),

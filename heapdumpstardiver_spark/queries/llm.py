@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import cosine, dot, round_col, round_sql
+from ..exprs import cosine, dot, round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
 
 
@@ -895,11 +895,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY 1, 2),
     df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term <> ''
            GROUP BY 1),
-    n AS (SELECT count(*) AS n FROM documents)
-    SELECT tf.doc_id, tf.term,
-           {round_sql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS score
-    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
-    ORDER BY score DESC, tf.term, tf.doc_id LIMIT 25
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               {round_sql("tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)", 6)} AS score_r
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           CAST(CAST(score_r AS DECIMAL(18,6)) AS VARCHAR) AS score
+    FROM scored ORDER BY score_r DESC, term, doc_id LIMIT 25
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,9 +932,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
-        .select("doc_id", "term", score.alias("score"))
-        .orderBy(F.desc("score"), "term", "doc_id")
+        .select("doc_id", "term", score.alias("score_r"))
+        .orderBy(F.desc("score_r"), "term", "doc_id")
         .limit(25)
+        .select(
+            "doc_id",
+            "term",
+            F.col("score_r").cast("decimal(18,6)").cast("string").alias("score"),
+        )
     )
 
 
@@ -944,7 +953,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM toks WHERE term <> '' GROUP BY 1, 2),
     tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1)
     SELECT tf.source,
-           {round_sql("-sum((c / n) * ln(c / n))", 6)} AS token_entropy,
+           {stable_render_sql("-sum((c / n) * ln(c / n))", 6)} AS token_entropy,
            count(*) AS vocab_size
     FROM tf JOIN tot ON tf.source = tot.source
     GROUP BY tf.source
@@ -973,7 +982,7 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("p", p)
         .groupBy("source")
         .agg(
-            round_col(-F.sum(F.col("p") * F.log("p")), 6).alias("token_entropy"),
+            stable_render(-F.sum(F.col("p") * F.log("p")), 6).alias("token_entropy"),
             F.count(F.lit(1)).alias("vocab_size"),
         )
     )
@@ -1088,7 +1097,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_pass,
-           {round_sql("avg(score)", 4)} AS avg_score
+           {stable_render_sql("avg(score)", 4)} AS avg_score
     FROM scored GROUP BY source
     ORDER BY source
     """,
@@ -1128,7 +1137,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0))
             .cast("long")
             .alias("n_pass"),
-            round_col(F.avg("score"), 4).alias("avg_score"),
+            stable_render(F.avg("score"), 4).alias("avg_score"),
         )
         .orderBy("source")
     )
@@ -1505,8 +1514,8 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT n AS n_types, total_tokens,
-           {round_sql("-(mxy - mx * my) / (mxx - mx * mx)", 4)} AS alpha,
-           {round_sql("(mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my))", 4)} AS r2
+           {stable_render_sql("-(mxy - mx * my) / (mxx - mx * mx)", 4)} AS alpha,
+           {stable_render_sql("(mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my))", 4)} AS r2
     FROM m
     """,
 )
@@ -1569,8 +1578,8 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_types"),
         "total_tokens",
-        round_col(-cov / varx, 4).alias("alpha"),
-        round_col(cov * cov / (varx * vary), 4).alias("r2"),
+        stable_render(-cov / varx, 4).alias("alpha"),
+        stable_render(cov * cov / (varx * vary), 4).alias("r2"),
     )
 
 
@@ -1605,9 +1614,12 @@ def zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN df d ON t.token = d.token
         JOIN dl l ON t.doc_id = l.doc_id, stats s
         GROUP BY t.doc_id
+    ),
+    rounded AS (
+        SELECT doc_id, {round_sql("score", 4)} AS score_r FROM scored
     )
-    SELECT doc_id, {round_sql("score", 4)} AS bm25
-    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+    SELECT doc_id, CAST(CAST(score_r AS DECIMAL(18,4)) AS VARCHAR) AS bm25
+    FROM rounded ORDER BY score_r DESC, doc_id LIMIT 20
     """,
 )
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1654,9 +1666,13 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
         .groupBy("doc_id")
-        .agg(round_col(F.sum("part"), 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
+        .agg(round_col(F.sum("part"), 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), "doc_id")
         .limit(20)
+        .select(
+            "doc_id",
+            F.col("score_r").cast("decimal(18,4)").cast("string").alias("bm25"),
+        )
     )
 
 
@@ -1931,11 +1947,11 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM growth
     )
     SELECT count(*) AS n_docs,
-           {round_sql("covar_samp(y, x) / var_samp(x)", 6)} AS heaps_beta,
-           {round_sql(
+           {stable_render_sql("covar_samp(y, x) / var_samp(x)", 6)} AS heaps_beta,
+           {stable_render_sql(
                "exp(avg(y) - (covar_samp(y, x) / var_samp(x)) * avg(x))", 4)}
                AS heaps_k,
-           {round_sql("corr(y, x)", 6)} AS log_log_corr
+           {stable_render_sql("corr(y, x)", 6)} AS log_log_corr
     FROM pts
     """,
 )
@@ -1977,9 +1993,9 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = F.covar_samp("y", "x") / F.var_samp("x")
     return pts.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        round_col(slope, 6).alias("heaps_beta"),
-        round_col(F.exp(F.avg("y") - slope * F.avg("x")), 4).alias("heaps_k"),
-        round_col(F.corr("y", "x"), 6).alias("log_log_corr"),
+        stable_render(slope, 6).alias("heaps_beta"),
+        stable_render(F.exp(F.avg("y") - slope * F.avg("x")), 4).alias("heaps_k"),
+        stable_render(F.corr("y", "x"), 6).alias("log_log_corr"),
     )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import round_col, round_sql
+from ..exprs import round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
 from .llm import minhash_lsh_candidates
 
@@ -587,13 +587,17 @@ def passage_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, token,
                count(*) OVER (PARTITION BY token) AS c
         FROM toks
+    ),
+    scored AS (
+        SELECT doc_id,
+               {round_sql("-avg(ln(CAST(c AS DOUBLE) / total))", 6)} AS nll_r,
+               count(*) AS n_tokens
+        FROM freq CROSS JOIN n
+        GROUP BY doc_id, total
     )
-    SELECT doc_id,
-           {round_sql("-avg(ln(CAST(c AS DOUBLE) / total))", 6)} AS nll,
-           count(*) AS n_tokens
-    FROM freq CROSS JOIN n
-    GROUP BY doc_id, total
-    ORDER BY nll DESC, doc_id
+    SELECT doc_id, CAST(CAST(nll_r AS DECIMAL(18,6)) AS VARCHAR) AS nll,
+           n_tokens
+    FROM scored ORDER BY nll_r DESC, doc_id
     LIMIT 50
     """,
 )
@@ -628,12 +632,16 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.crossJoin(F.broadcast(total))
         .groupBy("doc_id", "total")
         .agg(
-            round_col(-F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 6).alias("nll"),
+            round_col(-F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 6).alias("nll_r"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
-        .select("doc_id", "nll", "n_tokens")
-        .orderBy(F.desc("nll"), "doc_id")
+        .orderBy(F.desc("nll_r"), "doc_id")
         .limit(50)
+        .select(
+            "doc_id",
+            F.col("nll_r").cast("decimal(18,6)").cast("string").alias("nll"),
+            "n_tokens",
+        )
     )
 
 
@@ -655,13 +663,17 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER (PARTITION BY prev, token) AS c2,
                count(*) OVER (PARTITION BY prev) AS c1
         FROM bg
+    ),
+    scored AS (
+        SELECT doc_id,
+               {round_sql("-avg(ln(CAST(c2 AS DOUBLE) / c1))", 6)} AS nll_r,
+               count(*) AS n_bigrams
+        FROM freq
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           {round_sql("-avg(ln(CAST(c2 AS DOUBLE) / c1))", 6)} AS nll,
-           count(*) AS n_bigrams
-    FROM freq
-    GROUP BY doc_id
-    ORDER BY nll DESC, doc_id
+    SELECT doc_id, CAST(CAST(nll_r AS DECIMAL(18,6)) AS VARCHAR) AS nll,
+           n_bigrams
+    FROM scored ORDER BY nll_r DESC, doc_id
     LIMIT 50
     """,
 )
@@ -699,11 +711,16 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             round_col(
                 -F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 6
-            ).alias("nll"),
+            ).alias("nll_r"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
-        .orderBy(F.desc("nll"), "doc_id")
+        .orderBy(F.desc("nll_r"), "doc_id")
         .limit(50)
+        .select(
+            "doc_id",
+            F.col("nll_r").cast("decimal(18,6)").cast("string").alias("nll"),
+            "n_bigrams",
+        )
     )
 
 
@@ -1332,11 +1349,15 @@ def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(cnt) AS BIGINT) AS n_feats
         FROM db JOIN bstat USING (b), tot
         GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT d.doc_id, d.lang, d.source, n_feats,
+               {round_sql("lw", 6)} AS lw_r
+        FROM w JOIN documents d USING (doc_id)
     )
-    SELECT d.doc_id, d.lang, d.source, n_feats,
-           {round_sql("lw", 6)} AS logweight
-    FROM w JOIN documents d USING (doc_id)
-    ORDER BY logweight DESC, d.doc_id LIMIT 40
+    SELECT doc_id, lang, source, n_feats,
+           CAST(CAST(lw_r AS DECIMAL(18,6)) AS VARCHAR) AS logweight
+    FROM joined ORDER BY lw_r DESC, doc_id LIMIT 40
     """,
 )
 def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,10 +1424,14 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.join(d.select("doc_id", "lang", "source"), "doc_id")
         .select(
             "doc_id", "lang", "source", "n_feats",
-            round_col(F.col("lw"), 6).alias("logweight"),
+            round_col(F.col("lw"), 6).alias("lw_r"),
         )
-        .orderBy(F.desc("logweight"), "doc_id")
+        .orderBy(F.desc("lw_r"), "doc_id")
         .limit(40)
+        .select(
+            "doc_id", "lang", "source", "n_feats",
+            F.col("lw_r").cast("decimal(18,6)").cast("string").alias("logweight"),
+        )
     )
 
 
@@ -1566,12 +1591,16 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(n2) OVER (PARTITION BY token) AS nr,
                sum(n2) OVER () AS n
         FROM c2
+    ),
+    scored AS (
+        SELECT prev, token, CAST(n2 AS BIGINT) AS n2,
+               {round_sql("ln(CAST(n2 AS DOUBLE) * n / (nl * nr))", 6)} AS pmi_r
+        FROM marg
+        WHERE n2 >= 5
     )
-    SELECT prev, token, CAST(n2 AS BIGINT) AS n2,
-           {round_sql("ln(CAST(n2 AS DOUBLE) * n / (nl * nr))", 6)} AS pmi
-    FROM marg
-    WHERE n2 >= 5
-    ORDER BY pmi DESC, prev, token LIMIT 20
+    SELECT prev, token, n2,
+           CAST(CAST(pmi_r AS DECIMAL(18,6)) AS VARCHAR) AS pmi
+    FROM scored ORDER BY pmi_r DESC, prev, token LIMIT 20
     """,
 )
 def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1616,10 +1645,16 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev",
             "token",
             F.col("n2").cast("long").alias("n2"),
-            round_col(pmi, 6).alias("pmi"),
+            round_col(pmi, 6).alias("pmi_r"),
         )
-        .orderBy(F.desc("pmi"), "prev", "token")
+        .orderBy(F.desc("pmi_r"), "prev", "token")
         .limit(20)
+        .select(
+            "prev",
+            "token",
+            "n2",
+            F.col("pmi_r").cast("decimal(18,6)").cast("string").alias("pmi"),
+        )
     )
 
 
@@ -1990,9 +2025,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                -ln((CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) + 0.5)
                    / 4294967296.0) / n_chars AS k
         FROM documents
+    ),
+    rounded AS (
+        SELECT doc_id, n_chars, {round_sql("k", 8)} AS key_r FROM keyed
     )
-    SELECT doc_id, n_chars, {round_sql("k", 8)} AS sample_key
-    FROM keyed ORDER BY sample_key, doc_id LIMIT 20
+    SELECT doc_id, n_chars,
+           CAST(CAST(key_r AS DECIMAL(18,8)) AS VARCHAR) AS sample_key
+    FROM rounded ORDER BY key_r, doc_id LIMIT 20
     """,
 )
 def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2020,9 +2059,14 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(4294967296.0)
     key = -F.log(u) / F.col("n_chars")
     return (
-        d.select("doc_id", "n_chars", round_col(key, 8).alias("sample_key"))
-        .orderBy("sample_key", "doc_id")
+        d.select("doc_id", "n_chars", round_col(key, 8).alias("key_r"))
+        .orderBy("key_r", "doc_id")
         .limit(20)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("key_r").cast("decimal(18,8)").cast("string").alias("sample_key"),
+        )
     )
 
 
@@ -2205,7 +2249,7 @@ def raking_ipf_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN distinct_sens < 3 THEN class_size ELSE 0 END)
                 AS BIGINT) AS rows_at_risk,
            CAST(min(distinct_sens) AS BIGINT) AS min_distinct_sens,
-           {round_sql("min(entropy)", 6)} AS min_entropy
+           {stable_render_sql("min(entropy)", 6)} AS min_entropy
     FROM classes
     """,
 )
@@ -2255,7 +2299,7 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
         F.min("distinct_sens").cast("long").alias("min_distinct_sens"),
-        round_col(F.min("entropy"), 6).alias("min_entropy"),
+        stable_render(F.min("entropy"), 6).alias("min_entropy"),
     )
 
 

@@ -1528,15 +1528,27 @@ def graph_fixture() -> tuple[str, dict]:
     return _GRAPH_FIXTURE
 
 
+_GRAPH_WH: tuple[int, object] | None = None
+
+
 def _graph_warehouse(spark: SparkSession):
     from ..catalog import Warehouse
     from ..ingest import ingest_hprof
 
+    # Memoized per session: Warehouse.table() caches the lazy
+    # DataFrame handles (parquet footer/schema reads), and a fresh
+    # Warehouse per query call would re-pay that driver-side listing
+    # on every invocation — a long-running service holds one handle.
+    global _GRAPH_WH
+    if _GRAPH_WH is not None and _GRAPH_WH[0] == id(spark):
+        return _GRAPH_WH[1]
     path, _ = graph_fixture()
     wh_dir = os.path.join(os.path.dirname(path), "wh")
     if not os.path.exists(os.path.join(wh_dir, "_SUCCESS")):
         ingest_hprof(spark, path, wh_dir, overwrite=True)
-    return Warehouse(spark, wh_dir)
+    wh = Warehouse(spark, wh_dir)
+    _GRAPH_WH = (id(spark), wh)
+    return wh
 
 
 def _dominator_oracle() -> str:

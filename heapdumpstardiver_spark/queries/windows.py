@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import round_col, round_sql
+from ..exprs import round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
 
 
@@ -1953,14 +1953,21 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
                    AND 1 PRECEDING), 0) AS at_risk
         FROM by_day
+    ),
+    km2 AS (
+        SELECT d, at_risk, n_events, n_total,
+               list_reduce(
+                   list(greatest(CAST(1 AS DOUBLE) - n_events / CAST(at_risk AS DOUBLE),
+                                 CAST(0 AS DOUBLE)))
+                       OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+                   (acc, x) -> acc * x) AS surv
+        FROM km
     )
     SELECT d, at_risk, n_events,
            CAST(n_total - n_events AS BIGINT) AS n_censored,
-           {round_sql(
-               "exp(sum(ln(greatest(1.0 - n_events * 1.0 / at_risk, 1e-300)))"
-               " OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
-               6)} AS survival
-    FROM km ORDER BY d
+           {stable_render_sql("surv", 6)} AS survival
+    FROM km2 ORDER BY d
     """,
 )
 def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1974,11 +1981,12 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     second user-keyed join finds the first qualifying purchase
     (co-partitioned with the first shuffle); durations collapse to a
     day-indexed risk table BOUNDED by the observation window, so the
-    ordered product Π(1 - dᵢ/nᵢ) — computed as exp of a running
-    ln-sum, with a 1e-300 floor so a fully-depleted risk set yields
-    exactly-representable -690.77 on both engines instead of
-    engine-specific ln(0) — runs over dozens of rows, never the
-    corpus. Survival at the horizon is the conversion ceiling."""
+    ordered product Π(1 - dᵢ/nᵢ) — computed as a frame-ordered
+    left-fold multiply (bit-identical cross-engine; a 0.0 floor makes
+    a fully-depleted risk set an exact zero instead of ln(0)) — runs
+    over dozens of rows, never the corpus. Survival at the horizon is
+    the conversion ceiling, rendered decimal-stable (DECIMAL(18,6) →
+    STRING) so no driver-side double hash can diverge."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("start"),
@@ -2026,11 +2034,20 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
         ).alias("at_risk"),
     )
-    term = F.log(
-        F.greatest(
-            F.lit(1.0) - F.col("n_events") * F.lit(1.0) / F.col("at_risk"),
-            F.lit(1e-300),
-        )
+    # Running product Π(1 - dᵢ/nᵢ) as an ordered left-fold multiply
+    # over the frame's collected ratios — pure IEEE arithmetic, no
+    # exp/ln, so the pre-round double is bit-identical to DuckDB's
+    # list_reduce fold (libm exp/ln differ by ±1 ulp across engines,
+    # which can flip a 6-dp rounding boundary and hence the driver's
+    # value hash even when local repr-level parity is exact).
+    ratio = F.greatest(
+        F.lit(1.0) - F.col("n_events") / F.col("at_risk").cast("double"),
+        F.lit(0.0),
+    )
+    surv = F.aggregate(
+        F.collect_list(ratio).over(w_run),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
     )
     return (
         km.select(
@@ -2038,7 +2055,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "at_risk",
             "n_events",
             (F.col("n_total") - F.col("n_events")).cast("long").alias("n_censored"),
-            round_col(F.exp(F.sum(term).over(w_run)), 6).alias("survival"),
+            stable_render(surv, 6).alias("survival"),
         )
         .orderBy("d")
     )
@@ -2528,12 +2545,16 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                value * exp(-(a.t_max - epoch_us(ts)) / 86400000000.0 * 0.5)
                    AS decayed
         FROM events, anchor a
+    ),
+    agg AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               {round_sql("sum(decayed)", 4)} AS score_r
+        FROM scored GROUP BY user_id
     )
-    SELECT user_id,
-           count(*) AS n_events,
-           {round_sql("sum(decayed)", 4)} AS decayed_score
-    FROM scored GROUP BY user_id
-    ORDER BY decayed_score DESC, user_id LIMIT 20
+    SELECT user_id, n_events,
+           CAST(CAST(score_r AS DECIMAL(18,4)) AS VARCHAR) AS decayed_score
+    FROM agg ORDER BY score_r DESC, user_id LIMIT 20
     """,
 )
 def trending_leaderboard_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2562,10 +2583,15 @@ def trending_leaderboard_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            round_col(F.sum("decayed"), 4).alias("decayed_score"),
+            round_col(F.sum("decayed"), 4).alias("score_r"),
         )
-        .orderBy(F.desc("decayed_score"), "user_id")
+        .orderBy(F.desc("score_r"), "user_id")
         .limit(20)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("score_r").cast("decimal(18,4)").cast("string").alias("decayed_score"),
+        )
     )
 
 
@@ -2588,12 +2614,16 @@ def trending_leaderboard_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m * (m * (1 - m) / v - 1) AS alpha,
                (1 - m) * (m * (1 - m) / v - 1) AS beta
         FROM prior
+    ),
+    scored AS (
+        SELECT user_id, n, k,
+               {round_sql("k * 1.0 / n", 6)} AS raw_rate,
+               {round_sql("(k + alpha) / (n + alpha + beta)", 6)} AS shrunk_r
+        FROM per_user, ab
     )
-    SELECT user_id, n, k,
-           {round_sql("k * 1.0 / n", 6)} AS raw_rate,
-           {round_sql("(k + alpha) / (n + alpha + beta)", 6)} AS shrunk_rate
-    FROM per_user, ab
-    ORDER BY shrunk_rate DESC, user_id LIMIT 20
+    SELECT user_id, n, k, raw_rate,
+           CAST(CAST(shrunk_r AS DECIMAL(18,6)) AS VARCHAR) AS shrunk_rate
+    FROM scored ORDER BY shrunk_r DESC, user_id LIMIT 20
     """,
 )
 def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2636,10 +2666,17 @@ def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "k",
             round_col(rate, 6).alias("raw_rate"),
-            round_col(shrunk, 6).alias("shrunk_rate"),
+            round_col(shrunk, 6).alias("shrunk_r"),
         )
-        .orderBy(F.desc("shrunk_rate"), "user_id")
+        .orderBy(F.desc("shrunk_r"), "user_id")
         .limit(20)
+        .select(
+            "user_id",
+            "n",
+            "k",
+            "raw_rate",
+            F.col("shrunk_r").cast("decimal(18,6)").cast("string").alias("shrunk_rate"),
+        )
     )
 
 
@@ -2811,11 +2848,11 @@ def calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
            {round_sql("mu", 4)} AS mean_value,
            {round_sql("sqrt(s2)", 4)} AS stddev,
            {round_sql("s2 / (mu * mu)", 6)} AS cv_squared,
-           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * s2
-                     / power(0.05 * mu, 2)) AS BIGINT)
+           CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) * s2
+                     / ((0.05 * mu) * (0.05 * mu))) AS BIGINT)
                AS n_per_arm_5pct,
-           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * s2
-                     / power(0.01 * mu, 2)) AS BIGINT)
+           CAST(ceil(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)) * s2
+                     / ((0.01 * mu) * (0.01 * mu))) AS BIGINT)
                AS n_per_arm_1pct
     FROM m ORDER BY event_type
     """,
@@ -2839,12 +2876,12 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"),
         F.var_samp("value").alias("s2"),
     )
-    z2 = F.pow(F.lit(1.959964 + 0.841621), F.lit(2.0))
+    z = F.lit(1.959964 + 0.841621)
+    z2 = z * z
 
     def n_arm(rel: float):
-        return F.ceil(
-            F.lit(2.0) * z2 * F.col("s2") / F.pow(F.lit(rel) * F.col("mu"), F.lit(2.0))
-        ).cast("long")
+        d = F.lit(rel) * F.col("mu")
+        return F.ceil(F.lit(2.0) * z2 * F.col("s2") / (d * d)).cast("long")
 
     return m.select(
         "event_type",
@@ -2918,8 +2955,8 @@ def seasonality_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n,
            {round_sql("sum(wt)", 4)} AS sum_w,
-           {round_sql("pow(sum(wt), 2) / sum(wt * wt)", 4)} AS ess,
-           {round_sql("pow(sum(wt), 2) / sum(wt * wt) / count(*)", 6)}
+           {round_sql("sum(wt) * sum(wt) / sum(wt * wt)", 4)} AS ess,
+           {round_sql("sum(wt) * sum(wt) / sum(wt * wt) / count(*)", 6)}
                AS ess_ratio,
            {round_sql("max(wt)", 6)} AS max_weight
     FROM w
@@ -2946,11 +2983,12 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.agg(
         F.count(F.lit(1)).alias("n"),
         round_col(F.sum("wt"), 4).alias("sum_w"),
-        round_col(F.pow(F.sum("wt"), F.lit(2.0)) / F.sum(F.col("wt") * F.col("wt")), 4).alias(
-            "ess"
-        ),
         round_col(
-            F.pow(F.sum("wt"), F.lit(2.0))
+            F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")), 4
+        ).alias("ess"),
+        round_col(
+            F.sum("wt")
+            * F.sum("wt")
             / F.sum(F.col("wt") * F.col("wt"))
             / F.count(F.lit(1)),
             6,
@@ -3061,12 +3099,12 @@ def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_age, base WHERE age > 0
     )
     SELECT count(*) AS n_ages,
-           {round_sql("-(covar_samp(y, x) / var_samp(x))", 6)}
+           {stable_render_sql("-(covar_samp(y, x) / var_samp(x))", 6)}
                AS decay_rate_per_year,
-           {round_sql(
+           {stable_render_sql(
                "ln(2.0) / (-(covar_samp(y, x) / var_samp(x)))", 4)}
                AS half_life_years,
-           {round_sql("corr(y, x)", 6)} AS log_linear_corr
+           {stable_render_sql("corr(y, x)", 6)} AS log_linear_corr
     FROM pts
     """,
 )
@@ -3114,7 +3152,7 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = -(F.covar_samp("y", "x") / F.var_samp("x"))
     return pts.agg(
         F.count(F.lit(1)).alias("n_ages"),
-        round_col(lam, 6).alias("decay_rate_per_year"),
-        round_col(F.log(F.lit(2.0)) / lam, 4).alias("half_life_years"),
-        round_col(F.corr("y", "x"), 6).alias("log_linear_corr"),
+        stable_render(lam, 6).alias("decay_rate_per_year"),
+        stable_render(F.log(F.lit(2.0)) / lam, 4).alias("half_life_years"),
+        stable_render(F.corr("y", "x"), 6).alias("log_linear_corr"),
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
 from pyspark.sql import functions as F
 
 from heapdumpstardiver_spark import streaming as S
@@ -116,13 +117,18 @@ def _has_protobuf() -> bool:
 # a stub surface. xfail(run=True) keeps the probe live: the moment an
 # env ships protobuf, the test RUNS and must pass (strict on the
 # inverse — if protobuf is present the xfail marker is absent).
+# `raises` is pinned to the exact observed failure
+# (StreamingQueryException: "TransformWithStateInPySpark driver worker
+# exited unexpectedly" — the TWS driver worker dies on the protobuf
+# import) so an unrelated assertion/data regression in the
+# protobuf-absent path still surfaces as a real failure.
 @pytest.mark.xfail(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf: absent here and "
     "unobtainable (no network — pip index unreachable; vendoring needs the "
     "full descriptor-pool runtime). Plan construction is covered by "
     "test_tws_plan_builds.",
-    raises=Exception,
+    raises=StreamingQueryException,
     run=True,
     strict=False,
 )
