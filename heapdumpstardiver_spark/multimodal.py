@@ -181,9 +181,12 @@ def decode_png(payload: bytes) -> bytes:
 def _builtin_decoder(payload: bytes) -> bytes:
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(payload)
+    if bytes(payload[:2]) == _JPEG_MAGIC:
+        return decode_jpeg_gray(payload)
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(only PNG decodes stdlib-side in this environment)"
+        "(PNG and baseline grayscale JPEG decode stdlib-side in this "
+        "environment)"
     )
 
 
@@ -286,3 +289,374 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (grayscale), stdlib-only — the second built-in codec.
+#
+# Same posture as the PNG pair above: encoder builds deterministic
+# fixtures, decoder is the production-plumbing codec behind
+# :func:`decode`. Baseline sequential DCT, single 8-bit component
+# (the reference pipeline's image payloads are opaque anyway; color /
+# progressive / restart markers still need an injected codec, and say
+# so loudly). Huffman tables are carried IN the file (DHT) and the
+# decoder trusts only those, so encoder/decoder share no hidden state.
+# ---------------------------------------------------------------------------
+
+_JPEG_MAGIC = b"\xff\xd8"
+
+# zig-zag scan order: index i of the scan -> (row, col) flat index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Quality-neutral quantization table: DC step 16 (makes the DC-only
+# reconstruction an exact integer: dequant/8 = 2*dcq), AC step 16.
+_QTABLE = [16] * 64
+
+# Standard (Annex K) luminance Huffman table specs: (bits[1..16], values)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment per the JPEG spec: value ->
+    (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: smallest s with |v| < 2^s."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-pad per spec
+        return bytes(self.out)
+
+
+def _fdct8x8(block: list[float]) -> list[float]:
+    import math
+
+    out = [0.0] * 64
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for v in range(8):
+            cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        block[y * 8 + x]
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                    )
+            out[u * 8 + v] = 0.25 * cu * cv * s
+    return out
+
+
+def _idct8x8(coef: list[float]) -> list[float]:
+    import math
+
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                for v in range(8):
+                    cv = (1 / math.sqrt(2)) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u * 8 + v]
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                    )
+            out[y * 8 + x] = 0.25 * s
+    return out
+
+
+def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Baseline sequential JPEG encoder for one 8-bit grayscale
+    component (dims must be multiples of 8 — fixture builder, not a
+    general tool). Real FDCT + quantization + Annex-K Huffman coding,
+    so a flat 8x8 block encodes to a DC-only MCU whose decode is
+    exactly predictable (quant step 16: v' = 2*round((v-128)/2)+128,
+    identity on even v) — the property the oracle-paired query leans
+    on — while non-flat blocks exercise the full AC path."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} bytes, got {len(gray)}")
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            block = [
+                float(gray[(by * 8 + y) * width + bx * 8 + x]) - 128.0
+                for y in range(8)
+                for x in range(8)
+            ]
+            coef = _fdct8x8(block)
+            q = [int(round(coef[i] / _QTABLE[i])) for i in range(64)]
+            zz = [q[_ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            w.put(*dc_codes[s])
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        w.put(*ac_codes[0xF0])  # ZRL
+                        run = 0
+                    continue
+                s = _category(zz[i])
+                w.put(*ac_codes[(run << 4) | s])
+                v = zz[i]
+                w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                w.put(*ac_codes[0x00])  # EOB
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_QTABLE[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise NotImplementedError(
+                        "marker inside scan (restart intervals / progressive "
+                        "JPEG) needs an injected codec"
+                    )
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) -> value lookup built canonically like the
+    encoder side."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    def read(r: _BitReader) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in JPEG scan")
+    return read
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> bytes:
+    """Pure-stdlib baseline JPEG decode to raw 8-bit grayscale bytes —
+    the JPEG twin of :func:`decode_png`. Covers baseline sequential
+    DCT, one 8-bit component, no restart intervals (progressive /
+    color / subsampled payloads raise ``NotImplementedError`` and need
+    an injected codec). Tables are read from the file's own DQT/DHT
+    segments; nothing is assumed about the encoder."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], object] = {}
+    w = h = None
+    comp_q = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables need an injected codec")
+                zz = list(body[o + 1:o + 65])
+                t = [0] * 64
+                for i in range(64):
+                    t[_ZIGZAG[i]] = zz[i]
+                qtables[tq] = t
+                o += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) decodes stdlib-side"
+            )
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "built-in codec covers 8-bit single-component JPEG only"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG needs an injected codec")
+            comp_q = body[8]
+        elif marker == 0xFFC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                o += 17 + n
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals need an injected codec")
+        elif marker == 0xFFDA:
+            dc_read = htables[(0, body[2] >> 4)]
+            ac_read = htables[(1, body[2] & 0xF)]
+            scan_start = pos
+            break
+    if w is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    q = qtables[comp_q]
+    r = _BitReader(data[scan_start:])
+    out = bytearray(w * h)
+    prev_dc = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            zz = [0] * 64
+            s = dc_read(r)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = ac_read(r)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                s = rs & 0xF
+                if i > 63:
+                    raise ValueError("AC coefficient index overflow")
+                zz[i] = _extend(r.bits(s), s)
+                i += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
+            pix = _idct8x8(coef)
+            for y in range(8):
+                py = by * 8 + y
+                if py >= h:
+                    break
+                for x in range(8):
+                    px = bx * 8 + x
+                    if px >= w:
+                        continue
+                    v = int(round(pix[y * 8 + x])) + 128
+                    out[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return bytes(out)

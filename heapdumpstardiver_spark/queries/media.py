@@ -260,3 +260,94 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_N_JPEG = 10  # images k=0..9: w = 8*(1 + k%3), h = 8*(1 + k%2)
+
+
+def _jpeg_block_value(bx: int, by: int, salt: int) -> int:
+    """Even gray level per 8x8 block — even so the quant-step-16
+    DC-only reconstruction (v' = 2*round((v-128)/2)+128) is the
+    identity and the oracle can demand EXACT pixel sums."""
+    return ((bx * 14 + by * 26 + salt * 6) % 128) * 2
+
+
+def _jpeg_pattern(width: int, height: int, salt: int) -> bytes:
+    return bytes(
+        _jpeg_block_value(x // 8, y // 8, salt)
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 8 * (1 + i % 3), 8 * (1 + i % 2)
+        FROM (SELECT unnest(range({_N_JPEG})) AS i)
+    ),
+    bxs(bx) AS (SELECT unnest(range(3))),
+    bys(by) AS (SELECT unnest(range(2))),
+    blocks AS (
+        SELECT media_id, w, h,
+               ((bx * 14 + by * 26 + media_id * 6) % 128) * 2 AS v
+        FROM imgs, bxs, bys WHERE bx * 8 < w AND by * 8 < h
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_bytes,
+           CAST(sum(v) * 64 AS BIGINT) AS pixel_sum
+    FROM blocks GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode through the production plumbing — the
+    lossy-codec twin of `multimodal_png_decode`: deterministic
+    grayscale JPEGs (stdlib encoder: real FDCT, quantization, Annex-K
+    Huffman) flow through ``multimodal.decode``'s Arrow-batched
+    ``mapInPandas`` with the built-in Huffman+IDCT codec, then a
+    pandas_udf reduces decoded pixels to per-image statistics. The
+    fixtures are block-constant with EVEN gray levels, where
+    quant-step-16 reconstruction is exactly lossless, so the DuckDB
+    oracle recomputes every pixel from the generative formula and any
+    codec defect (Huffman mis-decode, wrong dequant, IDCT/zigzag
+    mix-up, dropped MCU) breaks the value hash; the LOSSY paths (AC
+    coefficients, non-flat blocks) are covered by pytest roundtrip
+    tolerance tests, which a value-hash oracle cannot express.
+
+    Scale shape: identical to the PNG query — payloads never shuffle,
+    one narrow mapInPandas stage, fixed-width stats downstream."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_gray(
+                8 * (1 + k % 3),
+                8 * (1 + k % 2),
+                _jpeg_pattern(8 * (1 + k % 3), 8 * (1 + k % 2), k),
+            ),
+            ("jpeg", 8 * (1 + k % 3), 8 * (1 + k % 2), None, None),
+        )
+        for k in range(_N_JPEG)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    byte_sum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"
+    )
+
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            byte_sum("decoded").alias("pixel_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -173,3 +173,53 @@ def test_decode_with_real_format_codec(spark):
         assert (w, h) == (out[mid]["meta"]["width"], out[mid]["meta"]["height"])
         got = [tuple(d[2 + 3 * i : 5 + 3 * i]) for i in range(w * h)]
         assert got == px
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Block-constant images with EVEN gray levels survive the
+    quant-step-16 baseline JPEG roundtrip EXACTLY (DC-only MCUs,
+    v' = 2*round((v-128)/2)+128 = v) — the invariant the oracle-paired
+    multimodal_jpeg_decode query leans on."""
+    w, h = 24, 16
+    gray = bytes(
+        ((x // 8 * 14 + y // 8 * 26 + 12) % 128) * 2
+        for y in range(h)
+        for x in range(w)
+    )
+    assert M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, gray)) == gray
+
+
+def test_jpeg_lossy_roundtrip_within_quantization_error():
+    """Non-flat blocks exercise the AC Huffman path (ZRL, EOB,
+    categories) and the full IDCT; reconstruction error is bounded by
+    the quantization step."""
+    import random
+
+    rnd = random.Random(7)
+    w, h = 16, 16
+    noisy = bytes(rnd.randrange(256) for _ in range(w * h))
+    dec = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, noisy))
+    assert max(abs(a - b) for a, b in zip(noisy, dec)) <= 40  # step-16 DCT bound
+    grad = bytes(min(255, x * 3 + y * 5) for y in range(h) for x in range(w))
+    dec2 = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, grad))
+    assert max(abs(a - b) for a, b in zip(grad, dec2)) <= 16
+
+
+def test_jpeg_decoder_rejects_unsupported_variants():
+    """The env-blocked codec surface stays loud: progressive SOF2 and
+    restart-interval JPEGs raise NotImplementedError (inject a codec),
+    garbage raises ValueError, and the builtin dispatcher routes JPEG
+    magic to the JPEG path."""
+    import struct
+
+    gray = bytes(64 for _ in range(64))
+    good = M.encode_jpeg_gray(8, 8, gray)
+    # flip SOF0 -> SOF2 (progressive)
+    progressive = good.replace(struct.pack(">H", 0xFFC0), struct.pack(">H", 0xFFC2), 1)
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg_gray(progressive)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(b"\xff\xd8garbage-not-a-jpeg")
+    assert M._builtin_decoder(good) == gray
+    with pytest.raises(NotImplementedError):
+        M._builtin_decoder(b"GIF89a not a supported payload")
