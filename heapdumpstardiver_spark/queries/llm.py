@@ -2329,3 +2329,141 @@ def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared"), "source_a", "source_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH index vs exact ground truth
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS qb
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS b
+        FROM embeddings
+    ),
+    exact_rk AS (
+        SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY {round_sql(_COS_SQL, 6)} DESC, vec_id
+        ) AS rk
+        FROM c, q WHERE vec_id <> qid
+    ),
+    gt AS (SELECT qid, vec_id FROM exact_rk WHERE rk <= 10),
+    cand AS (
+        SELECT qid, vec_id, v, qv FROM c, q
+        WHERE vec_id <> qid AND b = qb
+    ),
+    ann_rk AS (
+        SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY {round_sql(_COS_SQL, 6)} DESC, vec_id
+        ) AS rk
+        FROM cand
+    ),
+    ann AS (SELECT qid, vec_id FROM ann_rk WHERE rk <= 10),
+    ncand AS (SELECT qid, count(*) AS n_candidates FROM cand GROUP BY qid),
+    per AS (
+        SELECT g.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hit
+        FROM gt g LEFT JOIN ann a
+          ON a.qid = g.qid AND a.vec_id = g.vec_id
+        GROUP BY g.qid
+    )
+    SELECT CAST(p.qid AS BIGINT) AS query_id,
+           CAST(n.n_candidates AS BIGINT) AS n_candidates,
+           p.n_hit,
+           p.n_hit / 10.0 AS recall_at_10
+    FROM per p JOIN ncand n ON n.qid = p.qid
+    ORDER BY query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-LSH index against exact ground truth —
+    the acceptance gate every ANN deployment needs before swapping a
+    brute-force scan for an index: per query vector (vec_ids 0-9),
+    what fraction of the TRUE top-10 cosine neighbors does the
+    bucket-pruned search return, and how many candidates did the
+    bucket actually score (the recall/cost trade made measurable).
+    Low recall with tiny buckets says "add hash tables / probe more
+    buckets"; high recall with huge buckets says the planes don't
+    split this corpus.
+
+    Shape: the 10-row query set broadcasts into BOTH branches — the
+    exact branch is one corpus-parallel scan scoring 10 dots per row
+    (rank window partitioned by query), the ANN branch prunes to the
+    query's bucket before scoring. Ranks order by the ROUNDED cosine
+    (6 dp) with vec_id tie-break so the cut at k agrees across
+    engines; recall is an exact small-integer ratio. At 100 TB the
+    exact branch runs on a held-out sample only — the eval needs
+    truth for the 10 queries, not the corpus."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    c = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        bucket.alias("b"),
+    )
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("b").alias("qb"),
+    )
+    sim_r = round_col(cosine(F.col("v"), F.col("qv")), 6)
+    w_q = Window.partitionBy("qid").orderBy(F.desc("sim_r"), "vec_id")
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "b", "qb", sim_r.alias("sim_r"))
+    )
+    gt = (
+        scored.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+    cand = scored.filter(F.col("b") == F.col("qb"))
+    ann = (
+        cand.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= 10)
+        .select("qid", F.col("vec_id").alias("a_vec"))
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    per = (
+        gt.join(
+            ann,
+            (gt.qid == ann.qid) & (gt.vec_id == ann.a_vec),
+            "left",
+        )
+        .groupBy(gt.qid)
+        .agg(F.count("a_vec").cast("long").alias("n_hit"))
+    )
+    return (
+        per.join(ncand, "qid")
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            "n_hit",
+            (F.col("n_hit") / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -804,3 +804,15 @@ def test_large_volume_join_back_shape(spark):
     # The rollup survivors drive the join; quantity filter applies at
     # the aggregate (HAVING), not as a scan filter on orders.
     assert "BatchEvalPython" not in plan
+
+
+def test_ann_recall_broadcasts_queries_no_corpus_selfjoin(spark):
+    """ann_recall_at_k: the 10-row query set must broadcast into both
+    branches (nested-loop cross with a broadcast build side), never a
+    corpus-x-corpus join; ranking is window-partitioned per query (no
+    empty-partition window, no global sort of the scored relation)."""
+    plan = plan_of(spark, "ann_recall_at_k")
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition(specifiedwindowframe" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
