@@ -37,6 +37,14 @@ Scale notes: state is the (node, dominator) pair list — Σ|dom(n)| =
 fixpoint-bounded with a non-convergence guard like reachability's
 BFS. At 100 TB the pair list shuffles on fixed-width longs only, and
 per-round work is one join + one aggregation — no driver-side graph.
+
+Adaptive small-graph fast path: below ``DRIVER_FALLBACK_EDGES`` the
+edge list is broadcast-small, and the distributed loop's per-round
+scheduling latency dwarfs the work — so the graph is collected and
+solved in-process (Cooper-Harvey-Kennedy idom iteration), the same
+collect-when-tiny trade Spark's broadcast-join threshold encodes.
+Both paths produce the identical pair set (adversarially
+cross-checked in tests).
 """
 
 from __future__ import annotations
@@ -172,12 +180,32 @@ def dominator_pairs(wh: Warehouse, max_rounds: int = 256) -> DataFrame:
     return dominator_pairs_from(wh.spark, _rooted_edges(wh), max_rounds)
 
 
+#: Edge-count gate for the driver-side fast path — the same
+#: "small enough to collect" scale Spark's broadcast-join threshold
+#: encodes (100k fixed-width edges ≈ a couple of MB). Below it, the
+#: per-round job-scheduling latency of the distributed fixpoint
+#: (~0.2-0.5 s/round regardless of data) dwarfs the actual work, so
+#: the graph is collected and solved in-process; above it, the
+#: distributed dataflow runs unchanged. Exactly the adaptive
+#: small-input strategy AQE applies to joins, applied to an
+#: iterative fixpoint.
+DRIVER_FALLBACK_EDGES = 100_000
+
+
 def dominator_pairs_from(
-    spark, rooted_edges: DataFrame, max_rounds: int = 256
+    spark,
+    rooted_edges: DataFrame,
+    max_rounds: int = 256,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Fixpoint core over an explicit (src, dst) edge DataFrame that
     already includes super-root→root edges (src=0). Exposed so tests
-    can drive arbitrary synthetic graphs without an HPROF ingest."""
+    can drive arbitrary synthetic graphs without an HPROF ingest.
+    ``force_distributed`` bypasses the small-graph driver fast path so
+    tests can pin the distributed dataflow on tiny graphs."""
+    edges = rooted_edges.localCheckpoint()
+    if not force_distributed and edges.count() <= DRIVER_FALLBACK_EDGES:
+        return _dominator_pairs_driver(spark, edges)
     # Size-based (not parallelism-based) AQE coalescing for the
     # duration of the iterative loops: each round's state is one
     # shrinking relation, and coalescing its post-shuffle partitions
@@ -189,9 +217,76 @@ def dominator_pairs_from(
     prev_pfirst = spark.conf.get(_PFIRST, "true")
     spark.conf.set(_PFIRST, "false")
     try:
-        return _dominator_pairs_loop(spark, rooted_edges, max_rounds)
+        return _dominator_pairs_loop(spark, edges, max_rounds)
     finally:
         spark.conf.set(_PFIRST, prev_pfirst)
+
+
+def _dominator_pairs_driver(spark, edges: DataFrame) -> DataFrame:
+    """In-process dominator solve for broadcast-small graphs:
+    Cooper-Harvey-Kennedy iterative idom intersection over a
+    BFS order, then the pair set expands along idom chains (the
+    dominators of n ARE its idom-tree ancestors). The BFS index is a
+    valid walk order for the intersect climb: a dominator always has
+    strictly smaller BFS depth than the nodes it dominates, so
+    idx[idom[n]] < idx[n] holds at the fixpoint (asserted below).
+    Output contract is identical to the distributed loop: (obj_id,
+    dom) over the reachable subgraph, self-pairs included."""
+    from collections import deque
+
+    rows = [(r[0], r[1]) for r in edges.collect() if r[0] != r[1]]
+    succ: dict[int, list[int]] = {}
+    for s, d in rows:
+        succ.setdefault(s, []).append(d)
+    order = [SUPER_ROOT]
+    seen = {SUPER_ROOT}
+    dq = deque([SUPER_ROOT])
+    while dq:
+        u = dq.popleft()
+        for v in sorted(succ.get(u, ())):
+            if v not in seen:
+                seen.add(v)
+                order.append(v)
+                dq.append(v)
+    idx = {n: i for i, n in enumerate(order)}
+    preds: dict[int, list[int]] = {n: [] for n in order}
+    for s, d in rows:
+        if s in seen and d in seen:
+            preds[d].append(s)
+
+    idom: dict[int, int] = {SUPER_ROOT: SUPER_ROOT}
+
+    def intersect(a: int, b: int) -> int:
+        while a != b:
+            while idx[a] > idx[b]:
+                a = idom[a]
+            while idx[b] > idx[a]:
+                b = idom[b]
+        return a
+
+    changed = True
+    while changed:
+        changed = False
+        for n in order[1:]:
+            ps = [p for p in preds[n] if p in idom]
+            if not ps:
+                continue
+            new = ps[0]
+            for p in ps[1:]:
+                new = intersect(new, p)
+            if idom.get(n) != new:
+                idom[n] = new
+                changed = True
+    for n in order[1:]:
+        assert idx[idom[n]] < idx[n], "idom order invariant violated"
+    pairs = []
+    for n in order:
+        pairs.append((n, n))
+        d = n
+        while d != SUPER_ROOT:
+            d = idom[d]
+            pairs.append((n, d))
+    return spark.createDataFrame(pairs, "obj_id long, dom long")
 
 
 def _dominator_pairs_loop(
@@ -327,8 +422,9 @@ def retained_sizes(wh: Warehouse) -> DataFrame:
     dies — Σ shallow over its dominated set (itself included), the
     MAT "retained heap" column. One explode-free join + aggregation
     over the dominator pair set."""
-    # dominator_pairs returns an already-checkpointed pair set — no
-    # second materialization needed for the two consumers below.
+    # No extra materialization for the two consumers below: the
+    # distributed path returns a checkpointed pair set, the
+    # driver fast path a local-list DataFrame (trivially re-playable).
     dom = dominator_pairs(wh)
     sizes = shallow_sizes(wh)
     retained = (

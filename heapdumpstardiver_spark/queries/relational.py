@@ -1623,7 +1623,11 @@ def dominator_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ depth(n) — the same budget as storing one root path per node;
     per-round work is one join + one count aggregation on fixed-width
     longs, rounds are fixpoint-bounded with a non-convergence guard,
-    and the driver only ever sees a scalar pair count per round."""
+    and the driver only ever sees a scalar pair count per round.
+    Graphs under the broadcast-small edge threshold take the
+    in-process CHK fast path instead (analytics/dominators.py:
+    DRIVER_FALLBACK_EDGES) — per-round scheduling latency would
+    otherwise dominate by orders of magnitude."""
     from ..analytics.dominators import retained_sizes
 
     wh = _graph_warehouse(spark)

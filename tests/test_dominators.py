@@ -128,12 +128,16 @@ def test_retained_by_class(graph_wh):
     assert by_type["com.graph.Node"]["n_objects"] == 12
 
 
-def test_random_graphs_match_python(spark):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_random_graphs_match_python(spark, force_distributed):
     """Randomized adversarial check: arbitrary digraphs (cycles,
-    multi-edges, unreachable islands) — the Spark greatest-fixpoint
-    dataflow must equal the textbook top-down iteration exactly."""
+    multi-edges, unreachable islands) — BOTH engine paths (the
+    driver-side CHK fast path these small graphs route to, and the
+    distributed greatest-fixpoint dataflow when forced) must equal the
+    textbook top-down iteration exactly."""
     rng = random.Random(0xD0B)
-    for trial in range(6):
+    trials = 6 if not force_distributed else 3  # distributed rounds are slow
+    for trial in range(trials):
         n = rng.randint(4, 14)
         nodes = list(range(1, n + 1))
         edges = [
@@ -149,7 +153,9 @@ def test_random_graphs_match_python(spark):
         edf = spark.createDataFrame(
             sorted(set(e)), "src long, dst long"
         )
-        pairs = dominator_pairs_from(spark, edf).collect()
+        pairs = dominator_pairs_from(
+            spark, edf, force_distributed=force_distributed
+        ).collect()
         got: dict[int, set[int]] = {}
         for r in pairs:
             got.setdefault(r["obj_id"], set()).add(r["dom"])
