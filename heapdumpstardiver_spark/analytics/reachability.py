@@ -111,16 +111,20 @@ def reachable_from_roots(wh: Warehouse, max_rounds: int = 1024) -> DataFrame:
     visited = roots
     frontier = roots
     for _ in range(max_rounds):
+        # Lazy checkpoint + count(): the emptiness probe doubles as
+        # the materializing job — one action per round. `visited`
+        # stays a lazy union of checkpointed frontiers (each piece's
+        # lineage already truncated).
         nxt = (
             edges.join(frontier, edges.src == frontier.obj_id)
             .select(F.col("dst").alias("obj_id"))
             .distinct()
             .join(visited, "obj_id", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             return visited
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(
         f"reachability BFS did not converge within {max_rounds} rounds "

@@ -162,11 +162,13 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges.join(labels, edges.src == F.col("node")).select(
             F.col("dst").alias("node"), F.col("comp")
         )
+        # lazy checkpoint: the convergence-signature aggregate is the
+        # materializing action — one job per round instead of two
         new = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(new)
         labels = new

@@ -370,9 +370,11 @@ def hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e.parent").alias("ancestor"),
                 (F.col("f.depth") + F.lit(1)).alias("depth"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the emptiness count is the
+            # materializing job — one action per round
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
         closure = closure.unionByName(frontier)
     return (
@@ -1470,6 +1472,10 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = roots
     max_depth = 64  # runaway backstop, not a truncation: see raise below
     for depth in range(1, max_depth + 1):
+        # Lazy checkpoint + count: the emptiness probe IS the
+        # materializing job (one action/round); `visited` stays a lazy
+        # union of checkpointed frontiers — re-checkpointing the union
+        # would re-cache all prior rows every round for no lineage win.
         nxt = (
             edges.join(frontier, edges.src == frontier.obj_id)
             .select(
@@ -1480,12 +1486,12 @@ def gc_root_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("obj_id", "depth")
             .agg(F.min("path").alias("path"))
             .join(visited, "obj_id", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             frontier = None
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     if frontier is not None:
         # Same contract as reachable_from_roots / dominator_pairs_from:
