@@ -59,9 +59,9 @@ _CHECK_PRIORITY = [
     "textrank_keywords", "price_trend_regression",
     "rolling_1h_range_frame", "locf_forward_fill",
     "percentile_cont_groups",
-    # new this round (stdlib baseline-JPEG codec; ANN recall eval) —
-    # need first rows
-    "multimodal_jpeg_decode", "ann_recall_at_k",
+    # new this round (stdlib baseline-JPEG codec; ANN recall eval;
+    # LSH banding sweep) — need first rows
+    "multimodal_jpeg_decode", "ann_recall_at_k", "lsh_tuning_curve",
     # 3: output re-rendered decimal-stable this round — fresh rows wanted
     "zipf_alpha_fit", "bigram_pmi_topk", "bm25_keyword_search",
     "tfidf_top_terms", "unigram_logprob_score", "bigram_logprob_score",

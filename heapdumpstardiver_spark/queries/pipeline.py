@@ -2426,3 +2426,204 @@ def greedy_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("cum_tokens") / F.lit(float(total_v)), 4
         ).alias("coverage_pct"),
     ).orderBy("pick")
+
+
+# ---------------------------------------------------------------------------
+# LSH index tuning: banding-configuration precision/recall sweep
+# ---------------------------------------------------------------------------
+
+#: (config label, list of bands, each band = list of signature slots)
+_LSH_CONFIGS = [
+    ("b2r4", [[0, 1, 2, 3], [4, 5, 6, 7]]),
+    ("b4r2", [[0, 1], [2, 3], [4, 5], [6, 7]]),
+    ("b8r1", [[0], [1], [2], [3], [4], [5], [6], [7]]),
+]
+
+
+def _lsh_tuning_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"min(md5(shingle || ':{i}')) AS h{i}" for i in range(8)
+    )
+    band_rows = []
+    for cfg, bands in _LSH_CONFIGS:
+        for bi, slots in enumerate(bands):
+            concat = " || ".join(f"h{s}" for s in slots)
+            band_rows.append(
+                f"SELECT doc_id, '{cfg}' AS cfg, {bi} AS band,"
+                f" md5({concat}) AS bucket FROM sig"
+            )
+    bands_sql = "\n        UNION ALL\n        ".join(band_rows)
+    cfg_meta = " UNION ALL ".join(
+        f"SELECT '{cfg}' AS cfg, {len(bands)} AS n_bands,"
+        f" {len(bands[0])} AS rows_per_band"
+        for cfg, bands in _LSH_CONFIGS
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_sql}
+    ),
+    cand AS (
+        SELECT DISTINCT a.cfg AS cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.cfg = b.cfg AND a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    ),
+    universe AS (
+        SELECT DISTINCT doc_a, doc_b FROM cand WHERE cfg = 'b8r1'
+    ),
+    sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+    truth AS (
+        SELECT u.doc_a, u.doc_b,
+               CASE WHEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.5 THEN 1 ELSE 0 END AS is_dup
+        FROM universe u
+        JOIN sets a ON a.doc_id = u.doc_a
+        JOIN sets b ON b.doc_id = u.doc_b
+    ),
+    n_true AS (SELECT CAST(sum(is_dup) AS DOUBLE) AS t FROM truth),
+    per AS (
+        SELECT c.cfg,
+               count(*) AS n_candidates,
+               CAST(sum(t.is_dup) AS BIGINT) AS n_true_dups
+        FROM cand c JOIN truth t
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        GROUP BY c.cfg
+    ),
+    meta AS ({cfg_meta})
+    SELECT p.cfg AS config,
+           CAST(m.n_bands AS INT) AS n_bands,
+           CAST(m.rows_per_band AS INT) AS rows_per_band,
+           p.n_candidates, p.n_true_dups,
+           p.n_true_dups / CAST(p.n_candidates AS DOUBLE) AS precision_at_cfg,
+           p.n_true_dups / n.t AS recall_at_cfg
+    FROM per p JOIN meta m ON m.cfg = p.cfg, n_true n
+    ORDER BY n_bands
+    """
+
+
+@query("lsh_tuning_curve", oracle=_lsh_tuning_oracle())
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding sweep — the index-tuning companion to
+    `ann_recall_at_k` for the dedup side: one 8-hash signature pass,
+    then three banding configurations (2 bands x 4 rows, 4x2, 8x1)
+    evaluated for candidate volume, precision, and recall against
+    EXACT 3-gram Jaccard >= 0.5 — the curve (more bands = higher
+    recall, more candidates to verify) that picks the (b, r) operating
+    point before a corpus-scale dedup run. Ground truth is computed
+    over the widest config's candidate set, which is a superset of
+    every coarser config's candidates (a pair matching a multi-row
+    band matches each constituent single-row band), so no all-pairs
+    join exists anywhere.
+
+    Scale shape: signatures are one shuffle over (doc, shingle);
+    bands are a 14-row-per-doc explode joined on fixed-width
+    (cfg, band, bucket) keys; exact Jaccard runs only on the bounded
+    b8r1 candidate set. Precision/recall are integer-ratio divisions —
+    engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+    band_structs = []
+    for cfg, bands in _LSH_CONFIGS:
+        for bi, slots in enumerate(bands):
+            band_structs.append(
+                F.struct(
+                    F.lit(cfg).alias("cfg"),
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat(*[F.col(f"h{s}") for s in slots])).alias(
+                        "bucket"
+                    ),
+                )
+            )
+    bands_df = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.cfg", "b.band", "b.bucket")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    universe = cand.filter(F.col("cfg") == "b8r1").select("doc_a", "doc_b").distinct()
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
+    truth = (
+        universe.join(sa, universe.doc_a == F.col("sa.doc_id"))
+        .join(sb, universe.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(inter.cast("double") / union >= 0.5, 1).otherwise(0).alias(
+                "is_dup"
+            ),
+        )
+    )
+    n_true = truth.agg(F.sum("is_dup").cast("double").alias("t"))
+    per = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("is_dup").cast("long").alias("n_true_dups"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [(cfg, len(bands), len(bands[0])) for cfg, bands in _LSH_CONFIGS],
+        "cfg string, n_bands int, rows_per_band int",
+    )
+    return (
+        per.join(F.broadcast(meta), "cfg")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("cfg").alias("config"),
+            "n_bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_true_dups",
+            (F.col("n_true_dups") / F.col("n_candidates").cast("double")).alias(
+                "precision_at_cfg"
+            ),
+            (F.col("n_true_dups") / F.col("t")).alias("recall_at_cfg"),
+        )
+        .orderBy("n_bands")
+    )
