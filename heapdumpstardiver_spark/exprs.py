@@ -20,11 +20,18 @@ from pyspark.sql import functions as F
 
 
 def round_col(col: Column, n: int = 2) -> Column:
-    """Deterministic half-up rounding of a double column (Spark side)."""
+    """Deterministic half-up rounding of a double column (Spark side).
+
+    The trailing ``+ 0.0`` normalizes negative zero: a tiny negative
+    value rounds to -0.0 through the neg branch, and whether the
+    pre-round residual is +eps or -eps depends on engine accumulation
+    order — observed as a repr-level ``0.0`` vs ``-0.0`` divergence on
+    a CUSUM series' final row at sf0.1. IEEE ``-0.0 + 0.0 = +0.0``
+    and ``x + 0.0 = x`` exactly for every other value."""
     p = float(10**n)
     pos = F.floor(col * p + F.lit(0.5)) / F.lit(p)
     neg = -(F.floor(-col * p + F.lit(0.5)) / F.lit(p))
-    return F.when(col >= 0, pos).otherwise(neg)
+    return F.when(col >= 0, pos).otherwise(neg) + F.lit(0.0)
 
 
 def round_sql(expr: str, n: int = 2) -> str:
@@ -36,9 +43,10 @@ def round_sql(expr: str, n: int = 2) -> str:
     would silently turn the whole column into DECIMAL(28,7)."""
     p = float(10**n)
     return (
-        f"(CASE WHEN ({expr}) >= 0 "
+        f"((CASE WHEN ({expr}) >= 0 "
         f"THEN floor(({expr}) * {p} + 0.5) / CAST({p} AS DOUBLE) "
         f"ELSE -(floor(-({expr}) * {p} + 0.5) / CAST({p} AS DOUBLE)) END)"
+        f" + CAST(0 AS DOUBLE))"
     )
 
 
