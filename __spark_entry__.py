@@ -44,6 +44,8 @@ _CHECK_PRIORITY = [
     # 1: survival discriminating experiment (r6 verdict item 1)
     "survival_km_risk_table", "survival_km_micro",
     "survival_kaplan_meier",
+    # 1b: new this round — need first driver rows
+    "lsh_tuning_recommend",
     # 2: r6 decimal-stable sweep re-rendered these outputs; their green
     # rows describe the PREVIOUS schema — refresh (r6 verdict item 2)
     "benford_digit_audit", "psi_drift_by_decile",

@@ -2514,25 +2514,11 @@ def _lsh_tuning_oracle() -> str:
     """
 
 
-@query("lsh_tuning_curve", oracle=_lsh_tuning_oracle())
-def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH banding sweep — the index-tuning companion to
-    `ann_recall_at_k` for the dedup side: one 8-hash signature pass,
-    then three banding configurations (2 bands x 4 rows, 4x2, 8x1)
-    evaluated for candidate volume, precision, and recall against
-    EXACT 3-gram Jaccard >= 0.5 — the curve (more bands = higher
-    recall, more candidates to verify) that picks the (b, r) operating
-    point before a corpus-scale dedup run. Ground truth is computed
-    over the widest config's candidate set, which is a superset of
-    every coarser config's candidates (a pair matching a multi-row
-    band matches each constituent single-row band), so no all-pairs
-    join exists anywhere.
-
-    Scale shape: signatures are one shuffle over (doc, shingle);
-    bands are a 14-row-per-doc explode joined on fixed-width
-    (cfg, band, bucket) keys; exact Jaccard runs only on the bounded
-    b8r1 candidate set. Precision/recall are integer-ratio divisions —
-    engine-exact."""
+def _lsh_tuning_curve_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared banding-sweep pipeline for `lsh_tuning_curve` and
+    `lsh_tuning_recommend`: returns the unordered per-configuration
+    table (config, n_bands, rows_per_band, n_candidates, n_true_dups,
+    precision_at_cfg, recall_at_cfg)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
@@ -2625,5 +2611,72 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.col("n_true_dups") / F.col("t")).alias("recall_at_cfg"),
         )
-        .orderBy("n_bands")
+    )
+
+
+@query("lsh_tuning_curve", oracle=_lsh_tuning_oracle())
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding sweep — the index-tuning companion to
+    `ann_recall_at_k` for the dedup side: one 8-hash signature pass,
+    then three banding configurations (2 bands x 4 rows, 4x2, 8x1)
+    evaluated for candidate volume, precision, and recall against
+    EXACT 3-gram Jaccard >= 0.5 — the curve (more bands = higher
+    recall, more candidates to verify) that picks the (b, r) operating
+    point before a corpus-scale dedup run. Ground truth is computed
+    over the widest config's candidate set, which is a superset of
+    every coarser config's candidates (a pair matching a multi-row
+    band matches each constituent single-row band), so no all-pairs
+    join exists anywhere.
+
+    Scale shape: signatures are one shuffle over (doc, shingle);
+    bands are a 14-row-per-doc explode joined on fixed-width
+    (cfg, band, bucket) keys; exact Jaccard runs only on the bounded
+    b8r1 candidate set. Precision/recall are integer-ratio divisions —
+    engine-exact."""
+    return _lsh_tuning_curve_df(spark, sf_dir).orderBy("n_bands")
+
+
+#: Recall floor the recommended banding configuration must clear.
+_LSH_RECALL_FLOOR = 0.8
+
+
+@query(
+    "lsh_tuning_recommend",
+    oracle=f"""
+    SELECT config, n_bands, rows_per_band, n_candidates, n_true_dups,
+           precision_at_cfg, recall_at_cfg,
+           CAST(CASE WHEN recall_at_cfg >= {_LSH_RECALL_FLOOR}
+                THEN 1 ELSE 0 END AS INT) AS meets_recall_floor
+    FROM ({_lsh_tuning_oracle()}) curve
+    ORDER BY meets_recall_floor DESC, n_candidates ASC, config ASC
+    LIMIT 1
+    """,
+)
+def lsh_tuning_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the LSH tuning loop (r6 verdict stretch item 8): from
+    the banding sweep's precision/recall table, pick the OPERATING
+    POINT — the cheapest configuration (fewest candidate pairs to
+    verify, i.e. the lowest post-LSH join volume) whose recall against
+    exact Jaccard >= 0.5 clears the 0.8 floor; if no configuration
+    clears it, fall back to the highest-recall one (meets-floor
+    DESC sorts the compliant configs first; within each class the
+    candidate count is the verify-stage cost being minimized).
+    Ties break on config label for determinism. The recall comparison
+    is a boundary decision on an integer-ratio double — engine-exact —
+    so both engines pick the same row.
+
+    Scale shape: inherits the sweep's bucketed pipeline; the argmax
+    itself is a 3-row sort — free at any corpus size."""
+    meets = (
+        F.when(F.col("recall_at_cfg") >= F.lit(_LSH_RECALL_FLOOR), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        _lsh_tuning_curve_df(spark, sf_dir)
+        .withColumn("meets_recall_floor", meets)
+        .orderBy(
+            F.desc("meets_recall_floor"), F.asc("n_candidates"), F.asc("config")
+        )
+        .limit(1)
     )
