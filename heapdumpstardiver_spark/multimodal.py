@@ -182,11 +182,19 @@ def _builtin_decoder(payload: bytes) -> bytes:
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
-        return decode_jpeg_gray(payload)
+        w, h, planes = _decode_jpeg(payload)
+        if len(planes) == 1:
+            return bytes(planes[0])
+        yp, cbp, crp = planes
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            r, g, b = ycbcr_to_rgb(yp[i], cbp[i], crp[i])
+            out[3 * i], out[3 * i + 1], out[3 * i + 2] = r, g, b
+        return bytes(out)
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline grayscale JPEG decode stdlib-side in this "
-        "environment)"
+        "(PNG and baseline grayscale/4:4:4-color JPEG decode stdlib-side "
+        "in this environment)"
     )
 
 
@@ -339,6 +347,30 @@ _AC_VALS = [
 ]
 
 
+# Standard (Annex K) chrominance Huffman table specs — carried in the
+# color encoder's DHT segments (ids 1); the decoder reads whatever the
+# file declares, so these are fixture-side only.
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman assignment per the JPEG spec: value ->
     (code, length)."""
@@ -424,6 +456,67 @@ def _idct8x8(coef: list[float]) -> list[float]:
     return out
 
 
+def _encode_block(
+    w: "_BitWriter",
+    block: list[float],
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """FDCT + quantize + Huffman-code one level-shifted 8x8 block into
+    *w*; returns the new DC predictor for this component's chain."""
+    coef = _fdct8x8(block)
+    q = [int(round(coef[i] / _QTABLE[i])) for i in range(64)]
+    zz = [q[_ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    w.put(*dc_codes[s])
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            if run == 16:
+                w.put(*ac_codes[0xF0])  # ZRL
+                run = 0
+            continue
+        s = _category(zz[i])
+        w.put(*ac_codes[(run << 4) | s])
+        v = zz[i]
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
+def rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF forward color transform with deterministic half-up
+    rounding (floor(x + 0.5)) — the exact arithmetic the color-decode
+    oracle mirrors in SQL, so cross-engine parity is bit-level."""
+    import math
+
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF inverse color transform, floor(x + 0.5) like the forward
+    direction."""
+    import math
+
+    r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+    g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+    b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
 def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     """Baseline sequential JPEG encoder for one 8-bit grayscale
     component (dims must be multiples of 8 — fixture builder, not a
@@ -450,31 +543,7 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
                 for y in range(8)
                 for x in range(8)
             ]
-            coef = _fdct8x8(block)
-            q = [int(round(coef[i] / _QTABLE[i])) for i in range(64)]
-            zz = [q[_ZIGZAG[i]] for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            w.put(*dc_codes[s])
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    if run == 16:
-                        w.put(*ac_codes[0xF0])  # ZRL
-                        run = 0
-                    continue
-                s = _category(zz[i])
-                w.put(*ac_codes[(run << 4) | s])
-                v = zz[i]
-                w.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                w.put(*ac_codes[0x00])  # EOB
+            prev_dc = _encode_block(w, block, prev_dc, dc_codes, ac_codes)
     scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -486,6 +555,72 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
+    """Baseline sequential JPEG encoder for 4:4:4 YCbCr color (three
+    8-bit components, no subsampling; dims must be multiples of 8).
+    JFIF forward transform via :func:`rgb_to_ycbcr`, then per MCU the
+    Y, Cb, Cr blocks are Huffman-interleaved — luminance tables (id 0)
+    for Y, Annex-K chrominance tables (id 1) for Cb/Cr, separate DC
+    predictors per component, two DQT segments — the full baseline
+    color surface minus subsampling. Flat blocks whose (Y, Cb, Cr)
+    are all EVEN reconstruct exactly under the step-16 quantizer, the
+    property `multimodal_jpeg_color_decode` leans on."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+
+    planes = [bytearray(width * height) for _ in range(3)]
+    for i in range(width * height):
+        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
+
+    luma = (_huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS))
+    chroma = (
+        _huff_codes(_DC_BITS_C, _DC_VALS_C),
+        _huff_codes(_AC_BITS_C, _AC_VALS_C),
+    )
+    comp_codes = [luma, chroma, chroma]
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(3):
+                plane = planes[ci]
+                block = [
+                    float(plane[(by * 8 + y) * width + bx * 8 + x]) - 128.0
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                dc_codes, ac_codes = comp_codes[ci]
+                prev_dc[ci] = _encode_block(
+                    w, block, prev_dc[ci], dc_codes, ac_codes
+                )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(_QTABLE[_ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xFFDB, bytes([0x00]) + zz_q) + seg(0xFFDB, bytes([0x01]) + zz_q)
+    # components: (id, sampling 1x1, quant table) — Y->q0, Cb/Cr->q1
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
@@ -549,13 +684,13 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> bytes:
-    """Pure-stdlib baseline JPEG decode to raw 8-bit grayscale bytes —
-    the JPEG twin of :func:`decode_png`. Covers baseline sequential
-    DCT, one 8-bit component, no restart intervals (progressive /
-    color / subsampled payloads raise ``NotImplementedError`` and need
-    an injected codec). Tables are read from the file's own DQT/DHT
-    segments; nothing is assumed about the encoder."""
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
+    """Pure-stdlib baseline JPEG decode to per-component 8-bit planes.
+    Covers baseline sequential DCT, 1 component (grayscale) or 3
+    non-subsampled components (4:4:4 YCbCr), no restart intervals —
+    progressive / subsampled payloads raise ``NotImplementedError``
+    and need an injected codec. All tables come from the file's own
+    DQT/DHT segments; nothing is assumed about the encoder."""
     import struct
 
     data = bytes(payload)
@@ -565,7 +700,8 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], object] = {}
     w = h = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan: list[tuple[int, object, object]] = []  # (comp index, dc, ac)
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -595,13 +731,17 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
             )
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "built-in codec covers 8-bit single-component JPEG only"
+                    "built-in codec covers 8-bit 1- or 3-component JPEG only"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG needs an injected codec")
-            comp_q = body[8]
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG needs an injected codec"
+                    )
+                comps.append((cid, tq))
         elif marker == 0xFFC4:
             o = 0
             while o < len(body):
@@ -614,49 +754,87 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals need an injected codec")
         elif marker == 0xFFDA:
-            dc_read = htables[(0, body[2] >> 4)]
-            ac_read = htables[(1, body[2] & 0xF)]
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan JPEG needs an injected codec"
+                )
+            ids = [cid for cid, _tq in comps]
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append(
+                    (ids.index(cs), htables[(0, tda >> 4)], htables[(1, tda & 0xF)])
+                )
             scan_start = pos
             break
     if w is None or scan_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    q = qtables[comp_q]
     r = _BitReader(data[scan_start:])
-    out = bytearray(w * h)
-    prev_dc = 0
+    planes = [bytearray(w * h) for _ in comps]
+    prev_dc = [0] * len(comps)
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
-            zz = [0] * 64
-            s = dc_read(r)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = ac_read(r)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += rs >> 4
-                s = rs & 0xF
-                if i > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[i] = _extend(r.bits(s), s)
-                i += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
-            pix = _idct8x8(coef)
-            for y in range(8):
-                py = by * 8 + y
-                if py >= h:
-                    break
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= w:
+            for ci, dc_read, ac_read in scan:
+                q = qtables[comps[ci][1]]
+                zz = [0] * 64
+                s = dc_read(r)
+                diff = _extend(r.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    rs = ac_read(r)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
                         continue
-                    v = int(round(pix[y * 8 + x])) + 128
-                    out[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
+                    i += rs >> 4
+                    s = rs & 0xF
+                    if i > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[i] = _extend(r.bits(s), s)
+                    i += 1
+                coef = [0.0] * 64
+                for i in range(64):
+                    coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
+                pix = _idct8x8(coef)
+                out = planes[ci]
+                for y in range(8):
+                    py = by * 8 + y
+                    if py >= h:
+                        break
+                    for x in range(8):
+                        px = bx * 8 + x
+                        if px >= w:
+                            continue
+                        v = int(round(pix[y * 8 + x])) + 128
+                        out[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return w, h, planes
+
+
+def decode_jpeg_gray(payload: bytes) -> bytes:
+    """Baseline JPEG decode to raw 8-bit grayscale bytes — the JPEG
+    twin of :func:`decode_png`. A 3-component payload is an error
+    here; route it to :func:`decode_jpeg_color` (or use the
+    dispatcher in :func:`decode`)."""
+    _w, _h, planes = _decode_jpeg(payload)
+    if len(planes) != 1:
+        raise ValueError("color JPEG: use decode_jpeg_color")
+    return bytes(planes[0])
+
+
+def decode_jpeg_color(payload: bytes) -> bytes:
+    """Baseline 4:4:4 color JPEG decode to interleaved raw RGB bytes:
+    the three YCbCr planes from :func:`_decode_jpeg` merged through
+    the JFIF inverse transform (:func:`ycbcr_to_rgb`, floor(x+0.5) —
+    the arithmetic the color oracle mirrors in SQL)."""
+    w, h, planes = _decode_jpeg(payload)
+    if len(planes) != 3:
+        raise ValueError("grayscale JPEG: use decode_jpeg_gray")
+    yp, cbp, crp = planes
+    out = bytearray(w * h * 3)
+    for i in range(w * h):
+        r, g, b = ycbcr_to_rgb(yp[i], cbp[i], crp[i])
+        out[3 * i], out[3 * i + 1], out[3 * i + 2] = r, g, b
     return bytes(out)

@@ -351,3 +351,132 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Color (4:4:4) baseline JPEG decode
+# ---------------------------------------------------------------------------
+
+#: Flat fixture colors whose JFIF forward transform (floor(x+0.5))
+#: lands on all-EVEN (Y, Cb, Cr) — the step-16 quantizer is exactly
+#: the identity on even values, so the full encode→decode chain is
+#: predictable in closed form from these RGB triples alone
+#: (tests/test_multimodal.py pins the evenness invariant).
+_JPEG_PALETTE = [
+    (200, 40, 41), (40, 180, 60), (49, 79, 220), (221, 200, 40),
+    (179, 60, 200), (40, 200, 199), (239, 139, 40), (120, 120, 120),
+    (60, 30, 89), (230, 230, 230), (20, 20, 20), (149, 220, 180),
+]
+
+_N_JPEG_COLOR = 10  # images k=0..9: w = 8*(1 + k%3), h = 8*(1 + k%2)
+
+
+def _jpeg_color_pattern(width: int, height: int, salt: int) -> bytes:
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out += bytes(
+                _JPEG_PALETTE[(x // 8 + (y // 8) * 3 + salt * 5) % 12]
+            )
+    return bytes(out)
+
+
+def _pal_values_sql() -> str:
+    return ", ".join(
+        f"({i}, {r}, {g}, {b})" for i, (r, g, b) in enumerate(_JPEG_PALETTE)
+    )
+
+
+@query(
+    "multimodal_jpeg_color_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 8 * (1 + i % 3), 8 * (1 + i % 2)
+        FROM (SELECT unnest(range({_N_JPEG_COLOR})) AS i)
+    ),
+    bxs(bx) AS (SELECT unnest(range(3))),
+    bys(by) AS (SELECT unnest(range(2))),
+    pal(pi, r, g, b) AS (VALUES {_pal_values_sql()}),
+    blocks AS (
+        SELECT media_id, w, h, r, g, b
+        FROM imgs, bxs, bys
+        JOIN pal ON pi = (bx + by * 3 + media_id * 5) % 12
+        WHERE bx * 8 < w AND by * 8 < h
+    ),
+    yc AS (
+        SELECT media_id, w, h,
+               CAST(floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0) AS BIGINT) AS y,
+               CAST(floor(128.0e0 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0) AS BIGINT) AS cb,
+               CAST(floor(128.0e0 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0) AS BIGINT) AS cr
+        FROM blocks
+    ),
+    rgb2 AS (
+        SELECT media_id, w, h,
+               CAST(floor(y + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT) AS r2,
+               CAST(floor(y - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT) AS g2,
+               CAST(floor(y + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT) AS b2
+        FROM yc
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(sum(r2) * 64 AS BIGINT) AS r_sum,
+           CAST(sum(g2) * 64 AS BIGINT) AS g_sum,
+           CAST(sum(b2) * 64 AS BIGINT) AS b_sum
+    FROM rgb2 GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:4 color baseline-JPEG decode through the production
+    plumbing — extends `multimodal_jpeg_decode` to three
+    Huffman-interleaved components (luma + Annex-K chroma tables,
+    separate DC predictors, two DQTs) and the JFIF color transforms.
+    Fixtures are block-constant colors from a palette chosen so the
+    forward transform lands on all-even (Y, Cb, Cr): the step-16
+    quantizer reconstructs those exactly, so the DuckDB oracle
+    recomputes every decoded pixel in closed form by mirroring the
+    floor(x+0.5) transform arithmetic in SQL (e-notation literals
+    keep it DOUBLE, bit-identical to the Python codec). Any defect in
+    the MCU interleave, chroma table decode, per-component DC chains,
+    or either color transform breaks a channel sum.
+
+    Scale shape: payloads never shuffle — one narrow Arrow-batched
+    mapInPandas decode stage, fixed-width per-channel sums
+    downstream."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_color(
+                8 * (1 + k % 3),
+                8 * (1 + k % 2),
+                _jpeg_color_pattern(8 * (1 + k % 3), 8 * (1 + k % 2), k),
+            ),
+            ("jpeg", 8 * (1 + k % 3), 8 * (1 + k % 2), None, None),
+        )
+        for k in range(_N_JPEG_COLOR)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    def _ch_sum(off: int):
+        return F.pandas_udf(
+            lambda s, _o=off: s.map(lambda b: int(sum(bytes(b)[_o::3]))), "long"
+        )
+
+    r_sum, g_sum, b_sum = _ch_sum(0), _ch_sum(1), _ch_sum(2)
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            r_sum("decoded").alias("r_sum"),
+            g_sum("decoded").alias("g_sum"),
+            b_sum("decoded").alias("b_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -223,3 +223,67 @@ def test_jpeg_decoder_rejects_unsupported_variants():
     assert M._builtin_decoder(good) == gray
     with pytest.raises(NotImplementedError):
         M._builtin_decoder(b"GIF89a not a supported payload")
+
+
+def test_jpeg_color_palette_blocks_roundtrip_exact():
+    """Block-constant colors whose JFIF forward transform lands on
+    all-even (Y, Cb, Cr) survive the 4:4:4 color roundtrip exactly as
+    inv(fwd(color)) — the closed-form invariant the oracle-paired
+    multimodal_jpeg_color_decode query leans on. Also pins the
+    evenness property of the palette itself."""
+    from heapdumpstardiver_spark.queries.media import _JPEG_PALETTE
+
+    for c in _JPEG_PALETTE:
+        y, cb, cr = M.rgb_to_ycbcr(*c)
+        assert y % 2 == 0 and cb % 2 == 0 and cr % 2 == 0, c
+    w, h = 24, 16
+    rgb = bytearray()
+    exp = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            c = _JPEG_PALETTE[(xx // 8 + (yy // 8) * 3) % 12]
+            rgb += bytes(c)
+            exp += bytes(M.ycbcr_to_rgb(*M.rgb_to_ycbcr(*c)))
+    dec = M.decode_jpeg_color(M.encode_jpeg_color(w, h, bytes(rgb)))
+    assert dec == bytes(exp)
+
+
+def test_jpeg_color_lossy_roundtrip_within_quantization_error():
+    """Non-flat color blocks exercise the interleaved AC paths of all
+    three components plus both color transforms; error stays within
+    the quant-step + transform-rounding budget."""
+    w, h = 16, 16
+    grad = bytes(
+        min(255, (x * 3 + y * 5 + ch * 17) % 256)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    )
+    dec = M.decode_jpeg_color(M.encode_jpeg_color(w, h, grad))
+    assert max(abs(a - b) for a, b in zip(grad, dec)) <= 40
+
+
+def test_jpeg_color_component_routing():
+    """decode_jpeg_gray refuses color payloads (and vice versa) with a
+    clear error; the builtin dispatcher routes by component count."""
+    gray = bytes(64 for _ in range(64))
+    color = bytes(120 for _ in range(64 * 3))
+    jg = M.encode_jpeg_gray(8, 8, gray)
+    jc = M.encode_jpeg_color(8, 8, color)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(jc)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_color(jg)
+    assert M._builtin_decoder(jg) == gray
+    assert M._builtin_decoder(jc) == color  # (120,120,120) is even-YCbCr flat
+
+
+def test_jpeg_color_rejects_subsampled():
+    """A 4:2:0-style sampling byte in SOF0 stays env-blocked: the
+    builtin decoder raises NotImplementedError (inject a codec)."""
+    jc = bytearray(M.encode_jpeg_color(8, 8, bytes(120 for _ in range(192))))
+    i = jc.find(bytes([1, 0x11, 0, 2, 0x11, 1]))
+    assert i > 0
+    jc[i + 1] = 0x22  # Y sampled 2x2 => subsampled chroma
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg_color(bytes(jc))
