@@ -2680,3 +2680,192 @@ def lsh_tuning_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: per-source frequent-passage filter (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "boilerplate_passage_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    ch AS (
+        SELECT DISTINCT doc_id, source,
+               md5(array_to_string(t[i:i+1], ' ')) AS h
+        FROM toks, unnest(range(1, len(t), 2)) AS u(i)
+    ),
+    df AS (
+        SELECT source, h, count(*) AS d FROM ch GROUP BY source, h
+    ),
+    nd AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY source
+    ),
+    flagged AS (
+        SELECT df.source, df.h, df.d, nd.n_docs,
+               CASE WHEN df.d >= greatest(3, 0.05 * nd.n_docs)
+                    THEN 1 ELSE 0 END AS boiler
+        FROM df JOIN nd USING (source)
+    )
+    SELECT source,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(d) AS BIGINT) AS n_chunk_instances,
+           count(*) AS n_distinct_chunks,
+           CAST(sum(boiler) AS BIGINT) AS n_boiler_chunks,
+           CAST(sum(CASE WHEN boiler = 1 THEN d ELSE 0 END) AS BIGINT)
+               AS boiler_doc_instances,
+           CAST(sum(boiler) AS DOUBLE) / count(*) AS boiler_rate
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def boilerplate_passage_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level boilerplate detection, the CCNet/RefinedWeb
+    cleaning stage that `passage_dup_coverage` (cross-document copy
+    coverage) does not address: a passage that recurs across MANY
+    documents OF THE SAME SOURCE (nav chrome, legal footers, template
+    text) is boilerplate and should be stripped before training.
+    Non-overlapping 2-token chunks are hashed per document (distinct
+    per doc, so a within-doc repeat counts once toward document
+    frequency), and a chunk is flagged when its doc frequency clears
+    greatest(3, 5% of the source's documents) — an absolute floor so
+    tiny sources can't flag on chance, a relative rail so the
+    threshold tracks source size. Emits the per-source cleaning
+    ledger: chunk instances, distinct chunks, flagged chunks,
+    affected doc-instances, and the flagged rate (integer-ratio
+    double, engine-exact).
+
+    Scale shape: two hash shuffles on fixed-width (source, digest)
+    keys — document-frequency aggregate, then a per-source rollup
+    joined to a source-sized doc-count relation. No pair joins, no
+    skew beyond source cardinality (salt the rollup if one source
+    dominates a real crawl)."""
+    d = _t(spark, sf_dir, "documents")
+    n, stride = 2, 2
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= n)
+    chunks = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - n + 1, F.lit(stride)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    df_rel = chunks.groupBy("source", "h").agg(F.count(F.lit(1)).alias("d"))
+    nd = chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    boiler = F.when(
+        F.col("d")
+        >= F.greatest(F.lit(3).cast("double"), F.lit(0.05) * F.col("n_docs")),
+        1,
+    ).otherwise(0)
+    return (
+        df_rel.join(F.broadcast(nd), "source")
+        .select("source", "d", "n_docs", boiler.alias("boiler"))
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.sum("d").cast("long").alias("n_chunk_instances"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum("boiler").cast("long").alias("n_boiler_chunks"),
+            F.sum(F.when(F.col("boiler") == 1, F.col("d")).otherwise(0))
+            .cast("long")
+            .alias("boiler_doc_instances"),
+            (F.sum("boiler").cast("double") / F.count(F.lit(1))).alias(
+                "boiler_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class balancing: equalized downsample by label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_balance_resample",
+    oracle="""
+    WITH counts AS (
+        SELECT label, count(*) AS n_orig FROM embeddings GROUP BY label
+    ),
+    quota AS (SELECT min(n_orig) AS m FROM counts),
+    ranked AS (
+        SELECT label, vec_id,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ),
+    kept AS (
+        SELECT label, vec_id FROM ranked, quota WHERE rn <= m
+    )
+    SELECT c.label,
+           CAST(c.n_orig AS BIGINT) AS n_orig,
+           count(k.vec_id) AS n_kept,
+           CAST(sum(k.vec_id) AS BIGINT) AS kept_id_sum,
+           CAST(min(k.vec_id) AS BIGINT) AS kept_id_min,
+           CAST(max(k.vec_id) AS BIGINT) AS kept_id_max
+    FROM counts c JOIN kept k ON k.label = c.label
+    GROUP BY c.label, c.n_orig ORDER BY c.label
+    """,
+)
+def label_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance equalization for supervised training data: every
+    label is deterministically downsampled to the MINORITY class size
+    (the quota = min per-label count), with the kept set chosen by
+    hash rank (md5 of the id) so the sample is reproducible
+    cross-engine and stable under re-runs — the equalizing complement
+    of `stratified_sample_per_source` (fixed-rate strata) and
+    `data_mix_weighted_sample` (target mixture rates). Emits the
+    per-label ledger plus id-sum/min/max fingerprints of the kept set
+    so the value hash pins WHICH rows were kept, not just how many.
+
+    Scale shape: one count aggregate, a 1-row quota broadcast, one
+    rank shuffle on label (the per-label window is the same partition
+    the groupBy already made), and the kept-set rollup — no global
+    sort, no driver data. Label skew is bounded by class cardinality;
+    salting the rank window is the 100 TB escape hatch if one class
+    dwarfs the rest."""
+    e = _t(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_orig"))
+    quota = counts.agg(F.min("n_orig").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    kept = (
+        e.select("label", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("m"))
+    )
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+            F.min("vec_id").cast("long").alias("kept_id_min"),
+            F.max("vec_id").cast("long").alias("kept_id_max"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            F.col("n_orig").cast("long").alias("n_orig"),
+            "n_kept",
+            "kept_id_sum",
+            "kept_id_min",
+            "kept_id_max",
+        )
+        .orderBy("label")
+    )

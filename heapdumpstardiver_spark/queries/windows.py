@@ -3254,3 +3254,81 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_render(F.log(F.lit(2.0)) / lam, 4).alias("half_life_years"),
         stable_render(F.corr("y", "x"), 6).alias("log_linear_corr"),
     )
+
+
+@query(
+    "winsorized_robust_stats",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, value, rn,
+               max(n) OVER (PARTITION BY event_type) AS mx
+        FROM ranked
+    ),
+    cuts AS (
+        SELECT event_type,
+               {_cont_quantile_sql(0.05, 6)} AS p05,
+               {_cont_quantile_sql(0.95, 6)} AS p95
+        FROM g GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type, e.value,
+               least(greatest(e.value, c.p05), c.p95) AS w,
+               CASE WHEN e.value < c.p05 OR e.value > c.p95
+                    THEN 1 ELSE 0 END AS clip
+        FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(clip) AS BIGINT) AS n_clipped,
+           {round_sql("avg(value)", 4)} AS mean_raw,
+           {round_sql("avg(w)", 4)} AS mean_winsor,
+           {round_sql("var_pop(w)", 4)} AS var_winsor
+    FROM clipped GROUP BY event_type ORDER BY event_type
+    """,
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-tail) robust statistics per group — the
+    outlier-hardened aggregation a metrics/training pipeline uses when
+    raw means are hostage to heavy tails: values are clipped at the
+    group's interpolated 5th/95th percentiles and the clipped mean
+    and variance are reported next to the raw mean, plus the clip
+    count so the tail mass is visible. The cut points are rounded
+    through the portable 6-dp helper in BOTH engines before clipping,
+    so the boundary comparisons are bit-identical cross-engine; the
+    oracle spells out the q*(n-1) interpolation rather than trusting
+    any quantile built-in.
+
+    Scale shape: two passes over one group-key shuffle — exact
+    percentiles per group (memory bounded by per-group cardinality;
+    swap to approx_percentile sketches at 100 TB exactly as
+    `percentile_cont_groups` documents), cut table broadcast back,
+    then a plain partial-aggregated rollup."""
+    e = _t(spark, sf_dir, "events")
+    cuts = e.groupBy("event_type").agg(
+        round_col(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        round_col(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    clip = F.when(
+        (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .select("event_type", "value", w.alias("w"), clip.alias("clip"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("clip").cast("long").alias("n_clipped"),
+            round_col(F.avg("value"), 4).alias("mean_raw"),
+            round_col(F.avg("w"), 4).alias("mean_winsor"),
+            round_col(F.var_pop("w"), 4).alias("var_winsor"),
+        )
+        .orderBy("event_type")
+    )
