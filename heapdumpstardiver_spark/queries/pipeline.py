@@ -2761,9 +2761,11 @@ def boilerplate_passage_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_rel = chunks.groupBy("source", "h").agg(F.count(F.lit(1)).alias("d"))
-    nd = chunks.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # Every doc that passes the size filter contributes >=1 chunk, so
+    # the per-source doc count can come from the cheap pre-explode
+    # relation — the second corpus scan skips the shingle explode +
+    # distinct entirely (doc_id is unique, so a plain count suffices).
+    nd = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = F.when(
         F.col("d")
         >= F.greatest(F.lit(3).cast("double"), F.lit(0.05) * F.col("n_docs")),

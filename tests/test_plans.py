@@ -816,3 +816,45 @@ def test_ann_recall_broadcasts_queries_no_corpus_selfjoin(spark):
     assert "CartesianProduct" not in plan, plan
     assert "windowspecdefinition(specifiedwindowframe" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_filter_two_hash_shuffles_broadcast_counts(spark):
+    """boilerplate_passage_filter: document-frequency aggregate and
+    per-source rollup are the only data-sized shuffles, the source
+    doc-count relation arrives broadcast, and the second corpus scan
+    is the cheap pre-explode branch (exactly one Generate explode in
+    the whole plan — the doc-count side must NOT re-explode)."""
+    plan = plan_of(spark, "boilerplate_passage_filter")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_label_balance_rank_window_partitioned_by_label(spark):
+    """label_balance_resample: the hash-rank row_number window must be
+    PARTITIONED by label (never an empty-partition global window), the
+    quota arrives as a 1-row broadcast, and the only SinglePartition
+    exchange is the quota's final 1-row min."""
+    plan = plan_of(spark, "label_balance_resample")
+    assert "windowspecdefinition(label" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+
+
+def test_winsorized_stats_broadcast_cuts_no_global_window(spark):
+    """winsorized_robust_stats: per-group percentile cuts join back as
+    a broadcast (group-cardinality table), no single-partition window
+    or cartesian anywhere, and the events scan reads only the three
+    touched columns."""
+    plan = plan_of(spark, "winsorized_robust_stats")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for ln in plan.splitlines():
+        if "Scan parquet" in ln and "events" in ln:
+            import re
+
+            m = re.search(r"Scan parquet \[([^\]]*)\]", ln)
+            if m:
+                assert len(m.group(1).split(",")) <= 3, ln
