@@ -2452,3 +2452,68 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "prefilter_pruned_semi_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    )
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           {round_sql("sum(o_totalprice)")} AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM dim)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def prefilter_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prune-then-verify runtime-filter pattern made explicit —
+    what Spark's runtime bloom-filter rewrite (and dynamic partition
+    pruning) does for shuffle joins, expressed as an operator: the
+    filtered dimension reduces to a compact membership set (distinct
+    16-bit buckets of xxhash64 over the join key — a bloom stand-in
+    HARD-BOUNDED at 65536 ints regardless of dimension size), the set
+    is collected as driver-side index metadata and pushed into the
+    fact scan stage as an InSet literal predicate, and an exact semi
+    join scrubs the bucket collisions. Correctness is
+    hash-function-independent: the probe keeps a superset (no false
+    negatives by construction) and the verify join removes exactly
+    the false positives, so the oracle is the plain semi join. At
+    100 TB the payoff is shuffle volume — rows that can't match are
+    dropped inside the scan stage and never enter an exchange. The
+    collect is k-bounded (≤65536 ints ≈ 0.5 MB, the same metadata
+    class as a broadcast-join build side or IVF centroid table); an
+    expression-level two-phase plan was measured to let Catalyst
+    reorder the probe ABOVE the verify join, which defeats the
+    pattern — the literal predicate pins probe-before-join by
+    construction."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).select("c_custkey")
+    buckets = sorted(
+        r[0]
+        for r in dim.select(
+            F.pmod(F.xxhash64("c_custkey"), F.lit(65536)).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    pruned = o.filter(
+        F.pmod(F.xxhash64("o_custkey"), F.lit(65536)).isin(buckets)
+    )
+    return (
+        pruned.join(
+            F.broadcast(dim), pruned.o_custkey == dim.c_custkey, "left_semi"
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_col(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_year")
+    )

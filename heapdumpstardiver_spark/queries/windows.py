@@ -3332,3 +3332,100 @@ def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, value, rn,
+               max(n) OVER (PARTITION BY event_type) AS mx
+        FROM ranked
+    ),
+    med AS (
+        SELECT event_type, {_cont_quantile_sql(0.5, 6)} AS med
+        FROM g GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+        FROM events e JOIN med m USING (event_type)
+    ),
+    dranked AS (
+        SELECT event_type, ad AS value, med,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY ad) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    dg AS (
+        SELECT event_type, value, med, rn,
+               max(n) OVER (PARTITION BY event_type) AS mx
+        FROM dranked
+    ),
+    mad AS (
+        SELECT event_type, max(med) AS med,
+               {_cont_quantile_sql(0.5, 6)} AS mad
+        FROM dg GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(max(m.med) AS DOUBLE) AS median_value,
+           CAST(max(m.mad) AS DOUBLE) AS mad_value,
+           CAST(sum(CASE WHEN abs(e.value - m.med)
+                              > 3.5e0 * 1.4826e0 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-robust outlier detection per group via the median
+    absolute deviation — the breakdown-resistant complement of
+    `anomaly_zscore_daily` (temporal rolling z) and the detection-side
+    sibling of `winsorized_robust_stats`: mean/stddev move with the
+    outliers being hunted, the median/MAD pair does not (50%
+    breakdown point). Flags |value − median| > 3.5·1.4826·MAD (the
+    Iglewicz–Hoban cut with the Gaussian consistency constant). Both
+    medians go through the portable 6-dp interpolated-percentile
+    helper in both engines, so the flag boundary compares identical
+    doubles; the oracle writes the interpolation out explicitly.
+
+    Scale shape: two group-keyed percentile passes (second over the
+    deviation column) with the group-cardinality cut tables broadcast
+    back — same sketch-swap escape hatch at 100 TB as the other exact
+    percentile queries document."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        round_col(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        round_col(F.percentile("ad", F.lit(0.5)), 6).alias("mad"),
+    )
+    flag = F.when(
+        F.abs(F.col("value") - F.col("med"))
+        > F.lit(3.5) * F.lit(1.4826) * F.col("mad"),
+        1,
+    ).otherwise(0)
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .select("event_type", "value", "med", "mad", flag.alias("fl"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").cast("double").alias("median_value"),
+            F.max("mad").cast("double").alias("mad_value"),
+            F.sum("fl").cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

@@ -858,3 +858,30 @@ def test_winsorized_stats_broadcast_cuts_no_global_window(spark):
             m = re.search(r"Scan parquet \[([^\]]*)\]", ln)
             if m:
                 assert len(m.group(1).split(",")) <= 3, ln
+
+
+def test_prefilter_semi_join_prunes_before_join(spark):
+    """prefilter_pruned_semi_join: the membership-set probe must run
+    in the fact SCAN stage, below the verify semi join — the bucket
+    set is a driver-collected literal, so it appears as an INSET
+    filter on the fact branch (plan prints top-down: INSET after the
+    LeftSemi marker), and nothing shuffles the fact side on a join
+    key. An expression-level two-phase formulation was measured to
+    let Catalyst hoist the probe above the verify join; this test
+    pins the probe-first shape."""
+    plan = plan_of(spark, "prefilter_pruned_semi_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    semi = plan.index("LeftSemi")
+    assert "INSET" in plan[semi:], plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+
+
+def test_mad_anomaly_broadcast_cut_tables(spark):
+    """anomaly_mad_robust: both percentile passes reduce to
+    group-cardinality tables that join back broadcast; no
+    single-partition exchange, no cartesian."""
+    plan = plan_of(spark, "anomaly_mad_robust")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
