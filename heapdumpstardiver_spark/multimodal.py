@@ -182,19 +182,11 @@ def _builtin_decoder(payload: bytes) -> bytes:
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
-        w, h, planes = _decode_jpeg(payload)
-        if len(planes) == 1:
-            return bytes(planes[0])
-        yp, cbp, crp = planes
-        out = bytearray(w * h * 3)
-        for i in range(w * h):
-            r, g, b = ycbcr_to_rgb(yp[i], cbp[i], crp[i])
-            out[3 * i], out[3 * i + 1], out[3 * i + 2] = r, g, b
-        return bytes(out)
+        return _jpeg_to_pixels(*_decode_jpeg(payload))
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline grayscale/4:4:4-color JPEG decode stdlib-side "
-        "in this environment)"
+        "(PNG and baseline grayscale / 4:4:4 / 4:2:0 color JPEG decode "
+        "stdlib-side in this environment)"
     )
 
 
@@ -624,6 +616,97 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
     return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
+    """Baseline sequential JPEG encoder for 4:2:0 subsampled YCbCr
+    (dims must be multiples of 16 — one MCU = four Y blocks + one Cb
+    + one Cr). Chroma planes are box-downsampled 2x2 with half-up
+    integer averaging (floor((a+b+c+d+2)/4)); the decoder upsamples
+    by replication, so a 16x16-flat MCU whose (Y, Cb, Cr) are all
+    EVEN round-trips exactly — the `multimodal_jpeg_420_decode`
+    oracle invariant. Everything else (tables, predictors, quality)
+    matches :func:`encode_jpeg_color`."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError("fixture encoder requires multiple-of-16 dims")
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+
+    yp = bytearray(width * height)
+    cw, chh = width // 2, height // 2
+    cbp, crp = bytearray(cw * chh), bytearray(cw * chh)
+    cbs = [[0] * width for _ in range(height)]
+    crs = [[0] * width for _ in range(height)]
+    for yy in range(height):
+        for xx in range(width):
+            i = 3 * (yy * width + xx)
+            y, cb, cr = rgb_to_ycbcr(rgb[i], rgb[i + 1], rgb[i + 2])
+            yp[yy * width + xx] = y
+            cbs[yy][xx], crs[yy][xx] = cb, cr
+    for cy in range(chh):
+        for cx in range(cw):
+            for src, dst in ((cbs, cbp), (crs, crp)):
+                s = (
+                    src[2 * cy][2 * cx]
+                    + src[2 * cy][2 * cx + 1]
+                    + src[2 * cy + 1][2 * cx]
+                    + src[2 * cy + 1][2 * cx + 1]
+                )
+                dst[cy * cw + cx] = (s + 2) // 4
+
+    luma = (_huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS))
+    chroma = (
+        _huff_codes(_DC_BITS_C, _DC_VALS_C),
+        _huff_codes(_AC_BITS_C, _AC_VALS_C),
+    )
+
+    def block(plane, stride, ox, oy):
+        return [
+            float(plane[(oy + y) * stride + ox + x]) - 128.0
+            for y in range(8)
+            for x in range(8)
+        ]
+
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(height // 16):
+        for mx in range(width // 16):
+            for bv in range(2):  # four Y blocks, raster order in MCU
+                for bh in range(2):
+                    prev[0] = _encode_block(
+                        w,
+                        block(yp, width, mx * 16 + bh * 8, my * 16 + bv * 8),
+                        prev[0],
+                        *luma,
+                    )
+            prev[1] = _encode_block(
+                w, block(cbp, cw, mx * 8, my * 8), prev[1], *chroma
+            )
+            prev[2] = _encode_block(
+                w, block(crp, cw, mx * 8, my * 8), prev[2], *chroma
+            )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(_QTABLE[_ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xFFDB, bytes([0x00]) + zz_q) + seg(0xFFDB, bytes([0x01]) + zz_q)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -684,13 +767,20 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
+def _decode_jpeg(
+    payload: bytes,
+) -> tuple[int, int, list[bytearray], list[tuple[int, int]], int]:
     """Pure-stdlib baseline JPEG decode to per-component 8-bit planes.
     Covers baseline sequential DCT, 1 component (grayscale) or 3
-    non-subsampled components (4:4:4 YCbCr), no restart intervals —
-    progressive / subsampled payloads raise ``NotImplementedError``
-    and need an injected codec. All tables come from the file's own
-    DQT/DHT segments; nothing is assumed about the encoder."""
+    YCbCr components with sampling factors in {1, 2} — i.e. 4:4:4
+    AND 4:2:0/4:2:2-style subsampling — no restart intervals;
+    progressive payloads raise ``NotImplementedError`` and need an
+    injected codec. All tables come from the file's own DQT/DHT
+    segments; nothing is assumed about the encoder.
+
+    Returns ``(w, h, planes, factors, mcux)`` where each plane is a
+    block-padded buffer of stride ``mcux * h_i * 8`` (callers index
+    subsampled planes through the factor ratios)."""
     import struct
 
     data = bytes(payload)
@@ -700,7 +790,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], object] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, quant id)
     scan: list[tuple[int, object, object]] = []  # (comp index, dc, ac)
     scan_start = None
     while pos + 4 <= len(data):
@@ -737,11 +827,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
                 )
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG needs an injected codec"
+                        "sampling factors beyond 2 need an injected codec"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
         elif marker == 0xFFC4:
             o = 0
             while o < len(body):
@@ -759,7 +850,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
                 raise NotImplementedError(
                     "multi-scan JPEG needs an injected codec"
                 )
-            ids = [cid for cid, _tq in comps]
+            ids = [c[0] for c in comps]
             for si in range(ns):
                 cs, tda = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append(
@@ -769,48 +860,97 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[bytearray]]:
             break
     if w is None or scan_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # block-padded per-component planes; caller crops via factors
+    planes = [
+        bytearray((mcux * hi * 8) * (mcuy * vi * 8))
+        for _cid, hi, vi, _tq in comps
+    ]
     r = _BitReader(data[scan_start:])
-    planes = [bytearray(w * h) for _ in comps]
     prev_dc = [0] * len(comps)
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dc_read, ac_read in scan:
-                q = qtables[comps[ci][1]]
-                zz = [0] * 64
-                s = dc_read(r)
-                diff = _extend(r.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    rs = ac_read(r)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += rs >> 4
-                    s = rs & 0xF
-                    if i > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[i] = _extend(r.bits(s), s)
-                    i += 1
-                coef = [0.0] * 64
-                for i in range(64):
-                    coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
-                pix = _idct8x8(coef)
-                out = planes[ci]
-                for y in range(8):
-                    py = by * 8 + y
-                    if py >= h:
-                        break
-                    for x in range(8):
-                        px = bx * 8 + x
-                        if px >= w:
-                            continue
-                        v = int(round(pix[y * 8 + x])) + 128
-                        out[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
-    return w, h, planes
+                _cid, hi, vi, tq = comps[ci]
+                q = qtables[tq]
+                stride = mcux * hi * 8
+                for bv in range(vi):
+                    for bh in range(hi):
+                        zz = [0] * 64
+                        s = dc_read(r)
+                        diff = _extend(r.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        i = 1
+                        while i < 64:
+                            rs = ac_read(r)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            s = rs & 0xF
+                            if i > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[i] = _extend(r.bits(s), s)
+                            i += 1
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
+                        pix = _idct8x8(coef)
+                        out = planes[ci]
+                        oy = (my * vi + bv) * 8
+                        ox = (mx * hi + bh) * 8
+                        for y in range(8):
+                            row = (oy + y) * stride + ox
+                            for x in range(8):
+                                v = int(round(pix[y * 8 + x])) + 128
+                                out[row + x] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
+    return w, h, planes, [(hi, vi) for _cid, hi, vi, _tq in comps], mcux
+
+
+def _jpeg_to_pixels(
+    w: int,
+    h: int,
+    planes: list[bytearray],
+    factors: list[tuple[int, int]],
+    mcux: int,
+) -> bytes:
+    """Crop/upsample the block-padded component planes to image
+    pixels: gray bytes for one component, interleaved RGB (JFIF
+    inverse transform) for three. Subsampled chroma upsamples by
+    pixel replication — component sample at (x, y) is
+    ``plane[(y*vi)//vmax][(x*hi)//hmax]``, the spec-legal nearest
+    mapping whose determinism the exact oracles rely on."""
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    strides = [mcux * f[0] * 8 for f in factors]
+
+    def sample(ci: int, x: int, y: int) -> int:
+        hi, vi = factors[ci]
+        return planes[ci][((y * vi) // vmax) * strides[ci] + (x * hi) // hmax]
+
+    if len(planes) == 1:
+        out = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                out[y * w + x] = sample(0, x, y)
+        return bytes(out)
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = ycbcr_to_rgb(
+                sample(0, x, y), sample(1, x, y), sample(2, x, y)
+            )
+            i = 3 * (y * w + x)
+            out[i], out[i + 1], out[i + 2] = r, g, b
+    return bytes(out)
 
 
 def decode_jpeg_gray(payload: bytes) -> bytes:
@@ -818,23 +958,20 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
     twin of :func:`decode_png`. A 3-component payload is an error
     here; route it to :func:`decode_jpeg_color` (or use the
     dispatcher in :func:`decode`)."""
-    _w, _h, planes = _decode_jpeg(payload)
+    w, h, planes, factors, mcux = _decode_jpeg(payload)
     if len(planes) != 1:
         raise ValueError("color JPEG: use decode_jpeg_color")
-    return bytes(planes[0])
+    return _jpeg_to_pixels(w, h, planes, factors, mcux)
 
 
 def decode_jpeg_color(payload: bytes) -> bytes:
-    """Baseline 4:4:4 color JPEG decode to interleaved raw RGB bytes:
-    the three YCbCr planes from :func:`_decode_jpeg` merged through
-    the JFIF inverse transform (:func:`ycbcr_to_rgb`, floor(x+0.5) —
-    the arithmetic the color oracle mirrors in SQL)."""
-    w, h, planes = _decode_jpeg(payload)
+    """Baseline color JPEG decode to interleaved raw RGB bytes: the
+    three YCbCr planes from :func:`_decode_jpeg` merged through the
+    JFIF inverse transform (:func:`ycbcr_to_rgb`, floor(x+0.5) — the
+    arithmetic the color oracles mirror in SQL). Handles 4:4:4 and
+    subsampled (4:2:0 / 4:2:2) layouts; chroma upsamples by
+    replication."""
+    w, h, planes, factors, mcux = _decode_jpeg(payload)
     if len(planes) != 3:
         raise ValueError("grayscale JPEG: use decode_jpeg_gray")
-    yp, cbp, crp = planes
-    out = bytearray(w * h * 3)
-    for i in range(w * h):
-        r, g, b = ycbcr_to_rgb(yp[i], cbp[i], crp[i])
-        out[3 * i], out[3 * i + 1], out[3 * i + 2] = r, g, b
-    return bytes(out)
+    return _jpeg_to_pixels(w, h, planes, factors, mcux)

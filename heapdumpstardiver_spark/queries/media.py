@@ -480,3 +480,111 @@ def multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_N_JPEG_420 = 8  # images k=0..7: w = 16*(1 + k%2), h = 16*(1 + k%3)
+
+
+def _jpeg_420_pattern(width: int, height: int, salt: int) -> bytes:
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            out += bytes(
+                _JPEG_PALETTE[(x // 16 + (y // 16) * 2 + salt * 7) % 12]
+            )
+    return bytes(out)
+
+
+@query(
+    "multimodal_jpeg_420_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 16 * (1 + i % 2), 16 * (1 + i % 3)
+        FROM (SELECT unnest(range({_N_JPEG_420})) AS i)
+    ),
+    mxs(mx) AS (SELECT unnest(range(2))),
+    mys(my) AS (SELECT unnest(range(3))),
+    pal(pi, r, g, b) AS (VALUES {_pal_values_sql()}),
+    mcus AS (
+        SELECT media_id, w, h, r, g, b
+        FROM imgs, mxs, mys
+        JOIN pal ON pi = (mx + my * 2 + media_id * 7) % 12
+        WHERE mx * 16 < w AND my * 16 < h
+    ),
+    yc AS (
+        SELECT media_id, w, h,
+               CAST(floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0) AS BIGINT) AS y,
+               CAST(floor(128.0e0 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0) AS BIGINT) AS cb,
+               CAST(floor(128.0e0 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0) AS BIGINT) AS cr
+        FROM mcus
+    ),
+    rgb2 AS (
+        SELECT media_id, w, h,
+               CAST(floor(y + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT) AS r2,
+               CAST(floor(y - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT) AS g2,
+               CAST(floor(y + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT) AS b2
+        FROM yc
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(sum(r2) * 256 AS BIGINT) AS r_sum,
+           CAST(sum(g2) * 256 AS BIGINT) AS g_sum,
+           CAST(sum(b2) * 256 AS BIGINT) AS b_sum
+    FROM rgb2 GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 SUBSAMPLED baseline-JPEG decode through the production
+    plumbing — the last stdlib-reachable JPEG layout after
+    `multimodal_jpeg_decode` (grayscale) and
+    `multimodal_jpeg_color_decode` (4:4:4): each MCU Huffman-
+    interleaves four Y blocks with one box-downsampled Cb and Cr,
+    and the decoder upsamples chroma by replication. Fixtures are
+    16x16-flat MCUs from the all-even-YCbCr palette, where the
+    downsample (box average of a flat field), the step-16 quantizer
+    (identity on even values), and the replication upsample are all
+    exact — so the DuckDB oracle again recomputes every decoded pixel
+    in closed form from the palette and the mirrored JFIF transform
+    arithmetic. Any defect in the 4:2:0 MCU geometry (block order,
+    per-plane strides, factor-ratio sampling) shifts a channel sum.
+
+    Scale shape: identical to the other media queries — payloads
+    never shuffle, one narrow Arrow-batched mapInPandas stage."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_420(
+                16 * (1 + k % 2),
+                16 * (1 + k % 3),
+                _jpeg_420_pattern(16 * (1 + k % 2), 16 * (1 + k % 3), k),
+            ),
+            ("jpeg", 16 * (1 + k % 2), 16 * (1 + k % 3), None, None),
+        )
+        for k in range(_N_JPEG_420)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    def _ch_sum(off: int):
+        return F.pandas_udf(
+            lambda s, _o=off: s.map(lambda b: int(sum(bytes(b)[_o::3]))), "long"
+        )
+
+    r_sum, g_sum, b_sum = _ch_sum(0), _ch_sum(1), _ch_sum(2)
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            r_sum("decoded").alias("r_sum"),
+            g_sum("decoded").alias("g_sum"),
+            b_sum("decoded").alias("b_sum"),
+        )
+        .orderBy("media_id")
+    )

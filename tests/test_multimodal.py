@@ -278,12 +278,49 @@ def test_jpeg_color_component_routing():
     assert M._builtin_decoder(jc) == color  # (120,120,120) is even-YCbCr flat
 
 
-def test_jpeg_color_rejects_subsampled():
-    """A 4:2:0-style sampling byte in SOF0 stays env-blocked: the
-    builtin decoder raises NotImplementedError (inject a codec)."""
+def test_jpeg_color_rejects_extreme_sampling():
+    """Sampling factors beyond 2 (e.g. 0x33) stay env-blocked: the
+    builtin decoder raises NotImplementedError (inject a codec).
+    Factors up to 2 — 4:4:4 and 4:2:0/4:2:2 — decode stdlib-side."""
     jc = bytearray(M.encode_jpeg_color(8, 8, bytes(120 for _ in range(192))))
     i = jc.find(bytes([1, 0x11, 0, 2, 0x11, 1]))
     assert i > 0
-    jc[i + 1] = 0x22  # Y sampled 2x2 => subsampled chroma
+    jc[i + 1] = 0x33  # 3x3 sampling: beyond the builtin surface
     with pytest.raises(NotImplementedError):
         M.decode_jpeg_color(bytes(jc))
+
+
+def test_jpeg_420_flat_mcus_roundtrip_exact():
+    """16x16-flat MCUs from the even-YCbCr palette survive the 4:2:0
+    roundtrip exactly: flat chroma box-averages to itself, the even
+    values pass the step-16 quantizer untouched, and replication
+    upsampling reproduces the flat field — the invariant the
+    oracle-paired multimodal_jpeg_420_decode query leans on."""
+    from heapdumpstardiver_spark.queries.media import _JPEG_PALETTE
+
+    w, h = 32, 48
+    rgb = bytearray()
+    exp = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            c = _JPEG_PALETTE[(xx // 16 + (yy // 16) * 2) % 12]
+            rgb += bytes(c)
+            exp += bytes(M.ycbcr_to_rgb(*M.rgb_to_ycbcr(*c)))
+    dec = M.decode_jpeg_color(M.encode_jpeg_420(w, h, bytes(rgb)))
+    assert dec == bytes(exp)
+
+
+def test_jpeg_420_lossy_roundtrip_on_smooth_gradient():
+    """A smooth (non-wrapping) gradient through 4:2:0 stays within
+    the quantizer + chroma-subsampling budget; hard edges smear by
+    design (chroma replication), so the bound is only asserted on
+    smooth content."""
+    w, h = 32, 32
+    grad = bytes(
+        min(255, x * 3 + y * 2 + ch * 9)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    )
+    dec = M.decode_jpeg_color(M.encode_jpeg_420(w, h, grad))
+    assert max(abs(a - b) for a, b in zip(grad, dec)) <= 24
