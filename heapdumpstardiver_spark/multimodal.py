@@ -407,6 +407,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-pad per spec
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """1-pad to a byte boundary, then emit RSTn — raw, NOT
+        byte-stuffed (markers are how the decoder re-syncs)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _fdct8x8(block: list[float]) -> list[float]:
     import math
@@ -509,14 +517,19 @@ def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return clamp(r), clamp(g), clamp(b)
 
 
-def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, gray: bytes, restart_interval: int = 0
+) -> bytes:
     """Baseline sequential JPEG encoder for one 8-bit grayscale
     component (dims must be multiples of 8 — fixture builder, not a
     general tool). Real FDCT + quantization + Annex-K Huffman coding,
     so a flat 8x8 block encodes to a DC-only MCU whose decode is
     exactly predictable (quant step 16: v' = 2*round((v-128)/2)+128,
     identity on even v) — the property the oracle-paired query leans
-    on — while non-flat blocks exercise the full AC path."""
+    on — while non-flat blocks exercise the full AC path. A nonzero
+    *restart_interval* emits a DRI segment and RSTn markers every
+    that many MCUs (padded, predictors reset) — the re-sync chunking
+    real encoders use for error resilience / parallel decode."""
     import struct
 
     if width % 8 or height % 8:
@@ -528,8 +541,13 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     prev_dc = 0
+    mcu_done = 0
     for by in range(height // 8):
         for bx in range(width // 8):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                w.restart_marker((mcu_done // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu_done += 1
             block = [
                 float(gray[(by * 8 + y) * width + bx * 8 + x]) - 128.0
                 for y in range(8)
@@ -546,8 +564,13 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return _JPEG_MAGIC + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
@@ -616,7 +639,9 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
     return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
+def encode_jpeg_420(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """Baseline sequential JPEG encoder for 4:2:0 subsampled YCbCr
     (dims must be multiples of 16 — one MCU = four Y blocks + one Cb
     + one Cr). Chroma planes are box-downsampled 2x2 with half-up
@@ -624,7 +649,9 @@ def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
     by replication, so a 16x16-flat MCU whose (Y, Cb, Cr) are all
     EVEN round-trips exactly — the `multimodal_jpeg_420_decode`
     oracle invariant. Everything else (tables, predictors, quality)
-    matches :func:`encode_jpeg_color`."""
+    matches :func:`encode_jpeg_color`. A nonzero *restart_interval*
+    emits DRI + RSTn every that many MCUs with all three DC
+    predictors reset."""
     import struct
 
     if width % 16 or height % 16:
@@ -669,8 +696,13 @@ def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
 
     w = _BitWriter()
     prev = [0, 0, 0]
+    mcu_done = 0
     for my in range(height // 16):
         for mx in range(width // 16):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                w.restart_marker((mcu_done // restart_interval - 1) % 8)
+                prev = [0, 0, 0]
+            mcu_done += 1
             for bv in range(2):  # four Y blocks, raster order in MCU
                 for bh in range(2):
                     prev[0] = _encode_block(
@@ -703,8 +735,13 @@ def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
         + seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
         + seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return _JPEG_MAGIC + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -726,8 +763,8 @@ class _BitReader:
                     self.pos += 1  # stuffed byte
                 else:
                     raise NotImplementedError(
-                        "marker inside scan (restart intervals / progressive "
-                        "JPEG) needs an injected codec"
+                        "unexpected marker inside entropy-coded data "
+                        "(progressive JPEG / desynced restart) — inject a codec"
                     )
             self.acc = b
             self.nbits = 8
@@ -739,6 +776,19 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def expect_restart(self, n: int) -> None:
+        """Drop pad bits, consume the byte-aligned RSTn marker."""
+        self.nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected restart marker RST{n & 7} at scan offset {self.pos}"
+            )
+        self.pos += 2
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -773,7 +823,8 @@ def _decode_jpeg(
     """Pure-stdlib baseline JPEG decode to per-component 8-bit planes.
     Covers baseline sequential DCT, 1 component (grayscale) or 3
     YCbCr components with sampling factors in {1, 2} — i.e. 4:4:4
-    AND 4:2:0/4:2:2-style subsampling — no restart intervals;
+    AND 4:2:0/4:2:2-style subsampling — plus DRI/RSTn restart
+    intervals (predictor reset + byte re-sync at each boundary);
     progressive payloads raise ``NotImplementedError`` and need an
     injected codec. All tables come from the file's own DQT/DHT
     segments; nothing is assumed about the encoder.
@@ -793,6 +844,7 @@ def _decode_jpeg(
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, quant id)
     scan: list[tuple[int, object, object]] = []  # (comp index, dc, ac)
     scan_start = None
+    restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -843,7 +895,7 @@ def _decode_jpeg(
                 htables[(tc, th)] = _huff_decoder(bits, vals)
                 o += 17 + n
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals need an injected codec")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:
             ns = body[0]
             if ns != len(comps):
@@ -871,8 +923,17 @@ def _decode_jpeg(
     ]
     r = _BitReader(data[scan_start:])
     prev_dc = [0] * len(comps)
+    mcu_done = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                # re-sync: padded to a byte boundary, RSTn (n cycling
+                # 0..7), DC predictors reset — the independently
+                # decodable chunk boundary baseline JPEG uses for
+                # error resilience / parallel decode
+                r.expect_restart((mcu_done // restart_interval - 1) % 8)
+                prev_dc = [0] * len(comps)
+            mcu_done += 1
             for ci, dc_read, ac_read in scan:
                 _cid, hi, vi, tq = comps[ci]
                 q = qtables[tq]

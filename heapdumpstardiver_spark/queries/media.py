@@ -556,10 +556,16 @@ def multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             k,
             "image",
+            # restart_interval=2: every other MCU boundary carries a
+            # real RSTn marker, so the driver gate also exercises the
+            # DRI re-sync path (predictor reset + byte alignment) —
+            # restart chunking never changes a decoded pixel, so the
+            # closed-form oracle is unaffected
             M.encode_jpeg_420(
                 16 * (1 + k % 2),
                 16 * (1 + k % 3),
                 _jpeg_420_pattern(16 * (1 + k % 2), 16 * (1 + k % 3), k),
+                restart_interval=2,
             ),
             ("jpeg", 16 * (1 + k % 2), 16 * (1 + k % 3), None, None),
         )

@@ -324,3 +324,39 @@ def test_jpeg_420_lossy_roundtrip_on_smooth_gradient():
     )
     dec = M.decode_jpeg_color(M.encode_jpeg_420(w, h, grad))
     assert max(abs(a - b) for a, b in zip(grad, dec)) <= 24
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn support: restart chunking must not change a single
+    decoded pixel (flat-even payloads stay exact, noisy payloads
+    decode identically with and without restarts — predictor resets
+    and byte re-sync are transparent), and a desynced marker still
+    fails loudly."""
+    import random
+
+    w, h = 32, 16
+    flat = bytes(
+        ((x // 8 * 14 + y // 8 * 26 + 12) % 128) * 2
+        for y in range(h)
+        for x in range(w)
+    )
+    for ri in (1, 2, 3, 5):
+        assert (
+            M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, flat, restart_interval=ri))
+            == flat
+        )
+    rnd = random.Random(3)
+    noisy = bytes(rnd.randrange(256) for _ in range(w * h))
+    base = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, noisy))
+    for ri in (1, 2):
+        assert (
+            M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, noisy, restart_interval=ri))
+            == base
+        )
+    # corrupt one RST marker id -> ValueError, not silent garbage
+    enc = bytearray(M.encode_jpeg_gray(w, h, noisy, restart_interval=1))
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD5
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(bytes(enc))
