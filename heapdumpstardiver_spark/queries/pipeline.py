@@ -2871,3 +2871,91 @@ def label_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-objective selection: Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_docs",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> '')
+               )) AS BIGINT) AS n_types,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    pairs AS (
+        SELECT n_types, n_chars, count(*) AS n_docs
+        FROM scored GROUP BY n_types, n_chars
+    ),
+    dom AS (
+        SELECT n_types, n_chars, n_docs,
+               min(n_chars) OVER (
+                   ORDER BY n_types
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS best_higher,
+               min(n_chars) OVER (PARTITION BY n_types) AS best_same
+        FROM pairs
+    ),
+    frontier AS (
+        SELECT n_types, n_chars, n_docs FROM dom
+        WHERE (best_higher IS NULL OR best_higher > n_chars)
+          AND best_same >= n_chars
+    )
+    SELECT s.doc_id, s.n_types, s.n_chars
+    FROM scored s JOIN frontier f
+      ON s.n_types = f.n_types AND s.n_chars = f.n_chars
+    ORDER BY s.n_types DESC, s.n_chars, s.doc_id
+    """,
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal document set under two competing curation
+    objectives — maximize vocabulary richness (distinct token count),
+    minimize length (training-token cost): a document is kept iff no
+    other document is at least as good on both axes and strictly
+    better on one. The multi-objective selection primitive behind
+    quality-vs-cost tradeoff curves that single-score gates
+    (`quality_percentile_gate`) flatten away. All-integer objectives,
+    so the dominance comparisons are engine-exact.
+
+    Scale shape: the corpus first reduces to DISTINCT objective pairs
+    with multiplicities (value-grid-bounded, corpus-independent), the
+    dominance sweep runs as two windows over that reduced relation —
+    min cost over strictly-better quality via a value-RANGE frame,
+    min cost within the quality tie group — and survivors join back
+    hash-partitioned. The global-order window only ever sees the
+    reduced pair grid, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    pairs = scored.groupBy("n_types", "n_chars").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_higher = Window.orderBy("n_types").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    w_same = Window.partitionBy("n_types")
+    dom = pairs.select(
+        "n_types",
+        "n_chars",
+        F.min("n_chars").over(w_higher).alias("best_higher"),
+        F.min("n_chars").over(w_same).alias("best_same"),
+    )
+    frontier = dom.filter(
+        (F.col("best_higher").isNull() | (F.col("best_higher") > F.col("n_chars")))
+        & (F.col("best_same") >= F.col("n_chars"))
+    ).select("n_types", "n_chars")
+    return (
+        scored.join(frontier, ["n_types", "n_chars"])
+        .select("doc_id", "n_types", "n_chars")
+        .orderBy(F.desc("n_types"), "n_chars", "doc_id")
+    )

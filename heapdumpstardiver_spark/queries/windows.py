@@ -3429,3 +3429,79 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "rolling_origin_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS total
+        FROM events GROUP BY event_type, 2
+    ),
+    fc AS (
+        SELECT event_type, day, total,
+               avg(total) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS f_mean,
+               lag(total) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS f_naive
+        FROM daily
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           {round_sql("avg(abs(total - f_mean))", 4)} AS mae_expanding_mean,
+           {round_sql("avg(abs(total - f_naive))", 4)} AS mae_last_value,
+           CAST(CASE WHEN {round_sql("avg(abs(total - f_mean))", 4)}
+                          < {round_sql("avg(abs(total - f_naive))", 4)}
+                THEN 1 ELSE 0 END AS INT) AS mean_beats_naive
+    FROM fc WHERE f_mean IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) forecast backtest — the
+    time-series cross-validation protocol: at every day d, each
+    candidate forecaster sees ONLY days < d (expanding mean vs
+    last-value naive, both as leakage-free window frames), is scored
+    against day d's actual, and the per-type MAEs decide which
+    baseline a real model must beat. The temporal-split discipline
+    that `calibration_reliability` applies to classifiers, applied to
+    forecasting; complements `seasonal_naive_error`'s fixed lag-24
+    baseline with the protocol that compares baselines fairly.
+
+    Scale shape: the corpus reduces to (type, day) totals in one
+    shuffle; both forecasters are O(1)-state window frames over that
+    bounded daily spine; final rollup is type-cardinality rows."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type",
+        "total",
+        F.avg("total")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("f_mean"),
+        F.lag("total").over(w).alias("f_naive"),
+    ).filter(F.col("f_mean").isNotNull())
+    # the winner flag compares the ROUNDED MAEs: raw-avg comparison
+    # at the boundary could flip on cross-engine sum-order ulps,
+    # rounded values are bit-identical by construction
+    err_mean = round_col(F.avg(F.abs(F.col("total") - F.col("f_mean"))), 4)
+    err_naive = round_col(F.avg(F.abs(F.col("total") - F.col("f_naive"))), 4)
+    return (
+        fc.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            err_mean.alias("mae_expanding_mean"),
+            err_naive.alias("mae_last_value"),
+            F.when(err_mean < err_naive, 1).otherwise(0).cast("int").alias(
+                "mean_beats_naive"
+            ),
+        )
+        .orderBy("event_type")
+    )
