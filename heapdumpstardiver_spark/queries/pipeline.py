@@ -2959,3 +2959,122 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_types", "n_chars")
         .orderBy(F.desc("n_types"), "n_chars", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial: grid-bucketed neighbor join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "geo_grid_neighbor_pairs",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               (user_id * 2654435761) % 100000 AS px,
+               (user_id * 40503 + 12345) % 100000 AS py
+        FROM events
+    ),
+    cells AS (
+        SELECT user_id, px, py, px // 5000 AS cx, py // 5000 AS cy FROM pts
+    ),
+    reps AS (
+        SELECT c.user_id, c.px, c.py, c.cx + dx.o AS rx, c.cy + dy.o AS ry
+        FROM cells c,
+             (SELECT unnest(range(-1, 2)) AS o) dx,
+             (SELECT unnest(range(-1, 2)) AS o) dy
+    ),
+    cand AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               (a.px - b.px) * (a.px - b.px)
+               + (a.py - b.py) * (a.py - b.py) AS d2
+        FROM cells a JOIN reps b
+          ON a.cx = b.rx AND a.cy = b.ry AND a.user_id < b.user_id
+    )
+    SELECT (SELECT count(*) FROM pts) AS n_points,
+           count(*) AS n_candidate_pairs,
+           CAST(sum(CASE WHEN d2 < 2500 * 2500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_close_pairs,
+           CAST(min(d2) AS BIGINT) AS min_dist2,
+           (SELECT CAST(max(n) AS BIGINT) FROM
+               (SELECT count(*) AS n FROM cells GROUP BY cx, cy))
+               AS max_cell_points
+    FROM cand
+    """,
+)
+def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join — the geohash/S2 pattern
+    that makes radius queries tractable at scale: each point lands in
+    one grid cell, is REPLICATED into its 9-cell neighborhood, and
+    candidate pairs come from an equi-join on the cell key (the
+    smaller id's home cell against the larger id's replicas, so every
+    unordered pair within one cell width surfaces exactly once — no
+    DISTINCT pass). The radius test then runs only on grid-local
+    candidates, never all pairs. The fixture warehouse has no
+    geo columns, so coordinates derive deterministically from ids via
+    a Knuth multiplicative hash — every quantity in the pipeline
+    (coordinates, cells, squared distances) is INTEGER arithmetic,
+    bit-identical cross-engine with no trig or float rounding
+    anywhere.
+
+    Scale shape: one 9x replication explode, one equi-join on the
+    fixed-width cell key (skew bounded by densest cell — reported as
+    max_cell_points, the signal for when to split hot cells), and a
+    scalar rollup. The same plan serves real lat/lon after a
+    deg→grid quantization."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(100000)).alias("px"),
+        ((F.col("user_id") * F.lit(40503) + F.lit(12345)) % F.lit(100000)).alias(
+            "py"
+        ),
+    )
+    cells = pts.select(
+        "user_id", "px", "py",
+        F.expr("px DIV 5000").alias("cx"),
+        F.expr("py DIV 5000").alias("cy"),
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    reps = (
+        cells.withColumn("ox", off)
+        .withColumn("oy", off)
+        .select(
+            F.col("user_id").alias("ub_id"),
+            F.col("px").alias("bpx"),
+            F.col("py").alias("bpy"),
+            (F.col("cx") + F.col("ox")).alias("rx"),
+            (F.col("cy") + F.col("oy")).alias("ry"),
+        )
+    )
+    d2 = (F.col("px") - F.col("bpx")) * (F.col("px") - F.col("bpx")) + (
+        F.col("py") - F.col("bpy")
+    ) * (F.col("py") - F.col("bpy"))
+    cand = cells.join(
+        reps,
+        (F.col("cx") == F.col("rx"))
+        & (F.col("cy") == F.col("ry"))
+        & (F.col("user_id") < F.col("ub_id")),
+    ).select(d2.alias("d2"))
+    n_points = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    max_cell = cells.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(F.max("n").cast("long").alias("max_cell_points"))
+    return (
+        cand.agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum(F.when(F.col("d2") < F.lit(2500 * 2500), 1).otherwise(0))
+            .cast("long")
+            .alias("n_close_pairs"),
+            F.min("d2").cast("long").alias("min_dist2"),
+        )
+        .crossJoin(F.broadcast(n_points))
+        .crossJoin(F.broadcast(max_cell))
+        .select(
+            "n_points",
+            "n_candidate_pairs",
+            "n_close_pairs",
+            "min_dist2",
+            "max_cell_points",
+        )
+    )
