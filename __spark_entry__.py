@@ -50,7 +50,7 @@ _CHECK_PRIORITY = [
     "winsorized_robust_stats", "prefilter_pruned_semi_join",
     "anomaly_mad_robust", "multimodal_jpeg_420_decode",
     "pareto_frontier_docs", "rolling_origin_backtest",
-    "geo_grid_neighbor_pairs",
+    "geo_grid_neighbor_pairs", "did_estimator",
     # 2: r6 decimal-stable sweep re-rendered these outputs; their green
     # rows describe the PREVIOUS schema — refresh (r6 verdict item 2)
     "benford_digit_audit", "psi_drift_by_decile",

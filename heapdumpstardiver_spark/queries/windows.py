@@ -3505,3 +3505,68 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS INT) AS treat,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+               count(*) AS n,
+               avg(value) AS m
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT
+        CAST(max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS BIGINT) AS n_treat_pre,
+        CAST(max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT) AS n_treat_post,
+        CAST(max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS BIGINT) AS n_ctrl_pre,
+        CAST(max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS BIGINT) AS n_ctrl_post,
+        {round_sql("max(CASE WHEN treat = 1 AND post = 0 THEN m END)", 4)} AS mean_treat_pre,
+        {round_sql("max(CASE WHEN treat = 1 AND post = 1 THEN m END)", 4)} AS mean_treat_post,
+        {round_sql("max(CASE WHEN treat = 0 AND post = 0 THEN m END)", 4)} AS mean_ctrl_pre,
+        {round_sql("max(CASE WHEN treat = 0 AND post = 1 THEN m END)", 4)} AS mean_ctrl_post,
+        {round_sql("(max(CASE WHEN treat = 1 AND post = 1 THEN m END) - max(CASE WHEN treat = 1 AND post = 0 THEN m END)) - (max(CASE WHEN treat = 0 AND post = 1 THEN m END) - max(CASE WHEN treat = 0 AND post = 0 THEN m END))", 4)} AS did_estimate
+    FROM cells
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-panel complement of
+    `cuped_adjusted_metric` (variance reduction) and
+    `ab_power_analysis` (design): the treatment effect estimated as
+    (treat post − pre) − (control post − pre), which nets out both
+    the group baseline and the common time shock under parallel
+    trends. The four cell means aggregate in one pass; the estimate
+    is arithmetic on portable-rounded cell means (round-then-combine
+    would double-round, so the DiD combines the RAW means and rounds
+    once — identically in both engines).
+
+    Scale shape: one partial-aggregated groupBy on a 4-value key,
+    then a 1-row pivot — the cheapest possible plan at any scale."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    cells = e.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.when(F.col("ts") >= cut, 1).otherwise(0).alias("post"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("m"))
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    did = (cell(1, 1, "m") - cell(1, 0, "m")) - (
+        cell(0, 1, "m") - cell(0, 0, "m")
+    )
+    return cells.agg(
+        cell(1, 0, "n").cast("long").alias("n_treat_pre"),
+        cell(1, 1, "n").cast("long").alias("n_treat_post"),
+        cell(0, 0, "n").cast("long").alias("n_ctrl_pre"),
+        cell(0, 1, "n").cast("long").alias("n_ctrl_post"),
+        round_col(cell(1, 0, "m"), 4).alias("mean_treat_pre"),
+        round_col(cell(1, 1, "m"), 4).alias("mean_treat_post"),
+        round_col(cell(0, 0, "m"), 4).alias("mean_ctrl_pre"),
+        round_col(cell(0, 1, "m"), 4).alias("mean_ctrl_post"),
+        round_col(did, 4).alias("did_estimate"),
+    )
