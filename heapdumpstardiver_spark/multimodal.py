@@ -182,11 +182,14 @@ def _builtin_decoder(payload: bytes) -> bytes:
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
-        return _jpeg_to_pixels(*_decode_jpeg(payload))
+        data = bytes(payload)
+        if _jpeg_is_progressive(data):
+            return _jpeg_to_pixels(*_decode_jpeg_progressive(data))
+        return _jpeg_to_pixels(*_decode_jpeg(data))
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline grayscale / 4:4:4 / 4:2:0 color JPEG decode "
-        "stdlib-side in this environment)"
+        "(PNG and baseline/progressive grayscale / 4:4:4 / 4:2:0 color "
+        "JPEG decode stdlib-side in this environment)"
     )
 
 
@@ -1019,7 +1022,9 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
     twin of :func:`decode_png`. A 3-component payload is an error
     here; route it to :func:`decode_jpeg_color` (or use the
     dispatcher in :func:`decode`)."""
-    w, h, planes, factors, mcux = _decode_jpeg(payload)
+    data = bytes(payload)
+    decode = _decode_jpeg_progressive if _jpeg_is_progressive(data) else _decode_jpeg
+    w, h, planes, factors, mcux = decode(data)
     if len(planes) != 1:
         raise ValueError("color JPEG: use decode_jpeg_color")
     return _jpeg_to_pixels(w, h, planes, factors, mcux)
@@ -1032,7 +1037,556 @@ def decode_jpeg_color(payload: bytes) -> bytes:
     arithmetic the color oracles mirror in SQL). Handles 4:4:4 and
     subsampled (4:2:0 / 4:2:2) layouts; chroma upsamples by
     replication."""
-    w, h, planes, factors, mcux = _decode_jpeg(payload)
+    data = bytes(payload)
+    decode = _decode_jpeg_progressive if _jpeg_is_progressive(data) else _decode_jpeg
+    w, h, planes, factors, mcux = decode(data)
     if len(planes) != 3:
         raise ValueError("grayscale JPEG: use decode_jpeg_gray")
     return _jpeg_to_pixels(w, h, planes, factors, mcux)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation.
+#
+# Separate path from the baseline decoder above — progressive decode is
+# a coefficient-accumulation model (every scan deposits bits into the
+# per-block coefficient arrays; dequant + IDCT happen once at the end),
+# while the proven baseline path streams block-at-a-time. The scan
+# algorithms follow ITU-T T.81 G.2 (the same structure libjpeg's
+# decode_mcu_DC/AC_first/refine implement from the spec).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_is_progressive(data: bytes) -> bool:
+    """Walk segment headers up to the first SOS; True iff SOF2."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return False
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFC2:
+            return True
+        if marker in (0xFFC0, 0xFFC1, 0xFFDA, 0xFFD9):
+            return False
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        pos += 2 + ln
+    return False
+
+
+def _dc_first_block(r, coef, al, dcr, prev_dc):
+    s = dcr(r)
+    diff = _extend(r.bits(s), s) if s else 0
+    prev_dc += diff
+    coef[0] = prev_dc * (1 << al)
+    return prev_dc
+
+
+def _ac_first_block(r, coef, ss, se, al, acr, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = acr(r)
+        rr, s = rs >> 4, rs & 15
+        if s:
+            k += rr
+            if k > se:
+                raise ValueError("AC band overflow in progressive scan")
+            coef[k] = _extend(r.bits(s), s) * (1 << al)
+            k += 1
+        else:
+            if rr == 15:
+                k += 16
+                continue
+            eobrun = 1 << rr
+            if rr:
+                eobrun += r.bits(rr)
+            return eobrun - 1
+    return 0
+
+
+def _ac_refine_block(r, coef, ss, se, al, acr, eobrun):
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = acr(r)
+            rr, s = rs >> 4, rs & 15
+            if s:
+                if s != 1:
+                    raise ValueError("bad successive-approximation AC code")
+                s_val = p1 if r.bit() else m1
+            else:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                s_val = 0
+            while k <= se:
+                if coef[k] != 0:
+                    if r.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    rr -= 1
+                    if rr < 0:
+                        break
+                k += 1
+            if s_val and k <= se:
+                coef[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if r.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_jpeg_progressive(
+    payload: bytes,
+) -> tuple[int, int, list[bytearray], list[tuple[int, int]], int]:
+    """Full progressive-JPEG decode: parses every scan of an SOF2
+    stream (DC first/refine interleaved or single-component, AC
+    first/refine per-component spectral bands with EOBRUN), deposits
+    successive-approximation bits into per-block coefficient arrays,
+    and runs dequant + IDCT once at the end. Returns the same
+    ``(w, h, planes, factors, mcux)`` contract as the baseline
+    :func:`_decode_jpeg` so the plane-to-pixels path is shared.
+    Restart intervals reset DC predictors and the EOB run."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+
+    def seg_end(p: int) -> int:
+        i = p
+        while i + 1 < len(data):
+            if (
+                data[i] == 0xFF
+                and data[i + 1] != 0x00
+                and not (0xD0 <= data[i + 1] <= 0xD7)
+            ):
+                return i
+            i += 1
+        return len(data)
+
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], object] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
+    restart_interval = 0
+    coefs: list[list[list[int]]] = []  # per comp, per block, 64 zigzag ints
+    grids: list[tuple[int, int]] = []  # per comp padded block grid (bw, bh)
+    mcux = mcuy = hmax = vmax = 0
+
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quant tables need an injected codec"
+                    )
+                zz = list(body[o + 1:o + 65])
+                t = [0] * 64
+                for i in range(64):
+                    t[_ZIGZAG[i]] = zz[i]
+                qtables[tq] = t
+                o += 65
+        elif marker == 0xFFC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "built-in codec covers 8-bit 1- or 3-component JPEG only"
+                )
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "sampling factors beyond 2 need an injected codec"
+                    )
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _cid, hi, vi, _tq in comps:
+                bw, bh = mcux * hi, mcuy * vi
+                grids.append((bw, bh))
+                coefs.append([[0] * 64 for _ in range(bw * bh)])
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("not a progressive (SOF2) stream")
+        elif marker == 0xFFC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                o += 17 + n
+        elif marker == 0xFFDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:
+            if w is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            ids = [c[0] for c in comps]
+            sel = []
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si], body[2 + 2 * si]
+                sel.append((ids.index(cs), tda >> 4, tda & 0xF))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if (ss == 0) != (se == 0):
+                raise ValueError(
+                    "invalid progressive scan: DC band must be Ss=Se=0"
+                )
+            end = seg_end(pos)
+            r = _BitReader(data[pos:end])
+            pos = end
+            prev_dc = [0] * len(comps)
+            eobrun = 0
+            rst_n = 0
+            if ns > 1 or (ss == 0 and len(comps) == 1):
+                # interleaved DC scan (or trivially single-component)
+                if ss != 0:
+                    raise ValueError("interleaved AC scan is not legal JPEG")
+                unit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and unit
+                            and unit % restart_interval == 0
+                        ):
+                            r.expect_restart(rst_n % 8)
+                            rst_n += 1
+                            prev_dc = [0] * len(comps)
+                        unit += 1
+                        for ci, td, _ta in sel:
+                            _cid, hi, vi, _tq = comps[ci]
+                            bw, _bh = grids[ci]
+                            for bv in range(vi):
+                                for bh_i in range(hi):
+                                    bi = (my * vi + bv) * bw + mx * hi + bh_i
+                                    coef = coefs[ci][bi]
+                                    if ah == 0:
+                                        prev_dc[ci] = _dc_first_block(
+                                            r, coef, al,
+                                            htables[(0, td)], prev_dc[ci],
+                                        )
+                                    else:
+                                        coef[0] |= r.bit() << al
+            else:
+                ci, td, ta = sel[0]
+                _cid, hi, vi, _tq = comps[ci]
+                bw_pad, _bh_pad = grids[ci]
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                bw, bh = (cw + 7) // 8, (ch + 7) // 8
+                for bi in range(bw * bh):
+                    if (
+                        restart_interval
+                        and bi
+                        and bi % restart_interval == 0
+                    ):
+                        r.expect_restart(rst_n % 8)
+                        rst_n += 1
+                        prev_dc = [0] * len(comps)
+                        eobrun = 0
+                    row, col = bi // bw, bi % bw
+                    coef = coefs[ci][row * bw_pad + col]
+                    if ss == 0:
+                        if ah == 0:
+                            prev_dc[ci] = _dc_first_block(
+                                r, coef, al, htables[(0, td)], prev_dc[ci]
+                            )
+                        else:
+                            coef[0] |= r.bit() << al
+                    elif ah == 0:
+                        eobrun = _ac_first_block(
+                            r, coef, ss, se, al, htables[(1, ta)], eobrun
+                        )
+                    else:
+                        eobrun = _ac_refine_block(
+                            r, coef, ss, se, al, htables[(1, ta)], eobrun
+                        )
+    if w is None:
+        raise ValueError("JPEG missing SOF2")
+    # final reconstruction: dequant + IDCT every block into planes
+    planes = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        q = qtables[tq]
+        bw, bh = grids[ci]
+        stride = bw * 8
+        plane = bytearray(stride * bh * 8)
+        for bi, zz in enumerate(coefs[ci]):
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZIGZAG[i]] = zz[i] * q[_ZIGZAG[i]]
+            pix = _idct8x8(coef)
+            oy, ox = (bi // bw) * 8, (bi % bw) * 8
+            for y in range(8):
+                row = (oy + y) * stride + ox
+                for x in range(8):
+                    v = int(round(pix[y * 8 + x])) + 128
+                    plane[row + x] = 0 if v < 0 else (255 if v > 255 else v)
+        planes.append(plane)
+    return w, h, planes, [(hi, vi) for _cid, hi, vi, _tq in comps], mcux
+
+
+# AC Huffman table for PROGRESSIVE scans: the Annex-K baseline tables
+# have no EOBn codes (r<<4, r=1..14 with size 0 — they only exist in
+# progressive streams), so progressive scans carry their own table:
+# every (run, size) symbol with run 0-15 x size 0-10 at a uniform
+# canonical length of 9 bits (176 symbols, 176/512 <= 1 — a valid,
+# deliberately simple code; real encoders optimize per image, the
+# decoder reads whatever DHT declares either way).
+_AC_BITS_P = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS_P = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+class _ProgAcWriter:
+    """Per-scan AC emitter for progressive encoding: carries the
+    EOBRUN counter (and, for refinement, the correction bits buffered
+    behind it) ACROSS blocks, flushing per ITU-T T.81 G.1.2.2-3."""
+
+    def __init__(self, w: "_BitWriter", ac_codes: dict, al: int) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.al = al
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.w.put(*self.ac[nbits << 4])
+            if nbits:
+                self.w.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.put(b, 1)
+        self.pending = []
+
+    def first_block(self, zz: list[int], ss: int, se: int) -> None:
+        vals = []
+        for k in range(ss, se + 1):
+            v = zz[k]
+            a = abs(v) >> self.al
+            vals.append(a if v >= 0 else -a)
+        last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last_nz < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        run = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                if run == 16:
+                    self.w.put(*self.ac[0xF0])
+                    run = 0
+                continue
+            s = _category(v)
+            self.w.put(*self.ac[(run << 4) | s])
+            self.w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < se - ss:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def refine_block(self, zz: list[int], ss: int, se: int) -> None:
+        absv = [abs(zz[k]) >> self.al for k in range(ss, se + 1)]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self.flush_eobrun()
+                self.w.put(*self.ac[0xF0])
+                r -= 16
+                for b in br:
+                    self.w.put(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            self.flush_eobrun()
+            self.w.put(*self.ac[(r << 4) | 1])
+            self.w.put(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in br:
+                self.w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def _quant_zigzag_block(plane, stride: int, ox: int, oy: int) -> list[int]:
+    block = [
+        float(plane[(oy + y) * stride + ox + x]) - 128.0
+        for y in range(8)
+        for x in range(8)
+    ]
+    coef = _fdct8x8(block)
+    q = [int(round(coef[i] / _QTABLE[i])) for i in range(64)]
+    return [q[_ZIGZAG[i]] for i in range(64)]
+
+
+def _encode_progressive(
+    width: int, height: int, planes: list[bytes], chroma_from: int
+) -> bytes:
+    """Shared progressive-encoder core (all components 1x1): DC-first
+    (Al=1, interleaved) → AC-first per component in two spectral
+    bands (1-5, 6-63, Al=1) → DC refine (raw bits) → AC refine per
+    component per band — the classic successive-approximation scan
+    script. *chroma_from*: component index from which the Annex-K
+    chrominance tables apply."""
+    import struct
+
+    ncomp = len(planes)
+    bw, bh = width // 8, height // 8
+    blocks = [
+        [
+            _quant_zigzag_block(p, width, bx * 8, by * 8)
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+        for p in planes
+    ]
+    luma_dc = _huff_codes(_DC_BITS, _DC_VALS)
+    chroma_dc = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+    prog_ac = _huff_codes(_AC_BITS_P, _AC_VALS_P)
+    dc_codes = [luma_dc if ci < chroma_from else chroma_dc for ci in range(ncomp)]
+    ac_codes = [prog_ac for _ in range(ncomp)]
+    tbl_id = [0 if ci < chroma_from else 1 for ci in range(ncomp)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, (tbl_id[ci] << 4) | tbl_id[ci]])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(_JPEG_MAGIC)
+    zz_q = bytes(_QTABLE[_ZIGZAG[i]] for i in range(64))
+    out += seg(0xFFDB, bytes([0x00]) + zz_q)
+    if ncomp > 1:
+        out += seg(0xFFDB, bytes([0x01]) + zz_q)
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, 0x11, tbl_id[ci]])
+    out += seg(0xFFC2, sof_body)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS_P) + bytes(_AC_VALS_P))
+    if ncomp > 1:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        out += seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_P) + bytes(_AC_VALS_P))
+
+    # scan 1: DC first, interleaved, Al=1
+    w = _BitWriter()
+    prev = [0] * ncomp
+    for bi in range(bw * bh):
+        for ci in range(ncomp):
+            v = blocks[ci][bi][0] >> 1
+            diff = v - prev[ci]
+            prev[ci] = v
+            s = _category(diff)
+            w.put(*dc_codes[ci][s])
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += sos(list(range(ncomp)), 0, 0, 0, 1) + w.flush()
+
+    # scans 2..: AC first per component, two spectral bands, Al=1
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            w = _BitWriter()
+            ac = _ProgAcWriter(w, ac_codes[ci], 1)
+            for bi in range(bw * bh):
+                ac.first_block(blocks[ci][bi], ss, se)
+            ac.flush_eobrun()
+            out += sos([ci], ss, se, 0, 1) + w.flush()
+
+    # DC refine: one raw bit per block, interleaved
+    w = _BitWriter()
+    for bi in range(bw * bh):
+        for ci in range(ncomp):
+            w.put(blocks[ci][bi][0] & 1, 1)
+    out += sos(list(range(ncomp)), 0, 0, 1, 0) + w.flush()
+
+    # AC refine per component per band
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            w = _BitWriter()
+            ac = _ProgAcWriter(w, ac_codes[ci], 0)
+            for bi in range(bw * bh):
+                ac.refine_block(blocks[ci][bi], ss, se)
+            ac.flush_eobrun()
+            out += sos([ci], ss, se, 1, 0) + w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Progressive (SOF2) grayscale encoder: successive approximation
+    over two spectral bands — fixture builder for the progressive
+    decoder; dims must be multiples of 8."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} bytes, got {len(gray)}")
+    return _encode_progressive(width, height, [gray], chroma_from=1)
+
+
+def encode_jpeg_progressive_color(width: int, height: int, rgb: bytes) -> bytes:
+    """Progressive (SOF2) 4:4:4 color encoder — JFIF transform, then
+    the same successive-approximation scan script per component."""
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    planes = [bytearray(width * height) for _ in range(3)]
+    for i in range(width * height):
+        y, cb, cr = rgb_to_ycbcr(rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2])
+        planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
+    return _encode_progressive(
+        width, height, [bytes(p) for p in planes], chroma_from=1
+    )

@@ -594,3 +594,77 @@ def multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_N_JPEG_PROG = 8  # images k=0..7: w = 8*(1 + k%3), h = 8*(1 + k%2)
+
+
+@query(
+    "multimodal_jpeg_progressive_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 8 * (1 + i % 3), 8 * (1 + i % 2)
+        FROM (SELECT unnest(range({_N_JPEG_PROG})) AS i)
+    ),
+    bxs(bx) AS (SELECT unnest(range(3))),
+    bys(by) AS (SELECT unnest(range(2))),
+    blocks AS (
+        SELECT media_id, w, h,
+               ((bx * 14 + by * 26 + media_id * 6) % 128) * 2 AS v
+        FROM imgs, bxs, bys WHERE bx * 8 < w AND by * 8 < h
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_bytes,
+           CAST(sum(v) * 64 AS BIGINT) AS pixel_sum
+    FROM blocks GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode through the production plumbing
+    — completes the JPEG matrix after baseline grayscale, 4:4:4, and
+    4:2:0: the fixtures are multi-scan successive-approximation
+    streams (interleaved DC first at Al=1, per-band AC first scans,
+    a raw-bit DC refinement, per-band AC refinements with EOBRUN/ZRL
+    and buffered correction bits). Progressive scans deposit
+    approximation bits into per-block coefficient arrays and
+    reconstruct to EXACTLY the pixels the baseline path yields for
+    the same image (pinned by pytest), so the same even-valued
+    block-constant fixtures stay closed-form and the DuckDB oracle
+    recomputes every pixel from the generative formula. A decoder
+    that mis-handles any scan type, the EOB run, or a correction bit
+    shifts pixel_sum.
+
+    Scale shape: payloads never shuffle — one narrow Arrow-batched
+    mapInPandas stage, fixed-width stats downstream."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_progressive_gray(
+                8 * (1 + k % 3),
+                8 * (1 + k % 2),
+                _jpeg_pattern(8 * (1 + k % 3), 8 * (1 + k % 2), k),
+            ),
+            ("jpeg", 8 * (1 + k % 3), 8 * (1 + k % 2), None, None),
+        )
+        for k in range(_N_JPEG_PROG)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+    byte_sum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"
+    )
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            byte_sum("decoded").alias("pixel_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -206,18 +206,25 @@ def test_jpeg_lossy_roundtrip_within_quantization_error():
 
 
 def test_jpeg_decoder_rejects_unsupported_variants():
-    """The env-blocked codec surface stays loud: progressive SOF2 and
-    restart-interval JPEGs raise NotImplementedError (inject a codec),
+    """Unsupported/corrupt payloads stay loud: a BASELINE stream
+    whose SOF marker is flipped to SOF2 routes to the progressive
+    decoder and fails its scan-header validation (a baseline
+    Ss=0/Se=63 scan is illegal in a progressive stream — ValueError,
+    never silent garbage), lossless SOF3 raises NotImplementedError,
     garbage raises ValueError, and the builtin dispatcher routes JPEG
     magic to the JPEG path."""
     import struct
 
     gray = bytes(64 for _ in range(64))
     good = M.encode_jpeg_gray(8, 8, gray)
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: progressive container around baseline data
     progressive = good.replace(struct.pack(">H", 0xFFC0), struct.pack(">H", 0xFFC2), 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_jpeg_gray(progressive)
+    # flip SOF0 -> SOF3 (lossless): genuinely outside the surface
+    lossless = good.replace(struct.pack(">H", 0xFFC0), struct.pack(">H", 0xFFC3), 1)
+    with pytest.raises(NotImplementedError):
+        M.decode_jpeg_gray(lossless)
     with pytest.raises(ValueError):
         M.decode_jpeg_gray(b"\xff\xd8garbage-not-a-jpeg")
     assert M._builtin_decoder(good) == gray
@@ -360,3 +367,32 @@ def test_jpeg_restart_intervals_roundtrip():
     enc[i + 1] = 0xD5
     with pytest.raises(ValueError):
         M.decode_jpeg_gray(bytes(enc))
+
+
+def test_jpeg_progressive_decode_identical_to_baseline():
+    """The progressive pipeline (DC first/refine interleaved, AC
+    first/refine per spectral band with EOBRUN, ZRL, buffered
+    correction bits) must reconstruct EXACTLY the pixels the baseline
+    path produces for the same image — both decode the same quantized
+    coefficients, so any drift is a codec bug. Covers gray + 4:4:4
+    color, flat/noisy/gradient content."""
+    import random
+
+    rnd = random.Random(11)
+    for w, h in ((8, 8), (24, 16), (32, 32)):
+        for g in (
+            bytes(((x // 8 * 14 + y // 8 * 26 + 12) % 128) * 2
+                  for y in range(h) for x in range(w)),
+            bytes(rnd.randrange(256) for _ in range(w * h)),
+            bytes(min(255, x * 3 + y * 5) for y in range(h) for x in range(w)),
+        ):
+            base = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, g))
+            prog = M.decode_jpeg_gray(M.encode_jpeg_progressive_gray(w, h, g))
+            assert prog == base
+    w, h = 24, 16
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    assert M.decode_jpeg_color(
+        M.encode_jpeg_progressive_color(w, h, rgb)
+    ) == M.decode_jpeg_color(M.encode_jpeg_color(w, h, rgb))
+    assert M._jpeg_is_progressive(M.encode_jpeg_progressive_gray(8, 8, bytes(64)))
+    assert not M._jpeg_is_progressive(M.encode_jpeg_gray(8, 8, bytes(64)))
