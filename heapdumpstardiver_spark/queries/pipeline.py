@@ -3078,3 +3078,56 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cell_points",
         )
     )
+
+
+@query("compressibility_quality_score")
+def compressibility_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style compressibility signal (rows-only by design — the
+    deflate transform is not SQL-expressible, the same carve-out the
+    sketch family uses): a document's zlib-compressed-size ratio is a
+    cheap, model-free quality/repetition proxy — templated or
+    boilerplate-heavy text compresses far below natural prose, random
+    noise barely compresses at all. Per-source rollup of the per-doc
+    ratio (micro-unit integers, deterministic for a fixed zlib) gives
+    the curation dashboard its compression column; thresholds combine
+    with `repetition_filter_gopher` and `quality_filter_chain`.
+    Validation lives in pytest (`tests/test_compressibility.py`):
+    repetitive text must score below natural text, which must score
+    below random noise.
+
+    Scale shape: one narrow Arrow-batched mapInPandas over the
+    storage partitioning (text never shuffles), then a source-keyed
+    rollup of fixed-width integers."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["text"]
+            ratios = [
+                (len(zlib.compress(t.encode("utf-8"), 6)) * 1_000_000)
+                // max(len(t.encode("utf-8")), 1)
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {"source": pdf["source"], "ratio_micro": ratios}
+            )
+
+    scored = d.select("source", "text").mapInPandas(
+        run, schema="source string, ratio_micro long"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ratio_micro").alias("min_ratio_micro"),
+            F.max("ratio_micro").alias("max_ratio_micro"),
+            (F.sum("ratio_micro") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_ratio_micro"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,43 @@
+"""Validation for the rows-only compressibility quality signal: the
+deflate ratio must order repetitive < natural < noise, and the
+registered per-source rollup must run end-to-end on the fixture
+warehouse with sane integer micro-ratios."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from heapdumpstardiver_spark.queries.pipeline import (
+    compressibility_quality_score,
+)
+
+
+def test_deflate_ratio_orders_repetition_natural_noise():
+    rep = "spam ham " * 200
+    nat = (
+        "the quick brown fox jumps over the lazy dog while a heap "
+        "analyzer walks object graphs and counts retained bytes "
+    ) * 18
+    rnd = random.Random(1)
+    noise = "".join(chr(rnd.randrange(33, 127)) for _ in range(1600))
+
+    def ratio(t: str) -> float:
+        b = t.encode("utf-8")
+        return len(zlib.compress(b, 6)) / len(b)
+
+    assert ratio(rep) < ratio(nat) < ratio(noise)
+
+
+def test_compressibility_rollup_end_to_end(spark):
+    out = compressibility_quality_score(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "per-source rollup must be non-empty"
+    for r in rows:
+        assert 0 < r["min_ratio_micro"] <= r["mean_ratio_micro"] <= r[
+            "max_ratio_micro"
+        ] <= 2_000_000
+        assert r["n_docs"] > 0
+    # deterministic: a second run yields byte-identical results
+    again = compressibility_quality_score(spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
