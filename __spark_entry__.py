@@ -52,7 +52,7 @@ _CHECK_PRIORITY = [
     "pareto_frontier_docs", "rolling_origin_backtest",
     "geo_grid_neighbor_pairs", "did_estimator",
     "multimodal_jpeg_progressive_decode",
-    "compressibility_quality_score",
+    "compressibility_quality_score", "inverted_index_postings",
     # 2: r6 decimal-stable sweep re-rendered these outputs; their green
     # rows describe the PREVIOUS schema — refresh (r6 verdict item 2)
     "benford_digit_audit", "psi_drift_by_decile",

@@ -2467,3 +2467,63 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY term, doc_id
+    ),
+    agg AS (
+        SELECT term,
+               count(*) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        FROM tf GROUP BY term
+    )
+    SELECT term, df, cf, postings
+    FROM agg
+    ORDER BY df DESC, term
+    LIMIT 20
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-index build stage
+    upstream of `bm25_keyword_search`'s scoring: per term, the
+    document frequency, collection frequency, and the doc-ordered
+    postings list (doc:tf pairs). Postings serialize to a canonical
+    string in BOTH engines (identical ordering and separators) so the
+    value hash pins every posting, not just the counts; top-20 terms
+    by df keeps the checked output bounded.
+
+    Scale shape: one explode + one (term, doc) count shuffle, then a
+    term-keyed aggregation whose per-term state is the postings list
+    itself — at 100 TB, shard postings by (term, doc-range) segments
+    exactly as Lucene does, or cap list length per segment; the
+    ordered string_agg/array_join renders each shard
+    deterministically either way. TakeOrdered bounds the output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "tf"))
+                ),
+                lambda s: F.concat_ws(":", s["doc_id"], s["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return agg.orderBy(F.desc("df"), "term").limit(20)

@@ -885,3 +885,27 @@ def test_mad_anomaly_broadcast_cut_tables(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_pareto_windows_run_over_reduced_pairs(spark):
+    """pareto_frontier_docs: the dominance windows must consume the
+    DISTINCT objective-pair relation, never the corpus — the pair
+    HashAggregate sits BELOW the first Window in the plan (plan text
+    prints top-down), and survivors join back as a hash join."""
+    plan = plan_of(spark, "pareto_frontier_docs")
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_grid_join_is_equi_never_cartesian(spark):
+    """geo_grid_neighbor_pairs: the candidate join must be an
+    EQUI-join on the cell key (the id inequality is a residual
+    condition), never a nested-loop over all point pairs, and the
+    replica fan-out is generator explodes, not a join."""
+    plan = plan_of(spark, "geo_grid_neighbor_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert plan.count("Generate explode") >= 2, plan
