@@ -33,13 +33,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # truth table: risk-table red ⇒ the driver env shifts the date/count
 # logic (fix: TZ-independent day arithmetic); risk green + micro
 # green + original red ⇒ the driver hashes decimal-string columns
-# differently (fix: micro-units become the contract). (2) the 16
+# differently (fix: micro-units become the contract). (1b) the 15
+# operators NEW this round — first canonical rows. (2) the 16
 # queries whose output rendering changed in the r6 decimal-stable
 # sweep but whose green rows predate it — fresh canonical rows that
 # match the tree. (3) staleness rotation: the oldest green rows
-# (r1-r3 vintage) so no green row ages past ~3 rounds. Everything is
-# locally parity-checked every round regardless
-# (scripts/verify_contract.py, 191/191).
+# (r1-r3 vintage); 3+15+16 = 34 head slots leave ~16 rotation slots,
+# the rest overflow to r8 under the standing tail policy. Everything
+# is locally parity-checked every round regardless
+# (scripts/verify_contract.py, 206/206 at sf0.01; full sf0.1 pass
+# also green this round).
 _CHECK_PRIORITY = [
     # 1: survival discriminating experiment (r6 verdict item 1)
     "survival_km_risk_table", "survival_km_micro",
@@ -75,7 +78,7 @@ _CHECK_PRIORITY = [
     "pivot_status_year", "salted_heavy_hitter_agg",
     "grouping_sets_agg", "correlated_scalar_subquery",
     "unpivot_measures",
-    # ---- ~r7 cap lands about here (3 + 16 + 31 = 50) ----
+    # ---- ~r7 cap lands ~16 entries above here (3 + 15 + 16 + ~16) ----
     # r3/r4 vintage greens, next-oldest first — r8 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
