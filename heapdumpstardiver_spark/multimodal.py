@@ -2,13 +2,19 @@
 columns with typed metadata (100-TB training-pipeline surface).
 
 The Spark-side plumbing — schemas, Arrow-batched `mapInPandas`
-signatures, partition-preserving shapes — is real and tested. The
-actual media decoding is STUBBED: the image/audio codec libraries are
-not in this environment, so ``decode`` raises
-``NotImplementedError`` unless a decoder is injected, and
-``extract_features`` uses a clearly-marked deterministic fake
-(bytes → hash → unit vector) where a real model/codec would plug in.
-The surrounding plan is exactly what production would run.
+signatures, partition-preserving shapes — is real and tested, and so
+are the IMAGE codecs: built-in stdlib implementations cover 8-bit
+truecolor PNG (all five filters) and the JPEG matrix — baseline
+grayscale, 4:4:4 and 4:2:0 color, DRI/RSTn restart intervals, and
+full progressive (SOF2, spectral selection + successive
+approximation). What remains injected (``decode(decoder=...)``) is
+audio/video and exotic JPEG variants (lossless/hierarchical/
+arithmetic-coded, 16-bit quant tables, sampling factors > 2) — those
+libraries are not in this environment, and an unsupported payload
+raises ``NotImplementedError`` loudly. ``extract_features`` uses a
+clearly-marked deterministic fake (bytes → hash → unit vector) where
+a real model would plug in. The surrounding plan is exactly what
+production would run.
 
 Design for scale: media payloads never enter a shuffle — every
 operator is a narrow `mapInPandas` over the storage partitioning;

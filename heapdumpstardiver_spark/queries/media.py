@@ -8,8 +8,10 @@ metadata mirrors :data:`heapdumpstardiver_spark.multimodal.MEDIA_SCHEMA`.
 What matters is that every downstream op treats payload as opaque
 ``binary`` exactly as a real media pipeline would — byte lengths,
 fingerprints, Arrow-batched feature extraction, frame-sample fan-out —
-so the whole plumbing is oracle-checked end to end, while the codec
-layer proper stays stubbed (see ``multimodal.py``).
+so the whole plumbing is oracle-checked end to end. The image codec
+layer is real (stdlib PNG + the full baseline/progressive JPEG
+matrix — see ``multimodal.py``), with closed-form oracles over
+deterministic fixtures; audio/video decode stays injected.
 """
 
 from __future__ import annotations

@@ -1,6 +1,7 @@
-"""Multimodal plumbing tests: schemas, mapInPandas batch shapes, and
-the deterministic fake featurizer (the decode step itself is stubbed —
-no codec libraries in this environment)."""
+"""Multimodal tests: schemas, mapInPandas batch shapes, the
+deterministic fake featurizer, and the built-in stdlib image codecs
+(PNG + the full baseline/progressive JPEG matrix); audio/video decode
+stays injected — no codec libraries in this environment."""
 
 from __future__ import annotations
 
