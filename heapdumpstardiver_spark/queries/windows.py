@@ -1988,14 +1988,26 @@ _KM_ORACLE_CTES = """
 """
 
 
-def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _km_risk_table(
+    spark: SparkSession, sf_dir: str, tz_free_days: bool = False
+) -> DataFrame:
     """Shared KM pipeline through the day-indexed risk table: columns
     (d, n_total, n_events, at_risk) — all BIGINT. ONE pass builds
     per-user (first signup, last seen); a second user-keyed join finds
     the first qualifying purchase (co-partitioned with the first
     shuffle); durations collapse to a risk table BOUNDED by the
     observation window, so every window below runs over dozens of
-    rows, never the corpus."""
+    rows, never the corpus.
+
+    ``tz_free_days=True`` computes day indices through an explicit
+    TIMESTAMP→TIMESTAMP_NTZ round-trip before the date cast. Note
+    `tests/test_survival_tz.py`: both spellings recover the wall
+    clock under ANY session timezone (all the casts are lazy, so the
+    NTZ→TIMESTAMP load conversion and the day cast execute under the
+    same zone and their shifts cancel end-to-end) — the variant
+    exists to make that exclusion OBSERVABLE in the driver's truth
+    table, not because the spellings can differ in a single
+    session."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("start"),
@@ -2017,12 +2029,15 @@ def _km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "start", "last_seen")
         .agg(F.min("pts").alias("converted"))
     )
+    def day(col):
+        c = F.coalesce(*col) if isinstance(col, tuple) else F.col(col)
+        if tz_free_days:
+            c = c.cast("timestamp_ntz")
+        return c.cast("date")
+
     durations = conv.select(
         "user_id",
-        F.datediff(
-            F.coalesce("converted", "last_seen").cast("date"),
-            F.col("start").cast("date"),
-        )
+        F.datediff(day(("converted", "last_seen")), day("start"))
         .cast("long")
         .alias("d"),
         F.when(F.col("converted").isNotNull(), 1).otherwise(0).alias("observed"),
@@ -2083,6 +2098,42 @@ def survival_km_risk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence lives in the survival column's rendering."""
     return (
         _km_risk_table(spark, sf_dir)
+        .select(
+            "d",
+            "at_risk",
+            "n_events",
+            (F.col("n_total") - F.col("n_events")).cast("long").alias("n_censored"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "survival_km_day_ntz",
+    oracle=f"""
+    {_KM_ORACLE_CTES}
+    SELECT d, at_risk, n_events,
+           CAST(n_total - n_events AS BIGINT) AS n_censored
+    FROM km2 ORDER BY d
+    """,
+)
+def survival_km_day_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminating twin 3 of `survival_kaplan_meier`: the same
+    integer-only risk table as `survival_km_risk_table`, with the day
+    indices spelled through an explicit TIMESTAMP→TIMESTAMP_NTZ
+    round-trip before the date cast (the oracle is byte-identical to
+    the risk-table twin's — DuckDB is tz-naive throughout).
+    `tests/test_survival_tz.py` proves BOTH spellings recover the
+    wall-clock day under any session timezone (the lazy cast chain
+    executes under one zone, so the shifts cancel end-to-end), which
+    structurally EXCLUDES session-TZ shift as the divergence
+    mechanism. Reading the trio of integer rows: any red here or on
+    risk_table ⇒ the counts/join logic or the driver-side data is
+    indicted — NOT time zones; all-integer green + original red ⇒
+    the double/string rendering remains the only suspect, and
+    `survival_km_micro`'s BIGINT contract is the shipped fix."""
+    return (
+        _km_risk_table(spark, sf_dir, tz_free_days=True)
         .select(
             "d",
             "at_risk",
