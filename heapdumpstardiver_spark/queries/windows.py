@@ -1935,8 +1935,17 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only differ in the final projection — exactly the controlled
 # experiment the truth table needs.
 
+# The running product is spelled as a RECURSIVE CTE left-fold rather
+# than `list_reduce(list(...) OVER ...)`: the windowed-list + lambda
+# construct is recent DuckDB surface whose evaluation is the prime
+# remaining suspect for the driver-only hash divergence (time zones
+# are excluded — tests/test_survival_tz.py; the Spark side is a pure
+# IEEE frame-ordered fold). Recursive CTEs are decades-old SQL that
+# every DuckDB build evaluates identically, and the recursion
+# multiplies in exactly the Spark fold's order (surv_1 = r_1 ≡
+# 1.0*r_1; surv_n = surv_{n-1} * r_n).
 _KM_ORACLE_CTES = """
-    WITH signup AS (
+    WITH RECURSIVE signup AS (
         SELECT user_id, min(ts) AS start, max(ts) AS last_seen
         FROM events GROUP BY user_id
         HAVING count(CASE WHEN event_type = 'signup' THEN 1 END) > 0
@@ -1975,15 +1984,20 @@ _KM_ORACLE_CTES = """
                    AND 1 PRECEDING), 0) AS at_risk
         FROM by_day
     ),
-    km2 AS (
-        SELECT d, at_risk, n_events, n_total,
-               list_reduce(
-                   list(greatest(CAST(1 AS DOUBLE) - n_events / CAST(at_risk AS DOUBLE),
-                                 CAST(0 AS DOUBLE)))
-                       OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW),
-                   (acc, x) -> acc * x) AS surv
+    kmseq AS (
+        SELECT row_number() OVER (ORDER BY d) AS rn,
+               d, n_total, n_events, at_risk,
+               greatest(CAST(1 AS DOUBLE) - n_events / CAST(at_risk AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS ratio
         FROM km
+    ),
+    km2 AS (
+        SELECT rn, d, at_risk, n_events, n_total, ratio AS surv
+        FROM kmseq WHERE rn = 1
+        UNION ALL
+        SELECT k.rn, k.d, k.at_risk, k.n_events, k.n_total,
+               p.surv * k.ratio
+        FROM kmseq k JOIN km2 p ON k.rn = p.rn + 1
     )
 """
 
