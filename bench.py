@@ -77,7 +77,17 @@ EXT_OPS = [
     # measured sf1 ratio like every other iterative op (r4 verdict #6)
     "dominator_retained",
 ]
-HEADLINE = CORE + LLM_OPS + EXT_OPS
+# Round-7 additions (same pattern): the heavier members of the new
+# operator families — boilerplate cleaning, search-index build,
+# Pareto selection, grid spatial join — so each gets a recorded
+# per-round wall + sf1 ratio without disturbing the core13 series.
+R7_OPS = [
+    "boilerplate_passage_filter",
+    "inverted_index_postings",
+    "pareto_frontier_docs",
+    "geo_grid_neighbor_pairs",
+]
+HEADLINE = CORE + LLM_OPS + EXT_OPS + R7_OPS
 
 # Queries that execute jobs during DataFrame *construction* (iterative
 # label propagation's convergence rounds, k-means' centroid updates).
