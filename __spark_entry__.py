@@ -62,6 +62,7 @@ _CHECK_PRIORITY = [
     "geo_grid_neighbor_pairs", "did_estimator",
     "multimodal_jpeg_progressive_decode",
     "compressibility_quality_score", "inverted_index_postings",
+    "scd2_point_in_time_join", "association_rules_lift",
     # 2: r6 decimal-stable sweep re-rendered these outputs; their green
     # rows describe the PREVIOUS schema — refresh (r6 verdict item 2)
     "benford_digit_audit", "psi_drift_by_decile",

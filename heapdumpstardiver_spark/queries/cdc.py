@@ -79,9 +79,10 @@ def apply_scd2(state: DataFrame, upd: DataFrame) -> DataFrame:
     return closed_hist.unionByName(merged)
 
 
-@query(
-    "scd2_merge_batch",
-    oracle=f"""
+# Shared oracle text building the merged SCD2 chain — used by
+# `scd2_merge_batch` (emits the chain) and `scd2_point_in_time_join`
+# (consumes it as the versioned dimension).
+_SCD2_CHAIN_CTES = f"""
     WITH upd AS (
         SELECT user_id + 1450 AS key,
                {round_sql("sum(value)")} AS new_bal,
@@ -99,8 +100,8 @@ def apply_scd2(state: DataFrame, upd: DataFrame) -> DataFrame:
                     WHEN d.bal = u.new_bal THEN 'keep'
                     ELSE 'change' END AS op
         FROM dim d FULL OUTER JOIN upd u ON d.key = u.key
-    )
-    SELECT key, bal, valid_from_us, valid_to_us, is_current FROM (
+    ),
+    chain AS (
         SELECT key, bal, CAST(0 AS BIGINT) AS valid_from_us,
                CAST(NULL AS BIGINT) AS valid_to_us, true AS is_current
         FROM merged WHERE op = 'keep'
@@ -111,7 +112,15 @@ def apply_scd2(state: DataFrame, upd: DataFrame) -> DataFrame:
         SELECT key, new_bal, update_us, CAST(NULL AS BIGINT), true
         FROM merged WHERE op IN ('insert', 'change')
     )
-    ORDER BY key, valid_from_us
+"""
+
+
+@query(
+    "scd2_merge_batch",
+    oracle=f"""
+    {_SCD2_CHAIN_CTES}
+    SELECT key, bal, valid_from_us, valid_to_us, is_current
+    FROM chain ORDER BY key, valid_from_us
     """,
 )
 def scd2_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,4 +324,97 @@ def table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("status")
+    )
+
+
+def _scd2_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged SCD2 chain `scd2_merge_batch` emits, as a reusable
+    relation (Spark twin of the `_SCD2_CHAIN_CTES` oracle text)."""
+    e = load_table(spark, sf_dir, "events")
+    upd = e.groupBy((F.col("user_id") + F.lit(1450)).alias("key")).agg(
+        round_col(F.sum("value")).alias("new_bal"),
+        F.max(F.unix_micros("ts")).alias("update_us"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        round_col(F.col("c_acctbal")).alias("bal"),
+    )
+    state0 = dim.select(
+        "key",
+        "bal",
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+    return apply_scd2(state0, upd)
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    {_SCD2_CHAIN_CTES},
+    fact AS (
+        SELECT event_type, user_id + 1450 AS key, epoch_us(ts) AS t_us
+        FROM events
+    ),
+    pit AS (
+        SELECT f.event_type, c.bal, c.is_current
+        FROM fact f JOIN chain c
+          ON f.key = c.key
+         AND c.valid_from_us <= f.t_us
+         AND (c.valid_to_us IS NULL OR f.t_us < c.valid_to_us)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_on_current_version,
+           CAST(sum(CASE WHEN is_current THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_on_closed_version,
+           {round_sql("sum(bal)")} AS attributed_bal
+    FROM pit GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of-version) join against the SCD2 history —
+    the feature-store/time-travel read that makes SCD2 chains useful:
+    each fact row joins the dimension VERSION that was valid at the
+    fact's own timestamp (valid_from <= t < valid_to), never the
+    current one — the leakage-free attribute lookup for training-data
+    assembly and retroactive reporting. Over this fixture chain every
+    user's final event lands exactly on the reopened version's
+    valid_from boundary, so both the closed-version path and the
+    half-open interval semantics are value-checked, not just typed.
+
+    Plan shape: the chain is `apply_scd2`'s one-join plan; the PIT
+    join is an equi-join on the business key with the interval
+    predicate as a residual — each fact key meets only its own
+    (typically 1-3) versions, so fan-out is version-count-bounded at
+    any scale. Version counts per fact and attributed balances are
+    the audit output."""
+    e = load_table(spark, sf_dir, "events")
+    chain = _scd2_chain(spark, sf_dir)
+    fact = e.select(
+        "event_type",
+        (F.col("user_id") + F.lit(1450)).alias("fkey"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    j = fact.join(
+        chain,
+        (F.col("fkey") == F.col("key"))
+        & (F.col("valid_from_us") <= F.col("t_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("t_us") < F.col("valid_to_us"))),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_current"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_current_version"),
+            F.sum(F.when(F.col("is_current"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_on_closed_version"),
+            round_col(F.sum("bal"), 2).alias("attributed_bal"),
+        )
+        .orderBy("event_type")
     )

@@ -2517,3 +2517,99 @@ def prefilter_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@query(
+    "association_rules_lift",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS item
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM basket),
+    item_cnt AS (
+        SELECT item, count(*) AS c FROM basket GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS co
+        FROM basket a JOIN basket b
+          ON a.okey = b.okey AND a.item < b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.co AS BIGINT) AS co_count,
+           p.co / n.n_orders AS support,
+           p.co / CAST(ca.c AS DOUBLE) AS confidence_a_to_b,
+           (p.co * n.n_orders) / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+    FROM pairs p
+    JOIN item_cnt ca ON ca.item = p.item_a
+    JOIN item_cnt cb ON cb.item = p.item_b, n
+    WHERE p.co >= 3
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994's
+    output surface without the Apriori iterations — pair-level
+    support/confidence/lift directly): which parts co-occur in orders
+    beyond chance. The graph-free complement of
+    `copurchase_triangle_count`: that query measures co-purchase
+    CONNECTIVITY, this one emits the ranked RULES (lift = observed
+    co-rate over the independence expectation) with a min-support
+    floor so noise pairs can't top the list. All measures are
+    integer-count ratios — engine-exact, no rounding helper needed.
+
+    Scale shape: baskets dedup in one (order, item) shuffle; the pair
+    space is the per-order self-join — fan-out bounded by basket size
+    squared (single-digit items per order here and in most commerce
+    data; cap or sample mega-baskets the way the shingle pipelines
+    cap hot buckets), then pairs aggregate on fixed-width keys, item
+    marginals broadcast back, and top-20 is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = basket.agg(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
+    item_cnt = basket.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 3)
+    )
+    ca = item_cnt.select(
+        F.col("item").alias("item_a"), F.col("c").alias("ca")
+    )
+    cb = item_cnt.select(
+        F.col("item").alias("item_b"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("co").cast("long").alias("co_count"),
+            (F.col("co") / F.col("n_orders")).alias("support"),
+            (F.col("co") / F.col("ca").cast("double")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                (F.col("co") * F.col("n_orders"))
+                / (F.col("ca").cast("double") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(20)
+    )
