@@ -26,22 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-check scheduling: the driver verifies at most ~50 queries per
 # round, taken in dict order. r7 front: (1) the survival_kaplan_meier
 # DISCRIMINATING EXPERIMENT (r6 verdict item 1) — the one red driver
-# row (hash-only, two rounds, locally unreproducible) plus two new
-# twins that share its exact pipeline but change only the final
-# projection: integer-columns-only (`survival_km_risk_table`) and
-# BIGINT micro-units (`survival_km_micro`). The three rows read as a
-# truth table: risk-table red ⇒ the driver env shifts the date/count
-# logic (fix: TZ-independent day arithmetic); risk green + micro
-# green + original red ⇒ the driver hashes decimal-string columns
-# differently (fix: micro-units become the contract). (1b) the 15
-# operators NEW this round — first canonical rows. (2) the 16
+# row (hash-only, two rounds, locally unreproducible) plus THREE new
+# twins that share its exact pipeline and change only the final
+# projection / day-cast spelling. The four rows read as a truth
+# table: any integer-twin red ⇒ counts/join logic or driver-side
+# data (time zones are structurally excluded —
+# tests/test_survival_tz.py; the oracle's running product is now a
+# version-stable recursive CTE rather than a windowed list_reduce);
+# integer green + original red ⇒ the decimal-string rendering, and
+# `survival_km_micro`'s BIGINT contract is the shipped fix. (1b) the
+# 18 operators NEW this round — first canonical rows. (2) the 16
 # queries whose output rendering changed in the r6 decimal-stable
 # sweep but whose green rows predate it — fresh canonical rows that
 # match the tree. (3) staleness rotation: the oldest green rows
-# (r1-r3 vintage); 3+15+16 = 34 head slots leave ~16 rotation slots,
+# (r1-r3 vintage); 4+18+16 = 38 head slots leave ~12 rotation slots,
 # the rest overflow to r8 under the standing tail policy. Everything
 # is locally parity-checked every round regardless
-# (scripts/verify_contract.py, 206/206 at sf0.01; full sf0.1 pass
+# (scripts/verify_contract.py, 209/209 at sf0.01; full sf0.1 pass
 # also green this round).
 _CHECK_PRIORITY = [
     # 1: survival discriminating experiment (r6 verdict item 1).
@@ -85,7 +86,7 @@ _CHECK_PRIORITY = [
     "pivot_status_year", "salted_heavy_hitter_agg",
     "grouping_sets_agg", "correlated_scalar_subquery",
     "unpivot_measures",
-    # ---- ~r7 cap lands ~16 entries above here (3 + 15 + 16 + ~16) ----
+    # ---- ~r7 cap lands ~19 entries above here (4 + 18 + 16 + ~12) ----
     # r3/r4 vintage greens, next-oldest first — r8 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
