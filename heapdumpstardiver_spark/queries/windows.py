@@ -3635,3 +3635,120 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(cell(0, 1, "m"), 4).alias("mean_ctrl_post"),
         round_col(did, 4).alias("did_estimate"),
     )
+
+
+@query(
+    "uplift_decile_curve",
+    oracle="""
+    WITH users AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS treat,
+               count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+                   AS pre_score,
+               max(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT *, ntile(10) OVER (ORDER BY pre_score DESC, user_id) AS decile
+        FROM users
+    ),
+    per AS (
+        SELECT decile,
+               sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS n_t,
+               sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS n_c,
+               sum(CASE WHEN treat = 1 THEN converted ELSE 0 END) AS conv_t,
+               sum(CASE WHEN treat = 0 THEN converted ELSE 0 END) AS conv_c
+        FROM ranked GROUP BY decile
+    ),
+    cum AS (
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+               sum(conv_t) OVER w AS cc_t, sum(conv_c) OVER w AS cc_c
+        FROM per
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+           CAST(conv_t AS BIGINT) AS conv_treat,
+           CAST(conv_c AS BIGINT) AS conv_ctrl,
+           conv_t / CAST(n_t AS DOUBLE) - conv_c / CAST(n_c AS DOUBLE)
+               AS uplift,
+           cc_t / CAST(cn_t AS DOUBLE) - cc_c / CAST(cn_c AS DOUBLE)
+               AS cum_uplift
+    FROM cum ORDER BY decile
+    """,
+)
+def uplift_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation (Qini-style decile curve): users are
+    ranked by a pre-period engagement score, and within each score
+    decile the treatment-minus-control conversion-rate gap measures
+    INCREMENTAL effect — the targeting question ("whom does the
+    treatment actually move?") that a single average effect
+    (`did_estimator`) cannot answer. The cumulative curve is the
+    model-selection statistic: a score that concentrates uplift in
+    the top deciles beats one that spreads it. Every input to every
+    emitted double is an integer count (conversions are 0/1 maxima,
+    ranks are NTILE over integers), so the ratios are engine-exact —
+    no rounding helper needed anywhere.
+
+    Scale shape: one user-keyed aggregation pass; the NTILE window
+    runs over the per-user relation (users-bounded, like the other
+    documented reduced-relation global windows — swap to
+    `decile_binning_broadcast_cuts`'s broadcast-cut-points pattern if
+    even the user table outgrows one partition); the curve itself is
+    10 rows."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    users = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("pre_score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= cut), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        "pre_score",
+        "converted",
+    )
+    ranked = users.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("pre_score"), "user_id")),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("treat") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_t"
+        ),
+        F.sum(F.when(F.col("treat") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_c"
+        ),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile", "n_t", "n_c", "conv_t", "conv_c",
+        F.sum("n_t").over(w).alias("cn_t"),
+        F.sum("n_c").over(w).alias("cn_c"),
+        F.sum("conv_t").over(w).alias("cc_t"),
+        F.sum("conv_c").over(w).alias("cc_c"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.col("conv_t").cast("long").alias("conv_treat"),
+        F.col("conv_c").cast("long").alias("conv_ctrl"),
+        (
+            F.col("conv_t") / F.col("n_t").cast("double")
+            - F.col("conv_c") / F.col("n_c").cast("double")
+        ).alias("uplift"),
+        (
+            F.col("cc_t") / F.col("cn_t").cast("double")
+            - F.col("cc_c") / F.col("cn_c").cast("double")
+        ).alias("cum_uplift"),
+    ).orderBy("decile")
