@@ -648,6 +648,90 @@ def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
     return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_422(width: int, height: int, rgb: bytes) -> bytes:
+    """Baseline sequential JPEG encoder for 4:2:2 YCbCr (chroma
+    halved horizontally only; dims must be multiples of 16 for MCU
+    alignment). One MCU = two Y blocks side by side + one Cb + one
+    Cr; chroma downsampling is a horizontal 2-pixel box average with
+    half-up integer rounding, and the decoder's factor-ratio sampling
+    replicates it back. 16x16-flat even-YCbCr MCUs round-trip
+    exactly, like the other layouts — exercised by pytest; the
+    registered oracle queries cover gray/4:4:4/4:2:0/progressive, and
+    this layout completes the sampling-factor matrix {1,2}x{1,2} the
+    decoder accepts."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError("fixture encoder requires multiple-of-16 dims")
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+
+    yp = bytearray(width * height)
+    cw = width // 2
+    cbp, crp = bytearray(cw * height), bytearray(cw * height)
+    cbs = [[0] * width for _ in range(height)]
+    crs = [[0] * width for _ in range(height)]
+    for yy in range(height):
+        for xx in range(width):
+            i = 3 * (yy * width + xx)
+            y, cb, cr = rgb_to_ycbcr(rgb[i], rgb[i + 1], rgb[i + 2])
+            yp[yy * width + xx] = y
+            cbs[yy][xx], crs[yy][xx] = cb, cr
+    for yy in range(height):
+        for cx in range(cw):
+            for src, dst in ((cbs, cbp), (crs, crp)):
+                s = src[yy][2 * cx] + src[yy][2 * cx + 1]
+                dst[yy * cw + cx] = (s + 1) // 2
+
+    luma = (_huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS))
+    chroma = (
+        _huff_codes(_DC_BITS_C, _DC_VALS_C),
+        _huff_codes(_AC_BITS_C, _AC_VALS_C),
+    )
+
+    def block(plane, stride, ox, oy):
+        return [
+            float(plane[(oy + y) * stride + ox + x]) - 128.0
+            for y in range(8)
+            for x in range(8)
+        ]
+
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(height // 8):
+        for mx in range(width // 16):
+            for bh_i in range(2):  # two Y blocks per MCU, left to right
+                prev[0] = _encode_block(
+                    w, block(yp, width, mx * 16 + bh_i * 8, my * 8), prev[0], *luma
+                )
+            prev[1] = _encode_block(
+                w, block(cbp, cw, mx * 8, my * 8), prev[1], *chroma
+            )
+            prev[2] = _encode_block(
+                w, block(crp, cw, mx * 8, my * 8), prev[2], *chroma
+            )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_q = bytes(_QTABLE[_ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xFFDB, bytes([0x00]) + zz_q) + seg(0xFFDB, bytes([0x01]) + zz_q)
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        + seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return _JPEG_MAGIC + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 def encode_jpeg_420(
     width: int, height: int, rgb: bytes, restart_interval: int = 0
 ) -> bytes:
@@ -1474,7 +1558,11 @@ def _quant_zigzag_block(plane, stride: int, ox: int, oy: int) -> list[int]:
 
 
 def _encode_progressive(
-    width: int, height: int, planes: list[bytes], chroma_from: int
+    width: int,
+    height: int,
+    planes: list[bytes],
+    chroma_from: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """Shared progressive-encoder core (all components 1x1): DC-first
     (Al=1, interleaved) → AC-first per component in two spectral
@@ -1526,10 +1614,26 @@ def _encode_progressive(
         out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
         out += seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_P) + bytes(_AC_VALS_P))
 
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    def maybe_restart(w, bi, ac=None):
+        """Per-scan restart boundary: flush any pending EOB run
+        (runs may not cross a restart), pad-align, emit RSTn (n
+        numbers from 0 within each scan), reset predictors."""
+        if restart_interval and bi and bi % restart_interval == 0:
+            if ac is not None:
+                ac.flush_eobrun()
+            w.restart_marker((bi // restart_interval - 1) % 8)
+            return True
+        return False
+
     # scan 1: DC first, interleaved, Al=1
     w = _BitWriter()
     prev = [0] * ncomp
     for bi in range(bw * bh):
+        if maybe_restart(w, bi):
+            prev = [0] * ncomp
         for ci in range(ncomp):
             v = blocks[ci][bi][0] >> 1
             diff = v - prev[ci]
@@ -1546,6 +1650,7 @@ def _encode_progressive(
             w = _BitWriter()
             ac = _ProgAcWriter(w, ac_codes[ci], 1)
             for bi in range(bw * bh):
+                maybe_restart(w, bi, ac)
                 ac.first_block(blocks[ci][bi], ss, se)
             ac.flush_eobrun()
             out += sos([ci], ss, se, 0, 1) + w.flush()
@@ -1553,6 +1658,7 @@ def _encode_progressive(
     # DC refine: one raw bit per block, interleaved
     w = _BitWriter()
     for bi in range(bw * bh):
+        maybe_restart(w, bi)
         for ci in range(ncomp):
             w.put(blocks[ci][bi][0] & 1, 1)
     out += sos(list(range(ncomp)), 0, 0, 1, 0) + w.flush()
@@ -1563,6 +1669,7 @@ def _encode_progressive(
             w = _BitWriter()
             ac = _ProgAcWriter(w, ac_codes[ci], 0)
             for bi in range(bw * bh):
+                maybe_restart(w, bi, ac)
                 ac.refine_block(blocks[ci][bi], ss, se)
             ac.flush_eobrun()
             out += sos([ci], ss, se, 1, 0) + w.flush()
@@ -1571,15 +1678,23 @@ def _encode_progressive(
     return bytes(out)
 
 
-def encode_jpeg_progressive_gray(width: int, height: int, gray: bytes) -> bytes:
+def encode_jpeg_progressive_gray(
+    width: int, height: int, gray: bytes, restart_interval: int = 0
+) -> bytes:
     """Progressive (SOF2) grayscale encoder: successive approximation
     over two spectral bands — fixture builder for the progressive
-    decoder; dims must be multiples of 8."""
+    decoder; dims must be multiples of 8. A nonzero
+    *restart_interval* emits DRI + per-scan RSTn boundaries (EOB runs
+    flushed before each marker, predictors reset, numbering from 0 in
+    every scan)."""
     if width % 8 or height % 8:
         raise ValueError("fixture encoder requires multiple-of-8 dims")
     if len(gray) != width * height:
         raise ValueError(f"need {width * height} bytes, got {len(gray)}")
-    return _encode_progressive(width, height, [gray], chroma_from=1)
+    return _encode_progressive(
+        width, height, [gray], chroma_from=1,
+        restart_interval=restart_interval,
+    )
 
 
 def encode_jpeg_progressive_color(width: int, height: int, rgb: bytes) -> bytes:

@@ -397,3 +397,55 @@ def test_jpeg_progressive_decode_identical_to_baseline():
     ) == M.decode_jpeg_color(M.encode_jpeg_color(w, h, rgb))
     assert M._jpeg_is_progressive(M.encode_jpeg_progressive_gray(8, 8, bytes(64)))
     assert not M._jpeg_is_progressive(M.encode_jpeg_gray(8, 8, bytes(64)))
+
+
+def test_jpeg_422_flat_mcus_roundtrip_exact_and_lossy_bound():
+    """4:2:2 (horizontal-only chroma halving) completes the
+    sampling-factor matrix the decoder accepts: flat even-YCbCr MCUs
+    round-trip exactly (horizontal box average of a flat field +
+    replication upsample are identities), smooth gradients stay in
+    the quantizer budget — this is the only layout exercising the
+    (2,1) factor geometry."""
+    from heapdumpstardiver_spark.queries.media import _JPEG_PALETTE
+
+    w, h = 32, 16
+    rgb = bytearray()
+    exp = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            c = _JPEG_PALETTE[(xx // 16 + (yy // 16) * 2) % 12]
+            rgb += bytes(c)
+            exp += bytes(M.ycbcr_to_rgb(*M.rgb_to_ycbcr(*c)))
+    assert M.decode_jpeg_color(M.encode_jpeg_422(w, h, bytes(rgb))) == bytes(exp)
+    grad = bytes(
+        min(255, x * 3 + y * 2 + ch * 9)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    )
+    dec = M.decode_jpeg_color(M.encode_jpeg_422(w, h, grad))
+    assert max(abs(a - b) for a, b in zip(grad, dec)) <= 24
+
+
+def test_jpeg_progressive_restart_intervals_identical():
+    """Restart boundaries inside PROGRESSIVE scans (EOB runs flushed
+    before each RSTn, per-scan numbering, predictor resets) must not
+    change a pixel: progressive+DRI decodes identical to baseline for
+    the same image."""
+    import random
+
+    rnd = random.Random(5)
+    w, h = 32, 16
+    for g in (
+        bytes(((x // 8 * 14 + y // 8 * 26 + 12) % 128) * 2
+              for y in range(h) for x in range(w)),
+        bytes(rnd.randrange(256) for _ in range(w * h)),
+    ):
+        base = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, g))
+        for ri in (1, 2, 3):
+            assert (
+                M.decode_jpeg_gray(
+                    M.encode_jpeg_progressive_gray(w, h, g, restart_interval=ri)
+                )
+                == base
+            )
