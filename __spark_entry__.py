@@ -35,14 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # version-stable recursive CTE rather than a windowed list_reduce);
 # integer green + original red ⇒ the decimal-string rendering, and
 # `survival_km_micro`'s BIGINT contract is the shipped fix. (1b) the
-# 19 operators NEW this round — first canonical rows. (2) the 16
+# 20 operators NEW this round — first canonical rows. (2) the 16
 # queries whose output rendering changed in the r6 decimal-stable
 # sweep but whose green rows predate it — fresh canonical rows that
 # match the tree. (3) staleness rotation: the oldest green rows
-# (r1-r3 vintage); 4+19+16 = 39 head slots leave ~11 rotation slots,
+# (r1-r3 vintage); 4+20+16 = 40 head slots leave ~10 rotation slots,
 # the rest overflow to r8 under the standing tail policy. Everything
 # is locally parity-checked every round regardless
-# (scripts/verify_contract.py, 210/210 at sf0.01; full sf0.1 pass
+# (scripts/verify_contract.py, 211/211 at sf0.01; full sf0.1 pass
 # also green this round).
 _CHECK_PRIORITY = [
     # 1: survival discriminating experiment (r6 verdict item 1).
@@ -64,7 +64,7 @@ _CHECK_PRIORITY = [
     "multimodal_jpeg_progressive_decode",
     "compressibility_quality_score", "inverted_index_postings",
     "scd2_point_in_time_join", "association_rules_lift",
-    "uplift_decile_curve",
+    "uplift_decile_curve", "multimodal_jpeg_422_decode",
     # 2: r6 decimal-stable sweep re-rendered these outputs; their green
     # rows describe the PREVIOUS schema — refresh (r6 verdict item 2)
     "benford_digit_audit", "psi_drift_by_decile",
@@ -87,7 +87,7 @@ _CHECK_PRIORITY = [
     "pivot_status_year", "salted_heavy_hitter_agg",
     "grouping_sets_agg", "correlated_scalar_subquery",
     "unpivot_measures",
-    # ---- ~r7 cap lands ~20 entries above here (4 + 19 + 16 + ~11) ----
+    # ---- ~r7 cap lands ~21 entries above here (4 + 20 + 16 + ~10) ----
     # r3/r4 vintage greens, next-oldest first — r8 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",

@@ -670,3 +670,101 @@ def multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("media_id")
     )
+
+
+_N_JPEG_422 = 6  # images k=0..5: w = 16*(1 + k%2), h = 16
+
+
+@query(
+    "multimodal_jpeg_422_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 16 * (1 + i % 2), 16
+        FROM (SELECT unnest(range({_N_JPEG_422})) AS i)
+    ),
+    mxs(mx) AS (SELECT unnest(range(2))),
+    pal(pi, r, g, b) AS (VALUES {_pal_values_sql()}),
+    mcus AS (
+        SELECT media_id, w, h, r, g, b
+        FROM imgs, mxs
+        JOIN pal ON pi = (mx + media_id * 5) % 12
+        WHERE mx * 16 < w
+    ),
+    yc AS (
+        SELECT media_id, w, h,
+               CAST(floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0) AS BIGINT) AS y,
+               CAST(floor(128.0e0 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0) AS BIGINT) AS cb,
+               CAST(floor(128.0e0 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0) AS BIGINT) AS cr
+        FROM mcus
+    ),
+    rgb2 AS (
+        SELECT media_id, w, h,
+               CAST(floor(y + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT) AS r2,
+               CAST(floor(y - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT) AS g2,
+               CAST(floor(y + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT) AS b2
+        FROM yc
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(sum(r2) * 256 AS BIGINT) AS r_sum,
+           CAST(sum(g2) * 256 AS BIGINT) AS g_sum,
+           CAST(sum(b2) * 256 AS BIGINT) AS b_sum
+    FROM rgb2 GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:2 baseline-JPEG decode under the oracle gate — the (2,1)
+    sampling-factor geometry (two Y blocks per MCU beside one Cb/Cr,
+    horizontal-only chroma box average) that completes the decoder's
+    {1,2}x{1,2} factor matrix. Fixtures are 16x16-flat MCUs (each
+    spanning a 1x2 block column pair) from the all-even-YCbCr
+    palette, so downsample, quantizer, and replication upsample are
+    all exact and the DuckDB oracle stays closed-form — any defect
+    in the horizontal MCU geometry or per-plane strides shifts a
+    channel sum.
+
+    Scale shape: identical to the other media queries — payloads
+    never shuffle, one narrow Arrow-batched mapInPandas stage."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_422(
+                16 * (1 + k % 2),
+                16,
+                bytes(
+                    b
+                    for y in range(16)
+                    for x in range(16 * (1 + k % 2))
+                    for b in _JPEG_PALETTE[(x // 16 + k * 5) % 12]
+                ),
+            ),
+            ("jpeg", 16 * (1 + k % 2), 16, None, None),
+        )
+        for k in range(_N_JPEG_422)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), M.MEDIA_SCHEMA
+    )
+
+    def _ch_sum(off: int):
+        return F.pandas_udf(
+            lambda s, _o=off: s.map(lambda b: int(sum(bytes(b)[_o::3]))), "long"
+        )
+
+    r_sum, g_sum, b_sum = _ch_sum(0), _ch_sum(1), _ch_sum(2)
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            r_sum("decoded").alias("r_sum"),
+            g_sum("decoded").alias("g_sum"),
+            b_sum("decoded").alias("b_sum"),
+        )
+        .orderBy("media_id")
+    )
