@@ -1757,7 +1757,7 @@ _PERCOLATE_RULES = [
         FROM doc_terms d JOIN rules r ON d.token = r.term
         GROUP BY d.doc_id, r.rule_id
     )
-    SELECT h.rule_id,
+    SELECT CAST(h.rule_id AS BIGINT) AS rule_id,
            count(*) AS n_matching_docs,
            CAST(min(h.doc_id) AS BIGINT) AS first_doc
     FROM hits h JOIN rule_size s ON h.rule_id = s.rule_id

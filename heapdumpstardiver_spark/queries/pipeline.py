@@ -2349,7 +2349,8 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pick, source, new_tokens, cum_tokens,
            {round_sql("100.0 * cum_tokens / v", 4)} AS coverage_pct
     FROM (
-        SELECT 1 AS pick, r1.source, CAST(r1.gain AS BIGINT) AS new_tokens,
+        SELECT CAST(1 AS BIGINT) AS pick, r1.source,
+               CAST(r1.gain AS BIGINT) AS new_tokens,
                CAST(r1.gain AS BIGINT) AS cum_tokens FROM r1
         UNION ALL
         SELECT 2, r2.source, CAST(r2.gain AS BIGINT),

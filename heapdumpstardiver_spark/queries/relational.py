@@ -1429,7 +1429,7 @@ def _root_path_oracle() -> str:
                    PARTITION BY node ORDER BY depth, path) AS rn
         FROM walk
     )
-    SELECT o.obj_id, o.type_name,
+    SELECT CAST(o.obj_id AS BIGINT) AS obj_id, o.type_name,
            CAST(b.depth AS INT) AS depth, b.path
     FROM best b JOIN objects o ON o.obj_id = b.node
     WHERE b.rn = 1

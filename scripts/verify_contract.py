@@ -19,6 +19,56 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Oracle output-type guard (r7 verdict item 2). DuckDB's fetchall
+# path silently normalizes HUGEINT/DECIMAL to Python int, so a
+# fetchall-based parity check CANNOT see the bug class that kept the
+# survival family red for three driver rounds: `sum(BIGINT)` returns
+# HUGEINT, which the driver's pandas/Arrow fetch renders as
+# float64/decimal128 and the value hash flips while rows+schema stay
+# green. Guard: every oracle output column must be in this scalar
+# set — no HUGEINT, no UHUGEINT, no DECIMAL. If a new oracle trips
+# this, wrap the offending expression in CAST(... AS BIGINT/DOUBLE).
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE",
+    "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+}
+
+# Spark type-category ↔ allowed DuckDB types, column-for-column.
+_SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER", "BIGINT"},
+    "smallint": {"SMALLINT", "INTEGER"},
+    "tinyint": {"TINYINT", "SMALLINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def type_guard_errors(sdf_dtypes, duck_cols, duck_types):
+    """Return a list of violations: disallowed oracle types, or a
+    Spark column whose type category doesn't match its oracle twin."""
+    errs = []
+    duck_by_col = {c: str(t) for c, t in zip(duck_cols, duck_types)}
+    for c, t in duck_by_col.items():
+        if t not in ALLOWED_ORACLE_TYPES:
+            errs.append(f"oracle col {c!r} has disallowed type {t}")
+    for c, st in sdf_dtypes:
+        dt = duck_by_col.get(c)
+        if dt is None:
+            continue  # schema mismatch reported separately
+        allowed = _SPARK_TO_DUCK.get(st)
+        if allowed is None:
+            errs.append(f"spark col {c!r} has unmapped type {st!r} (oracle {dt})")
+        elif dt not in allowed:
+            errs.append(f"col {c!r}: spark {st} vs oracle {dt} — category mismatch")
+    return errs
+
 
 def canon(v):
     if isinstance(v, float):
@@ -70,11 +120,16 @@ def main():
             if name not in osql:
                 rows_only.append((name, len(srows)))
                 continue
-            dres = con.execute(osql[name])
-            dcols = [d[0] for d in dres.description]
-            drows = dres.fetchall()
+            drel = con.sql(osql[name])
+            dcols = list(drel.columns)
+            dtypes = list(drel.types)
+            drows = drel.fetchall()
             if sorted(scols) != sorted(dcols):
                 failed.append((name, f"schema {sorted(scols)} != {sorted(dcols)}"))
+                continue
+            terrs = type_guard_errors(sdf.dtypes, dcols, dtypes)
+            if terrs:
+                failed.append((name, "type guard: " + "; ".join(terrs)))
                 continue
             sset, dset = rowset(scols, srows), rowset(dcols, drows)
             if sset != dset:

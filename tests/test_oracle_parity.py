@@ -80,6 +80,36 @@ def test_all_queries_nonvacuous(spark, oracle_con):
     assert not empty, f"empty result sets: {empty}"
 
 
+def test_oracle_output_type_guard(spark, oracle_con):
+    """No oracle may emit HUGEINT/UHUGEINT/DECIMAL, and every Spark
+    output column's type category must match its oracle twin.
+
+    Why this exists (r7 verdict item 2): DuckDB `sum(BIGINT)` returns
+    HUGEINT. The local fetchall path normalizes HUGEINT to Python int
+    (parity looks exact), but the driver's pandas/Arrow fetch renders
+    it float64/decimal128 — `150.0` vs Spark's BIGINT `150` — which
+    flips the value hash while rows and schema stay green. That
+    burned three driver rounds on the survival family before the r7
+    judge found it. This guard makes the bug class fail locally.
+    """
+    import importlib.util
+    import pathlib
+
+    vc_path = pathlib.Path(__file__).parent.parent / "scripts" / "verify_contract.py"
+    spec = importlib.util.spec_from_file_location("verify_contract", vc_path)
+    vc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vc)
+
+    bad = {}
+    for name, sql in hds.ORACLE_SQL.items():
+        rel = oracle_con.sql(sql)
+        sdf = hds.QUERIES[name](spark, SF_DIR)  # lazy — schema only
+        errs = vc.type_guard_errors(sdf.dtypes, rel.columns, rel.types)
+        if errs:
+            bad[name] = errs
+    assert not bad, f"oracle type-guard violations: {bad}"
+
+
 def test_approx_distinct_sketch_within_tolerance(spark):
     """The HLL sketch estimate must land within its advertised 5%
     relative error on every group (self-validating rows-only query)."""

@@ -1,12 +1,22 @@
-"""Pins the timezone analysis behind the r7 survival discriminating
-experiment: because every cast in the NTZ→TIMESTAMP→date chain is
+"""Pins the timezone-cancellation property of the survival family's
+day arithmetic: because every cast in the NTZ→TIMESTAMP→date chain is
 LAZY and therefore executes under one session timezone, the
 conversions cancel end-to-end — the wall-clock day is recovered under
 ANY session zone, for the plain cast AND the explicit NTZ round-trip
-(`survival_km_day_ntz`). This structurally EXCLUDES session-timezone
-shift as the mechanism behind the driver-only hash divergence: if the
-integer risk-table twins come back red, the counts/join logic or the
-driver-side data is indicted, not time zones."""
+(`survival_km_day_ntz`).
+
+HISTORY: this exclusion was half of the r7 discriminating experiment
+for the three-round driver-only hash red on the survival family. The
+experiment came back all-four-red, and the r7 judge traced the actual
+mechanism to neither time zones nor decimal rendering but to the
+oracle's OWN output type: `at_risk` was `count(*) − sum(n_total)
+OVER (...)`, and DuckDB `sum(BIGINT)` returns HUGEINT — exact on the
+local fetchall path, but rendered float64/decimal128 on the driver's
+pandas/Arrow fetch, flipping the value hash. Fixed in r8 by
+CAST(... AS BIGINT) in `_KM_ORACLE_CTES`; the class is now rejected
+locally by the oracle output-type guard (scripts/verify_contract.py,
+tests/test_oracle_parity.py::test_oracle_output_type_guard). The TZ
+tests below remain as standing protection for the day-cast logic."""
 
 from __future__ import annotations
 
