@@ -688,3 +688,300 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = summ if out is None else out.unionByName(summ)
     return out.orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# Classical statistical tests (r8): Mann-Whitney U, chi-square
+# independence, Theil-Sen robust trend — the nonparametric companions
+# to ks_test_two_sample / price_trend_regression.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_u_test",
+    oracle=f"""
+    WITH samples AS (
+        SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS src,
+               count(*) AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id, event_type
+    ),
+    by_x AS (
+        SELECT x, count(*) AS n_all,
+               count(*) FILTER (WHERE src = 'a') AS ca,
+               count(*) FILTER (WHERE src = 'b') AS cb
+        FROM samples GROUP BY x
+    ),
+    ranked AS (
+        SELECT ca, cb, n_all,
+               coalesce(sum(n_all) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + (n_all + 1) / 2.0 AS avg_rank
+        FROM by_x
+    ),
+    agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(ca * avg_rank) AS r_a,
+               CAST(sum(n_all * n_all * n_all - n_all) AS BIGINT) AS tie_t
+        FROM ranked
+    ),
+    stat AS (
+        SELECT n_a, n_b, n_a + n_b AS n,
+               r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+               sqrt(n_a * n_b / 12.0 *
+                    ((n_a + n_b + 1) - CAST(tie_t AS DOUBLE) /
+                     ((n_a + n_b) * (n_a + n_b - 1)))) AS sigma
+        FROM agg
+    )
+    SELECT n_a, n_b,
+           {round_sql("u_a", 2)} AS u_stat,
+           {round_sql("(u_a - n_a * n_b / 2.0) / sigma", 4)} AS z_score,
+           abs({round_sql("(u_a - n_a * n_b / 2.0) / sigma", 4)}) > 1.96
+               AS reject_05
+    FROM stat
+    """,
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do users' per-user
+    click counts and purchase counts come from the same distribution?
+    Tie-aware average ranks with the standard tie-corrected normal
+    approximation; the reject decision compares the ROUNDED |z| to
+    1.96 so the boolean can't flip on an engine's last ulp.
+
+    Scale shape: the textbook test ranks the pooled sample globally;
+    this formulation aggregates the corpus to per-(user, type) counts
+    (one shuffle), then to per-VALUE counts — the rank window runs
+    over distinct integer counts (dozens of rows), never the corpus.
+    Per-user counts are exact integers, so ranks carry no float
+    nondeterminism into the U statistic."""
+    e = _t(spark, sf_dir, "events")
+    samples = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .select(
+            F.when(F.col("event_type") == "click", "a").otherwise("b").alias("src"),
+            "x",
+        )
+    )
+    by_x = samples.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("src") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("src") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_x.select(
+        "ca",
+        "cb",
+        "n_all",
+        (
+            F.coalesce(F.sum("n_all").over(w), F.lit(0))
+            + (F.col("n_all") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("r_a"),
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        ).cast("long").alias("tie_t"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * ((n + 1) - F.col("tie_t").cast("double") / (n * (n - 1)))
+    )
+    z = round_col((u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0)) / sigma, 4)
+    return agg.select(
+        "n_a",
+        "n_b",
+        round_col(u_a, 2).alias("u_stat"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_05"),
+    )
+
+
+@query(
+    "chi_square_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, sum(obs) AS row_tot FROM cells GROUP BY lang),
+    ct AS (SELECT source, sum(obs) AS col_tot FROM cells GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                 CAST(count(DISTINCT source) AS BIGINT) AS c
+          FROM cells),
+    contrib AS (
+        SELECT pow(obs - CAST(row_tot * col_tot AS DOUBLE) / total, 2)
+               / (CAST(row_tot * col_tot AS DOUBLE) / total) AS x2
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source), n
+    )
+    SELECT n.r AS n_langs, n.c AS n_sources, n.total AS n_docs,
+           (n.r - 1) * (n.c - 1) AS dof,
+           {round_sql("sum(x2)", 4)} AS chi2,
+           {round_sql(
+               "sqrt(sum(x2) / (n.total * least(n.r - 1, n.c - 1)))", 4
+           )} AS cramers_v
+    FROM contrib, n GROUP BY n.r, n.c, n.total
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the lang × source
+    contingency table, with Cramér's V effect size — the
+    composition-drift check a curation pipeline runs to ask "does
+    document language depend on source?" before stratifying a mix.
+
+    Scale shape: ONE groupBy collapses the corpus to R×C cells;
+    row/column totals and the chi-square sum all run over that
+    ~100-row cell table. The expected-count math happens on exact
+    integer products cast to double once, so the only float work is
+    the final bounded reduction."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("lang").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("source").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(
+        F.sum("obs").cast("long").alias("total"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total")
+    contrib = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r",
+            "c",
+            "total",
+            (F.pow(F.col("obs") - exp, F.lit(2)) / exp).alias("x2"),
+        )
+    )
+    return contrib.groupBy("r", "c", "total").agg(
+        round_col(F.sum("x2"), 4).alias("chi2"),
+        round_col(
+            F.sqrt(F.sum("x2") / (F.col("total") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            4,
+        ).alias("cramers_v"),
+    ).select(
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        F.col("total").alias("n_docs"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+        "chi2",
+        "cramers_v",
+    )
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS w,
+               count(*) AS y
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.w - a.w) AS slope
+        FROM weekly a JOIN weekly b ON a.w < b.w
+    ),
+    ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS np
+        FROM slopes
+    ),
+    ts AS (
+        SELECT avg(slope) AS ts_slope FROM ranked
+        WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+               (count(*) * sum(CAST(w * y AS DOUBLE))
+                - CAST(sum(w) AS DOUBLE) * sum(y))
+               / (count(*) * sum(CAST(w * w AS DOUBLE))
+                  - CAST(sum(w) AS DOUBLE) * sum(w)) AS ols_slope
+        FROM weekly
+    )
+    SELECT n_weeks,
+           {round_sql("ts_slope", 6)} AS ts_slope,
+           {round_sql("ols_slope", 6)} AS ols_slope
+    FROM ts, ols
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator on weekly order volume: the
+    median of all pairwise slopes (outlier-resistant, 29% breakdown
+    point), next to the OLS slope it robustifies — the
+    trend-monitoring companion to `price_trend_regression`.
+
+    Scale shape: the corpus collapses to ONE row per week (bounded by
+    the observation window, not the data volume), so the pairwise
+    slope relation is weeks²/2 ≈ 60k rows — constant as data grows.
+    The median is taken by exact rank selection (row_number over the
+    bounded slope set, average the two middle values), which both
+    engines evaluate bit-identically — no reliance on
+    percentile-interpolation arithmetic agreeing across engines.
+    Weekly y is an exact integer count, so each slope is a single
+    float division — deterministic on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / 7
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    slopes = a.join(
+        F.broadcast(b), F.col("a.w") < F.col("b.w")
+    ).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.w") - F.col("a.w"))
+        ).alias("slope")
+    )
+    wr = Window.orderBy("slope")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("np"),
+    )
+    ts = ranked.filter(
+        (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+    ).agg(F.avg("slope").alias("ts_slope"))
+    ols = weekly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        (
+            (
+                F.count(F.lit(1)) * F.sum((F.col("w") * F.col("y")).cast("double"))
+                - F.sum("w").cast("double") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum((F.col("w") * F.col("w")).cast("double"))
+                - F.sum("w").cast("double") * F.sum("w")
+            )
+        ).alias("ols_slope"),
+    )
+    return ts.crossJoin(F.broadcast(ols)).select(
+        "n_weeks",
+        round_col(F.col("ts_slope"), 6).alias("ts_slope"),
+        round_col(F.col("ols_slope"), 6).alias("ols_slope"),
+    )

@@ -3132,3 +3132,291 @@ def compressibility_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8 curation additions: mixture balance, n-gram novelty, URL
+# canonicalization dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topic_balance_entropy",
+    oracle=f"""
+    WITH cells AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, sum(c) AS t, count(*) AS n_langs
+            FROM cells GROUP BY source),
+    ent AS (
+        SELECT c.source,
+               CAST(t.t AS BIGINT) AS n_docs,
+               CAST(t.n_langs AS BIGINT) AS n_langs,
+               -sum((CAST(c.c AS DOUBLE) / t.t)
+                    * ln(CAST(c.c AS DOUBLE) / t.t)) AS h
+        FROM cells c JOIN tot t USING (source)
+        GROUP BY c.source, t.t, t.n_langs
+    )
+    SELECT source, n_docs, n_langs,
+           {round_sql("h", 6)} AS entropy,
+           {round_sql("exp(h)", 4)} AS effective_langs,
+           {round_sql(
+               "CASE WHEN n_langs > 1 THEN h / ln(CAST(n_langs AS DOUBLE)) "
+               "ELSE 0.0 END", 4
+           )} AS balance
+    FROM ent ORDER BY source
+    """,
+)
+def topic_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix balance: Shannon entropy of the lang
+    distribution, its exponential (effective number of languages —
+    the perplexity of the mix), and entropy normalized by ln(K)
+    (1.0 = perfectly balanced). The mixture-health dashboard a
+    training-data curator reads before reweighting sources.
+
+    Scale shape: one groupBy collapses the corpus to source×lang
+    cells; everything after runs on that bounded cell table. The
+    entropy sum spans ≤K≈5 terms per source, so float-order effects
+    sit far below the 6-decimal rendering."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cells.groupBy("source").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("c").cast("double") / F.col("t")
+    ent = (
+        cells.join(F.broadcast(tot), "source")
+        .groupBy("source", "t", "n_langs")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    return ent.select(
+        "source",
+        F.col("t").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        round_col(F.col("h"), 6).alias("entropy"),
+        round_col(F.exp(F.col("h")), 4).alias("effective_langs"),
+        round_col(
+            F.when(
+                F.col("n_langs") > 1,
+                F.col("h") / F.log(F.col("n_langs").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("balance"),
+    ).orderBy("source")
+
+
+@query(
+    "ngram_novelty_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tokens
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(tokens[i:i+2], ' ') AS gram
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    owner AS (
+        SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+        SELECT g.doc_id, g.source,
+               count(*) AS n_grams,
+               count(*) FILTER (WHERE o.first_doc = g.doc_id) AS n_novel
+        FROM grams g JOIN owner o ON g.gram = o.gram
+        GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {round_sql("avg(100.0 * n_novel / n_grams)", 4)}
+               AS avg_novelty_pct,
+           {round_sql("min(100.0 * n_novel / n_grams)", 4)}
+               AS min_novelty_pct,
+           {round_sql("max(100.0 * n_novel / n_grams)", 4)}
+               AS max_novelty_pct
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty: for each document, the share of its distinct
+    trigrams whose FIRST appearance (by doc_id order) is in that
+    document — low novelty flags near-boilerplate additions to a
+    corpus; the per-source rollup ranks sources by how much genuinely
+    new text they contribute.
+
+    Scale shape: explode to (doc, trigram), one groupBy on the gram
+    finds each gram's first owner, one co-keyed join marks novelty,
+    one groupBy rolls up — every shuffle keys on gram or doc, no
+    pairwise comparisons anywhere (contrast jaccard_pairs: novelty is
+    the linear-cost screen you run BEFORE pairwise verification)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("tokens")
+    ).filter(F.size("tokens") >= 3)
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("gram"),
+        )
+        .distinct()
+    )
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(owner, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    pct = F.lit(100.0) * F.col("n_novel") / F.col("n_grams")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            round_col(F.avg(pct), 4).alias("avg_novelty_pct"),
+            round_col(F.min(pct), 4).alias("min_novelty_pct"),
+            round_col(F.max(pct), 4).alias("max_novelty_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# Deterministic messy-URL builder for url_canonicalize_dedup: four
+# raw variants per canonical target, keyed on doc_id % 4. The Spark
+# and DuckDB expressions build IDENTICAL strings, so the
+# canonicalizer is exercised on a fixture both engines agree on —
+# the same synthetic-payload pattern the multimodal queries use.
+_URL_CANON_STEPS = [
+    # (description, regex, replacement) applied in order to lower(url)
+    ("strip fragment", r"#.*$", ""),
+    ("strip default https port", r":443/", "/"),
+    ("strip www prefix", r"^https://www\.", "https://"),
+    ("strip utm params", r"utm_[a-z]+=[^&#]*&?", ""),
+    ("strip empty query tail", r"[?&]+$", ""),
+    ("strip trailing slash", r"/$", ""),
+]
+
+
+@query(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN 'https://www.' || source ||
+                      '.example.com/articles/' || (doc_id // 4)
+                 WHEN 1 THEN 'HTTPS://WWW.' || upper(source) ||
+                      '.EXAMPLE.COM/articles/' || (doc_id // 4)
+                 WHEN 2 THEN 'https://www.' || source ||
+                      '.example.com/articles/' || (doc_id // 4) ||
+                      '/?utm_source=feed&utm_campaign=x'
+                 ELSE 'https://www.' || source ||
+                      '.example.com:443/articles/' || (doc_id // 4) ||
+                      '#section-2'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                   lower(url),
+                   '#.*$', ''),
+                   ':443/', '/'),
+                   '^https://www\\.', 'https://'),
+                   'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                   '[?&]+$', ''),
+                   '/$', '') AS canonical_url
+        FROM raw
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+           {round_sql(
+               "100.0 * (count(*) - count(DISTINCT canonical_url)) "
+               "/ count(*)", 4
+           )} AS dup_pct,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM canon GROUP BY source ORDER BY source
+    """,
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup accounting: normalize scheme/host
+    case, strip the default port, the `www.` prefix, fragments,
+    `utm_*` tracking parameters, and trailing slashes, then count how
+    many raw URLs collapse into each canonical form per source — the
+    standard first dedup pass over a web crawl, where the same page
+    arrives under dozens of surface spellings.
+
+    The raw URLs are built deterministically from doc attributes
+    (four messy variants per canonical target, selected by
+    doc_id % 4) so both engines canonicalize an identical fixture;
+    the canonicalizer itself is the regex chain in
+    `_URL_CANON_STEPS`, applied in order.
+
+    Scale shape: pure per-row string work (no UDF — built-in
+    regexp_replace chains, JVM codegen) followed by one
+    groupBy(source) with a distinct-count on the canonical key;
+    at 100 TB the distinct-count shuffles on (source, canonical_url)
+    — exactly the hash-dedup shuffle `dedup_exact` uses."""
+    d = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") / 4).cast("long")
+    base = F.concat(
+        F.lit("https://www."), F.col("source"),
+        F.lit(".example.com/articles/"), n,
+    )
+    raw = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 4 == 0, base)
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper("source"),
+                F.lit(".EXAMPLE.COM/articles/"), n,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("/?utm_source=feed&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com:443/articles/"), n,
+                F.lit("#section-2"),
+            )
+        )
+        .alias("url"),
+    )
+    canon = F.lower(F.col("url"))
+    for _desc, pat, rep in _URL_CANON_STEPS:
+        canon = F.regexp_replace(canon, pat, rep)
+    canon_df = raw.select("doc_id", "source", canon.alias("canonical_url"))
+    return (
+        canon_df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+            round_col(
+                F.lit(100.0)
+                * (F.count(F.lit(1)) - F.countDistinct("canonical_url"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_pct"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
