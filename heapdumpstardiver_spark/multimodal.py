@@ -301,6 +301,114 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MJPEG container (multipart/x-mixed-replace framing), stdlib-only.
+#
+# The "video" line of the codec-injection surface, closed with the
+# same posture as the still-image codecs: a real container format
+# (the MJPEG-over-HTTP multipart stream every IP camera emits,
+# RFC 2046 framing with Content-Length per part) written and split
+# by stdlib code, each part a standalone JPEG the built-in decoder
+# already handles. What stays injected is inter-frame video
+# (H.264 etc.) — no codec library ships in this environment.
+# ---------------------------------------------------------------------------
+
+MJPEG_BOUNDARY = b"--mjpegframe"
+
+
+def encode_mjpeg(frames: list[bytes]) -> bytes:
+    """Frame list → multipart MJPEG stream (boundary + Content-Type +
+    Content-Length headers per part, closing boundary at the end)."""
+    out = bytearray()
+    for f in frames:
+        out += MJPEG_BOUNDARY + b"\r\n"
+        out += b"Content-Type: image/jpeg\r\n"
+        out += b"Content-Length: " + str(len(f)).encode("ascii") + b"\r\n"
+        out += b"\r\n"
+        out += f
+        out += b"\r\n"
+    out += MJPEG_BOUNDARY + b"--\r\n"
+    return bytes(out)
+
+
+def split_mjpeg(payload: bytes) -> list[bytes]:
+    """Multipart MJPEG stream → list of JPEG frame payloads.
+
+    Splits on the declared Content-Length (never by scanning for
+    JPEG markers — 0xFF bytes inside entropy-coded data make marker
+    scanning fragile) and validates each part's SOI/EOI framing."""
+    data = bytes(payload)
+    frames: list[bytes] = []
+    pos = 0
+    while True:
+        b = data.find(MJPEG_BOUNDARY, pos)
+        if b < 0:
+            raise ValueError("MJPEG stream: missing boundary")
+        after = b + len(MJPEG_BOUNDARY)
+        if data[after : after + 2] == b"--":
+            break  # closing boundary
+        hdr_end = data.find(b"\r\n\r\n", after)
+        if hdr_end < 0:
+            raise ValueError("MJPEG stream: unterminated part headers")
+        length = None
+        for line in data[after:hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                length = int(v.strip())
+        if length is None:
+            raise ValueError("MJPEG stream: part without Content-Length")
+        start = hdr_end + 4
+        frame = data[start : start + length]
+        if len(frame) != length:
+            raise ValueError("MJPEG stream: truncated frame")
+        if frame[:2] != _JPEG_MAGIC or frame[-2:] != b"\xff\xd9":
+            raise ValueError("MJPEG stream: part is not SOI..EOI framed")
+        frames.append(frame)
+        pos = start + length
+    return frames
+
+
+MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("decoded", T.BinaryType(), False),
+    ]
+)
+
+
+def split_mjpeg_frames(df: DataFrame, decoder: Callable | None = None) -> DataFrame:
+    """Explode MJPEG video rows into per-frame decoded rows in ONE
+    Arrow-batched ``mapInPandas`` stage: the container split and the
+    per-frame JPEG decode happen in the same pass, so each payload is
+    read exactly once and only fixed-shape frame rows flow downstream
+    — payloads never shuffle (the 100-TB rule ``decode`` follows).
+
+    Default decoder is the built-in stdlib JPEG codec; inject
+    ``decoder=`` for formats beyond it (same contract as
+    :func:`decode`)."""
+    if decoder is None:
+        decoder = _builtin_decoder
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame": [], "decoded": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(split_mjpeg(bytes(payload))):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(fr)
+                    out["decoded"].append(decoder(fr))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=MJPEG_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Baseline JPEG (grayscale), stdlib-only — the second built-in codec.
 #
 # Same posture as the PNG pair above: encoder builds deterministic

@@ -768,3 +768,108 @@ def multimodal_jpeg_422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+_N_MJPEG = 5  # videos k=0..4: w = 8*(1 + k%2), h = 8, frames = 2 + k%3
+
+
+@query(
+    "multimodal_mjpeg_frame_decode",
+    oracle=f"""
+    WITH vids(video_id, w, nf) AS (
+        SELECT i, 8 * (1 + i % 2), 2 + i % 3
+        FROM (SELECT unnest(range({_N_MJPEG})) AS i)
+    ),
+    frames AS (
+        SELECT video_id, w, nf, CAST(f AS INT) AS frame_idx
+        FROM vids, unnest(range(nf)) AS t(f)
+    ),
+    bxs(bx) AS (SELECT unnest(range(2))),
+    pal(pi, r, g, b) AS (VALUES {_pal_values_sql()}),
+    blocks AS (
+        SELECT video_id, frame_idx, w, r, g, b
+        FROM frames, bxs
+        JOIN pal ON pi = (bx + (video_id * 3 + frame_idx) * 5) % 12
+        WHERE bx * 8 < w
+    ),
+    yc AS (
+        SELECT video_id, frame_idx, w,
+               CAST(floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0) AS BIGINT) AS y,
+               CAST(floor(128.0e0 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0) AS BIGINT) AS cb,
+               CAST(floor(128.0e0 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0) AS BIGINT) AS cr
+        FROM blocks
+    ),
+    rgb2 AS (
+        SELECT video_id, frame_idx, w,
+               CAST(floor(y + 1.402e0 * (cr - 128) + 0.5e0) AS BIGINT) AS r2,
+               CAST(floor(y - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128) + 0.5e0) AS BIGINT) AS g2,
+               CAST(floor(y + 1.772e0 * (cb - 128) + 0.5e0) AS BIGINT) AS b2
+        FROM yc
+    )
+    SELECT CAST(video_id AS INT) AS video_id, frame_idx,
+           CAST(w AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(w * 8 * 3 AS BIGINT) AS n_bytes,
+           CAST(sum(r2) * 64 AS BIGINT) AS r_sum,
+           CAST(sum(g2) * 64 AS BIGINT) AS g_sum,
+           CAST(sum(b2) * 64 AS BIGINT) AS b_sum
+    FROM rgb2 GROUP BY video_id, frame_idx, w
+    ORDER BY video_id, frame_idx
+    """,
+)
+def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG video → per-frame pixel statistics through the production
+    plumbing: deterministic multipart MJPEG streams (the
+    Content-Length-framed multipart/x-mixed-replace container IP
+    cameras emit, written by ``multimodal.encode_mjpeg``) are split
+    AND decoded in one Arrow-batched ``mapInPandas`` stage
+    (``multimodal.split_mjpeg_frames``) — container split by declared
+    part length (marker scanning would trip on 0xFF bytes in entropy
+    data), each part a standalone 4:4:4 color baseline JPEG decoded
+    by the built-in stdlib codec. This closes the "video" line of the
+    codec-injection surface; inter-frame codecs (H.264) stay
+    injected.
+
+    Fixtures reuse the even-(Y,Cb,Cr) palette from
+    `multimodal_jpeg_color_decode`, so the DuckDB oracle recomputes
+    every frame's channel sums in closed form from the generative
+    formula — a wrong frame boundary, dropped frame, frame-order
+    swap, or any decoder defect breaks the (video_id, frame_idx)
+    rows.
+
+    Scale shape: payloads never shuffle — the one mapInPandas stage
+    reads each video payload once and emits fixed-width frame rows;
+    everything downstream is per-frame arithmetic on those rows."""
+    rows = []
+    for k in range(_N_MJPEG):
+        w, nf = 8 * (1 + k % 2), 2 + k % 3
+        frames = [
+            M.encode_jpeg_color(w, 8, _jpeg_color_pattern(w, 8, k * 3 + f))
+            for f in range(nf)
+        ]
+        rows.append(
+            (k, "video", M.encode_mjpeg(frames), ("mjpeg", w, 8, None, nf))
+        )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), M.MEDIA_SCHEMA
+    )
+
+    def _ch_sum(off: int):
+        return F.pandas_udf(
+            lambda s, _o=off: s.map(lambda b: int(sum(bytes(b)[_o::3]))), "long"
+        )
+
+    r_sum, g_sum, b_sum = _ch_sum(0), _ch_sum(1), _ch_sum(2)
+    return (
+        M.split_mjpeg_frames(df)
+        .select(
+            F.col("media_id").cast("int").alias("video_id"),
+            "frame_idx",
+            (F.length("decoded") / 24).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            r_sum("decoded").alias("r_sum"),
+            g_sum("decoded").alias("g_sum"),
+            b_sum("decoded").alias("b_sum"),
+        )
+        .orderBy("video_id", "frame_idx")
+    )

@@ -41,3 +41,28 @@ def test_compressibility_rollup_end_to_end(spark):
     # deterministic: a second run yields byte-identical results
     again = compressibility_quality_score(spark, "/root/testdata/sf0.001")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_compressibility_self_concatenation_monotone():
+    """Second self-validation invariant for the rows-only query: a
+    text concatenated with itself must compress strictly better
+    (lower deflate ratio) than the original — the redundancy signal
+    the quality score is built on. Holds for natural-ish, repetitive,
+    and noise-like inputs alike."""
+    import random
+    import zlib
+
+    rng = random.Random(8)
+    nat = " ".join(
+        rng.choice(["table", "scan", "join", "value", "row", "query"])
+        for _ in range(200)
+    )
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(1000))
+    rep = "spark " * 200
+
+    def ratio(t: str) -> float:
+        b = t.encode("utf-8")
+        return len(zlib.compress(b, 6)) / len(b)
+
+    for t in (nat, noise, rep):
+        assert ratio(t + t) < ratio(t)

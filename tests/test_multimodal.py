@@ -449,3 +449,48 @@ def test_jpeg_progressive_restart_intervals_identical():
                 )
                 == base
             )
+
+
+def test_mjpeg_container_roundtrip_exact():
+    """encode_mjpeg → split_mjpeg recovers every frame byte-exactly,
+    in order, regardless of 0xFF bytes inside entropy-coded data."""
+    from heapdumpstardiver_spark import multimodal as M
+
+    frames = [
+        M.encode_jpeg_color(8, 8, bytes([(i * 7 + j) % 256 for j in range(8 * 8 * 3)]))
+        for i in range(4)
+    ]
+    stream = M.encode_mjpeg(frames)
+    assert M.split_mjpeg(stream) == frames
+
+
+def test_mjpeg_split_rejects_malformed_streams():
+    from heapdumpstardiver_spark import multimodal as M
+    import pytest as _pytest
+
+    f = M.encode_jpeg_gray(8, 8, bytes(64))
+    good = M.encode_mjpeg([f])
+    with _pytest.raises(ValueError):
+        M.split_mjpeg(good[: len(good) // 2])  # truncated
+    with _pytest.raises(ValueError):
+        M.split_mjpeg(b"not a multipart stream at all")
+    # corrupt the declared frame into non-JPEG bytes
+    bad = good.replace(f, b"\x00" * len(f))
+    with _pytest.raises(ValueError):
+        M.split_mjpeg(bad)
+
+
+def test_mjpeg_split_frames_stage(spark):
+    """The one-pass split+decode mapInPandas stage emits one decoded
+    row per frame with the container's frame order preserved."""
+    from heapdumpstardiver_spark import multimodal as M
+
+    flat = bytes([120, 120, 120]) * 64  # even-YCbCr gray → exact roundtrip
+    frames = [M.encode_jpeg_color(8, 8, flat) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(7, "video", M.encode_mjpeg(frames), ("mjpeg", 8, 8, None, 3))],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.split_mjpeg_frames(df).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert all(bytes(r["decoded"]) == flat for r in rows)

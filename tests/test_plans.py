@@ -909,3 +909,89 @@ def test_geo_grid_join_is_equi_never_cartesian(spark):
         "BroadcastHashJoin" in plan
     ), plan
     assert plan.count("Generate explode") >= 2, plan
+
+
+# ---- r8 operators -------------------------------------------------
+
+
+def test_mann_whitney_rank_window_over_value_aggregate(spark):
+    """mann_whitney_u_test: the rank window must consume the per-VALUE
+    aggregated relation (HashAggregate below the Window in the
+    top-down plan text), never the raw events — and stay JVM-side."""
+    plan = plan_of(spark, "mann_whitney_u_test")
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chi_square_cell_table_broadcast_margins(spark):
+    """chi_square_independence: row/column margin tables join back
+    onto the cell table as broadcasts; the grand-total arrives as a
+    1-row broadcast nested loop — no cartesian, no Python."""
+    plan = plan_of(spark, "chi_square_independence")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_theil_sen_pairs_broadcast_bounded(spark):
+    """theil_sen_trend: the pairwise-slope join runs over the weekly
+    aggregate with a BROADCAST build side (the weekly relation is
+    window-bounded, not data-bounded) — never a CartesianProduct —
+    and the median comes from a rank filter, not percentile interp."""
+    plan = plan_of(spark, "theil_sen_trend")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topic_balance_entropy_cell_table_shape(spark):
+    """topic_balance_entropy: per-source totals broadcast back onto
+    the source x lang cell table; all float work happens above the
+    cell aggregate."""
+    plan = plan_of(spark, "topic_balance_entropy")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_novelty_linear_no_pairwise(spark):
+    """ngram_novelty_score: strictly linear plan — gram-keyed
+    aggregate + join back, no pairwise join of any kind, at most the
+    two explode branches (gram relation feeds owner and the join)."""
+    plan = plan_of(spark, "ngram_novelty_score")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate explode") <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonicalize_single_scan_jvm_only(spark):
+    """url_canonicalize_dedup: one scan of documents, regex chain
+    entirely JVM-side (no Python eval node anywhere), one hash
+    aggregate pair for the distinct-count."""
+    plan = plan_of(spark, "url_canonicalize_dedup")
+    assert len(scan_lines(plan, "documents")) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_prefilter_equi_joins_only(spark):
+    """minhash_prefilter_jaccard: every join is equi-keyed (band
+    buckets, then doc/shingle) — the whole point of the LSH prefilter
+    is that nothing pairwise-scans the corpus."""
+    plan = plan_of(spark, "minhash_prefilter_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mjpeg_split_decode_single_python_stage(spark):
+    """multimodal_mjpeg_frame_decode: the container split and the
+    per-frame decode share ONE MapInPandas stage (payload read once);
+    the only other Python is the fixed-width channel-sum pandas_udf."""
+    plan = plan_of(spark, "multimodal_mjpeg_frame_decode")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "CartesianProduct" not in plan
