@@ -87,7 +87,16 @@ R7_OPS = [
     "pareto_frontier_docs",
     "geo_grid_neighbor_pairs",
 ]
-HEADLINE = CORE + LLM_OPS + EXT_OPS + R7_OPS
+# Round-8 additions: the data-sized members of the new families —
+# LSH-prefiltered exact Jaccard (the jaccard_pairs scale path),
+# trigram novelty, URL canonicalization dedup, Theil-Sen pairs.
+R8_OPS = [
+    "minhash_prefilter_jaccard",
+    "ngram_novelty_score",
+    "url_canonicalize_dedup",
+    "theil_sen_trend",
+]
+HEADLINE = CORE + LLM_OPS + EXT_OPS + R7_OPS + R8_OPS
 
 # Queries that execute jobs during DataFrame *construction* (iterative
 # label propagation's convergence rounds, k-means' centroid updates).
