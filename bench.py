@@ -124,6 +124,7 @@ def time_queries(
     reps: int = 2,
     warm: bool = True,
     second_rep_below: float | None = None,
+    second_rep_above: float | None = None,
 ) -> dict:
     """Per-query best-of-*reps* wall seconds over *sf_dir*.
 
@@ -138,6 +139,16 @@ def time_queries(
     0.2 s query a single cold sample carries multi-x scheduler noise
     (r5 recorded similarity_topk at 12.1x its r4 ratio purely from
     one noisy sample), and the extra rep costs under a second.
+
+    ``second_rep_above`` is the heavyweight twin (r7 verdict item 5):
+    a MULTI-second sf1 sample taken deep in the sequential loop
+    carries tail contention — executor threads still draining the
+    previous query's shuffle cleanup, GC debt from everything before
+    it. jaccard_pairs recorded headline ratios of 7.0x/9.2x/11.0x
+    across r6-r8 while the isolated all-registry sweep repeatedly
+    measured ~5.5x; an immediate second run (min-of-2) sheds the
+    inherited state and reproduces the isolated number, so ratios
+    reflect the plan, not the queue position.
     """
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -157,6 +168,8 @@ def time_queries(
                 _noop(df)
         best = min(run_once() for _ in range(reps))
         if second_rep_below is not None and best < second_rep_below:
+            best = min(best, run_once())
+        elif second_rep_above is not None and best > second_rep_above:
             best = min(best, run_once())
         timings[name] = round(best, 3)
     return timings
@@ -188,7 +201,10 @@ def bench_sf1(spark, base_timings: dict) -> dict:
             _noop(hds.QUERIES[name](spark, tiny))
         except Exception:
             pass  # warmup only — the timed run below surfaces real errors
-    timings = time_queries(spark, sf1_dir, reps=1, warm=False, second_rep_below=1.0)
+    timings = time_queries(
+        spark, sf1_dir, reps=1, warm=False,
+        second_rep_below=1.0, second_rep_above=4.0,
+    )
     total = round(sum(timings.values()), 3)
     ratios = {
         q: round(timings[q] / base_timings[q], 1)
