@@ -985,3 +985,83 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.col("ts_slope"), 6).alias("ts_slope"),
         round_col(F.col("ols_slope"), 6).alias("ols_slope"),
     )
+
+
+@query(
+    "spearman_rank_correlation",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT
+            rank() OVER (ORDER BY n_orders)
+              + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS rx,
+            rank() OVER (ORDER BY max_price)
+              + (count(*) OVER (PARTITION BY max_price) - 1) / 2.0 AS ry
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * ry) AS sxy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        FROM ranked
+    )
+    SELECT n,
+           {round_sql(
+               "(n * sxy - sx * sy) / "
+               "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6
+           )} AS spearman_rho
+    FROM agg
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-customer order count and
+    largest single-order price — the monotone-association companion
+    to Pearson (`price_trend_regression`'s corr): robust to outliers
+    and nonlinearity, the standard screen before trusting a linear
+    fit.
+
+    Exactness: both metrics avoid float accumulation (COUNT is
+    integer; MAX picks an existing double, no arithmetic), tie-aware
+    average ranks are k+0.5 multiples, and every sum of
+    rank-products is a multiple of 0.25 far below 2^53 — so all the
+    correlation sums are EXACT in IEEE double on both engines,
+    order-independent, and only the final divide/sqrt needs the
+    6-decimal rendering.
+
+    Scale shape: one groupBy collapses orders to the customer-bounded
+    relation; rank windows run over that reduced relation (the
+    adjudicated pattern — `decile_binning_broadcast_cuts` documents
+    the broadcast-cuts swap for unbounded group counts)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    rx = (
+        F.rank().over(Window.orderBy("n_orders"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("n_orders")) - 1) / F.lit(2.0)
+    ).alias("rx")
+    ry = (
+        F.rank().over(Window.orderBy("max_price"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("max_price")) - 1) / F.lit(2.0)
+    ).alias("ry")
+    ranked = per_cust.select(rx, ry)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("n", round_col(rho, 6).alias("spearman_rho"))

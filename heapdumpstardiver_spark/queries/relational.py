@@ -2613,3 +2613,125 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(20)
     )
+
+
+def _pagerank_oracle(iters: int = 6) -> str:
+    """Unrolled fixed-point PageRank oracle. Aggregates are not
+    allowed in a DuckDB recursive term, so the bounded iteration
+    count unrolls into pr0..pr{iters} CTEs — same integer arithmetic
+    as the Spark loop: scores in nano-units (1e12 total mass), every
+    division an integer floor, so both engines produce bit-identical
+    BIGINT scores with no float anywhere."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f"""
+    pr{k} AS (
+        SELECT d0.v,
+               (15 * (1000000000000 // nv.n)
+                + 85 * coalesce(c.c, 0)) // 100 AS s
+        FROM deg d0 CROSS JOIN nv
+        LEFT JOIN (
+            SELECT e.dst AS v, sum(p.s // dg.d) AS c
+            FROM edges e
+            JOIN pr{k - 1} p ON p.v = e.src
+            JOIN deg dg ON dg.v = e.src
+            GROUP BY e.dst
+        ) c ON c.v = d0.v
+    )""")
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT v, 1000000000000 // n AS s FROM deg, nv),
+    {",".join(rounds)}
+    SELECT CAST(v AS BIGINT) AS partkey, CAST(s AS BIGINT) AS score_nano
+    FROM pr{iters}
+    ORDER BY s DESC, v LIMIT 10
+    """
+
+
+@query("pagerank_copurchase_topk", oracle=_pagerank_oracle())
+def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality on the part co-purchase graph (same 1997
+    edge set as `copurchase_triangle_count`): the 10 most central
+    products after 6 damped power-iteration rounds — the
+    item-importance ranking behind 'customers also bought' seeds and
+    canonical-product choice.
+
+    Exactness without floats: scores live in integer NANO-UNITS
+    (total mass 1e12) and every division is an integer floor —
+    s' = (15·(1e12//n) + 85·Σ_u s(u)//deg(u)) // 100 — so the Spark
+    loop and the DuckDB oracle (same recurrence unrolled into CTEs;
+    DuckDB forbids aggregates in a recursive term) produce
+    bit-identical BIGINT scores. Float PageRank would accumulate
+    order-dependent last-ulp error across rounds on both engines.
+
+    Scale shape: the pair self-join is co-partitioned on l_orderkey;
+    each of the 6 bounded rounds is one src-keyed join + one
+    dst-keyed groupBy over fixed-width longs, lineage truncated by
+    localCheckpoint per round (the `dedup_connected_components`
+    pattern); the driver sees one scalar (the vertex count), never
+    data. Dangling-mass handling is moot on an undirected graph
+    (every vertex has out-edges)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("src").alias("v"), "d"
+    ).localCheckpoint()
+    n = deg.count()  # driver traffic: ONE scalar
+    init = 10**12 // n
+    s = deg.select("v", F.lit(init).cast("long").alias("s"))
+    for _ in range(6):
+        contrib = (
+            edges.join(s.select(F.col("v").alias("sv"), "s"), F.col("src") == F.col("sv"))
+            .join(deg.select(F.col("v").alias("dv"), "d"), F.col("src") == F.col("dv"))
+            .select(F.col("dst"), F.expr("s div d").alias("w"))
+        )
+        c = contrib.groupBy("dst").agg(F.sum("w").alias("c"))
+        s = (
+            deg.select("v")
+            .join(c, F.col("v") == F.col("dst"), "left")
+            .selectExpr(
+                "v",
+                f"CAST(({15 * init} + 85 * coalesce(c, 0)) div 100 AS BIGINT) AS s",
+            )
+            .localCheckpoint()
+        )
+    return (
+        s.select(F.col("v").alias("partkey"), F.col("s").alias("score_nano"))
+        .orderBy(F.desc("score_nano"), "partkey")
+        .limit(10)
+    )

@@ -1017,3 +1017,26 @@ def test_plans_md_covers_plan_set():
     missing = [n for n in dp.PLAN_SET if f"## {n}" not in text]
     assert not missing, f"PLANS.md lacks sections (rerun dump_plans.py): {missing}"
     assert "CartesianProduct" not in text
+
+
+def test_spearman_rank_windows_over_customer_aggregate(spark):
+    """spearman_rank_correlation: rank windows consume the
+    customer-bounded aggregate (HashAggregate below the first Window
+    top-down), never raw orders; everything JVM-side."""
+    plan = plan_of(spark, "spearman_rank_correlation")
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_rounds_are_checkpointed_equi_joins(spark):
+    """pagerank_copurchase_topk: per-round lineage is truncated (the
+    final plan scans checkpointed RDDs, not the 6-round join tree),
+    joins are equi-keyed, and the result is a TakeOrdered top-10 —
+    no cartesian, no Python, no global sort."""
+    plan = plan_of(spark, "pagerank_copurchase_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan
