@@ -1040,3 +1040,27 @@ def test_pagerank_rounds_are_checkpointed_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bloom_prefilter_broadcasts_filter_words(spark):
+    """bloom_filter_prefilter: the 69-word filter joins the probe
+    side as a BROADCAST (that's the entire point — KB state instead
+    of shipping the corpus index); membership truth is a semi join;
+    all integer arithmetic stays JVM-side."""
+    plan = plan_of(spark, "bloom_filter_prefilter")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The Bloom guarantee: every true member passes the filter —
+    n_false_neg must be structurally zero at any scale."""
+    import heapdumpstardiver_spark as hds
+
+    row = hds.QUERIES["bloom_filter_prefilter"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert row["n_false_neg"] == 0
+    assert row["n_bloom_pass"] >= row["n_members"]
