@@ -189,13 +189,16 @@ def _builtin_decoder(payload: bytes) -> bytes:
         return decode_png(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
         data = bytes(payload)
+        if _jpeg_sof_marker(data) == 0xFFC3:
+            return _decode_jpeg_lossless(data)
         if _jpeg_is_progressive(data):
             return _jpeg_to_pixels(*_decode_jpeg_progressive(data))
         return _jpeg_to_pixels(*_decode_jpeg(data))
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline/progressive grayscale / 4:4:4 / 4:2:0 color "
-        "JPEG decode stdlib-side in this environment)"
+        "(PNG and baseline/extended/progressive/lossless grayscale / "
+        "4:4:4 / 4:2:0 / 4:2:2 color JPEG decode stdlib-side in this "
+        "environment)"
     )
 
 
@@ -635,7 +638,11 @@ def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 
 
 def encode_jpeg_gray(
-    width: int, height: int, gray: bytes, restart_interval: int = 0
+    width: int,
+    height: int,
+    gray: bytes,
+    restart_interval: int = 0,
+    quant16: bool = False,
 ) -> bytes:
     """Baseline sequential JPEG encoder for one 8-bit grayscale
     component (dims must be multiples of 8 — fixture builder, not a
@@ -676,8 +683,23 @@ def encode_jpeg_gray(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    dqt = seg(0xFFDB, bytes([0]) + bytes(_QTABLE[_ZIGZAG[i]] for i in range(64)))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    if quant16:
+        # Pq=1 DQT (16-bit big-endian entries) + SOF1 (extended
+        # sequential Huffman — the frame type that permits 16-bit
+        # tables; its entropy coding is identical to baseline).
+        dqt = seg(
+            0xFFDB,
+            bytes([0x10])
+            + b"".join(
+                struct.pack(">H", _QTABLE[_ZIGZAG[i]]) for i in range(64)
+            ),
+        )
+        sof = seg(
+            0xFFC1, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+        )
+    else:
+        dqt = seg(0xFFDB, bytes([0]) + bytes(_QTABLE[_ZIGZAG[i]] for i in range(64)))
+        sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
@@ -688,6 +710,166 @@ def encode_jpeg_gray(
     )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return _JPEG_MAGIC + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+# residuals, no DCT, no quantization — the archival-JPEG variant.
+# One 8-bit component (the fixture surface); the seven spec
+# predictors are all implemented and selected via the SOS Ss field.
+# ---------------------------------------------------------------------------
+
+
+def _lossless_predict(recon: bytearray, width: int, x: int, y: int, sel: int) -> int:
+    """T.81 H.1.2.1 prediction: first sample of the image predicts
+    2^(P-1)=128; the rest of the first line uses Ra (left); the first
+    sample of later lines uses Rb (above); everywhere else the
+    selected predictor 1-7 applies."""
+    if y == 0 and x == 0:
+        return 128
+    if y == 0:
+        return recon[x - 1]
+    if x == 0:
+        return recon[(y - 1) * width]
+    ra = recon[y * width + x - 1]
+    rb = recon[(y - 1) * width + x]
+    rc = recon[(y - 1) * width + x - 1]
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor must be 1-7, got {sel}")
+
+
+def encode_jpeg_lossless(
+    width: int, height: int, gray: bytes, predictor: int = 4
+) -> bytes:
+    """Lossless JPEG (SOF3) encoder for one 8-bit grayscale component:
+    each sample's prediction residual (mod 2^16) is coded exactly like
+    a DC coefficient — category via the Huffman table, then category
+    magnitude bits. No DCT, no quant tables; decode reproduces the
+    input byte-for-byte (pinned by pytest)."""
+    import struct
+
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} bytes, got {len(gray)}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    w = _BitWriter()
+    recon = bytearray(gray)  # lossless: reconstruction == source
+    for y in range(height):
+        for x in range(width):
+            px = _lossless_predict(recon, width, x, y, predictor)
+            diff = (gray[y * width + x] - px) & 0xFFFF
+            if diff >= 32768:
+                diff -= 65536
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            w.put(code, ln)
+            if cat:
+                v = diff if diff >= 0 else diff + (1 << cat) - 1
+                w.put(v & ((1 << cat) - 1), cat)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof = seg(0xFFC3, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    # SOS for lossless: Ss = predictor selector, Se = 0, AhAl = 0
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, 0]))
+    return _JPEG_MAGIC + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _decode_jpeg_lossless(payload: bytes) -> bytes:
+    """Lossless JPEG (SOF3) decode to raw 8-bit grayscale bytes:
+    Huffman-decode each residual category + magnitude bits, _extend to
+    the signed difference, add the selected prediction mod 2^16."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    htables: dict[int, object] = {}
+    w = h = None
+    predictor = None
+    scan_start = None
+    dc_read = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFC3:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "stdlib lossless JPEG covers one 8-bit component"
+                )
+        elif marker == 0xFFC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                htables[th] = _huff_decoder(bits, vals)
+                o += 17 + n
+        elif marker == 0xFFDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("one-component lossless scan only")
+            dc_read = htables[body[2] >> 4]
+            predictor = body[3]  # Ss field selects the predictor
+            scan_start = pos
+            break
+    if w is None or scan_start is None or predictor is None:
+        raise ValueError("lossless JPEG missing SOF3/SOS")
+    r = _BitReader(data[scan_start:])
+    recon = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            s = dc_read(r)
+            diff = 32768 if s == 16 else (_extend(r.bits(s), s) if s else 0)
+            px = _lossless_predict(recon, w, x, y, predictor)
+            recon[y * w + x] = (px + diff) & 0xFF
+    return bytes(recon)
+
+
+def _jpeg_sof_marker(data: bytes) -> int | None:
+    """Walk segment headers up to the first SOS; return the SOFn
+    marker encountered (None if none before SOS/EOI)."""
+    import struct
+
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            return marker
+        if marker in (0xFFDA, 0xFFD9):
+            return None
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        pos += 2 + ln
+    return None
 
 
 def encode_jpeg_color(width: int, height: int, rgb: bytes) -> bytes:
@@ -1059,20 +1241,29 @@ def _decode_jpeg(
             o = 0
             while o < len(body):
                 pq, tq = body[o] >> 4, body[o] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables need an injected codec")
-                zz = list(body[o + 1:o + 65])
+                if pq == 0:  # 8-bit entries
+                    zz = list(body[o + 1:o + 65])
+                    o += 65
+                else:  # Pq=1: 16-bit big-endian entries (extended seq.)
+                    zz = [
+                        struct.unpack(">H", body[o + 1 + 2 * i:o + 3 + 2 * i])[0]
+                        for i in range(64)
+                    ]
+                    o += 129
                 t = [0] * 64
                 for i in range(64):
                     t[_ZIGZAG[i]] = zz[i]
                 qtables[tq] = t
-                o += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) decodes stdlib-side"
+                "sequential Huffman JPEG (SOF0/SOF1) decodes here; "
+                "progressive/lossless route via the dispatcher"
             )
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC1):
+            # SOF1 (extended sequential, Huffman) differs from SOF0
+            # only in the ranges it permits (16-bit quant tables);
+            # the decode path is identical.
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
@@ -1221,6 +1412,8 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
     here; route it to :func:`decode_jpeg_color` (or use the
     dispatcher in :func:`decode`)."""
     data = bytes(payload)
+    if _jpeg_sof_marker(data) == 0xFFC3:
+        return _decode_jpeg_lossless(data)
     decode = _decode_jpeg_progressive if _jpeg_is_progressive(data) else _decode_jpeg
     w, h, planes, factors, mcux = decode(data)
     if len(planes) != 1:

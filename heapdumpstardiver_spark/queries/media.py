@@ -873,3 +873,99 @@ def multimodal_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("video_id", "frame_idx")
     )
+
+
+_N_JPEG_LOSSLESS = 8  # k=0..7: w = 8 + 4*(k%3), h = 8 + 4*(k%2), pred = 1+k%7
+
+
+def _jpeg_lossless_pattern(width: int, height: int, salt: int) -> bytes:
+    """Arbitrary deterministic pattern — lossless JPEG reconstructs
+    EVERY input exactly, so the fixture needs no evenness/flatness
+    property (unlike the DCT queries) and uses odd dims freely."""
+    return bytes(
+        (x * 7 + y * 13 + salt * 29) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+@query(
+    "multimodal_jpeg_lossless_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h, pred) AS (
+        SELECT i, 8 + 4 * (i % 3), 8 + 4 * (i % 2), 1 + i % 7
+        FROM (SELECT unnest(range({_N_JPEG_LOSSLESS})) AS i)
+    ),
+    px AS (
+        SELECT media_id, w, h, pred,
+               (x * 7 + y * 13 + media_id * 29) % 256 AS v
+        FROM imgs,
+             unnest(range(24)) AS tx(x),
+             unnest(range(12)) AS ty(y)
+        WHERE x < w AND y < h
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(pred AS INT) AS predictor,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_bytes,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS odd_pixels
+    FROM px GROUP BY media_id, w, h, pred
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3, T.81 Annex H) decode through the
+    production plumbing: Huffman-coded prediction residuals, no DCT,
+    no quantization — each of the seven spec predictors is exercised
+    by one fixture (predictor = 1 + k%7 via the SOS Ss field). The
+    codec is EXACT on arbitrary input, so the fixtures are dense
+    byte-noise patterns (no evenness constraint, non-multiple-of-8
+    dims) and the DuckDB oracle recomputes every pixel from the
+    generative formula — any residual mis-decode, predictor mix-up,
+    or first-row/first-column boundary bug breaks pixel_sum or the
+    odd_pixels parity count (which a DCT-rounding bug could never
+    leave intact by accident).
+
+    Scale shape: same as every codec query — payloads never shuffle,
+    one Arrow-batched mapInPandas decode stage, fixed-width stats
+    downstream."""
+    rows = []
+    for k in range(_N_JPEG_LOSSLESS):
+        w, h, pred = 8 + 4 * (k % 3), 8 + 4 * (k % 2), 1 + k % 7
+        rows.append(
+            (
+                k,
+                "image",
+                M.encode_jpeg_lossless(
+                    w, h, _jpeg_lossless_pattern(w, h, k), predictor=pred
+                ),
+                ("jpeg-lossless", w, h, None, None),
+            )
+        )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    byte_sum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"
+    )
+    odd_count = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(1 for v in bytes(b) if v % 2))), "long"
+    )
+
+    preds = F.lit(1) + (F.col("media_id") % 7).cast("int")
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            preds.alias("predictor"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            byte_sum("decoded").alias("pixel_sum"),
+            odd_count("decoded").alias("odd_pixels"),
+        )
+        .orderBy("media_id")
+    )

@@ -494,3 +494,46 @@ def test_mjpeg_split_frames_stage(spark):
     rows = M.split_mjpeg_frames(df).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     assert all(bytes(r["decoded"]) == flat for r in rows)
+
+
+def test_jpeg_lossless_roundtrip_exact_all_predictors():
+    """SOF3 lossless: byte-exact roundtrip on dense noise for every
+    spec predictor 1-7, including non-multiple-of-8 dims."""
+    import random
+
+    from heapdumpstardiver_spark import multimodal as M
+
+    rng = random.Random(42)
+    img = bytes(rng.randrange(256) for _ in range(24 * 16))
+    for p in range(1, 8):
+        enc = M.encode_jpeg_lossless(24, 16, img, predictor=p)
+        assert M._decode_jpeg_lossless(enc) == img, f"predictor {p}"
+    # dispatcher routes SOF3 automatically
+    assert M.decode_jpeg_gray(M.encode_jpeg_lossless(23, 9, img[: 23 * 9])) == img[: 23 * 9]
+    assert M._builtin_decoder(M.encode_jpeg_lossless(24, 16, img)) == img
+
+
+def test_jpeg_lossless_rejects_bad_predictor():
+    import pytest as _pytest
+
+    from heapdumpstardiver_spark import multimodal as M
+
+    with _pytest.raises(ValueError):
+        M.encode_jpeg_lossless(8, 8, bytes(64), predictor=0)
+    with _pytest.raises(ValueError):
+        M.encode_jpeg_lossless(8, 8, bytes(64), predictor=8)
+
+
+def test_jpeg_quant16_extended_sequential_decodes():
+    """SOF1 + Pq=1 (16-bit quant tables): flat even blocks decode
+    exactly; a smooth gradient stays within quantization tolerance —
+    same bounds the 8-bit table path is pinned to."""
+    from heapdumpstardiver_spark import multimodal as M
+
+    flat = bytes([120]) * (16 * 8)
+    enc = M.encode_jpeg_gray(16, 8, flat, quant16=True)
+    assert b"\xff\xc1" in enc  # SOF1 frame
+    assert M.decode_jpeg_gray(enc) == flat
+    grad = bytes((x * 3 + y * 5) % 200 for y in range(8) for x in range(16))
+    dec = M.decode_jpeg_gray(M.encode_jpeg_gray(16, 8, grad, quant16=True))
+    assert max(abs(a - b) for a, b in zip(grad, dec)) <= 16
