@@ -57,6 +57,7 @@ _CHECK_PRIORITY = [
     "minhash_prefilter_jaccard",
     "spearman_rank_correlation", "pagerank_copurchase_topk",
     "bloom_filter_prefilter", "multimodal_jpeg_lossless_decode",
+    "welch_t_test",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",
@@ -73,7 +74,9 @@ _CHECK_PRIORITY = [
     "percentile_disc_groups", "range_join_nearby",
     "rollup_hypertable_cascade", "sessionize_lag",
     "window_rank_topk", "window_running_sum", "window_tumbling_hour",
-    # ---- ~r8 cap (50) lands about here (4 + 8 + 37 = 49) ----
+    # ---- ~r8 cap (50) lands ~5 entries above here (4 + 14 new = 18
+    # head slots leave ~32 rotation slots; the r3-vintage tail
+    # overflows to r9 under the standing policy) ----
     # r4-vintage greens, next-oldest first — r9 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",

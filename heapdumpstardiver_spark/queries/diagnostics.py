@@ -1065,3 +1065,90 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return agg.select("n", round_col(rho, 6).alias("spearman_rho"))
+
+
+@query(
+    "welch_t_test",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    ab AS (
+        SELECT
+            max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+            max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+            max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+            max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+            max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+        FROM g
+    )
+    SELECT n1, n2,
+           {round_sql("m1 - m2", 4)} AS mean_diff,
+           {round_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 4)} AS t_stat,
+           {round_sql(
+               "pow(v1 / n1 + v2 / n2, 2) / "
+               "(pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))",
+               2
+           )} AS welch_df,
+           abs({round_sql("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)", 4)}) > 1.96
+               AS reject_05
+    FROM ab
+    """,
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on event values between the
+    click and purchase segments, with the Welch-Satterthwaite degrees
+    of freedom — the parametric member of the two-sample family
+    (`mann_whitney_u_test` is the rank twin, `ks_test_two_sample` the
+    distribution-shape twin). The reject decision compares the
+    ROUNDED |t| to the normal critical value (df is in the thousands
+    here, where t ≈ z), so the boolean can't flip on a last ulp.
+
+    Scale shape: ONE grouped aggregate collapses the corpus to two
+    (n, mean, variance) triples; everything after is scalar
+    arithmetic on a 1-row relation. The t statistic is
+    sufficient-statistics arithmetic, so no second pass and no
+    per-row work beyond the single scan."""
+    e = _t(spark, sf_dir, "events")
+    g = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    ab = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "m").alias("m1"),
+        pick("click", "v").alias("v1"),
+        pick("purchase", "n").alias("n2"),
+        pick("purchase", "m").alias("m2"),
+        pick("purchase", "v").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t_stat = round_col((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4)
+    df_w = round_col(
+        F.pow(se2, F.lit(2))
+        / (
+            F.pow(F.col("v1") / F.col("n1"), F.lit(2)) / (F.col("n1") - 1)
+            + F.pow(F.col("v2") / F.col("n2"), F.lit(2)) / (F.col("n2") - 1)
+        ),
+        2,
+    )
+    return ab.select(
+        "n1",
+        "n2",
+        round_col(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        t_stat.alias("t_stat"),
+        df_w.alias("welch_df"),
+        (F.abs(t_stat) > F.lit(1.96)).alias("reject_05"),
+    )
