@@ -57,7 +57,7 @@ _CHECK_PRIORITY = [
     "minhash_prefilter_jaccard",
     "spearman_rank_correlation", "pagerank_copurchase_topk",
     "bloom_filter_prefilter", "multimodal_jpeg_lossless_decode",
-    "welch_t_test",
+    "welch_t_test", "multimodal_jpeg_arith_decode",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

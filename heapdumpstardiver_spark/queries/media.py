@@ -969,3 +969,80 @@ def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("media_id")
     )
+
+
+_N_JPEG_ARITH = 8  # k=0..7: w = 8*(1 + k%3), h = 8*(1 + k%2)
+
+
+@query(
+    "multimodal_jpeg_arith_decode",
+    oracle=f"""
+    WITH imgs(media_id, w, h) AS (
+        SELECT i, 8 * (1 + i % 3), 8 * (1 + i % 2)
+        FROM (SELECT unnest(range({_N_JPEG_ARITH})) AS i)
+    ),
+    bxs(bx) AS (SELECT unnest(range(3))),
+    bys(by) AS (SELECT unnest(range(2))),
+    blocks AS (
+        SELECT media_id, w, h,
+               ((bx * 14 + by * 26 + media_id * 6) % 128) * 2 AS v
+        FROM imgs, bxs, bys WHERE bx * 8 < w AND by * 8 < h
+    )
+    SELECT CAST(media_id AS INT) AS media_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * h AS BIGINT) AS n_bytes,
+           CAST(sum(v) * 64 AS BIGINT) AS pixel_sum
+    FROM blocks GROUP BY media_id, w, h
+    ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_arith_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic-coded JPEG (SOF9) decode through the production
+    plumbing: the same even-gray block-constant fixtures as
+    `multimodal_jpeg_decode` (step-16 quantization is the identity on
+    them, so the decode is exactly predictable), but entropy-coded by
+    the QM arithmetic coder with the T.81 Annex F DC/AC statistical
+    models instead of Huffman tables — DC difference classification
+    with L/U conditioning, per-index AC EOB/zero contexts, magnitude
+    chains split at Kx, fixed-probability sign. The DuckDB oracle
+    recomputes every pixel from the generative formula, so any defect
+    in the QM interval arithmetic, carry/stuffing byte machinery, or
+    either statistical model breaks the value hash. (pytest
+    additionally pins arithmetic decode pixel-identical to the
+    Huffman path on dense-noise images, where every context gets
+    exercised.)
+
+    Scale shape: payloads never shuffle — one Arrow-batched
+    mapInPandas decode stage, fixed-width stats downstream."""
+    rows = [
+        (
+            k,
+            "image",
+            M.encode_jpeg_arith_gray(
+                8 * (1 + k % 3),
+                8 * (1 + k % 2),
+                _jpeg_pattern(8 * (1 + k % 3), 8 * (1 + k % 2), k),
+            ),
+            ("jpeg-arith", 8 * (1 + k % 3), 8 * (1 + k % 2), None, None),
+        )
+        for k in range(_N_JPEG_ARITH)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    byte_sum = F.pandas_udf(
+        lambda s: s.map(lambda b: int(sum(bytes(b)))), "long"
+    )
+
+    return (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("decoded").cast("long").alias("n_bytes"),
+            byte_sum("decoded").alias("pixel_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -537,3 +537,59 @@ def test_jpeg_quant16_extended_sequential_decodes():
     grad = bytes((x * 3 + y * 5) % 200 for y in range(8) for x in range(16))
     dec = M.decode_jpeg_gray(M.encode_jpeg_gray(16, 8, grad, quant16=True))
     assert max(abs(a - b) for a, b in zip(grad, dec)) <= 16
+
+
+def test_qm_coder_roundtrip_and_compression():
+    """The QM arithmetic coder: exact self-roundtrip across context
+    assignments and skew levels, and real compression on skewed
+    streams (5000 all-MPS decisions land in a few bytes)."""
+    import random
+
+    from heapdumpstardiver_spark.multimodal import (
+        _QMContext,
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    rng = random.Random(5)
+    for _ in range(50):
+        n = rng.randrange(1, 300)
+        p = rng.choice([0.5, 0.95, 0.999, 0.05])
+        bits = [1 if rng.random() < p else 0 for _ in range(n)]
+        nctx = rng.randrange(1, 5)
+        asn = [rng.randrange(nctx) for _ in range(n)]
+        enc = _QMEncoder()
+        ectx = [_QMContext() for _ in range(nctx)]
+        for b, a in zip(bits, asn):
+            enc.encode(ectx[a], b)
+        dec = _QMDecoder(enc.flush())
+        dctx = [_QMContext() for _ in range(nctx)]
+        assert [dec.decode(dctx[a]) for a in asn] == bits
+    enc = _QMEncoder()
+    ctx = _QMContext()
+    for _ in range(5000):
+        enc.encode(ctx, 0)
+    assert len(enc.flush()) <= 8
+
+
+def test_jpeg_arith_decodes_identical_to_huffman():
+    """SOF9 arithmetic JPEG: decoding the QM-coded stream must yield
+    EXACTLY the pixels the Huffman path produces for the same image —
+    both share the DCT/quant front end, so any divergence is an
+    entropy-layer bug. Arithmetic coding must also beat Huffman on
+    size (that's its entire reason to exist)."""
+    import random
+
+    from heapdumpstardiver_spark import multimodal as M
+
+    rng = random.Random(9)
+    for _ in range(3):
+        w, h = 8 * rng.randrange(1, 4), 8 * rng.randrange(1, 4)
+        img = bytes(rng.randrange(256) for _ in range(w * h))
+        arith = M.encode_jpeg_arith_gray(w, h, img)
+        huff = M.encode_jpeg_gray(w, h, img)
+        assert M._decode_jpeg_arith(arith) == M.decode_jpeg_gray(huff)
+        assert len(arith) < len(huff)
+    flat = bytes([120]) * (16 * 8)
+    assert M.decode_jpeg_gray(M.encode_jpeg_arith_gray(16, 8, flat)) == flat
+    assert M._builtin_decoder(M.encode_jpeg_arith_gray(16, 8, flat)) == flat
