@@ -58,6 +58,7 @@ _CHECK_PRIORITY = [
     "spearman_rank_correlation", "pagerank_copurchase_topk",
     "bloom_filter_prefilter", "multimodal_jpeg_lossless_decode",
     "welch_t_test", "multimodal_jpeg_arith_decode",
+    "survival_nelson_aalen", "survival_logrank_test",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

@@ -2231,6 +2231,242 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "survival_nelson_aalen",
+    oracle=f"""
+    {_KM_ORACLE_CTES},
+    na AS (
+        SELECT rn, d, at_risk, n_events,
+               CAST(n_events AS DOUBLE) / CAST(at_risk AS DOUBLE) AS h
+        FROM kmseq WHERE rn = 1
+        UNION ALL
+        SELECT k.rn, k.d, k.at_risk, k.n_events,
+               p.h + CAST(k.n_events AS DOUBLE) / CAST(k.at_risk AS DOUBLE)
+        FROM kmseq k JOIN na p ON k.rn = p.rn + 1
+    )
+    SELECT d, at_risk, n_events,
+           {stable_render_sql("h", 6)} AS cum_hazard
+    FROM na ORDER BY d
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator over the same
+    signup→purchase risk table as `survival_kaplan_meier`:
+    H(d) = Σ_{dᵢ≤d} n_eventsᵢ/at_riskᵢ — the hazard-side twin of the
+    KM survival curve (KM ≈ exp(-H) for small increments), preferred
+    when hazards are the modelling target because increments are
+    additive and mergeable.
+
+    Determinism: the cumulative sum is an ordered left-fold over the
+    frame's collected per-day ratios (same discipline as `_km_surv`'s
+    product; the DuckDB twin is a recursive-CTE fold in the identical
+    order), and the ratio itself is pure IEEE divide on BIGINTs — no
+    libm anywhere, rendered decimal-stable at 6dp. Scale shape:
+    identical to the KM family — the corpus collapses to a
+    day-indexed risk table bounded by the observation window before
+    any window function runs."""
+    km = _km_risk_table(spark, sf_dir)
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    ratio = F.col("n_events").cast("double") / F.col("at_risk").cast("double")
+    cum_h = F.aggregate(
+        F.collect_list(ratio).over(w_run),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        km.select(
+            "d",
+            "at_risk",
+            "n_events",
+            stable_render(cum_h, 6).alias("cum_hazard"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "survival_logrank_test",
+    oracle=f"""
+    {_KM_ORACLE_CTES},
+    dur_g AS (
+        SELECT user_id % 2 AS g, d, observed FROM durations
+    ),
+    by_day_g AS (
+        SELECT g, d, count(*) AS n_total,
+               CAST(sum(observed) AS BIGINT) AS n_events
+        FROM dur_g GROUP BY g, d
+    ),
+    grid AS (
+        SELECT gg.g, dd.d
+        FROM (SELECT DISTINCT d FROM by_day_g) dd
+        CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg
+    ),
+    filled AS (
+        SELECT grid.g, grid.d,
+               coalesce(b.n_total, 0) AS n_total,
+               coalesce(b.n_events, 0) AS n_events
+        FROM grid LEFT JOIN by_day_g b
+          ON b.g = grid.g AND b.d = grid.d
+    ),
+    risk AS (
+        SELECT g, d, n_events,
+               CAST((SELECT count(*) FROM dur_g i WHERE i.g = filled.g)
+                    - coalesce(sum(n_total) OVER (
+                          PARTITION BY g ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS at_risk
+        FROM filled
+    ),
+    wide AS (
+        SELECT d,
+               max(CASE WHEN g = 0 THEN at_risk END) AS n1,
+               max(CASE WHEN g = 1 THEN at_risk END) AS n2,
+               max(CASE WHEN g = 0 THEN n_events END) AS d1,
+               max(CASE WHEN g = 1 THEN n_events END) AS d2
+        FROM risk GROUP BY d
+        HAVING max(CASE WHEN g = 0 THEN n_events END)
+             + max(CASE WHEN g = 1 THEN n_events END) > 0
+    ),
+    terms AS (
+        SELECT d, n1, n2, d1, d2, n1 + n2 AS nj, d1 + d2 AS dj FROM wide
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+               CAST(sum(d1) AS BIGINT) AS observed_g0,
+               sum(CAST(dj AS DOUBLE) * n1 / nj) AS expected_g0,
+               sum(CASE WHEN nj > 1 THEN
+                   CAST(dj AS DOUBLE) * (CAST(n1 AS DOUBLE) / nj)
+                   * (CAST(n2 AS DOUBLE) / nj)
+                   * (CAST(nj - dj AS DOUBLE) / (nj - 1))
+                   ELSE 0.0 END) AS var_g0
+        FROM terms
+    )
+    SELECT n_event_days, observed_g0,
+           {round_sql("expected_g0", 4)} AS expected_g0,
+           {round_sql(
+               "(observed_g0 - expected_g0) * (observed_g0 - expected_g0)"
+               " / var_g0",
+               4
+           )} AS chi2,
+           {round_sql(
+               "(observed_g0 - expected_g0) * (observed_g0 - expected_g0)"
+               " / var_g0",
+               4
+           )} > 3.841 AS reject_05
+    FROM agg
+    """,
+)
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank (Mantel-Cox) test on the signup→purchase
+    survival curves, cohorts split by user-id parity: at each distinct
+    event day j the observed group-0 events d1ⱼ are compared with
+    their hypergeometric expectation dⱼ·n1ⱼ/nⱼ under H₀ (identical
+    hazards), χ² = (Σd1ⱼ − ΣE1ⱼ)²/ΣVⱼ with
+    Vⱼ = dⱼ(n1ⱼ/nⱼ)(n2ⱼ/nⱼ)(nⱼ−dⱼ)/(nⱼ−1) — the standard test for
+    "did cohort A convert faster than cohort B", completing the
+    survival family (estimator: `survival_kaplan_meier`, hazard:
+    `survival_nelson_aalen`, inference: this).
+
+    Determinism: per-day at-risk counts are pure BIGINT window sums
+    over a day×cohort grid bounded by the observation window; doubles
+    appear only in the final sufficient-statistics reduction, rounded
+    at 4dp (the same absorption discipline as `welch_t_test`), and
+    the reject decision compares the ROUNDED χ² to the critical value
+    so the boolean can't flip on a last ulp. Scale shape: one
+    user-keyed shuffle to durations, one (d,g) aggregate, then
+    everything runs on the tiny grid."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("start"),
+        F.max("ts").alias("last_seen"),
+    ).filter(F.col("start").isNotNull())
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    conv = (
+        per_user.join(
+            purch,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("pts") >= F.col("start")),
+            "left",
+        )
+        .groupBy("user_id", "start", "last_seen")
+        .agg(F.min("pts").alias("converted"))
+    )
+    dur_g = conv.select(
+        (F.col("user_id") % 2).alias("g"),
+        F.datediff(
+            F.coalesce("converted", "last_seen").cast("date"),
+            F.col("start").cast("date"),
+        ).cast("long").alias("d"),
+        F.when(F.col("converted").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    by_day_g = dur_g.groupBy("g", "d").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("observed").cast("long").alias("n_events"),
+    )
+    days = by_day_g.select("d").distinct()
+    groups = spark.range(2).select(F.col("id").alias("g"))
+    grid = days.crossJoin(F.broadcast(groups))
+    filled = grid.join(by_day_g, ["g", "d"], "left").select(
+        "g",
+        "d",
+        F.coalesce("n_total", F.lit(0)).alias("n_total"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+    totals = dur_g.groupBy("g").agg(F.count(F.lit(1)).alias("total_g"))
+    w_prev = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = filled.join(F.broadcast(totals), "g").select(
+        "g",
+        "d",
+        "n_events",
+        (
+            F.col("total_g")
+            - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        ).cast("long").alias("at_risk"),
+    )
+    pick = lambda gv, c: F.max(F.when(F.col("g") == gv, F.col(c)))  # noqa: E731
+    wide = (
+        risk.groupBy("d")
+        .agg(
+            pick(0, "at_risk").alias("n1"),
+            pick(1, "at_risk").alias("n2"),
+            pick(0, "n_events").alias("d1"),
+            pick(1, "n_events").alias("d2"),
+        )
+        .filter(F.col("d1") + F.col("d2") > 0)
+    )
+    nj = F.col("n1") + F.col("n2")
+    dj = F.col("d1") + F.col("d2")
+    agg = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+        F.sum("d1").cast("long").alias("observed_g0"),
+        F.sum(dj.cast("double") * F.col("n1") / nj).alias("expected_g0"),
+        F.sum(
+            F.when(
+                nj > 1,
+                dj.cast("double")
+                * (F.col("n1").cast("double") / nj)
+                * (F.col("n2").cast("double") / nj)
+                * ((nj - dj).cast("double") / (nj - 1)),
+            ).otherwise(F.lit(0.0))
+        ).alias("var_g0"),
+    )
+    diff = F.col("observed_g0") - F.col("expected_g0")
+    chi2 = round_col(diff * diff / F.col("var_g0"), 4)
+    return agg.select(
+        "n_event_days",
+        "observed_g0",
+        round_col(F.col("expected_g0"), 4).alias("expected_g0"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("reject_05"),
+    )
+
+
+@query(
     "user_acquisition_curve",
     oracle="""
     WITH first_seen AS (

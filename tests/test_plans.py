@@ -997,6 +997,27 @@ def test_mjpeg_split_decode_single_python_stage(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_nelson_aalen_bounded_window(spark):
+    """survival_nelson_aalen: like the KM family, the only
+    unpartitioned window runs over the day-indexed risk table (bounded
+    by the observation window), never the events corpus — the corpus
+    collapses through user-keyed aggregates first. No Python eval."""
+    plan = plan_of(spark, "survival_nelson_aalen")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_logrank_grid_joins_bounded(spark):
+    """survival_logrank_test: the only non-equi joins are (a) the
+    purchase-window join (user-keyed equi conjunct carries the
+    shuffle) and (b) the broadcast day×cohort grid expansion (2-row
+    build side); the per-cohort risk window is partitioned. No
+    CartesianProduct, no Python eval."""
+    plan = plan_of(spark, "survival_logrank_test")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
