@@ -59,6 +59,9 @@ _CHECK_PRIORITY = [
     "bloom_filter_prefilter", "multimodal_jpeg_lossless_decode",
     "welch_t_test", "multimodal_jpeg_arith_decode",
     "survival_nelson_aalen", "survival_logrank_test",
+    "anova_oneway_f", "kendall_tau_daily", "multimodal_wav_audio_decode",
+    "item_item_cofilter_topk", "dp_noisy_counts", "holt_linear_forecast",
+    "kcore_decomposition",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

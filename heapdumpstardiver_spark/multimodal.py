@@ -184,9 +184,65 @@ def decode_png(payload: bytes) -> bytes:
     return bytes(out)
 
 
+_WAV_MAGIC = b"RIFF"
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE encoder — stdlib struct only, used to build
+    deterministic audio fixtures: 16-bit signed little-endian PCM,
+    mono, with a spec-complete ``fmt `` chunk (audio format 1 = PCM,
+    block align = 2, byte rate = 2·rate)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> bytes:
+    """Pure-stdlib RIFF/WAVE decode to raw PCM bytes — the audio
+    member of the built-in codec family (PNG/JPEG are the image
+    members). Walks the chunk list per the RIFF spec (word-aligned,
+    unknown chunks skipped — a real-world WAV often carries LIST/fact
+    chunks before data), validates 16-bit mono integer PCM, and
+    returns the data chunk bytes (little-endian int16 samples).
+    Compressed formats (ADPCM, float, mp3-in-wav) still need an
+    injected codec."""
+    import struct
+
+    data = bytes(payload)
+    if data[:4] != _WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, _rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError(
+            "built-in codec covers 16-bit mono integer PCM WAV only"
+        )
+    return pcm
+
+
 def _builtin_decoder(payload: bytes) -> bytes:
     if bytes(payload[:8]) == _PNG_MAGIC:
         return decode_png(payload)
+    if bytes(payload[:4]) == _WAV_MAGIC:
+        return decode_wav(payload)
     if bytes(payload[:2]) == _JPEG_MAGIC:
         data = bytes(payload)
         sof = _jpeg_sof_marker(data)
@@ -199,9 +255,9 @@ def _builtin_decoder(payload: bytes) -> bytes:
         return _jpeg_to_pixels(*_decode_jpeg(data))
     raise NotImplementedError(
         "no built-in codec for this payload format; inject decoder=... "
-        "(PNG and baseline/extended/progressive/lossless/arithmetic "
-        "grayscale / 4:4:4 / 4:2:0 / 4:2:2 color JPEG decode "
-        "stdlib-side in this environment)"
+        "(PNG, PCM16 WAV, and baseline/extended/progressive/lossless/"
+        "arithmetic grayscale / 4:4:4 / 4:2:0 / 4:2:2 color JPEG "
+        "decode stdlib-side in this environment)"
     )
 
 

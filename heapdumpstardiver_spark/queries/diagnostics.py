@@ -1152,3 +1152,196 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_w.alias("welch_df"),
         (F.abs(t_stat) > F.lit(1.96)).alias("reject_05"),
     )
+
+
+@query(
+    "anova_oneway_f",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(o_totalprice) AS m,
+               var_samp(o_totalprice) AS v
+        FROM orders GROUP BY o_orderpriority
+    ),
+    grand AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               sum(n * m) / sum(n) AS m_all,
+               CAST(count(*) AS BIGINT) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT k, n_all,
+               sum(n * (m - m_all) * (m - m_all)) AS ssb,
+               sum((n - 1) * v) AS ssw
+        FROM g CROSS JOIN grand
+        GROUP BY k, n_all
+    )
+    SELECT k, n_all AS n,
+           {round_sql("(ssb / (k - 1)) / (ssw / (n_all - k))", 4)} AS f_stat,
+           {round_sql("ssb / (ssb + ssw)", 6)} AS eta_sq,
+           {round_sql("(ssb / (k - 1)) / (ssw / (n_all - k))", 4)} > 2.372
+               AS reject_05
+    FROM ss
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order value across the five order
+    priorities — the k-group generalization of `welch_t_test`
+    (equal-variance form): F = (SSB/(k−1))/(SSW/(N−k)), with η² =
+    SSB/(SSB+SSW) as the effect size. The reject decision compares
+    the ROUNDED F to the df1=4, df2=∞ critical value 2.372, so the
+    boolean can't flip on an engine's last ulp.
+
+    Determinism: SSB is computed as Σn_g(m_g − m)² — the means are
+    differenced BEFORE squaring, so the catastrophic-cancellation form
+    Σn_g·m_g² − N·m² (whose ulp noise scales with the uncentered
+    second moment) never appears; remaining cross-engine accumulation
+    noise is ~1e−10 relative and the outputs are O(1)-magnitude
+    ratios rounded at 4-6dp. Scale shape: ONE grouped aggregate
+    collapses the corpus to k=5 sufficient-statistic rows; everything
+    after is arithmetic on a broadcast scalar."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    # grand totals via a partitionless window over the k=5 group rows
+    # (NOT a second aggregate of g — that re-derives g's lineage and
+    # scans orders twice; the single-partition window is over 5 rows,
+    # so the WindowExec everything-to-one-partition caveat is moot)
+    w_all = Window.partitionBy()
+    gg = g.select(
+        "n",
+        "m",
+        "v",
+        F.sum("n").over(w_all).cast("long").alias("n_all"),
+        (F.sum(F.col("n") * F.col("m")).over(w_all) / F.sum("n").over(w_all))
+        .alias("m_all"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+    )
+    dm = F.col("m") - F.col("m_all")
+    ss = gg.groupBy("k", "n_all").agg(
+        F.sum(F.col("n") * dm * dm).alias("ssb"),
+        F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+    )
+    f_stat = round_col(
+        (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n_all") - F.col("k"))),
+        4,
+    )
+    return ss.select(
+        "k",
+        F.col("n_all").alias("n"),
+        f_stat.alias("f_stat"),
+        round_col(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+        (f_stat > F.lit(2.372)).alias("reject_05"),
+    )
+
+
+@query(
+    "kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    pairs AS (
+        SELECT a.n_orders AS xa, a.rev_cents AS ya,
+               b.n_orders AS xb, b.rev_cents AS yb
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    counts AS (
+        SELECT
+            CAST(sum(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS concordant,
+            CAST(sum(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS discordant,
+            CAST(sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_x,
+            CAST(sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ties_y,
+            CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           {round_sql(
+               "(concordant - discordant) / "
+               "(sqrt(CAST(n_pairs - ties_x AS DOUBLE)) * "
+               " sqrt(CAST(n_pairs - ties_y AS DOUBLE)))",
+               6
+           )} AS tau_b
+    FROM counts
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between daily order count and
+    daily revenue — the concordance-based member of the correlation
+    family (`spearman_rank_correlation` is the rank-moment member):
+    τ-b = (C − D)/√((n₀−t_x)(n₀−t_y)) with tie corrections.
+
+    Determinism: revenue is fixed to integer cents BEFORE pairing, so
+    every concordance comparison is exact BIGINT sign arithmetic —
+    doubles appear only in the final single-row √ ratio (sqrt is
+    IEEE-correctly-rounded, identical across engines), rounded 6dp.
+
+    Scale shape: the corpus collapses to CALENDAR-BOUNDED daily rows
+    first (one shuffle), and the O(days²) pair join runs over that
+    bounded relation — ~2.4k days even at 100 TB keeps pairs under
+    3M forever, while a per-customer pairing would go quadratic in
+    the corpus. The O(n log n) merge-sort tau exists for unbounded
+    keys; on a calendar-bounded axis the simple pair join is the
+    faster plan (no sort, no driver state)."""
+    o = _t(spark, sf_dir, "orders")
+    # materialize the calendar-bounded daily rollup before the pair
+    # self-join — without this the self-join's two branches each
+    # replay the full orders scan+aggregate lineage
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("n_orders").alias("xa"),
+        F.col("rev_cents").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("n_orders").alias("xb"),
+        F.col("rev_cents").alias("yb"),
+    )
+    pairs = a.join(b, F.col("day_a") < F.col("day_b"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    counts = pairs.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(
+            F.when((F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1)
+            .otherwise(0)
+        ).cast("long").alias("ties_x"),
+        F.sum(
+            F.when((F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1)
+            .otherwise(0)
+        ).cast("long").alias("ties_y"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    tau = (F.col("concordant") - F.col("discordant")) / (
+        F.sqrt((F.col("n_pairs") - F.col("ties_x")).cast("double"))
+        * F.sqrt((F.col("n_pairs") - F.col("ties_y")).cast("double"))
+    )
+    return counts.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        round_col(tau, 6).alias("tau_b"),
+    )

@@ -8,10 +8,11 @@ metadata mirrors :data:`heapdumpstardiver_spark.multimodal.MEDIA_SCHEMA`.
 What matters is that every downstream op treats payload as opaque
 ``binary`` exactly as a real media pipeline would — byte lengths,
 fingerprints, Arrow-batched feature extraction, frame-sample fan-out —
-so the whole plumbing is oracle-checked end to end. The image codec
-layer is real (stdlib PNG + the full baseline/progressive JPEG
-matrix — see ``multimodal.py``), with closed-form oracles over
-deterministic fixtures; audio/video decode stays injected.
+so the whole plumbing is oracle-checked end to end. The codec layer
+is real for all three modalities (stdlib PNG + the full baseline/
+progressive JPEG matrix + MJPEG video split + PCM16 WAV audio — see
+``multimodal.py``), with closed-form oracles over deterministic
+fixtures; compressed audio and inter-coded video stay injected.
 """
 
 from __future__ import annotations
@@ -1043,6 +1044,137 @@ def multimodal_jpeg_arith_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("meta.height").alias("height"),
             F.length("decoded").cast("long").alias("n_bytes"),
             byte_sum("decoded").alias("pixel_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV audio decode — the audio member of the built-in codec family
+# ---------------------------------------------------------------------------
+
+_N_WAV = 10  # clips k=0..9
+
+
+def _wav_samples(k: int) -> list[int]:
+    """Deterministic integer sawtooth for clip k — pure integer
+    arithmetic (no libm), so the DuckDB oracle recomputes every
+    sample exactly: s_i = ((i·step) mod 2·amp) − amp."""
+    n = 400 + 100 * (k % 3)
+    step = 2 * k + 3
+    amp = 1000 * (1 + k % 4)
+    return [((i * step) % (2 * amp)) - amp for i in range(n)]
+
+
+@query(
+    "multimodal_wav_audio_decode",
+    oracle="""
+    WITH clips(media_id, n, step, amp) AS (
+        SELECT i, 400 + 100 * (i % 3), 2 * i + 3, 1000 * (1 + i % 4)
+        FROM (SELECT unnest(range(10)) AS i)
+    ),
+    samples AS (
+        SELECT media_id, u.i AS i,
+               ((u.i * step) % (2 * amp)) - amp AS s
+        FROM clips, unnest(range(n)) AS u(i)
+    ),
+    lagged AS (
+        SELECT media_id, s,
+               lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        FROM samples
+    ),
+    feats AS (
+        SELECT media_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(max(s) AS BIGINT) AS peak,
+               CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq
+        FROM lagged GROUP BY media_id
+    )
+    SELECT media_id, n_samples, peak, sum_abs, zero_cross,
+           CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) * 1000 + 0.5)
+                AS BIGINT) AS rms_milli
+    FROM feats ORDER BY media_id
+    """,
+)
+def multimodal_wav_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE decode through the production plumbing — the AUDIO
+    twin of `multimodal_png_decode`/`multimodal_jpeg_decode`, closing
+    the audio line of the modality matrix with a real stdlib codec:
+    deterministic integer-sawtooth clips (`encode_wav_pcm16`) flow
+    through ``multimodal.decode``'s Arrow-batched ``mapInPandas``
+    (chunk-walking RIFF parser, `decode_wav`), then ONE
+    struct-returning pandas_udf reduces the PCM to per-clip audio
+    features (peak, |x| sum, zero crossings, RMS). PCM16 is lossless,
+    so the DuckDB oracle recomputes every sample from the generative
+    formula — any header mis-parse, byte-order flip, or dropped/
+    misaligned chunk breaks the value hash. RMS is the one double:
+    √(Σs²/n) from exact integers is bit-identical across engines
+    (IEEE sqrt/divide are correctly rounded), then floored to
+    integer milli-units.
+
+    Scale shape: payloads never shuffle — decode and feature
+    extraction are narrow Arrow stages over the storage partitioning;
+    only fixed-width BIGINT features flow downstream."""
+    import pandas as pd
+
+    rows = [
+        (
+            k,
+            "audio",
+            M.encode_wav_pcm16(_wav_samples(k)),
+            ("wav", None, None, 8000, (400 + 100 * (k % 3)) * 1000 // 8000),
+        )
+        for k in range(_N_WAV)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    feat_schema = (
+        "n_samples bigint, peak bigint, sum_abs bigint, "
+        "zero_cross bigint, rms_milli bigint"
+    )
+
+    # lambda-style registration (module uses `from __future__ import
+    # annotations`, which stringifies type hints and breaks
+    # pandas_udf's hint introspection — same pattern as the JPEG
+    # queries' byte_sum)
+    def _wav_feature_frame(payloads):
+        import numpy as np
+
+        out = []
+        for b in payloads:
+            x = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+            n = int(len(x))
+            sum_sq = int((x * x).sum())
+            out.append(
+                {
+                    "n_samples": n,
+                    "peak": int(x.max()),
+                    "sum_abs": int(np.abs(x).sum()),
+                    "zero_cross": int(((x[1:] * x[:-1]) < 0).sum()),
+                    "rms_milli": int(
+                        np.floor(np.sqrt(sum_sq / n) * 1000.0 + 0.5)
+                    ),
+                }
+            )
+        return pd.DataFrame(out)
+
+    wav_feats = F.pandas_udf(_wav_feature_frame, feat_schema)
+
+    return (
+        M.decode(df)
+        .select("media_id", wav_feats("decoded").alias("f"))
+        .select(
+            "media_id",
+            "f.n_samples",
+            "f.peak",
+            "f.sum_abs",
+            "f.zero_cross",
+            "f.rms_milli",
         )
         .orderBy("media_id")
     )

@@ -3596,3 +3596,91 @@ def bloom_filter_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_false_neg"),
         round_col(fpr, 4).alias("fpr_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_counts — ε-differentially-private release via a portable
+# integer noise mechanism
+# ---------------------------------------------------------------------------
+
+def _dlap_thresholds(k_max: int = 16) -> list[tuple[str, int]]:
+    """Inverse-CDF thresholds for the two-sided geometric (discrete
+    Laplace) distribution with α = 1/2 — i.e. ε = ln 2 under unit
+    sensitivity: P(0) = 1/3, P(±k) = (1/3)·2^{-k}. Computed with
+    exact rationals and scaled to the 48-bit space of a 12-hex-char
+    md5 prefix, so BOTH engines sample the identical noise from the
+    identical hash with pure string comparison — no float, no libm,
+    no RNG state. Tails beyond ±k_max (mass 2^{-k_max} ≈ 1.5e-5)
+    clamp to ±k_max."""
+    from fractions import Fraction
+
+    scale = 16 ** 12
+    cum = Fraction(0)
+    out = []
+    for k in range(-k_max, k_max):
+        p = Fraction(1, 3) * Fraction(1, 2) ** abs(k)
+        cum += p
+        out.append((format(int(cum * scale), "012x"), k))
+    return out  # u >= last threshold → k_max
+
+
+def _dlap_case_sql(hash_expr: str) -> str:
+    branches = "".join(
+        f" WHEN {hash_expr} < '{t}' THEN CAST({k} AS BIGINT)"
+        for t, k in _dlap_thresholds()
+    )
+    return f"(CASE{branches} ELSE CAST(16 AS BIGINT) END)"
+
+
+@query(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    ),
+    noised AS (
+        SELECT o_orderpriority, n,
+               {_dlap_case_sql("substr(md5(o_orderpriority || '|dp-r8'), 1, 12)")}
+                   AS noise
+        FROM counts
+    )
+    SELECT o_orderpriority,
+           CAST(greatest(n + noise, 0) AS BIGINT) AS noisy_count
+    FROM noised ORDER BY o_orderpriority
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private order counts per priority (ε = ln 2,
+    sensitivity 1) via the GEOMETRIC MECHANISM — the discrete analog
+    of Laplace noise (Ghosh-Roughgarden-Sundararajan's universally
+    optimal mechanism for counts): noise ~ two-sided geometric with
+    α = e^{-ε} = 1/2, added to each true count, clamped at 0.
+
+    The release is reproducible-yet-private-in-form: noise is drawn
+    by inverse-CDF lookup of a 48-bit md5 prefix of the group key
+    against EXACT rational thresholds precomputed at plan-build time
+    (`_dlap_thresholds`) — the whole mechanism is integer/string
+    arithmetic, bit-identical across engines (production would swap
+    the keyed hash for a fresh secret per release; the mechanism,
+    sensitivity accounting, and clamping are exactly what ships).
+    Tail mass beyond ±16 (≈1.5e-5) clamps — a ±16-bounded, still
+    DP-valid variant. Scale shape: ONE grouped aggregate collapses
+    the corpus; the noise CASE chain is constant-folded per group
+    row. Only the noisy BIGINTs leave the engine."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    noise = F.expr(
+        _dlap_case_sql("substr(md5(concat(o_orderpriority, '|dp-r8')), 1, 12)")
+    )
+    return (
+        counts.select(
+            "o_orderpriority",
+            F.greatest(F.col("n") + noise, F.lit(0)).cast("long").alias(
+                "noisy_count"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2735,3 +2735,270 @@ def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_nano"), "partkey")
         .limit(10)
     )
+
+
+@query(
+    "item_item_cofilter_topk",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    supp AS (
+        SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n_orders
+        FROM basket GROUP BY l_partkey
+        HAVING count(*) >= 5
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS ia, b.l_partkey AS ib,
+               CAST(count(*) AS BIGINT) AS together
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    scored AS (
+        SELECT ia, ib, together,
+               together / (sqrt(CAST(sa.n_orders AS DOUBLE))
+                           * sqrt(CAST(sb.n_orders AS DOUBLE))) AS cosine
+        FROM pairs
+        JOIN supp sa ON sa.item = ia
+        JOIN supp sb ON sb.item = ib
+    ),
+    bidir AS (
+        SELECT ia AS item, ib AS neighbor, together, cosine FROM scored
+        UNION ALL
+        SELECT ib AS item, ia AS neighbor, together, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT item, neighbor, together, cosine,
+               row_number() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, neighbor
+               ) AS rk
+        FROM bidir
+    )
+    SELECT item, neighbor, together,
+           {round_sql("cosine", 6)} AS cosine,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+)
+def item_item_cofilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 most-similar parts per
+    part by co-occurrence cosine over 1997 order baskets —
+    sim(i,j) = |orders with both| / √(|orders with i|·|orders with j|)
+    — the classic "customers who bought X also bought" neighborhood
+    model, built on the same basket relation as
+    `copurchase_triangle_count`. A ≥5-order support floor drops rare
+    items (standard practice: their similarities are noise, and at
+    catalog scale they bloat the pair set for no recall).
+
+    Determinism: ranking happens on the UNROUNDED cosine, which is
+    bit-identical across engines — counts are exact BIGINTs and
+    together/(√na·√nb) is spelled with the same IEEE-correctly-rounded
+    op sequence in both; ties break on neighbor id. Scale shape: the
+    pair join is order-keyed (baskets are bounded per order, so pair
+    fan-out is bounded per row — never all-pairs across the catalog);
+    the top-k window partitions by item. At 100 TB the same plan
+    holds, with AQE skew-split handling mega-baskets (or a per-order
+    item cap upstream, the standard guard in production CF)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    basket = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    supp = (
+        basket.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 5)
+    )
+    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ia"))
+    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ib"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("together"))
+    )
+    scored = (
+        pairs.join(supp.select(F.col("item").alias("ia"), F.col("n_orders").alias("na")), "ia")
+        .join(supp.select(F.col("item").alias("ib"), F.col("n_orders").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            "together",
+            (
+                F.col("together")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    bidir = scored.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "together", "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "together", "cosine"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), "neighbor")
+    return (
+        bidir.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "item",
+            "neighbor",
+            "together",
+            round_col(F.col("cosine"), 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("item", "rk")
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled synchronized-peel k-core oracle (DuckDB forbids
+    aggregates in a recursive term, so the bounded round count unrolls
+    into alive0..alive{rounds} CTEs — the same trick as
+    `_pagerank_oracle`). All integer counts; no float anywhere."""
+    cte = []
+    for r in range(1, rounds + 1):
+        cte.append(f"""
+    alive{r} AS (
+        SELECT e.src AS v FROM edges e
+        JOIN alive{r - 1} s ON s.v = e.src
+        JOIN alive{r - 1} t ON t.v = e.dst
+        GROUP BY e.src HAVING count(*) >= {k}
+    )""")
+    rows = ",\n".join(
+        f"""
+    stat{r} AS (
+        SELECT {r} AS round,
+               (SELECT count(*) FROM alive{r}) AS survivors,
+               (SELECT count(*) FROM pairs p
+                JOIN alive{r} x ON x.v = p.a
+                JOIN alive{r} y ON y.v = p.b) AS live_edges
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM stat{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ),
+    alive0 AS (SELECT src AS v FROM edges GROUP BY src),
+    {",".join(cte)},
+    {rows}
+    SELECT CAST(round AS INT) AS round,
+           CAST(survivors AS BIGINT) AS survivors,
+           CAST(live_edges AS BIGINT) AS live_edges
+    FROM ({union}) ORDER BY round
+    """
+
+
+@query("kcore_decomposition", oracle=_kcore_oracle())
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core extraction on the part co-purchase graph (same 1997
+    edge set as `copurchase_triangle_count`/`pagerank_copurchase_topk`)
+    by synchronized peeling: each round recomputes degrees over the
+    surviving subgraph and drops vertices with degree < 3; the output
+    is the per-round (survivors, live-edges) trajectory for 6 rounds —
+    the dense-subgraph census behind community seeds, spam-ring
+    detection, and curriculum "well-connected item" selection. The
+    contract is EXPLICITLY a bounded-budget trajectory, not a
+    fixpoint: co-purchase peeling has a long sparsification tail
+    (measured: 15 rounds to fixpoint at sf0.01, 27 at sf0.1), so a
+    production run loops until the survivor count stops changing
+    (scalar driver probe per round, as in
+    `dedup_connected_components`) while THIS query pins the first 6
+    rounds so the oracle can replay them exactly — an until-fixpoint
+    SQL twin would need data-dependent recursion DuckDB can't express
+    with aggregates.
+
+    Exactness: every quantity is an integer count — no float anywhere,
+    like the pagerank twin. Scale shape: each round is one
+    alive-filtered degree aggregate (two semi-join-shaped hash joins +
+    groupBy on vertex id); the alive set only shrinks, each round's
+    result is localCheckpoint-ed so round r+1 starts from materialized
+    vertices instead of replaying (and combinatorially nesting) the
+    lineage, and the round count is a fixed budget — the standard
+    bounded-iteration discipline for distributed graph fixpoints."""
+    li = _t(spark, sf_dir, "lineitem")
+    year = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_partkey")
+    a, b = year.alias("a"), year.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        # localCheckpoint truncates lineage: without it each of the 6
+        # rounds' plans nests the full prior-round tree and the final
+        # 6-way union's logical plan grows combinatorially (observed
+        # as a catalyst OOM before a single task ran) — the same
+        # discipline as dedup_connected_components' label loop
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    alive = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
+    out = None
+    for r in range(1, 7):
+        alive_s = alive.select(F.col("v").alias("src"))
+        alive_d = alive.select(F.col("v").alias("dst"))
+        alive = (
+            edges.join(alive_s, "src")
+            .join(alive_d, "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("v")
+            .localCheckpoint()
+        )
+        surv = alive.agg(F.count(F.lit(1)).cast("long").alias("survivors"))
+        live = (
+            pairs.join(alive.select(F.col("v").alias("pa")), "pa")
+            .join(alive.select(F.col("v").alias("pb")), "pb")
+            .agg(F.count(F.lit(1)).cast("long").alias("live_edges"))
+        )
+        row = (
+            surv.crossJoin(live)
+            .select(
+                F.lit(r).cast("int").alias("round"), "survivors", "live_edges"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

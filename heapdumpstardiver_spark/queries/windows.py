@@ -3994,3 +3994,105 @@ def uplift_decile_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cc_c") / F.col("cn_c").cast("double")
         ).alias("cum_uplift"),
     ).orderBy("decile")
+
+
+@query(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+        SELECT row_number() OVER (ORDER BY day) AS rn,
+               CAST(rev_cents AS DOUBLE) AS y
+        FROM daily
+    ),
+    holt AS (
+        SELECT rn, y, y AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT k.rn, k.y,
+               0.5 * k.y + 0.5 * (p.l + p.b),
+               0.3 * ((0.5 * k.y + 0.5 * (p.l + p.b)) - p.l) + 0.7 * p.b
+        FROM seq k JOIN holt p ON k.rn = p.rn + 1
+    ),
+    fin AS (
+        SELECT l, b FROM holt
+        WHERE rn = (SELECT max(rn) FROM holt)
+    ),
+    horizon(h) AS (SELECT unnest(range(1, 8)))
+    SELECT CAST(h AS INT) AS h,
+           CAST(floor(l + h * b + 0.5) AS BIGINT) AS forecast_cents
+    FROM fin CROSS JOIN horizon
+    ORDER BY h
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential-smoothing forecast of daily revenue,
+    7 days ahead (α=0.5 level, β=0.3 trend, l₁=y₁, b₁=0) — the
+    trend-aware member of the forecasting family (`ema_user_value` is
+    the level-only smoother, `seasonal_naive_error` the seasonal
+    baseline): lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, ŷ_{T+h} = l_T + h·b_T.
+
+    Determinism: daily revenue is fixed to integer cents first, the
+    recurrence is an ordered left-fold over the day-sorted series
+    (array_sort on (day, y) structs — collect_list alone has no
+    order guarantee) in EXACTLY the order the DuckDB recursive CTE
+    unrolls, every operation is plain IEEE ×/+ on identical literals,
+    and outputs floor to BIGINT cents — bit-identical end to end,
+    no libm. Scale shape: the corpus collapses to the
+    calendar-bounded daily series (one shuffle); the fold runs over
+    ≤ a few thousand doubles in one task, the same bounded-window
+    discipline as the KM family."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("double")
+        .alias("y")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    fold = F.aggregate(
+        F.col("ys"),
+        F.struct(
+            F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("i")
+        ),
+        lambda acc, y: F.struct(
+            F.when(acc["i"] == 0, y)
+            .otherwise(F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"]))
+            .alias("l"),
+            F.when(acc["i"] == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(0.3)
+                * (
+                    (F.lit(0.5) * y + F.lit(0.5) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(0.7) * acc["b"]
+            )
+            .alias("b"),
+            (acc["i"] + 1).alias("i"),
+        ),
+    )
+    fin = series.select(fold.alias("st")).select(
+        F.col("st.l").alias("l"), F.col("st.b").alias("b")
+    )
+    horizon = F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h")
+    return (
+        fin.select(horizon, "l", "b")
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.floor(F.col("l") + F.col("h") * F.col("b") + F.lit(0.5))
+            .cast("long")
+            .alias("forecast_cents"),
+        )
+        .orderBy("h")
+    )

@@ -593,3 +593,50 @@ def test_jpeg_arith_decodes_identical_to_huffman():
     flat = bytes([120]) * (16 * 8)
     assert M.decode_jpeg_gray(M.encode_jpeg_arith_gray(16, 8, flat)) == flat
     assert M._builtin_decoder(M.encode_jpeg_arith_gray(16, 8, flat)) == flat
+
+
+def test_wav_roundtrip_exact():
+    """PCM16 WAV: encode→decode must reproduce the exact sample bytes
+    (PCM is lossless), including negative samples, the full int16
+    range, and an odd-length ancillary chunk before data (RIFF chunks
+    are word-aligned — a parser that forgets the pad byte desyncs)."""
+    import struct
+
+    from heapdumpstardiver_spark import multimodal as M
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345] * 10
+    wav = M.encode_wav_pcm16(samples, sample_rate=44100)
+    pcm = M.decode_wav(wav)
+    assert struct.unpack(f"<{len(samples)}h", pcm) == tuple(samples)
+    assert M._builtin_decoder(wav) == pcm
+
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    spliced = wav[:fmt_end] + b"LIST" + struct.pack("<I", 3) + b"abc\x00" + wav[fmt_end:]
+    assert M.decode_wav(spliced) == pcm
+
+
+def test_wav_rejects_unsupported():
+    """Stereo/8-bit/float WAV must raise NotImplementedError (inject a
+    real codec for those), not silently mis-decode; truncated or
+    non-RIFF payloads raise ValueError."""
+    import struct
+
+    import pytest
+
+    from heapdumpstardiver_spark import multimodal as M
+
+    wav = bytearray(M.encode_wav_pcm16([1, 2, 3]))
+    fmt_off = wav.index(b"fmt ") + 8
+    stereo = bytearray(wav)
+    stereo[fmt_off + 2:fmt_off + 4] = struct.pack("<H", 2)  # channels=2
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(stereo))
+    fl = bytearray(wav)
+    fl[fmt_off:fmt_off + 2] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(fl))
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        M.decode_wav(b"not a wav")

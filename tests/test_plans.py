@@ -1018,6 +1018,74 @@ def test_logrank_grid_joins_bounded(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_anova_single_scan_broadcast_grand(spark):
+    """anova_oneway_f: one scan of orders collapses to k=5 sufficient
+    statistics; the grand-mean join is broadcast. No Python eval."""
+    plan = plan_of(spark, "anova_oneway_f")
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kendall_pairs_on_bounded_daily(spark):
+    """kendall_tau_daily: the O(days²) pair join runs over the
+    calendar-bounded daily aggregate (intentional BNLJ over a bounded
+    relation), NEVER the orders corpus — the daily rollup is
+    localCheckpoint-ed, so the final plan contains ZERO orders scans
+    (the single scan ran once at checkpoint time; a plan that still
+    scans orders would mean the self-join re-derives the corpus)."""
+    plan = plan_of(spark, "kendall_tau_daily")
+    assert len(scan_lines(plan, "orders")) == 0, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_item_cofilter_equi_joins_only(spark):
+    """item_item_cofilter_topk: the pair generation is an order-keyed
+    equi-join (basket-bounded fan-out) and the support lookups are
+    equi-joins — nothing pairwise-scans the catalog; top-k window is
+    item-partitioned. No Python eval."""
+    plan = plan_of(spark, "item_item_cofilter_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dp_noisy_counts_single_aggregate(spark):
+    """dp_noisy_counts: one scan, one grouped aggregate, the noise
+    CASE chain entirely JVM-side — no Python eval, no joins."""
+    plan = plan_of(spark, "dp_noisy_counts")
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+
+
+def test_holt_fold_on_bounded_series(spark):
+    """holt_linear_forecast: the fold runs over the calendar-bounded
+    daily series collected into ONE array (same discipline as the KM
+    family) — one orders scan, no Python eval."""
+    plan = plan_of(spark, "holt_linear_forecast")
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_no_cartesian(spark):
+    """kcore_decomposition: every peel round is an alive-filtered
+    equi-join degree aggregate; no cartesian anywhere in the 6-round
+    union."""
+    plan = plan_of(spark, "kcore_decomposition")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wav_decode_single_python_chain(spark):
+    """multimodal_wav_audio_decode: decode is ONE MapInPandas stage
+    and feature extraction ONE ArrowEvalPython stage — payloads never
+    shuffle and never cross Python twice."""
+    plan = plan_of(spark, "multimodal_wav_audio_decode")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
