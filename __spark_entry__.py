@@ -61,7 +61,9 @@ _CHECK_PRIORITY = [
     "survival_nelson_aalen", "survival_logrank_test",
     "anova_oneway_f", "kendall_tau_daily", "multimodal_wav_audio_decode",
     "item_item_cofilter_topk", "dp_noisy_counts", "holt_linear_forecast",
-    "kcore_decomposition",
+    "kcore_decomposition", "tukey_hsd_pairwise", "fano_burstiness",
+    "binseg_changepoint", "neyman_allocation_sample",
+    "horvitz_thompson_total",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

@@ -1345,3 +1345,145 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ties_y",
         round_col(tau, 6).alias("tau_b"),
     )
+
+
+@query(
+    "tukey_hsd_pairwise",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(o_totalprice) AS m,
+               var_samp(o_totalprice) AS v
+        FROM orders GROUP BY o_orderpriority
+    ),
+    msw AS (
+        SELECT sum((n - 1) * v) / sum(n - 1) AS s2 FROM g
+    ),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               a.n AS na, b.n AS nb, a.m AS ma, b.m AS mb, s2
+        FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN msw
+    )
+    SELECT grp_a, grp_b, na, nb,
+           {round_sql("ma - mb", 4)} AS mean_diff,
+           {round_sql(
+               "abs(ma - mb) / sqrt(s2 / 2 * (1.0 / na + 1.0 / nb))", 4
+           )} AS q_stat,
+           {round_sql(
+               "abs(ma - mb) / sqrt(s2 / 2 * (1.0 / na + 1.0 / nb))", 4
+           )} > 3.858 AS reject_05
+    FROM pairs ORDER BY grp_a, grp_b
+    """,
+)
+def tukey_hsd_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD post-hoc test: all 10 pairwise order-priority mean
+    comparisons after `anova_oneway_f`, on the studentized-range
+    scale q = |mᵢ−mⱼ|/√(MSW/2·(1/nᵢ+1/nⱼ)) against the k=5, df=∞
+    critical value 3.858 — the multiple-comparisons follow-up every
+    ANOVA needs (10 naive t-tests at α=.05 would inflate the
+    family-wise error to ~40%). Reject decisions compare the ROUNDED
+    q, so no boolean flips on a last ulp.
+
+    Scale shape: ONE grouped scan collapses the corpus to k=5
+    sufficient-statistic rows (materialized before pairing so the
+    k² self-join can't replay the corpus scan); the pair set is
+    k(k−1)/2 = 10 rows of scalar arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.var_samp("o_totalprice").alias("v"),
+        )
+        .localCheckpoint()
+    )
+    msw = g.agg(
+        (F.sum((F.col("n") - 1) * F.col("v")) / F.sum(F.col("n") - 1)).alias("s2")
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("na"), F.col("m").alias("ma")
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
+    )
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b")).crossJoin(F.broadcast(msw))
+    q_stat = round_col(
+        F.abs(F.col("ma") - F.col("mb"))
+        / F.sqrt(
+            F.col("s2") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        ),
+        4,
+    )
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "na",
+        "nb",
+        round_col(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        q_stat.alias("q_stat"),
+        (q_stat > F.lit(3.858)).alias("reject_05"),
+    ).orderBy("grp_a", "grp_b")
+
+
+@query(
+    "fano_burstiness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, s1 AS n_events,
+           {round_sql("CAST(s1 AS DOUBLE) / n_days", 4)} AS mean_daily,
+           {round_sql(
+               "(CAST(n_days AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+               " / (CAST(n_days AS DOUBLE) * (n_days - 1))"
+               " / (CAST(s1 AS DOUBLE) / n_days)",
+               4
+           )} AS fano_factor
+    FROM stats ORDER BY event_type
+    """,
+)
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the event stream per event type: the Fano factor
+    var(daily count)/mean(daily count) — 1 for a Poisson process,
+    >1 for bursty arrival (flash crowds, bot storms), <1 for
+    regularized traffic. The dispersion diagnostic that decides
+    whether rate-based anomaly thresholds (`anomaly_zscore_daily`)
+    can assume Poisson noise.
+
+    Determinism: daily counts are exact BIGINTs, and the variance is
+    computed from BIGINT sufficient statistics (n·Σc²−(Σc)²) — both
+    engines do exact integer arithmetic until the final divisions,
+    rounded 4dp. Scale shape: one (type, day) aggregate bounded by
+    types × calendar days, then a k-row rollup."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    var = (nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
+        nd * (F.col("n_days") - 1)
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("n_events"),
+        round_col(mean, 4).alias("mean_daily"),
+        round_col(var / mean, 4).alias("fano_factor"),
+    ).orderBy("event_type")

@@ -3684,3 +3684,181 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle=f"""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS s1,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY source
+    ),
+    sig AS (
+        SELECT source, n_docs,
+               sqrt((CAST(n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                    / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) AS sigma
+        FROM g
+    ),
+    w AS (
+        SELECT source, n_docs, sigma,
+               n_docs * sigma AS wh,
+               sum(n_docs * sigma) OVER () AS w_all
+        FROM sig
+    )
+    SELECT source, n_docs,
+           {round_sql("sigma", 4)} AS sigma_chars,
+           CAST(floor(1000 * wh / w_all) AS BIGINT) AS n_alloc
+    FROM w ORDER BY source
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a
+    1000-document labeling/eval budget across sources proportional to
+    N_h·σ_h (stratum size × within-stratum std-dev of document
+    length) — the variance-minimizing allocation for estimating a
+    corpus mean, and the principled upgrade over proportional
+    allocation when strata differ in spread (the companion sampler
+    `stratified_sample_per_source` draws the rows; this computes how
+    many each stratum deserves).
+
+    Determinism: σ comes from exact-BIGINT sufficient statistics
+    (N·Σy²−(Σy)², order-independent integer sums; Σy² stays inside
+    int64 through sf1 — beyond that, switch to centered two-pass
+    moments), the only cross-engine float sum is the 5-term Σ N_hσ_h
+    (partitionless window, ulp-level), and the floor allocation sits
+    ~1e13 away from its rounding boundary. Scale shape: one grouped
+    scan to k strata rows; everything after is scalar arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    sigma = F.sqrt(
+        (nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+        / (nd * (F.col("n_docs") - 1))
+    )
+    sig = g.select("source", "n_docs", sigma.alias("sigma"))
+    w_all = Window.partitionBy()
+    w = sig.select(
+        "source",
+        "n_docs",
+        "sigma",
+        (F.col("n_docs") * F.col("sigma")).alias("wh"),
+        F.sum(F.col("n_docs") * F.col("sigma")).over(w_all).alias("w_all"),
+    )
+    return w.select(
+        "source",
+        "n_docs",
+        round_col(F.col("sigma"), 4).alias("sigma_chars"),
+        F.floor(1000 * F.col("wh") / F.col("w_all")).cast("long").alias(
+            "n_alloc"
+        ),
+    ).orderBy("source")
+
+
+# Inclusion probabilities for the Horvitz-Thompson sampler: fixed
+# length bands with EXACTLY-REPRESENTABLE dyadic probabilities, so
+# y/pi is integer arithmetic (y*8, y*4, y*2, y) and the md5-prefix
+# inclusion thresholds are exact 48-bit integers in both engines.
+_HT_BANDS = [(500, 0.125, 8), (1500, 0.25, 4), (3000, 0.5, 2)]  # else pi=1
+
+
+def _ht_pi_thresh(pi: float) -> str:
+    return format(int(pi * 16 ** 12), "012x")
+
+
+def _ht_case_sql(u: str) -> tuple[str, str]:
+    """(include_predicate, y_over_pi) SQL fragments shared verbatim by
+    the Spark query and the DuckDB oracle."""
+    inc = (
+        f"(CASE WHEN n_chars < 500 THEN {u} < '{_ht_pi_thresh(0.125)}' "
+        f"WHEN n_chars < 1500 THEN {u} < '{_ht_pi_thresh(0.25)}' "
+        f"WHEN n_chars < 3000 THEN {u} < '{_ht_pi_thresh(0.5)}' "
+        f"ELSE TRUE END)"
+    )
+    yop = (
+        "(CASE WHEN n_chars < 500 THEN n_chars * 8 "
+        "WHEN n_chars < 1500 THEN n_chars * 4 "
+        "WHEN n_chars < 3000 THEN n_chars * 2 "
+        "ELSE n_chars END)"
+    )
+    return inc, yop
+
+
+@query(
+    "horvitz_thompson_total",
+    oracle=(lambda inc, yop: f"""
+    WITH marked AS (
+        SELECT n_chars, {inc} AS inc, {yop} AS y_over_pi
+        FROM (
+            SELECT n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '|ht-r8'), 1, 12)
+                       AS u
+            FROM documents
+        )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_population,
+           CAST(sum(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS true_total,
+           CAST(sum(CASE WHEN inc THEN y_over_pi ELSE 0 END) AS BIGINT)
+               AS ht_total,
+           {round_sql(
+               "(sum(CASE WHEN inc THEN y_over_pi ELSE 0 END)"
+               " - CAST(sum(n_chars) AS DOUBLE))"
+               " / sum(n_chars)", 6)} AS rel_err
+    FROM marked
+    """)(*_ht_case_sql("u")),
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation of total corpus characters from an
+    unequal-probability sample: long documents are sampled at higher
+    rates (π ∈ {⅛,¼,½,1} by length band — the bands where the mass
+    lives get the coverage), and the estimator Σ_{sampled} yᵢ/πᵢ is
+    unbiased for the population total — the design-based foundation
+    under every size-biased corpus audit, with the realized relative
+    error reported against the exact total.
+
+    Determinism: inclusion is an md5-prefix threshold against exact
+    48-bit dyadic constants (same mechanism as `dp_noisy_counts`'s
+    inverse-CDF — string compare, no RNG), and because every π is a
+    power of two, yᵢ/πᵢ is INTEGER arithmetic — the estimate is an
+    exact BIGINT in both engines; the only double is the final
+    relative error. Scale shape: one scan, one aggregate — the
+    sample never materializes."""
+    d = _t(spark, sf_dir, "documents")
+    inc_sql, yop_sql = _ht_case_sql("u")
+    marked = d.select(
+        "n_chars",
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ht-r8"))),
+            1,
+            12,
+        ).alias("u"),
+    ).select(
+        "n_chars",
+        F.expr(inc_sql).alias("inc"),
+        F.expr(yop_sql).alias("y_over_pi"),
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_population"),
+        F.sum(F.when(F.col("inc"), 1).otherwise(0)).cast("long").alias(
+            "n_sampled"
+        ),
+        F.sum("n_chars").cast("long").alias("true_total"),
+        F.sum(F.when(F.col("inc"), F.col("y_over_pi")).otherwise(0))
+        .cast("long")
+        .alias("ht_total"),
+        round_col(
+            (
+                F.sum(F.when(F.col("inc"), F.col("y_over_pi")).otherwise(0))
+                - F.sum("n_chars").cast("double")
+            )
+            / F.sum("n_chars"),
+            6,
+        ).alias("rel_err"),
+    )

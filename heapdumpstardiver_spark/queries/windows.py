@@ -4096,3 +4096,144 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "binseg_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) / 1000 + 0.5) AS BIGINT) AS rev_k
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+        SELECT day, rev_k,
+               row_number() OVER (ORDER BY day) AS rn,
+               CAST(sum(rev_k) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS s_cum,
+               CAST(sum(rev_k * rev_k) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS q_cum
+        FROM daily
+    ),
+    tot AS (
+        SELECT CAST(max(rn) AS BIGINT) AS n,
+               CAST(max(s_cum) AS BIGINT) AS s,
+               CAST(max(q_cum) AS BIGINT) AS q
+        FROM seq
+    ),
+    split AS (
+        SELECT day, rn AS n_left, n - rn AS n_right,
+               s_cum, s - s_cum AS s_right, q_cum, q - q_cum AS q_right,
+               (q_cum - CAST(s_cum AS DOUBLE) * s_cum / rn)
+               + (q - q_cum
+                  - CAST(s - s_cum AS DOUBLE) * (s - s_cum) / (n - rn))
+                   AS sse_split,
+               q - CAST(s AS DOUBLE) * s / n AS sse_total
+        FROM seq CROSS JOIN tot WHERE rn < n
+    ),
+    best AS (
+        SELECT * FROM split ORDER BY sse_split, day LIMIT 1
+    )
+    SELECT day AS breakpoint_day,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(floor(CAST(s_cum AS DOUBLE) / n_left + 0.5) AS BIGINT)
+               AS mean_left_k,
+           CAST(floor(CAST(s_right AS DOUBLE) / n_right + 0.5) AS BIGINT)
+               AS mean_right_k,
+           CAST(floor((sse_total - sse_split) / sse_total * 1000000 + 0.5)
+                AS BIGINT) AS sse_drop_ppm
+    FROM best
+    """,
+)
+def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection on the daily revenue
+    series: the single breakpoint minimizing the two-segment SSE
+    (first split of the classic binseg recursion; `cusum_changepoint`
+    is the sequential-detection twin — this is the offline
+    structural-break locator).
+
+    Determinism: daily revenue fixes to integer KILO-dollars before
+    anything (kilo keeps Σy² inside exact-BIGINT range through sf1+;
+    raw cents would overflow the exact-double window at Σ(1e8)²
+    scale), prefix sums S_t and Q_t are exact BIGINT window sums
+    (integer addition is order-independent — no float accumulation
+    anywhere), and every candidate's SSE is computed from those exact
+    integers with the same IEEE expression in both engines, so the
+    argmin compares bit-identical doubles; ties break on earliest
+    day, and outputs floor to integers. Scale shape: the corpus
+    collapses to the calendar-bounded daily series; the candidate
+    sweep is one windowed pass over it plus a TOP-1."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") / 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_k")
+    )
+    w_ord = Window.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    seq = daily.select(
+        "day",
+        "rev_k",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("rev_k").over(w_cum).cast("long").alias("s_cum"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).over(w_cum).cast("long").alias(
+            "q_cum"
+        ),
+    )
+    # totals via a partitionless window over the bounded daily series
+    # (an agg of seq would re-derive — and re-scan — the lineage)
+    w_all = Window.partitionBy()
+    seq = seq.select(
+        "day",
+        "rn",
+        "s_cum",
+        "q_cum",
+        F.max("rn").over(w_all).cast("long").alias("n"),
+        F.max("s_cum").over(w_all).cast("long").alias("s"),
+        F.max("q_cum").over(w_all).cast("long").alias("q"),
+    )
+    s_right = F.col("s") - F.col("s_cum")
+    sse_split = (
+        F.col("q_cum")
+        - F.col("s_cum").cast("double") * F.col("s_cum") / F.col("rn")
+    ) + (
+        F.col("q")
+        - F.col("q_cum")
+        - s_right.cast("double") * s_right / (F.col("n") - F.col("rn"))
+    )
+    sse_total = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    split = (
+        seq.filter(F.col("rn") < F.col("n"))
+        .select(
+            "day",
+            F.col("rn").alias("n_left"),
+            (F.col("n") - F.col("rn")).alias("n_right"),
+            "s_cum",
+            s_right.alias("s_right"),
+            sse_split.alias("sse_split"),
+            sse_total.alias("sse_total"),
+        )
+    )
+    best = split.orderBy("sse_split", "day").limit(1)
+    return best.select(
+        F.col("day").alias("breakpoint_day"),
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.floor(F.col("s_cum").cast("double") / F.col("n_left") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_left_k"),
+        F.floor(F.col("s_right").cast("double") / F.col("n_right") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_right_k"),
+        F.floor(
+            (F.col("sse_total") - F.col("sse_split"))
+            / F.col("sse_total")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sse_drop_ppm"),
+    )

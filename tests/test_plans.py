@@ -1086,6 +1086,54 @@ def test_wav_decode_single_python_chain(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tukey_pairs_on_materialized_stats(spark):
+    """tukey_hsd_pairwise: the k² pair join runs on the checkpointed
+    5-row sufficient-statistic relation — zero orders scans survive
+    into the final plan (one scan ran at checkpoint time)."""
+    plan = plan_of(spark, "tukey_hsd_pairwise")
+    assert len(scan_lines(plan, "orders")) == 0, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fano_single_scan(spark):
+    """fano_burstiness: one events scan, two aggregate levels, no
+    joins, no Python."""
+    plan = plan_of(spark, "fano_burstiness")
+    assert len(scan_lines(plan, "events")) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_binseg_single_scan_windowed(spark):
+    """binseg_changepoint: one orders scan collapses to the daily
+    series; the candidate sweep is windowed prefix sums (totals via a
+    partitionless window over the same bounded series, no join at
+    all) + TakeOrdered — no pairwise join of candidates."""
+    plan = plan_of(spark, "binseg_changepoint")
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_neyman_single_scan(spark):
+    """neyman_allocation_sample: one documents scan; grand weight via
+    partitionless window over k strata rows, no second aggregate of
+    the lineage."""
+    plan = plan_of(spark, "neyman_allocation_sample")
+    assert len(scan_lines(plan, "documents")) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_ht_single_scan_no_python(spark):
+    """horvitz_thompson_total: one scan, one aggregate; the md5
+    threshold CASE chain is entirely JVM-side."""
+    plan = plan_of(spark, "horvitz_thompson_total")
+    assert len(scan_lines(plan, "documents")) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
