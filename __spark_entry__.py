@@ -63,7 +63,8 @@ _CHECK_PRIORITY = [
     "item_item_cofilter_topk", "dp_noisy_counts", "holt_linear_forecast",
     "kcore_decomposition", "tukey_hsd_pairwise", "fano_burstiness",
     "binseg_changepoint", "neyman_allocation_sample",
-    "horvitz_thompson_total",
+    "horvitz_thompson_total", "label_propagation_communities",
+    "mutual_information_categorical",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

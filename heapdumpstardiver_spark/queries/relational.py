@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exprs import round_col, round_sql
+from ..exprs import round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
 
 
@@ -3002,3 +3002,205 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("round")
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle (aggregates can't
+    appear in a DuckDB recursive term — same unroll trick as
+    `_pagerank_oracle`/`_kcore_oracle`): each round every vertex
+    adopts the most frequent neighbor label, ties to the smallest
+    label. Labels are vertex ids (BIGINT) throughout — no float."""
+    cte = []
+    for r in range(1, rounds + 1):
+        cte.append(f"""
+    cnt{r} AS (
+        SELECT e.dst AS v, p.label, count(*) AS c
+        FROM edges e JOIN lab{r - 1} p ON p.v = e.src
+        GROUP BY e.dst, p.label
+    ),
+    mx{r} AS (SELECT v, max(c) AS mc FROM cnt{r} GROUP BY v),
+    lab{r} AS (
+        SELECT c.v, min(c.label) AS label
+        FROM cnt{r} c JOIN mx{r} m ON m.v = c.v AND c.c = m.mc
+        GROUP BY c.v
+    )""")
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        WHERE l1.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l1.l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01'
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs
+    ),
+    lab0 AS (SELECT src AS v, src AS label FROM edges GROUP BY src),
+    {",".join(cte)}
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS size
+    FROM lab{rounds} GROUP BY label
+    ORDER BY size DESC, community LIMIT 10
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph by
+    synchronous label propagation (4 fixed rounds): every vertex
+    adopts its neighbors' MODE label (ties → smallest), seeded with
+    vertex ids — unlike `dedup_connected_components` (min-label =
+    connectivity), mode propagation splits a connected graph into
+    densely-linked communities; output is the top-10 communities by
+    size. Deterministic by construction: synchronous rounds + total
+    tiebreak order, no RNG — the async/random-order LPA variant
+    converges faster but is irreproducible, the wrong trade for an
+    oracle-gated pipeline.
+
+    Exactness: labels are vertex ids, counts are counts — BIGINT
+    end-to-end. Scale shape: each round is one src-keyed join (label
+    lookup co-partitioned with edges), one (dst,label) aggregate, and
+    one per-vertex argmax (max-count then min-label, expressed as two
+    grouped aggregates, NOT a window over the corpus); rounds
+    localCheckpoint so lineage stays flat. The fixed round budget is
+    the same bounded-iteration contract as `kcore_decomposition`."""
+    li = _t(spark, sf_dir, "lineitem")
+    year = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_partkey")
+    a, b = year.alias("a"), year.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(4):
+        cnt = (
+            edges.join(labels.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count DESC, label ASC) as ONE grouped aggregate:
+        # max over (c, -label) picks the highest count, then the
+        # smallest label — no corpus-wide window needed
+        labels = (
+            cnt.groupBy("v")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("v", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .select(F.col("community").cast("long"), "size")
+        .orderBy(F.desc("size"), "community")
+        .limit(10)
+    )
+
+
+@query(
+    "mutual_information_categorical",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y,
+               CAST(count(*) AS BIGINT) AS nxy
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    margins AS (
+        SELECT x, y, nxy,
+               CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+               CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+               CAST(sum(nxy) OVER () AS BIGINT) AS n
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           {stable_render_sql(
+               "sum((CAST(nxy AS DOUBLE) / n) * "
+               "ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)))",
+               6
+           )} AS mi_nats,
+           {stable_render_sql(
+               "sum((CAST(nxy AS DOUBLE) / n) * "
+               "ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)))"
+               " / sqrt("
+               "  (-sum((CAST(nxy AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n)))"
+               "  * "
+               "  (-sum((CAST(nxy AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n)))"
+               ")",
+               6
+           )} AS nmi
+    FROM margins
+    """,
+)
+def mutual_information_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status —
+    the feature-relevance measure behind categorical feature
+    selection and leakage audits (an MI near the label entropy flags
+    a feature that IS the label): MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))
+    in nats, plus NMI = MI/√(H(X)·H(Y)) — the marginal entropies
+    fall out of the same cell sum via Σ_y p(x,y)·ln p(x) =
+    p(x)·ln p(x), so no extra aggregation level. The chi-square twin
+    (`chi_square_independence`) tests independence; MI measures its
+    STRENGTH on an information scale.
+
+    Determinism: cell and margin counts are exact BIGINTs via
+    partitioned windows over the bounded cell table (k_x·k_y rows);
+    ln chains go through `stable_render` (decimal-string at 6dp —
+    the libm-absorption discipline of `tfidf_top_terms`/
+    `token_entropy_by_source`). Scale shape: one grouped scan to the
+    cell table; margins are windows over it, never a rescan."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    margins = cells.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).cast("long").alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).cast("long").alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    p = F.col("nxy").cast("double") / F.col("n")
+    mi = F.sum(
+        p
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+    )
+    hx = -F.sum(p * F.log(F.col("nx").cast("double") / F.col("n")))
+    hy = -F.sum(p * F.log(F.col("ny").cast("double") / F.col("n")))
+    return margins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+        stable_render(mi, 6).alias("mi_nats"),
+        stable_render(mi / F.sqrt(hx * hy), 6).alias("nmi"),
+    )

@@ -1134,6 +1134,27 @@ def test_ht_single_scan_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_lpa_no_windows_no_cartesian(spark):
+    """label_propagation_communities: per-round argmax is a grouped
+    max-struct aggregate, NOT a corpus window; all joins equi-keyed;
+    lineage flattened by checkpoints so the final plan is the
+    community rollup over materialized labels."""
+    plan = plan_of(spark, "label_propagation_communities")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_mi_margins_are_windows_over_cells(spark):
+    """mutual_information_categorical: one orders scan to the cell
+    table; marginals are partitioned windows over it — no join, no
+    second scan, no Python."""
+    plan = plan_of(spark, "mutual_information_categorical")
+    assert len(scan_lines(plan, "orders")) == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
