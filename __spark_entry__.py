@@ -81,9 +81,10 @@ _CHECK_PRIORITY = [
     "percentile_disc_groups", "range_join_nearby",
     "rollup_hypertable_cascade", "sessionize_lag",
     "window_rank_topk", "window_running_sum", "window_tumbling_hour",
-    # ---- ~r8 cap (50) lands ~5 entries above here (4 + 14 new = 18
-    # head slots leave ~32 rotation slots; the r3-vintage tail
-    # overflows to r9 under the standing policy) ----
+    # ---- ~r8 cap (50): 4 survival + 30 r8-new head slots leave ~16
+    # rotation slots, so the cap lands mid-way through the r3-vintage
+    # block above; the rest of it overflows to r9 under the standing
+    # staleness policy ----
     # r4-vintage greens, next-oldest first — r9 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
