@@ -64,7 +64,7 @@ _CHECK_PRIORITY = [
     "kcore_decomposition", "tukey_hsd_pairwise", "fano_burstiness",
     "binseg_changepoint", "neyman_allocation_sample",
     "horvitz_thompson_total", "label_propagation_communities",
-    "mutual_information_categorical",
+    "mutual_information_categorical", "multimodal_audio_frame_energy",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

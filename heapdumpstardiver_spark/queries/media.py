@@ -1178,3 +1178,120 @@ def multimodal_wav_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "multimodal_audio_frame_energy",
+    oracle="""
+    WITH clips(media_id, n, step, amp) AS (
+        SELECT i, 400 + 100 * (i % 3), 2 * i + 3, 1000 * (1 + i % 4)
+        FROM (SELECT unnest(range(10)) AS i)
+    ),
+    samples AS (
+        SELECT media_id, u.i AS i, u.i // 100 AS frame_idx,
+               ((u.i * step) % (2 * amp)) - amp AS s
+        FROM clips, unnest(range(n)) AS u(i)
+    ),
+    lagged AS (
+        SELECT media_id, frame_idx, s,
+               lag(s) OVER (PARTITION BY media_id, frame_idx ORDER BY i)
+                   AS prev
+        FROM samples
+    ),
+    frames AS (
+        SELECT media_id, frame_idx,
+               CAST(sum(s * s) AS BIGINT) AS energy,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND s * prev < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        FROM lagged GROUP BY media_id, frame_idx
+    ),
+    ranked AS (
+        SELECT media_id, frame_idx, energy, zero_cross,
+               row_number() OVER (
+                   PARTITION BY media_id
+                   ORDER BY energy DESC, frame_idx) AS rk
+        FROM frames
+    )
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           energy, zero_cross, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY media_id, rk
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio analysis: the 3 highest-energy 100-sample
+    frames per clip with per-frame zero-crossing counts — the
+    voice-activity/onset-detection primitive (frame → energy rank →
+    segment selection), demonstrating FRAME-wise featurization where
+    `multimodal_wav_audio_decode` is clip-wise. One pandas_udf emits
+    each clip's frame table as an array<struct> that EXPLODES
+    JVM-side, so the top-k ranking, tie-breaks, and ordering all run
+    in Spark proper on exact BIGINTs (frame energies from int16 PCM
+    can't overflow: 100·32768² ≪ 2⁶³); the DuckDB oracle recomputes
+    every frame from the generative sawtooth formula.
+
+    Scale shape: payloads stay in one narrow Arrow chain
+    (decode → frame features); only the fixed-width frame table
+    crosses into the engine, and the per-clip top-3 window partitions
+    by media_id."""
+    import pandas as pd
+
+    rows = [
+        (
+            k,
+            "audio",
+            M.encode_wav_pcm16(_wav_samples(k)),
+            ("wav", None, None, 8000, (400 + 100 * (k % 3)) * 1000 // 8000),
+        )
+        for k in range(_N_WAV)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    frame_schema = (
+        "array<struct<frame_idx: bigint, energy: bigint, zero_cross: bigint>>"
+    )
+
+    def _frame_table(payloads):
+        import numpy as np
+
+        out = []
+        for b in payloads:
+            x = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+            frames = x.reshape(-1, 100)
+            energy = (frames * frames).sum(axis=1)
+            zc = ((frames[:, 1:] * frames[:, :-1]) < 0).sum(axis=1)
+            out.append(
+                [
+                    {
+                        "frame_idx": int(i),
+                        "energy": int(energy[i]),
+                        "zero_cross": int(zc[i]),
+                    }
+                    for i in range(len(frames))
+                ]
+            )
+        return pd.Series(out)
+
+    frame_udf = F.pandas_udf(_frame_table, frame_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy(
+        F.desc("energy"), "frame_idx"
+    )
+    return (
+        M.decode(df)
+        .select("media_id", F.explode(frame_udf("decoded")).alias("f"))
+        .select("media_id", "f.frame_idx", "f.energy", "f.zero_cross")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "media_id",
+            "frame_idx",
+            "energy",
+            "zero_cross",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("media_id", "rk")
+    )

@@ -1155,6 +1155,16 @@ def test_mi_margins_are_windows_over_cells(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_audio_frames_one_python_chain_topk_jvm(spark):
+    """multimodal_audio_frame_energy: one MapInPandas decode + one
+    Arrow frame-table udf; the explode, top-3 window, and ordering
+    are JVM-side over fixed-width BIGINTs."""
+    plan = plan_of(spark, "multimodal_audio_frame_energy")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
