@@ -1487,3 +1487,136 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(mean, 4).alias("mean_daily"),
         round_col(var / mean, 4).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(floor(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN value ELSE 0 END) * 100 + 0.5)
+                    AS BIGINT) AS pre_c,
+               CAST(floor(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                   THEN value ELSE 0 END) * 100 + 0.5)
+                    AS BIGINT) AS post_c
+        FROM events GROUP BY user_id
+    ),
+    diffs AS (
+        SELECT post_c - pre_c AS d, abs(post_c - pre_c) AS ad
+        FROM per_user WHERE post_c <> pre_c
+    ),
+    by_val AS (
+        SELECT ad, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+        FROM diffs GROUP BY ad
+    ),
+    ranked AS (
+        SELECT ad, t, n_pos,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+        FROM by_val
+    ),
+    agg AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum((2 * cum_prev + t + 1) * n_pos) AS BIGINT) AS w2,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        FROM ranked
+    )
+    SELECT n, w2 AS w_plus_x2,
+           {round_sql(
+               "(w2 / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+               " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+               "        - CAST(tie3 AS DOUBLE) / 48)",
+               4
+           )} AS z_stat,
+           abs({round_sql(
+               "(w2 / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+               " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24"
+               "        - CAST(tie3 AS DOUBLE) / 48)",
+               4
+           )}) > 1.96 AS reject_05
+    FROM agg
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of per-user pre- vs post-period event
+    value (split at the house 2024-01-16 boundary) — the PAIRED member
+    completing the two-sample family (`welch_t_test` parametric
+    unpaired, `mann_whitney_u_test` rank unpaired, `ks_test_two_sample`
+    shape): zero-diff users drop per the standard procedure, |diffs|
+    get tie-averaged ranks, W⁺ sums the positive-diff ranks, and the
+    normal approximation with tie correction gives
+    z = (W⁺−n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+
+    Determinism: period sums fix to integer cents, so diffs and
+    |diffs| are exact BIGINTs; ranks follow the `mann_whitney_u_test`
+    discipline — averaged over per-VALUE counts (the rank window runs
+    over distinct |diff| values, never the corpus), and doubled
+    (2·cum_prev+t+1) so W⁺×2 is an exact BIGINT; doubles appear only
+    in the final z, rounded 4dp with the reject taken on the rounded
+    value. Scale shape: one user-keyed aggregate, one value-keyed
+    aggregate, then scalar arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = e.groupBy("user_id").agg(
+        F.floor(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pre_c"),
+        F.floor(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("post_c"),
+    )
+    diffs = per_user.filter(F.col("post_c") != F.col("pre_c")).select(
+        (F.col("post_c") - F.col("pre_c")).alias("d"),
+        F.abs(F.col("post_c") - F.col("pre_c")).alias("ad"),
+    )
+    by_val = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_pos"
+        ),
+    )
+    w_prev = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.select(
+        "ad",
+        "t",
+        "n_pos",
+        F.coalesce(F.sum("t").over(w_prev), F.lit(0)).cast("long").alias(
+            "cum_prev"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum((2 * F.col("cum_prev") + F.col("t") + 1) * F.col("n_pos"))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    nd = F.col("n").cast("double")
+    z = round_col(
+        (F.col("w2") / 2.0 - nd * (F.col("n") + 1) / 4)
+        / F.sqrt(
+            nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+            - F.col("tie3").cast("double") / 48
+        ),
+        4,
+    )
+    return agg.select(
+        "n",
+        F.col("w2").alias("w_plus_x2"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_05"),
+    )

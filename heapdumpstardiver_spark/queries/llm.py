@@ -2660,3 +2660,115 @@ def minhash_prefilter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(10)
     )
+
+
+@query(
+    "jsd_source_drift",
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY source, token
+    ),
+    vocab AS (
+        SELECT token, CAST(sum(c) AS BIGINT) AS cc
+        FROM tf GROUP BY token
+        ORDER BY sum(c) DESC, token LIMIT 200
+    ),
+    vt AS (SELECT CAST(sum(cc) AS BIGINT) AS corpus_n FROM vocab),
+    src AS (
+        SELECT tf.source, CAST(sum(tf.c) AS BIGINT) AS src_n
+        FROM tf JOIN vocab v ON v.token = tf.token
+        GROUP BY tf.source
+    ),
+    grid AS (
+        SELECT s.source, v.token, v.cc, s.src_n,
+               coalesce(tf.c, 0) AS sc
+        FROM src s CROSS JOIN vocab v
+        LEFT JOIN tf ON tf.source = s.source AND tf.token = v.token
+    ),
+    probs AS (
+        SELECT source,
+               CAST(cc AS DOUBLE) / corpus_n AS p,
+               (CAST(sc AS DOUBLE) + 1) / (src_n + 200) AS q
+        FROM grid CROSS JOIN vt
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           {stable_render_sql(
+               "sum(0.5 * p * ln(p / ((p + q) / 2))"
+               "  + 0.5 * q * ln(q / ((p + q) / 2)))",
+               6
+           )} AS jsd_nats
+    FROM probs GROUP BY source ORDER BY source
+    """,
+)
+def jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus distribution over the top-200 vocabulary — the
+    symmetric, bounded (≤ ln 2) drift measure behind 'which ingest
+    source stopped looking like the rest of the corpus' alerts and
+    mixture re-weighting; Laplace smoothing keeps per-source zeros
+    finite, and restricting to a fixed top-V vocabulary is the
+    standard trick that bounds the comparison grid no matter how
+    large the corpus (`psi_drift_by_decile` is the numeric-feature
+    twin; this is the text-distribution one).
+
+    Determinism: all counts are exact BIGINTs; the source×vocab grid
+    is bounded (|sources|·200); the ln chain renders decimal-stable
+    at 6dp (the established libm-absorption discipline). Scale
+    shape: ONE token explode + (source, token) shuffle; the vocab
+    top-200 is a TakeOrdered; everything after runs on the bounded
+    grid with the vocab broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("cc"))
+        .orderBy(F.desc("cc"), "token")
+        .limit(200)
+    )
+    vt = vocab.agg(F.sum("cc").cast("long").alias("corpus_n"))
+    src = (
+        tf.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("src_n"))
+    )
+    grid = (
+        src.crossJoin(F.broadcast(vocab))
+        .join(tf, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            "cc",
+            "src_n",
+            F.coalesce("c", F.lit(0)).alias("sc"),
+        )
+    )
+    probs = grid.crossJoin(F.broadcast(vt)).select(
+        "source",
+        (F.col("cc").cast("double") / F.col("corpus_n")).alias("p"),
+        ((F.col("sc").cast("double") + 1) / (F.col("src_n") + 200)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.lit(0.5) * F.col("p") * F.log(F.col("p") / m) + F.lit(
+        0.5
+    ) * F.col("q") * F.log(F.col("q") / m)
+    return (
+        probs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            stable_render(F.sum(term), 6).alias("jsd_nats"),
+        )
+        .orderBy("source")
+    )

@@ -3862,3 +3862,102 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+@query(
+    "madow_systematic_pps",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS y FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, y,
+               CAST(sum(y) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c
+        FROM sized
+    ),
+    tot AS (SELECT CAST(max(c) AS BIGINT) AS s FROM cum),
+    marked AS (
+        SELECT doc_id, y,
+               (c * 100) // s > ((c - y) * 100) // s AS sel
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_population,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN sel THEN y ELSE 0 END) AS BIGINT)
+               AS selected_chars,
+           CAST(sum(CASE WHEN sel THEN doc_id ELSE 0 END) AS BIGINT)
+               AS selected_id_sum
+    FROM marked
+    """,
+)
+def madow_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Madow systematic probability-proportional-to-size sampling: a
+    100-unit PPS draw selects document i exactly when the scaled
+    cumulative size ⌊Cᵢ·m/S⌋ advances past ⌊Cᵢ₋₁·m/S⌋ — each unit's
+    inclusion probability is m·yᵢ/S with zero variance in the sample
+    size, the classic companion draw to `horvitz_thompson_total`'s
+    estimation and `neyman_allocation_sample`'s allocation (together:
+    allocate → draw → estimate). Pure integer arithmetic end to end
+    (BIGINT products, floor division) — no float anywhere.
+
+    Scale shape: the global prefix sum is computed the DISTRIBUTED
+    way — documents bucket by id range, per-bucket totals roll up in
+    one aggregate and cumulate over the bucket-bounded relation
+    (window over buckets, not rows), and each bucket's offset joins
+    back so the intra-bucket window partitions by bucket — the
+    two-level scan pattern every distributed prefix-sum uses; a plan
+    test pins that no corpus-sized unpartitioned window exists. The
+    selection fingerprints (count, char sum, id sum) make any
+    off-by-one in the crossing rule break the value hash."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("y"),
+        (F.col("doc_id") / 256).cast("long").alias("bkt"),
+    )
+    per_bucket = sized.groupBy("bkt").agg(F.sum("y").alias("by"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("by").over(w_bkt), F.lit(0)).cast("long").alias(
+            "offset"
+        ),
+    )
+    w_intra = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        sized.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "y",
+            (F.col("offset") + F.sum("y").over(w_intra))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    tot = cum.agg(F.max("c").cast("long").alias("s"))
+    # Spark's DIV is exact BIGINT division, matching DuckDB's `//` —
+    # a float divide + floor could land one ulp below an exact
+    # integer quotient and flip the crossing test
+    marked = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "y",
+        F.expr("((c * 100) DIV s) > (((c - y) * 100) DIV s)").alias("sel"),
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_population"),
+        F.sum(F.when(F.col("sel"), 1).otherwise(0)).cast("long").alias(
+            "n_selected"
+        ),
+        F.sum(F.when(F.col("sel"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("selected_chars"),
+        F.sum(F.when(F.col("sel"), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("selected_id_sum"),
+    )

@@ -1165,6 +1165,45 @@ def test_audio_frames_one_python_chain_topk_jvm(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_madow_distributed_prefix_sum(spark):
+    """madow_systematic_pps: the global prefix sum is two-level — the
+    only unpartitioned window runs over the BUCKET relation (bounded
+    by id-range / 256), the per-row window partitions by bucket, and
+    bucket offsets come back via broadcast. No unpartitioned window
+    over documents rows."""
+    plan = plan_of_no_aqe(spark, "madow_systematic_pps")
+    # exactly one unpartitioned Window (the bucket cumsum); the row
+    # window must carry a partition spec
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\](?:, \[[^\]]*\])*", plan)
+    unpartitioned = [w for w in windows if "windowspecdefinition(bkt" not in w]
+    partitioned = [w for w in windows if "windowspecdefinition(bkt" in w]
+    assert partitioned, plan
+    assert len(unpartitioned) <= 1, plan  # only the bucket-level cumsum
+    assert "CartesianProduct" not in plan
+
+
+def test_wilcoxon_value_bounded_rank_window(spark):
+    """wilcoxon_signed_rank: one events scan; the rank window runs
+    over per-|diff|-VALUE counts (the `mann_whitney_u_test`
+    discipline), never the corpus."""
+    plan = plan_of(spark, "wilcoxon_signed_rank")
+    assert len(scan_lines(plan, "events")) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jsd_one_explode_bounded_grid(spark):
+    """jsd_source_drift: ONE token explode feeds the checkpointed
+    (source, token) table; vocab and totals come back as broadcasts
+    over the bounded grid — no second explode, no cartesian over
+    anything corpus-sized."""
+    plan = plan_of(spark, "jsd_source_drift")
+    assert plan.count("Generate explode") == 0, plan  # tf is checkpointed
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_plans_md_covers_plan_set():
     """PLANS.md (the judge's plan-audit artifact) must contain a
     section for every PLAN_SET member and zero CartesianProduct
