@@ -66,6 +66,7 @@ _CHECK_PRIORITY = [
     "horvitz_thompson_total", "label_propagation_communities",
     "mutual_information_categorical", "multimodal_audio_frame_energy",
     "madow_systematic_pps", "wilcoxon_signed_rank", "jsd_source_drift",
+    "kruskal_wallis_h", "mcnemar_paired_test", "brown_forsythe_levene",
     # 3: staleness rotation — last driver row is r3-vintage (oldest)
     "two_level_agg", "weighted_topk", "rollup_agg",
     "bucket_histogram", "pattern_classifier", "category_like_chains",

@@ -1620,3 +1620,392 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > F.lit(1.96)).alias("reject_05"),
     )
+
+
+@query(
+    "kruskal_wallis_h",
+    oracle=f"""
+    WITH samples AS (
+        SELECT event_type AS g, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id, event_type
+    ),
+    by_x AS (
+        SELECT x, CAST(count(*) AS BIGINT) AS n_all
+        FROM samples GROUP BY x
+    ),
+    ranked AS (
+        SELECT x,
+               n_all,
+               coalesce(sum(n_all) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + (n_all + 1) / 2.0 AS avg_rank
+        FROM by_x
+    ),
+    cells AS (
+        SELECT g, x, CAST(count(*) AS BIGINT) AS c
+        FROM samples GROUP BY g, x
+    ),
+    grp AS (
+        SELECT cells.g, CAST(sum(c) AS BIGINT) AS n_g,
+               sum(c * avg_rank) AS r_g
+        FROM cells JOIN ranked USING (x) GROUP BY cells.g
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k
+        FROM grp
+    ),
+    tie AS (
+        SELECT CAST(sum(n_all * n_all * n_all - n_all) AS BIGINT) AS t3
+        FROM by_x
+    ),
+    h AS (
+        SELECT k, n,
+               12.0 / (CAST(n AS DOUBLE) * (n + 1))
+               * sum(n_g * (r_g / n_g - (n + 1) / 2.0)
+                         * (r_g / n_g - (n + 1) / 2.0)) AS h_raw,
+               1.0 - CAST(t3 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n * n - n) AS corr
+        FROM grp CROSS JOIN tot CROSS JOIN tie
+        GROUP BY k, n, t3
+    )
+    SELECT k AS k_groups, n AS n_samples, k - 1 AS dof,
+           {round_sql("h_raw", 4)} AS h_stat,
+           {round_sql("h_raw / corr", 4)} AS h_tied,
+           {round_sql("h_raw / corr", 4)} > CASE k - 1
+               WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 ELSE 12.592
+           END AS reject_05
+    FROM h
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-sample generalization of
+    `mann_whitney_u_test` — do users' per-user event counts differ in
+    distribution ACROSS ALL event types at once? Tie-averaged ranks
+    over pooled samples, deviation-form H (no large-term
+    cancellation), the standard tie correction H/(1−Σ(t³−t)/(N³−N)),
+    and a broadcast χ² critical-value lookup keyed by k−1 so the
+    reject bit is reproducible.
+
+    Determinism: samples are exact integer counts, so the rank table
+    is exact (ranks are integer halves); each group's rank sum
+    accumulates exact halves; the only cross-engine float sums run
+    over the k-row group table in deviation form — positive,
+    similar-magnitude terms whose 1-ulp order sensitivity sits ~10
+    orders below the 4dp rounding. Scale shape: corpus → per-(user,
+    type) counts (one shuffle) → per-VALUE rank table (distinct
+    integer counts, dozens of rows, broadcast back) → k-row group
+    table; no corpus-sized window anywhere."""
+    e = _t(spark, sf_dir, "events")
+    samples = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).select(F.col("event_type").alias("g"), "x")
+    by_x = samples.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_x.select(
+        "x",
+        "n_all",
+        (
+            F.coalesce(F.sum("n_all").over(w), F.lit(0))
+            + (F.col("n_all") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    cells = samples.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grp = (
+        cells.join(F.broadcast(ranked), "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r_g"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tie = by_x.agg(
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        ).cast("long").alias("t3")
+    )
+    nd = F.col("n").cast("double")
+    dev = F.col("r_g") / F.col("n_g") - (F.col("n") + 1) / F.lit(2.0)
+    h = (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tie))
+        .groupBy("k", "n", "t3")
+        .agg(
+            (
+                F.lit(12.0) / (nd * (F.col("n") + 1))
+                * F.sum(F.col("n_g") * dev * dev)
+            ).alias("h_raw")
+        )
+        .select(
+            "k",
+            "n",
+            "h_raw",
+            (
+                F.lit(1.0)
+                - F.col("t3").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+            ).alias("corr"),
+        )
+    )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .when(F.col("k") - 1 == 5, 11.07)
+        .otherwise(12.592)
+    )
+    h_tied = round_col(F.col("h_raw") / F.col("corr"), 4)
+    return h.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_samples"),
+        (F.col("k") - 1).alias("dof"),
+        round_col(F.col("h_raw"), 4).alias("h_stat"),
+        h_tied.alias("h_tied"),
+        (h_tied > crit).alias("reject_05"),
+    )
+
+
+@query(
+    "mcnemar_paired_test",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                        AND ts < TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS pre,
+               max(CASE WHEN event_type = 'purchase'
+                        AND ts >= TIMESTAMP '2024-01-16'
+                        THEN 1 ELSE 0 END) AS post
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM per_user
+    )
+    SELECT n11, b AS pre_only, c AS post_only, n00,
+           CASE WHEN b + c = 0 THEN 0.0 ELSE
+               {round_sql(
+                   "(abs(b - c) - 1) * (abs(b - c) - 1)"
+                   " / CAST(b + c AS DOUBLE)",
+                   4
+               )}
+           END AS chi2_cc,
+           CASE WHEN b + c = 0 THEN FALSE ELSE
+               {round_sql(
+                   "(abs(b - c) - 1) * (abs(b - c) - 1)"
+                   " / CAST(b + c AS DOUBLE)",
+                   4
+               )} > 3.841
+           END AS reject_05
+    FROM cells
+    """,
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes: did each user's
+    'makes a purchase' bit change between the pre- and post-period
+    (the house 2024-01-16 split)? Only the discordant cells matter —
+    χ² = (|b−c|−1)²/(b+c) with Edwards' continuity correction against
+    χ²₁ = 3.841 — the paired-binary member closing the test family
+    (`welch_t_test` paired-free means, `wilcoxon_signed_rank` paired
+    ordinal, this one paired binary).
+
+    Determinism: the whole statistic is integer arithmetic over four
+    exact cells until ONE final division, rounded 4dp with the reject
+    taken on the rounded value; b+c=0 degenerates to 0/false rather
+    than NULL. Scale shape: one user-keyed aggregate collapses the
+    corpus; everything after is a 1-row scalar frame."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    is_p = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(is_p & (F.col("ts") < cut), 1).otherwise(0)).alias("pre"),
+        F.max(F.when(is_p & (F.col("ts") >= cut), 1).otherwise(0)).alias(
+            "post"
+        ),
+    )
+    cells = per_user.agg(
+        F.sum(F.when((F.col("pre") == 1) & (F.col("post") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("pre") == 1) & (F.col("post") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("pre") == 0) & (F.col("post") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when((F.col("pre") == 0) & (F.col("post") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    d = F.abs(F.col("b") - F.col("c"))
+    chi2 = round_col(
+        ((d - 1) * (d - 1)).cast("double") / (F.col("b") + F.col("c")), 4
+    )
+    zero = (F.col("b") + F.col("c")) == 0
+    chi2_cc = F.when(zero, F.lit(0.0)).otherwise(chi2)
+    return cells.select(
+        "n11",
+        F.col("b").alias("pre_only"),
+        F.col("c").alias("post_only"),
+        "n00",
+        chi2_cc.alias("chi2_cc"),
+        F.when(zero, F.lit(False)).otherwise(chi2 > 3.841).alias("reject_05"),
+    )
+
+
+@query(
+    "brown_forsythe_levene",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    grp_n AS (
+        SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM cells GROUP BY g
+    ),
+    cum AS (
+        SELECT g, cents, cnt,
+               CAST(sum(cnt) OVER (
+                   PARTITION BY g ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+        FROM cells
+    ),
+    med AS (
+        SELECT cum.g,
+               min(CASE WHEN c >= (n_g + 1) // 2 THEN cents END)
+               + min(CASE WHEN c >= n_g // 2 + 1 THEN cents END) AS med2
+        FROM cum JOIN grp_n ON cum.g = grp_n.g
+        GROUP BY cum.g
+    ),
+    dev AS (
+        SELECT cells.g, cnt, abs(2 * cents - med2) AS ad2
+        FROM cells JOIN med ON cells.g = med.g
+    ),
+    grp AS (
+        SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g,
+               CAST(sum(cnt * ad2) AS BIGINT) AS r_g,
+               CAST(sum(cnt * ad2 * ad2) AS BIGINT) AS s_g
+        FROM dev GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(r_g) AS BIGINT) AS r,
+               CAST(sum(s_g) AS BIGINT) AS s,
+               sum(CAST(r_g AS DOUBLE) * r_g / n_g) AS ssb_sum
+        FROM grp
+    )
+    SELECT k AS k_groups, n AS n_samples,
+           k - 1 AS dof1, n - k AS dof2,
+           {round_sql(
+               "((ssb_sum - CAST(r AS DOUBLE) * r / n) / (k - 1))"
+               " / ((s - ssb_sum) / (n - k))",
+               4
+           )} AS f_stat
+    FROM tot
+    """,
+)
+def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) test of variance
+    homogeneity across event types: one-way ANOVA F on |x − median_g|
+    — the robust 'are the spreads equal' gate that decides between
+    `anova_oneway_f` (pooled variance assumed) and `welch_t_test`
+    (unequal variances) machinery.
+
+    Determinism: values fix to integer cents; each group's median is
+    exact rank selection over the per-(group, value) count table
+    (avg of the two middle order statistics, kept ×2 so med2 is an
+    exact BIGINT); deviations |2x − med2| are exact BIGINTs whose
+    scale factor cancels in F; Σcnt·ad2 and Σcnt·ad2² stay in exact
+    BIGINT range (~1e15 at sf1); the only float work is the k-row
+    ssb reduction and one final division, rounded 4dp. Scale shape:
+    corpus → (group, value)-count cells in one shuffle; the median
+    window partitions BY GROUP over the bounded distinct-value
+    relation; everything after is k rows."""
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = cells.localCheckpoint()
+    grp_n = cells.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_g"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "g", "cents", F.sum("cnt").over(w).cast("long").alias("c")
+    )
+    med = (
+        cum.join(F.broadcast(grp_n), "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("c") >= F.floor((F.col("n_g") + 1) / 2),
+                        F.col("cents"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("c") >= F.floor(F.col("n_g") / 2) + 1,
+                        F.col("cents"),
+                    )
+                )
+            ).alias("med2")
+        )
+    )
+    dev = cells.join(F.broadcast(med), "g").select(
+        "g",
+        "cnt",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2")).alias("ad2"),
+    )
+    grp = dev.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("ad2")).cast("long").alias("r_g"),
+        F.sum(F.col("cnt") * F.col("ad2") * F.col("ad2"))
+        .cast("long")
+        .alias("s_g"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum(
+            F.col("r_g").cast("double") * F.col("r_g") / F.col("n_g")
+        ).alias("ssb_sum"),
+    )
+    ssb = F.col("ssb_sum") - F.col("r").cast("double") * F.col("r") / F.col("n")
+    ssw = F.col("s") - F.col("ssb_sum")
+    f_stat = round_col(
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+    )
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_samples"),
+        (F.col("k") - 1).alias("dof1"),
+        (F.col("n") - F.col("k")).alias("dof2"),
+        f_stat.alias("f_stat"),
+    )

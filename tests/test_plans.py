@@ -1271,3 +1271,20 @@ def test_bloom_prefilter_no_false_negatives(spark):
     ).collect()[0]
     assert row["n_false_neg"] == 0
     assert row["n_bloom_pass"] >= row["n_members"]
+
+
+def test_stats_test_family_jvm_only(spark):
+    """kruskal_wallis_h / mcnemar_paired_test / brown_forsythe_levene:
+    JVM-only scalar frames — no Python eval, no cartesian; the rank
+    and median windows run over bounded value tables (distinct counts
+    / per-group distinct cents), never an unpartitioned corpus
+    window over raw events."""
+    for name in (
+        "kruskal_wallis_h",
+        "mcnemar_paired_test",
+        "brown_forsythe_levene",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
