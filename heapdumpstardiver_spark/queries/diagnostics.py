@@ -2009,3 +2009,595 @@ def brown_forsythe_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("k")).alias("dof2"),
         f_stat.alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# jarque_bera_normality — moment-based normality test on exact counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jarque_bera_normality",
+    oracle=f"""
+    WITH samples AS (
+        SELECT CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ),
+    pows AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s1,
+               CAST(sum(x * x) AS BIGINT) AS s2,
+               CAST(sum(x * x * x) AS BIGINT) AS s3,
+               CAST(sum(x * x * x * x) AS BIGINT) AS s4
+        FROM samples
+    ),
+    mom AS (
+        SELECT n,
+               CAST(s1 AS DOUBLE) / n AS m,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM pows
+    ),
+    cm AS (
+        SELECT n, m,
+               r2 - m * m AS m2,
+               r3 - 3 * m * r2 + 2 * m * m * m AS m3,
+               r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m AS m4
+        FROM mom
+    ),
+    jb AS (
+        SELECT n,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) - 3 AS kurt_x,
+               n / 6.0 * (m3 / (m2 * sqrt(m2)) * (m3 / (m2 * sqrt(m2)))
+                          + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0)
+                   AS jb_stat
+        FROM cm
+    )
+    SELECT n AS n_samples,
+           {round_sql("skew", 4)} AS skewness,
+           {round_sql("kurt_x", 4)} AS excess_kurtosis,
+           {round_sql("jb_stat", 4)} AS jb_stat,
+           {round_sql("jb_stat", 4)} > 5.991 AS reject_05
+    FROM jb
+    """,
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the per-user activity-count
+    distribution — the moment-based screen (skewness + excess
+    kurtosis vs the chi-square-2 null) an analyst runs before
+    trusting z-based tests like `welch_t_test` on the same samples.
+
+    Determinism: samples are exact BIGINT counts, so the four raw
+    power sums S1..S4 are exact integers in both engines (DuckDB's
+    HUGEINT sums are cast back to BIGINT, per the r7 type-guard
+    rule); every float op after that runs on one row with an
+    identical expression tree — no cross-engine accumulation-order
+    surface at all. sqrt is IEEE-exact. Scale shape: one count
+    shuffle, then a single-row closed form; nothing holds state
+    bigger than five BIGINTs per partial."""
+    e = _t(spark, sf_dir, "events")
+    x = F.col("x")
+    pows = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x).cast("long").alias("s1"),
+            F.sum(x * x).cast("long").alias("s2"),
+            F.sum(x * x * x).cast("long").alias("s3"),
+            F.sum(x * x * x * x).cast("long").alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    r2 = F.col("s2") / n
+    r3 = F.col("s3") / n
+    r4 = F.col("s4") / n
+    m2 = r2 - m * m
+    m3 = r3 - 3 * m * r2 + 2 * m * m * m
+    m4 = r4 - 4 * m * r3 + 6 * m * m * r2 - 3 * m * m * m * m
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    return pows.select(
+        F.col("n").alias("n_samples"),
+        round_col(skew, 4).alias("skewness"),
+        round_col(kurt, 4).alias("excess_kurtosis"),
+        round_col(jb, 4).alias("jb_stat"),
+        (round_col(jb, 4) > F.lit(5.991)).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson_autocorr — serial correlation of trend residuals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "durbin_watson_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+               rev_cents AS y
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rn) AS BIGINT) AS sx,
+               CAST(sum(rn * rn) AS BIGINT) AS sxx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(rn * y) AS BIGINT) AS sxy
+        FROM seq
+    ),
+    fit AS (
+        SELECT n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+               (CAST(sy AS DOUBLE)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sx) / n AS a
+        FROM sums
+    ),
+    resid AS (
+        SELECT rn,
+               CAST(y AS DOUBLE) - (a + b * rn) AS e
+        FROM seq CROSS JOIN fit
+    ),
+    dw AS (
+        SELECT sum((e - le) * (e - le)) AS num,
+               sum(e * e) AS den
+        FROM (
+            SELECT e, lag(e) OVER (ORDER BY rn) AS le FROM resid
+        ) WHERE le IS NOT NULL
+    )
+    SELECT (SELECT n FROM fit) AS n_days,
+           {round_sql("(SELECT b FROM fit)", 4)} AS slope_cents_per_day,
+           {round_sql("num / den", 4)} AS dw_stat,
+           {round_sql("num / den", 4)} < 1.5 AS positive_autocorr
+    FROM dw
+    """,
+)
+def durbin_watson_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test for serial correlation in the residuals of
+    the daily-revenue linear trend — the post-fit diagnostic that
+    tells you whether `price_trend_regression`-style OLS standard
+    errors can be trusted or an AR term is needed (DW ≈ 2(1−ρ̂₁);
+    < 1.5 flags positive autocorrelation). Companion to `daily_acf`,
+    which reads the raw series; this reads the DETRENDED one.
+
+    Determinism: daily revenue is fixed to integer cents (the
+    `holt_linear_forecast` recipe), so the five OLS power sums are
+    exact BIGINTs and (a, b) derive from one identical closed form.
+    Residual/DW sums run over the ~daily-count-sized series — the
+    ±1-ulp accumulation-order surface sits ~10 orders below the 4dp
+    rounding on a ratio in [0, 4]. Scale shape: corpus → calendar-
+    bounded daily aggregate (one shuffle); the lag window and both
+    quadratic sums run over that bounded series only."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y")
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("rn"),
+        "y",
+    )
+    sums = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rn").cast("long").alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    b = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    fit = sums.select("n", b.alias("b"), ((F.col("sy").cast("double") - b * F.col("sx")) / nd).alias("a"))
+    resid = seq.crossJoin(F.broadcast(fit)).select(
+        "rn",
+        "n",
+        "b",
+        (F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("rn"))).alias("e"),
+    )
+    lagged = resid.select(
+        "n",
+        "b",
+        "e",
+        F.lag("e").over(Window.orderBy("rn")).alias("le"),
+    ).filter(F.col("le").isNotNull())
+    dw = lagged.groupBy("n", "b").agg(
+        F.sum((F.col("e") - F.col("le")) * (F.col("e") - F.col("le"))).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+    )
+    stat = round_col(F.col("num") / F.col("den"), 4)
+    return dw.select(
+        F.col("n").alias("n_days"),
+        round_col(F.col("b"), 4).alias("slope_cents_per_day"),
+        stat.alias("dw_stat"),
+        (stat < F.lit(1.5)).alias("positive_autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# two_proportion_z_test — conversion-rate comparison on exact counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "two_proportion_z_test",
+    oracle=f"""
+    WITH cohorts AS (
+        SELECT user_id,
+               user_id % 2 AS cohort,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    cnt AS (
+        SELECT
+            CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS x1,
+            CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS x2
+        FROM cohorts
+    ),
+    z AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2 AS diff,
+               (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+               / sqrt(
+                   (CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                   * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                   * (1.0 / n1 + 1.0 / n2)
+               ) AS z_stat
+        FROM cnt
+    )
+    SELECT n1, x1, n2, x2,
+           {round_sql("diff", 4)} AS rate_diff,
+           {round_sql("z_stat", 4)} AS z_stat,
+           abs({round_sql("z_stat", 4)}) > 1.96 AS reject_05
+    FROM z
+    """,
+)
+def two_proportion_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test on HIGH-VALUE purchase
+    conversion (any purchase with value > 150 — 'any purchase at
+    all' is universal in this corpus, which degenerates the pooled
+    variance to zero) between the even/odd user-id cohorts (the canonical deterministic A/B
+    split, same convention as `ab_power_analysis`): did cohort A
+    convert at a different rate than cohort B? Pooled-variance
+    denominator, the standard form for H₀: p₁ = p₂.
+
+    Determinism: every input to the closed form is an exact BIGINT
+    count (per-user converted flags max-reduced, then summed), so
+    both engines evaluate one identical single-row expression tree —
+    zero accumulation-order surface. Scale shape: one per-user
+    shuffle then a 4-integer global reduce; the test itself is
+    driver-free arithmetic on one row."""
+    e = _t(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    )
+    cnt = cohorts.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return cnt.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        round_col(p1 - p2, 4).alias("rate_diff"),
+        round_col(z, 4).alias("z_stat"),
+        (F.abs(round_col(z, 4)) > F.lit(1.96)).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benjamini_hochberg_fdr — multiple-testing correction over a test family
+# ---------------------------------------------------------------------------
+
+# Two-sided normal p-value via the Abramowitz-Stegun 7.1.26 erf
+# polynomial (max abs error 1.5e-7, far below the 6dp p rounding):
+# p = (a1·t + a2·t² + a3·t³ + a4·t⁴ + a5·t⁵)·exp(−x²) at x = |z|/√2,
+# t = 1/(1 + 0.3275911·x). Both engines evaluate the identical
+# literal polynomial; exp() is the one libm call, whose ±1-ulp
+# cross-engine surface sits ~9 orders below the rounding.
+_AS_ERF = (
+    "((0.254829592 * (1.0 / (1.0 + 0.3275911 * ({x})))"
+    " - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * ({x})), 2)"
+    " + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * ({x})), 3)"
+    " - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * ({x})), 4)"
+    " + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * ({x})), 5))"
+    " * exp(-(({x}) * ({x}))))"
+)
+
+
+def _p_two_sided_col(z: "F.Column") -> "F.Column":
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * F.pow(t, 2)
+        + F.lit(1.421413741) * F.pow(t, 3)
+        - F.lit(1.453152027) * F.pow(t, 4)
+        + F.lit(1.061405429) * F.pow(t, 5)
+    )
+    return poly * F.exp(-(x * x))
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH overall AS (
+        SELECT avg(value) AS mu FROM events
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_g,
+               avg(value) AS m_g,
+               var_samp(value) AS v_g
+        FROM events GROUP BY event_type
+    ),
+    tests AS (
+        SELECT event_type, n_g,
+               (m_g - mu) / sqrt(v_g / n_g) AS z
+        FROM grp CROSS JOIN overall
+    ),
+    pvals AS (
+        SELECT event_type, n_g,
+               {round_sql("z", 4)} AS z_stat,
+               {round_sql(_AS_ERF.format(x="abs(z) / sqrt(2.0)"), 6)} AS p_value
+        FROM tests
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (ORDER BY p_value, event_type)
+                    AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals
+    ),
+    cut AS (
+        SELECT coalesce(max(CASE WHEN p_value <= i * 0.05 / m
+                                 THEN i END), 0) AS k_star
+        FROM ranked
+    )
+    SELECT event_type, n_g, z_stat, p_value, i AS p_rank,
+           {round_sql("i * 0.05 / m", 6)} AS bh_threshold,
+           i <= k_star AS reject_fdr05
+    FROM ranked CROSS JOIN cut
+    ORDER BY i
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a FAMILY of tests
+    — one z-test per event type (does this type's mean value differ
+    from the corpus mean?), then the step-up rule: sort p ascending,
+    find the largest i with p_(i) ≤ i·α/m, reject ranks 1..i. The
+    multiple-comparisons layer every metric-screening pipeline needs
+    on top of single tests like `welch_t_test` (α = 0.05).
+
+    p-values come from the Abramowitz-Stegun 7.1.26 erf polynomial —
+    identical literals in both engines, one exp() libm call whose
+    ±1-ulp surface is ~9 orders below the 6dp p rounding; the BH
+    comparison then runs on the ROUNDED p against exact-rational
+    i·0.05/m thresholds, so the reject set is identical by
+    construction. The step-up max is computed set-wide (not a running
+    window) exactly as the rule states. Scale shape: corpus → k-row
+    test family (one shuffle); ranking/threshold logic runs on k
+    rows. Ties on p break by event_type for a total order."""
+    e = _t(spark, sf_dir, "events")
+    overall = e.agg(F.avg("value").alias("mu"))
+    grp = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.avg("value").alias("m_g"),
+        F.var_samp("value").alias("v_g"),
+    )
+    z = (F.col("m_g") - F.col("mu")) / F.sqrt(F.col("v_g") / F.col("n_g"))
+    pvals = grp.crossJoin(F.broadcast(overall)).select(
+        "event_type",
+        "n_g",
+        round_col(z, 4).alias("z_stat"),
+        round_col(_p_two_sided_col(z), 6).alias("p_value"),
+    )
+    w = Window.orderBy("p_value", "event_type")
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    k_star = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("i") * 0.05 / F.col("m"), F.col("i")
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k_star))
+        .select(
+            "event_type",
+            "n_g",
+            "z_stat",
+            "p_value",
+            F.col("i").alias("p_rank"),
+            round_col(F.col("i") * 0.05 / F.col("m"), 6).alias("bh_threshold"),
+            (F.col("i") <= F.col("k_star")).alias("reject_fdr05"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mood_median_test — k-sample median test on exact above/below counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mood_median_test",
+    oracle=f"""
+    WITH samples AS (
+        SELECT event_type AS g, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY user_id, event_type
+    ),
+    med2 AS (
+        -- 2× the lower+upper median of the pooled samples, exactly
+        SELECT CAST(min(CASE WHEN c >= (n + 1) // 2 THEN x END)
+                    + min(CASE WHEN c >= n // 2 + 1 THEN x END)
+                    AS BIGINT) AS m2
+        FROM (
+            SELECT x,
+                   CAST(sum(count(*)) OVER (ORDER BY x) AS BIGINT) AS c,
+                   CAST(sum(count(*)) OVER () AS BIGINT) AS n
+            FROM samples GROUP BY x
+        )
+    ),
+    cells AS (
+        SELECT g,
+               CAST(sum(CASE WHEN 2 * x > m2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS above,
+               CAST(sum(CASE WHEN 2 * x < m2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS below
+        FROM samples CROSS JOIN med2
+        GROUP BY g
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(above) AS BIGINT) AS ta,
+               CAST(sum(below) AS BIGINT) AS tb
+        FROM cells
+    ),
+    chi AS (
+        SELECT k, ta + tb AS n_used,
+               sum(
+                   pow(above - CAST(ta AS DOUBLE) * (above + below)
+                       / (ta + tb), 2)
+                   / (CAST(ta AS DOUBLE) * (above + below) / (ta + tb))
+                   + pow(below - CAST(tb AS DOUBLE) * (above + below)
+                         / (ta + tb), 2)
+                   / (CAST(tb AS DOUBLE) * (above + below) / (ta + tb))
+               ) AS chi2
+        FROM cells CROSS JOIN tot
+        GROUP BY k, ta, tb
+    )
+    SELECT k AS k_groups, n_used,
+           k - 1 AS dof,
+           {round_sql("chi2", 4)} AS chi2_stat,
+           {round_sql("chi2", 4)} > CASE k - 1
+               WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 ELSE 12.592
+           END AS reject_05
+    FROM chi
+    """,
+)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do the k event-type groups share a common
+    median of per-user activity counts? Counts above/below the POOLED
+    median form a 2×k contingency table tested as chi-square with
+    k−1 dof (ties at the median dropped, the standard convention).
+    The cruder-but-more-robust cousin of `kruskal_wallis_h` — it
+    only reads the sign of each sample against one global cut.
+
+    Determinism: the pooled median is derived exactly from an
+    integer value-histogram (2×median = lower+upper median, all
+    BIGINT — no float percentile); the 2×k table is exact counts;
+    expected-vs-observed chi-square arithmetic runs per-group on
+    exact integers cast once. The only float sum spans k rows.
+    Scale shape: corpus → per-(user,type) counts (one shuffle) →
+    value histogram (dozens of rows) + k-row table; the median cut
+    broadcasts back — no corpus-sized sort anywhere."""
+    e = _t(spark, sf_dir, "events")
+    samples = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    hist = samples.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = hist.select(
+        "x",
+        F.sum("cnt").over(Window.orderBy("x")).cast("long").alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    med2 = cum.agg(
+        (
+            F.min(F.when(F.col("c") >= F.floor((F.col("n") + 1) / 2), F.col("x")))
+            + F.min(F.when(F.col("c") >= F.floor(F.col("n") / 2) + 1, F.col("x")))
+        )
+        .cast("long")
+        .alias("m2")
+    )
+    cells = (
+        samples.crossJoin(F.broadcast(med2))
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.sum(F.when(2 * F.col("x") > F.col("m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.when(2 * F.col("x") < F.col("m2"), 1).otherwise(0))
+            .cast("long")
+            .alias("below"),
+        )
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("above").cast("long").alias("ta"),
+        F.sum("below").cast("long").alias("tb"),
+    )
+    joined = cells.crossJoin(F.broadcast(tot))
+    row_n = (F.col("above") + F.col("below")).cast("double")
+    ea = F.col("ta").cast("double") * row_n / (F.col("ta") + F.col("tb"))
+    eb = F.col("tb").cast("double") * row_n / (F.col("ta") + F.col("tb"))
+    term = (
+        F.pow(F.col("above") - ea, 2) / ea + F.pow(F.col("below") - eb, 2) / eb
+    )
+    chi = joined.groupBy("k", "ta", "tb").agg(F.sum(term).alias("chi2"))
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .when(F.col("k") - 1 == 5, 11.07)
+        .otherwise(12.592)
+    )
+    return chi.select(
+        F.col("k").alias("k_groups"),
+        (F.col("ta") + F.col("tb")).alias("n_used"),
+        (F.col("k") - 1).alias("dof"),
+        round_col(F.col("chi2"), 4).alias("chi2_stat"),
+        (round_col(F.col("chi2"), 4) > crit).alias("reject_05"),
+    )
