@@ -4237,3 +4237,223 @@ def binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sse_drop_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ljung_box_test — portmanteau white-noise test on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ljung_box_test",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+               CAST(y AS DOUBLE) AS y
+        FROM daily
+    ),
+    mu AS (SELECT avg(y) AS m, CAST(count(*) AS BIGINT) AS n FROM seq),
+    dev AS (
+        SELECT rn, y - m AS e,
+               lag(y - m, 1) OVER (ORDER BY rn) AS e1,
+               lag(y - m, 2) OVER (ORDER BY rn) AS e2,
+               lag(y - m, 3) OVER (ORDER BY rn) AS e3,
+               lag(y - m, 4) OVER (ORDER BY rn) AS e4,
+               lag(y - m, 5) OVER (ORDER BY rn) AS e5,
+               lag(y - m, 6) OVER (ORDER BY rn) AS e6,
+               lag(y - m, 7) OVER (ORDER BY rn) AS e7
+        FROM seq CROSS JOIN mu
+    ),
+    acf AS (
+        SELECT (SELECT n FROM mu) AS n,
+               sum(e * e) AS c0,
+               sum(e * e1) AS c1, sum(e * e2) AS c2, sum(e * e3) AS c3,
+               sum(e * e4) AS c4, sum(e * e5) AS c5, sum(e * e6) AS c6,
+               sum(e * e7) AS c7
+        FROM dev
+    ),
+    q AS (
+        SELECT n,
+               n * (n + 2.0) * (
+                   (c1 / c0) * (c1 / c0) / (n - 1)
+                 + (c2 / c0) * (c2 / c0) / (n - 2)
+                 + (c3 / c0) * (c3 / c0) / (n - 3)
+                 + (c4 / c0) * (c4 / c0) / (n - 4)
+                 + (c5 / c0) * (c5 / c0) / (n - 5)
+                 + (c6 / c0) * (c6 / c0) / (n - 6)
+                 + (c7 / c0) * (c7 / c0) / (n - 7)
+               ) AS q_stat
+        FROM acf
+    )
+    SELECT n AS n_days, 7 AS lags,
+           {round_sql("q_stat", 4)} AS lb_stat,
+           {round_sql("q_stat", 4)} > 14.067 AS reject_05
+    FROM q
+    """,
+)
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test at lags 1-7 on the daily event-count
+    series: is the series white noise, or is there autocorrelation at
+    ANY of the first seven lags jointly? Q = n(n+2)Σρ̂ₖ²/(n−k) vs
+    chi-square(7) — the one-number summary `daily_acf` readers
+    eyeball, made into a test (and the residual-whiteness check to
+    run after `holt_linear_forecast`-style fits).
+
+    Determinism: daily counts are exact BIGINTs; the mean is one
+    rational; deviation products sum over the ~calendar-sized series
+    where the ±1-ulp accumulation-order surface sits ~10 orders
+    below the 4dp rounding of a ratio statistic (the `daily_acf`
+    precedent). Scale shape: corpus → daily counts (one shuffle);
+    the seven lag windows and the quadratic sums all run over that
+    calendar-bounded series."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("rn"),
+        F.col("y").cast("double").alias("y"),
+    )
+    mu = seq.agg(F.avg("y").alias("m"), F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("rn")
+    ecol = F.col("y") - F.col("m")
+    dev = seq.crossJoin(F.broadcast(mu)).select(
+        "n",
+        ecol.alias("e"),
+        *[F.lag(ecol, k).over(w).alias(f"e{k}") for k in range(1, 8)],
+    )
+    acf = dev.groupBy("n").agg(
+        F.sum(F.col("e") * F.col("e")).alias("c0"),
+        *[F.sum(F.col("e") * F.col(f"e{k}")).alias(f"c{k}") for k in range(1, 8)],
+    )
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2.0) * sum(
+        (F.col(f"c{k}") / F.col("c0"))
+        * (F.col(f"c{k}") / F.col("c0"))
+        / (nd - k)
+        for k in range(1, 8)
+    )
+    return acf.select(
+        F.col("n").alias("n_days"),
+        F.lit(7).alias("lags"),
+        round_col(q, 4).alias("lb_stat"),
+        (round_col(q, 4) > F.lit(14.067)).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stl_ma_decompose — moving-average trend + day-of-week seasonal effects
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stl_ma_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    seq AS (
+        SELECT day,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               rev_cents
+        FROM daily
+    ),
+    trend AS (
+        SELECT day, rn, n, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                   ORDER BY rn ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+               ) AS BIGINT) AS win_sum
+        FROM seq
+    ),
+    detr AS (
+        SELECT dayofweek(day) AS dow,
+               rev_cents - win_sum / 7.0 AS resid
+        FROM trend WHERE rn >= 4 AND rn <= n - 3
+    ),
+    raw_season AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               avg(resid) AS s_raw
+        FROM detr GROUP BY dow
+    ),
+    centered AS (
+        SELECT dow, n_days,
+               s_raw - (SELECT avg(s_raw) FROM raw_season) AS s
+        FROM raw_season
+    )
+    SELECT CAST(dow AS INT) AS dow, n_days,
+           {round_sql("s / 100.0", 2)} AS seasonal_effect
+    FROM centered
+    ORDER BY dow
+    """,
+)
+def stl_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of daily revenue: a centered
+    7-term moving-average estimates the trend, the detrended
+    residuals average into day-of-week seasonal effects, and the
+    effects are centered to sum to zero — the additive
+    trend/seasonal split behind `seasonality_index_dow`'s
+    multiplicative index, and the preprocessing step a forecaster
+    runs before `holt_linear_forecast` on deseasonalized data.
+
+    Determinism: daily revenue is integer cents, the 7-term window
+    SUM is an exact BIGINT (division by 7.0 happens once per row),
+    per-dow residual means are bounded float sums absorbed by the
+    2dp rounding, and the centering subtracts a 7-term mean. Edge
+    rows without a full window are EXCLUDED (rn 4..n−3) — both
+    engines agree on the valid range via row_number. Scale shape:
+    corpus → calendar-bounded daily aggregate (one shuffle); window
+    + dow pivot run on that series; output is 7 rows."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    seq = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+        "rev_cents",
+    )
+    trend = seq.select(
+        "day",
+        "rn",
+        "n",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(Window.orderBy("rn").rowsBetween(-3, 3))
+        .cast("long")
+        .alias("win_sum"),
+    )
+    detr = trend.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n") - 3)
+    ).select(
+        F.dayofweek("day").alias("spark_dow"),
+        (F.col("rev_cents") - F.col("win_sum") / F.lit(7.0)).alias("resid"),
+    )
+    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark: 1=Sunday..7.
+    raw = detr.groupBy((F.col("spark_dow") - 1).alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("resid").alias("s_raw"),
+    )
+    grand = raw.agg(F.avg("s_raw").alias("g"))
+    return (
+        raw.crossJoin(F.broadcast(grand))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            round_col((F.col("s_raw") - F.col("g")) / F.lit(100.0), 2).alias(
+                "seasonal_effect"
+            ),
+        )
+        .orderBy("dow")
+    )
