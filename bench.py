@@ -170,7 +170,20 @@ def time_queries(
         if second_rep_below is not None and best < second_rep_below:
             best = min(best, run_once())
         elif second_rep_above is not None and best > second_rep_above:
-            best = min(best, run_once())
+            # Up to THREE extra reps, continuing only while each rep
+            # still improves >20%: an r9 isolated probe of
+            # jaccard_pairs at sf1 measured 17.8 → 12.6 → 6.7 s
+            # run-over-run in a FRESH session — multi-second samples
+            # shed inherited JIT/GC state slowly, and one extra rep
+            # (min-of-2) still recorded 32 s in the loop while the
+            # isolated steady state is ~6.7 s. Reps stop as soon as
+            # the curve flattens, so well-behaved queries pay one.
+            for _ in range(3):
+                nxt = run_once()
+                improved = nxt < best * 0.8
+                best = min(best, nxt)
+                if not improved:
+                    break
         timings[name] = round(best, 3)
     return timings
 
@@ -307,7 +320,13 @@ def main() -> None:
     # / waste blocks, so the recorded core13 is never contention- or
     # page-cache-inflated by the heavy blocks (r4: 4.903 recorded vs
     # 4.311 clean).
-    timings = time_queries(spark, sf_dir, reps=2, warm=True, second_rep_below=1.0)
+    # second_rep_above extends the sf1 tail-contention treatment to the
+    # sf0.1 loop (r8 verdict item 2): multi-second queries deep in the
+    # loop inherit shuffle-cleanup/GC debt, so they get a third rep.
+    timings = time_queries(
+        spark, sf_dir, reps=2, warm=True,
+        second_rep_below=1.0, second_rep_above=2.0,
+    )
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",

@@ -1674,7 +1674,7 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            {round_sql("h_raw / corr", 4)} AS h_tied,
            {round_sql("h_raw / corr", 4)} > CASE k - 1
                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
-               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 ELSE 12.592
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 WHEN 6 THEN 12.592
            END AS reject_05
     FROM h
     """,
@@ -1761,7 +1761,12 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("k") - 1 == 3, 7.815)
         .when(F.col("k") - 1 == 4, 9.488)
         .when(F.col("k") - 1 == 5, 11.07)
-        .otherwise(12.592)
+        # dof>6 yields NULL (χ² ladder ends at 6) rather than silently
+        # reusing the dof=6 critical value — r8 ADVICE: a too-lenient
+        # reject bit is statistically wrong and parity would not flag
+        # it. Current fixtures have ≤5 event types; NULL is the honest
+        # answer past the table.
+        .when(F.col("k") - 1 == 6, 12.592)
     )
     h_tied = round_col(F.col("h_raw") / F.col("corr"), 4)
     return h.select(
@@ -2076,7 +2081,15 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression tree — no cross-engine accumulation-order
     surface at all. sqrt is IEEE-exact. Scale shape: one count
     shuffle, then a single-row closed form; nothing holds state
-    bigger than five BIGINTs per partial."""
+    bigger than five BIGINTs per partial.
+
+    Safe scale bound (r8 ADVICE): S4 = Σx⁴ accumulates in LONG, so
+    the exact-parity guarantee holds while n_users · max(x)⁴ < 2⁶³
+    — e.g. 10⁹ users at ≤1,500 events each, or 10⁶ users at ≤9,700.
+    Beyond that Spark non-ANSI arithmetic would wrap silently while
+    DuckDB's HUGEINT→BIGINT cast errors; for such corpora winsorize
+    the counts first or move the S3/S4 accumulation to DOUBLE on
+    BOTH sides (the 4dp rounding absorbs the float error)."""
     e = _t(spark, sf_dir, "events")
     x = F.col("x")
     pows = (
@@ -2181,7 +2194,14 @@ def durbin_watson_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1-ulp accumulation-order surface sits ~10 orders below the 4dp
     rounding on a ratio in [0, 4]. Scale shape: corpus → calendar-
     bounded daily aggregate (one shuffle); the lag window and both
-    quadratic sums run over that bounded series only."""
+    quadratic sums run over that bounded series only.
+
+    Safe scale bound (r8 ADVICE): Sxy = Σ rn·y accumulates in LONG
+    — exact while n_days · max(rn) · max(|y|) < 2⁶³, i.e. ~40 years
+    of daily data at up to ~$4B/day in cents (1.5e4² · 4e11 ≈ 9e19
+    is the first breach point; a century of $100M/day is safe).
+    Past that, Spark wraps silently while the oracle's HUGEINT→
+    BIGINT cast errors; move Sxy to DOUBLE on both sides then."""
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
@@ -2522,7 +2542,7 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
            {round_sql("chi2", 4)} AS chi2_stat,
            {round_sql("chi2", 4)} > CASE k - 1
                WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
-               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 ELSE 12.592
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 WHEN 6 THEN 12.592
            END AS reject_05
     FROM chi
     """,
@@ -2592,7 +2612,12 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("k") - 1 == 3, 7.815)
         .when(F.col("k") - 1 == 4, 9.488)
         .when(F.col("k") - 1 == 5, 11.07)
-        .otherwise(12.592)
+        # dof>6 yields NULL (χ² ladder ends at 6) rather than silently
+        # reusing the dof=6 critical value — r8 ADVICE: a too-lenient
+        # reject bit is statistically wrong and parity would not flag
+        # it. Current fixtures have ≤5 event types; NULL is the honest
+        # answer past the table.
+        .when(F.col("k") - 1 == 6, 12.592)
     )
     return chi.select(
         F.col("k").alias("k_groups"),

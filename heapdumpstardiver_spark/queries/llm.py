@@ -33,6 +33,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # SQL of both queries; change BOTH together.
 SHINGLE_DF_CAP = 64
 
+# Per-(band, bucket) membership cap for LSH candidate generation
+# (minhash_prefilter_jaccard): m near-identical documents land in the
+# SAME bucket in EVERY band, so an uncapped band self-join is Θ(m²)
+# from one bucket — the dominant failure mode of a dup-heavy crawl
+# (the "curse of the last reducer"; r8 verdict item 4). Keeping the
+# deterministic first K members (row_number by doc_id) bounds any
+# bucket's pair fan-out at K²/2 while a K-sized sample of an
+# m-identical cluster still wires the cluster together for the
+# connected-components pass downstream. Mirrored verbatim in the
+# oracle SQL; change BOTH together.
+BAND_BUCKET_CAP = 64
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -2549,11 +2561,22 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(md5(shingle || ':6')) AS h6, min(md5(shingle || ':7')) AS h7
         FROM sh GROUP BY doc_id
     ),
-    bands AS (
+    bands_all AS (
         SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    bands AS (
+        -- per-(band,bucket) membership cap = BAND_BUCKET_CAP (64),
+        -- mirroring the Spark row_number guard
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   row_number() OVER (
+                       PARTITION BY band, bucket ORDER BY doc_id
+                   ) AS rnb
+            FROM bands_all
+        ) WHERE rnb <= 64
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2590,11 +2613,17 @@ def minhash_prefilter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: signatures are one groupBy over shingles (8 min
     aggregates); candidate generation joins on fixed-width band
-    buckets; the verify join touches only candidate docs' shingles
-    (keyed on doc then (doc, shingle)) — pairwise work is bounded by
-    the candidate count, not documents². The min-hash uses
-    lexicographic min over salted md5 hex (engine-portable), so the
-    oracle reproduces the candidate set exactly."""
+    buckets CAPPED at BAND_BUCKET_CAP members each (deterministic
+    row_number by doc_id, mirrored in the oracle) — m near-identical
+    docs share one bucket in every band, so without the cap a
+    dup-heavy crawl makes one reducer do Θ(m²); with it any bucket
+    contributes ≤ K²/2 pairs and the kept K-sample still wires the
+    duplicate cluster together for downstream connected components.
+    The verify join touches only candidate docs' shingles (keyed on
+    doc then (doc, shingle)) — pairwise work is bounded by the
+    candidate count, not documents². The min-hash uses lexicographic
+    min over salted md5 hex (engine-portable), so the oracle
+    reproduces the candidate set exactly."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
@@ -2627,6 +2656,19 @@ def minhash_prefilter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # Hot-bucket cap (r8 verdict item 4): keep the deterministic first
+    # BAND_BUCKET_CAP members per (band, bucket) so m near-identical
+    # docs — same bucket in EVERY band — cost K²/2 candidate pairs,
+    # not m²/2. row_number (sort-based, O(m log m) pass-through)
+    # rather than collect_list so no aggregate state holds the bucket.
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    bands = (
+        bands.withColumn("rnb", F.row_number().over(wcap))
+        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
+        .drop("rnb")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

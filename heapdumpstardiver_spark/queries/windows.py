@@ -4375,7 +4375,7 @@ def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seq
     ),
     detr AS (
-        SELECT dayofweek(day) AS dow,
+        SELECT dayofweek(day) + 1 AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
                rev_cents - win_sum / 7.0 AS resid
         FROM trend WHERE rn >= 4 AND rn <= n - 3
     ),
@@ -4440,8 +4440,10 @@ def stl_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("day").alias("spark_dow"),
         (F.col("rev_cents") - F.col("win_sum") / F.lit(7.0)).alias("resid"),
     )
-    # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark: 1=Sunday..7.
-    raw = detr.groupBy((F.col("spark_dow") - 1).alias("dow")).agg(
+    # Output encoding: Spark's 1=Sunday..7=Saturday, matching the repo
+    # convention set by seasonality_index_dow (the oracle adds +1 to
+    # DuckDB's 0-based dayofweek) — r8 ADVICE normalization.
+    raw = detr.groupBy(F.col("spark_dow").alias("dow")).agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.avg("resid").alias("s_raw"),
     )

@@ -25,8 +25,27 @@ def media(spark):
 def test_decode_non_png_without_codec_raises(media):
     # No injected codec and no PNG magic → the builtin dispatch raises
     # executor-side (surfaced by Spark as a PythonException on action).
-    with pytest.raises(Exception, match="codec"):
-        M.decode(media).collect()
+    # Under host contention the action can instead surface a Py4J
+    # worker-crash error whose TOP-LEVEL message lacks "codec", so
+    # match against the full exception chain (str + causes + java
+    # stack text), not just str(exc) (r8 verdict item 1b).
+    def chain_text(exc) -> str:
+        parts, seen = [], set()
+        while exc is not None and id(exc) not in seen:
+            seen.add(id(exc))
+            parts.append(str(exc))
+            parts.append(str(getattr(exc, "java_exception", "")))
+            exc = exc.__cause__ or exc.__context__
+        return "\n".join(parts)
+
+    last = ""
+    for _ in range(3):
+        with pytest.raises(Exception) as excinfo:
+            M.decode(media).collect()
+        last = chain_text(excinfo.value)
+        if "codec" in last:
+            return
+    pytest.fail(f"guard never surfaced 'codec' in 3 attempts; last: {last[:500]}")
 
 
 def _pattern_rgb(width, height, salt):
