@@ -50,7 +50,9 @@ _CHECK_PRIORITY = [
     # re-sample: BAND_BUCKET_CAP landed this round (r8 verdict item 4)
     "minhash_prefilter_jaccard",
     # 2: new in r9 — need first driver rows
-    # (appended as they land)
+    "mann_kendall_trend", "runs_test_median", "sign_test_paired",
+    "cohens_d_effect", "pacf_yule_walker", "page_hinkley_drift",
+    "ewma_control_chart",
     # 3: staleness rotation — r3-vintage remainder, oldest first
     "systematic_sample", "pack_sequences_greedy",
     "sql_passthrough_reserved", "struct_field_access", "cube_agg",

@@ -2626,3 +2626,475 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(F.col("chi2"), 4).alias("chi2_stat"),
         (round_col(F.col("chi2"), 4) > crit).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend — nonparametric monotone-trend test (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS w,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM weekly a JOIN weekly b ON a.w < b.w
+    ),
+    ties AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT count(*) AS t FROM weekly GROUP BY y) WHERE t > 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM weekly),
+    v AS (
+        SELECT n, s_stat,
+               n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        FROM nn, s, ties
+    )
+    SELECT n AS n_weeks, s_stat, var18,
+           {round_sql(
+               "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)"
+               " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)"
+               " ELSE 0.0 END", 4
+           )} AS z_stat,
+           CASE WHEN {round_sql(
+               "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)"
+               " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)"
+               " ELSE 0.0 END", 4
+           )} > 1.96 THEN 'increasing'
+                WHEN {round_sql(
+               "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)"
+               " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)"
+               " ELSE 0.0 END", 4
+           )} < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on weekly order volume — the HYPOTHESIS
+    TEST companion to `theil_sen_trend`'s ESTIMATOR (same weekly
+    series): S sums the signs of all pairwise time-ordered
+    differences, Var(S) carries the standard tie correction
+    n(n-1)(2n+5)−Σt(t-1)(2t+5) over 18, and the continuity-corrected
+    z = (S∓1)/√Var(S) gives the monotone-trend verdict without any
+    distributional assumption — the test a data-freshness monitor
+    runs before believing a drift dashboard's "volume is trending
+    down".
+
+    Determinism: weekly y is an exact BIGINT count, so S, the tie
+    term, and 18·Var(S) are ALL exact integers in both engines;
+    doubles appear only in the final z (one sqrt + one division,
+    rounded 4dp) and the trend label reads the ROUNDED z. Scale
+    shape: the corpus collapses to one row per week
+    (calendar-bounded), the pair join is weeks²/2 — constant as data
+    grows, the `theil_sen_trend` discipline."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = (
+        o.select(
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                )
+                / 7
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.w") < F.col("b.w")).agg(
+        F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    t = F.col("t")
+    ties = (
+        weekly.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nn = weekly.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18") / F.lit(18.0))
+    z = round_col(
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / sd)
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return v.select(
+        F.col("n").alias("n_weeks"),
+        "s_stat",
+        "var18",
+        z.alias("z_stat"),
+        F.when(z > 1.96, "increasing")
+        .when(z < -1.96, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs_test_median — Wald-Wolfowitz randomness screen (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runs_test_median",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day, c, row_number() OVER (ORDER BY c, day) AS rn,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    med2 AS (
+        SELECT sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END)
+               + sum(CASE WHEN rn = (n + 2) // 2 THEN c ELSE 0 END) AS m2
+        FROM ranked
+    ),
+    seq AS (
+        SELECT day,
+               CASE WHEN 2 * c > m2 THEN 1 ELSE -1 END AS s
+        FROM daily, med2 WHERE 2 * c <> m2
+    ),
+    runs AS (
+        SELECT CAST(sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM seq)
+    )
+    SELECT n1, n2, r AS n_runs,
+           {round_sql(
+               "(r - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+               " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+               "   / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))",
+               4
+           )} AS z_stat,
+           abs({round_sql(
+               "(r - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+               " / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+               "   / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))",
+               4
+           )}) > 1.96 AS reject_05
+    FROM runs
+    """,
+)
+def runs_test_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily-revenue series against
+    randomness about its median: too FEW runs of consecutive
+    above/below-median days means clustering (momentum, regime
+    shifts), too MANY means oscillation — the model-free "is this
+    series i.i.d. at all" screen run before `daily_acf`'s
+    parametric lags, and the one that flags batch-arrival artifacts
+    in an ingest monitor.
+
+    Determinism: daily revenue fixes to integer cents; the median
+    threshold is 2·median = the SUM of the two middle-ranked values
+    (exact BIGINT rank selection, ties broken by day — identical in
+    both engines; when n is odd the same rank is summed twice),
+    days EQUAL to the median drop per the standard procedure, and
+    R/n1/n2 are exact integers off a lag comparison over the
+    day-ordered series. One sqrt at the end, 4dp, reject on the
+    rounded z. Scale shape: corpus → calendar-bounded daily
+    aggregate; every window runs over that bounded series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    ranked = daily.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("c", "day")).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med2 = ranked.agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("c")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("c")).otherwise(0))
+        ).alias("m2")
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med2))
+        .filter(2 * F.col("c") != F.col("m2"))
+        .select(
+            "day",
+            F.when(2 * F.col("c") > F.col("m2"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    lagged = seq.select(
+        "s", F.lag("s").over(Window.orderBy("day")).alias("prev")
+    )
+    runs = lagged.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = round_col((r - mu) / F.sqrt(var), 4)
+    return runs.select(
+        "n1",
+        "n2",
+        r.alias("n_runs"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign_test_paired — distribution-free paired comparison (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sign_test_paired",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(floor(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN value ELSE 0 END) * 100 + 0.5)
+                    AS BIGINT) AS pre_c,
+               CAST(floor(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                   THEN value ELSE 0 END) * 100 + 0.5)
+                    AS BIGINT) AS post_c
+        FROM events GROUP BY user_id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN post_c > pre_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos
+        FROM per_user WHERE post_c <> pre_c
+    )
+    SELECT n, n_pos,
+           {round_sql(
+               "CASE WHEN 2 * n_pos > n THEN (2.0 * n_pos - n - 1) / sqrt(n)"
+               " WHEN 2 * n_pos < n THEN (2.0 * n_pos - n + 1) / sqrt(n)"
+               " ELSE 0.0 END", 4
+           )} AS z_stat,
+           abs({round_sql(
+               "CASE WHEN 2 * n_pos > n THEN (2.0 * n_pos - n - 1) / sqrt(n)"
+               " WHEN 2 * n_pos < n THEN (2.0 * n_pos - n + 1) / sqrt(n)"
+               " ELSE 0.0 END", 4
+           )}) > 1.96 AS reject_05
+    FROM agg
+    """,
+)
+def sign_test_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of per-user pre- vs post-period event value
+    (same 2024-01-16 split and integer-cents pairing as
+    `wilcoxon_signed_rank`) — the weakest-assumption member of the
+    paired family: it reads ONLY the sign of each user's change, so
+    it stays valid when the differences are asymmetric or heavy-
+    tailed enough to break even Wilcoxon's symmetry assumption. Under
+    H₀ positives are Binomial(n, ½); the continuity-corrected normal
+    approximation z = (2·n⁺ − n ∓ 1)/√n gives the verdict.
+
+    Determinism: period sums fix to integer cents, zero-change users
+    drop, n and n⁺ are exact BIGINTs; the z numerator is exact
+    integer arithmetic and the single sqrt + division round at 4dp
+    with the reject bit on the rounded value. Scale shape: one
+    user-keyed aggregate then a 1-row closed form — nothing after
+    the shuffle is bigger than two integers."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    per_user = e.groupBy("user_id").agg(
+        F.floor(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("pre_c"),
+        F.floor(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("post_c"),
+    )
+    agg = per_user.filter(F.col("post_c") != F.col("pre_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("post_c") > F.col("pre_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    n, b = F.col("n"), F.col("n_pos")
+    z = round_col(
+        F.when(2 * b > n, (2.0 * b - n - 1) / F.sqrt(n))
+        .when(2 * b < n, (2.0 * b - n + 1) / F.sqrt(n))
+        .otherwise(F.lit(0.0)),
+        4,
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohens_d_effect — standardized effect size for the two-sample family (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohens_d_effect",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type
+    ),
+    ab AS (
+        SELECT
+            max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            max(CASE WHEN event_type = 'click' THEN m END) AS m1,
+            max(CASE WHEN event_type = 'click' THEN v END) AS v1,
+            max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+            max(CASE WHEN event_type = 'purchase' THEN m END) AS m2,
+            max(CASE WHEN event_type = 'purchase' THEN v END) AS v2
+        FROM g
+    ),
+    d AS (
+        SELECT n1, n2,
+               (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                / (n1 + n2 - 2)) AS cd
+        FROM ab
+    )
+    SELECT n1, n2,
+           {round_sql("cd", 4)} AS cohens_d,
+           {round_sql("cd * (1 - 3.0 / (4 * (n1 + n2) - 9))", 4)}
+               AS hedges_g,
+           CASE WHEN abs({round_sql("cd", 4)}) < 0.2 THEN 'negligible'
+                WHEN abs({round_sql("cd", 4)}) < 0.5 THEN 'small'
+                WHEN abs({round_sql("cd", 4)}) < 0.8 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+)
+def cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) with the
+    Hedges small-sample correction for the click-vs-purchase value
+    comparison — the EFFECT SIZE companion `welch_t_test` needs: at
+    corpus scale every t-test rejects, and d is the number that says
+    whether the difference matters (the same reason `ab_power_analysis`
+    plans on an effect size, not a p-value). Same segments and
+    sufficient statistics as the t-test, so the two queries read
+    consistently.
+
+    Determinism: one grouped aggregate collapses the corpus to two
+    (n, mean, var_samp) triples (the `welch_t_test` discipline —
+    var_samp over the same rows agrees across engines well inside
+    4dp); everything after is scalar closed-form arithmetic on a
+    1-row relation, with the magnitude label read from the ROUNDED
+    d. Scale shape: one shuffle, then constants."""
+    e = _t(spark, sf_dir, "events")
+    g = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    ab = g.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("v"))).alias("v1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
+            "n2"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("m"))).alias(
+            "m2"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("v"))).alias(
+            "v2"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    cd = (F.col("m1") - F.col("m2")) / F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    cdr = round_col(cd, 4)
+    return ab.select(
+        "n1",
+        "n2",
+        cdr.alias("cohens_d"),
+        round_col(cd * (1 - 3.0 / (4 * (n1 + n2) - 9)), 4).alias("hedges_g"),
+        F.when(F.abs(cdr) < 0.2, "negligible")
+        .when(F.abs(cdr) < 0.5, "small")
+        .when(F.abs(cdr) < 0.8, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )

@@ -4459,3 +4459,319 @@ def stl_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# pacf_yule_walker — partial autocorrelation via Durbin-Levinson (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pacf_yule_walker",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(value) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT y,
+               lag(y, 1) OVER (ORDER BY day) AS y1,
+               lag(y, 2) OVER (ORDER BY day) AS y2,
+               lag(y, 3) OVER (ORDER BY day) AS y3
+        FROM daily
+    ),
+    acf AS (
+        SELECT count(*) AS n_days,
+               corr(y, y1) AS r1, corr(y, y2) AS r2, corr(y, y3) AS r3
+        FROM lagged
+    ),
+    dl AS (
+        SELECT n_days, r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+        FROM acf
+    ),
+    dl2 AS (
+        SELECT n_days, r1, r2, r3, p22,
+               r1 * (1 - p22) AS p21,
+               (1 - r1 * r1) * (1 - p22 * p22) AS v2
+        FROM dl
+    )
+    SELECT n_days,
+           {round_sql("r1", 6)} AS pacf_1,
+           {round_sql("p22", 6)} AS pacf_2,
+           {round_sql("(r3 - p21 * r2 - p22 * r1) / v2", 6)} AS pacf_3
+    FROM dl2
+    """,
+)
+def pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily metric series at lags
+    1-3 via the Durbin-Levinson recursion on `daily_acf`'s
+    autocorrelations — the AR-order selector: ACF says lag 3
+    correlates, PACF says whether that is NEW information once lags
+    1-2 are accounted for (an AR(p) series cuts off after lag p).
+    φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/v₂ with
+    φ₂₁ = r₁(1−φ₂₂), v₂ = (1−r₁²)(1−φ₂₂²).
+
+    Determinism: the corpus collapses to one row per day, the lag
+    windows and corr() run over that calendar-bounded series (the
+    `daily_acf` discipline — its 6dp corr parity has held since r5),
+    and the recursion is scalar closed-form arithmetic on a 1-row
+    relation with an IDENTICAL expression tree in both engines.
+    Scale shape: one shuffle, then constants."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+    )
+    acf = lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.corr("y", "y1").alias("r1"),
+        F.corr("y", "y2").alias("r2"),
+        F.corr("y", "y3").alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = acf.select(
+        "n_days", "r1", "r2", "r3",
+        ((r2 - r1 * r1) / (1 - r1 * r1)).alias("p22"),
+    )
+    p22 = F.col("p22")
+    dl2 = dl.select(
+        "n_days", "r1", "r2", "r3", "p22",
+        (r1 * (1 - p22)).alias("p21"),
+        ((1 - r1 * r1) * (1 - p22 * p22)).alias("v2"),
+    )
+    return dl2.select(
+        "n_days",
+        round_col(F.col("r1"), 6).alias("pacf_1"),
+        round_col(F.col("p22"), 6).alias("pacf_2"),
+        round_col(
+            (F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1"))
+            / F.col("v2"),
+            6,
+        ).alias("pacf_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley_drift — sequential mean-shift detector, batch replay (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, c / 100.0 AS x,
+               avg(c / 100.0) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS xbar
+        FROM daily
+    ),
+    cum AS (
+        SELECT day,
+               sum(x - xbar - 5.0) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM seq
+    ),
+    ph AS (
+        SELECT day,
+               m - min(m) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_t
+        FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           {round_sql("max(ph_t)", 4)} AS max_ph,
+           CAST(sum(CASE WHEN ph_t > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarm_days,
+           min(CASE WHEN ph_t > 500.0 THEN day END) AS first_alarm_day
+    FROM ph
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-INCREASE detector replayed over the daily
+    metric series: mₜ accumulates deviations of xₜ from its running
+    mean (minus a δ=5.0 tolerance), PHₜ = mₜ − min_{s≤t} mₛ, and an
+    alarm fires when PHₜ exceeds λ=500 — the sequential changepoint
+    test that detects a sustained upward shift with bounded memory,
+    complementing `cusum_changepoint` (known-baseline CUSUM) and
+    `binseg_changepoint` (retrospective split): this is the
+    STREAMING-shaped detector, batch-replayed for audit.
+
+    Determinism: daily totals fix to integer cents, so xₜ is an
+    exact two-decimal double; the running mean, cumulative sum, and
+    running min are windows ORDER BY day over the calendar-bounded
+    series — both engines accumulate the identical ~day-count-term
+    sums in the identical order. 4dp rounding on the one reported
+    float. Scale shape: corpus → one row per day (one shuffle);
+    every window runs on the bounded series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = daily.select(
+        "day",
+        (F.col("c") / 100.0).alias("x"),
+        F.avg(F.col("c") / 100.0).over(wcum).alias("xbar"),
+    )
+    cum = seq.select(
+        "day",
+        F.sum(F.col("x") - F.col("xbar") - 5.0).over(wcum).alias("m"),
+    )
+    ph = cum.select(
+        "day", (F.col("m") - F.min("m").over(wcum)).alias("ph_t")
+    )
+    return ph.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        round_col(F.max("ph_t"), 4).alias("max_ph"),
+        F.sum(F.when(F.col("ph_t") > 500.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("ph_t") > 500.0, F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ewma_control_chart — exponentially weighted control limits (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, c, row_number() OVER (ORDER BY day) AS t
+        FROM daily
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               var_pop(c / 100.0) AS vp
+        FROM daily
+    ),
+    z AS (
+        SELECT a.t, a.day,
+               (a.c / 100.0) AS x,
+               0.2 * sum(pow(0.8, a.t - b.t) * (b.c / 100.0))
+               + pow(0.8, a.t) * ((s1 / CAST(n AS DOUBLE)) / 100.0) AS ewma
+        FROM seq a JOIN seq b ON b.t <= a.t CROSS JOIN stats
+        GROUP BY a.t, a.day, a.c, s1, n
+    ),
+    lim AS (
+        SELECT t, day, x, ewma,
+               ((s1 / CAST(n AS DOUBLE)) / 100.0) AS mu,
+               sqrt(vp) * sqrt(0.2 / 1.8 * (1 - pow(0.64, t))) * 3 AS hw
+        FROM z CROSS JOIN stats
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(ewma - mu) > hw THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_out_of_control,
+           min(CASE WHEN abs(ewma - mu) > hw THEN day END) AS first_ooc_day,
+           {round_sql("max(abs(ewma - mu) / hw)", 4)} AS max_limit_ratio
+    FROM lim
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.2, 3σ) over daily revenue: the chart
+    statistic zₜ = λΣ(1−λ)^(t−i)xᵢ + (1−λ)ᵗμ is compared against
+    time-varying limits μ ± 3σ√(λ/(2−λ)(1−(1−λ)^{{2t}})) — the SPC
+    monitor that catches small sustained shifts a Shewhart/z-score
+    chart misses (`anomaly_zscore_daily` is the Shewhart twin;
+    `page_hinkley_drift` the sequential-test twin). Output: how many
+    days breached, the first breach, and the worst limit ratio.
+
+    Determinism: daily totals fix to integer cents; the EWMA uses
+    the CLOSED FORM over a bounded pair join (day t × days ≤ t —
+    weeks²-sized, constant as data grows) rather than a recursive
+    filter, so both engines evaluate the identical pow/sum tree; μ
+    derives from the exact BIGINT sum and σ from var_pop over the
+    bounded daily series (cents squared overflow LONG — the
+    jarque_bera safe-bound lesson applied up front). One
+    4dp float output; breach counts are integers off the same
+    comparison in both engines. Scale shape: corpus → calendar-
+    bounded daily aggregate (one shuffle), then an O(days²) scalar
+    relation — the `theil_sen_trend` pair-join discipline."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    seq = daily.select(
+        "day", "c", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        # var_pop over the BOUNDED daily series, not integer power
+        # sums: daily cents squared overflow LONG (the jarque_bera
+        # safe-bound lesson applied up front); the welch_t_test
+        # record shows cross-engine var parity holds well inside 4dp
+        F.var_pop(F.col("c") / 100.0).alias("vp"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    mu = (F.col("s1") / F.col("n").cast("double")) / 100.0
+    z = (
+        a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("a.t").alias("t"), F.col("a.day").alias("day"),
+                 F.col("a.c").alias("c"), F.col("s1"), F.col("n"))
+        .agg(
+            (
+                0.2
+                * F.sum(
+                    F.pow(F.lit(0.8), F.col("a.t") - F.col("b.t"))
+                    * (F.col("b.c") / 100.0)
+                )
+            ).alias("wsum")
+        )
+        .select(
+            "t",
+            "day",
+            (F.col("wsum") + F.pow(F.lit(0.8), F.col("t")) * mu).alias("ewma"),
+        )
+    )
+    sigma = F.sqrt(F.col("vp"))
+    lim = z.crossJoin(F.broadcast(stats)).select(
+        "t",
+        "day",
+        "ewma",
+        mu.alias("mu"),
+        (
+            sigma
+            * F.sqrt(0.2 / 1.8 * (1 - F.pow(F.lit(0.64), F.col("t"))))
+            * 3
+        ).alias("hw"),
+    )
+    breach = F.abs(F.col("ewma") - F.col("mu")) > F.col("hw")
+    return lim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(breach, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_control"),
+        F.min(F.when(breach, F.col("day"))).alias("first_ooc_day"),
+        round_col(
+            F.max(F.abs(F.col("ewma") - F.col("mu")) / F.col("hw")), 4
+        ).alias("max_limit_ratio"),
+    )
