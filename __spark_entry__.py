@@ -52,7 +52,8 @@ _CHECK_PRIORITY = [
     # 2: new in r9 — need first driver rows
     "mann_kendall_trend", "runs_test_median", "sign_test_paired",
     "cohens_d_effect", "pacf_yule_walker", "page_hinkley_drift",
-    "ewma_control_chart",
+    "ewma_control_chart", "assortativity_degree", "kcore_fixpoint",
+    "winnowing_fingerprints", "t_closeness_audit",
     # 3: staleness rotation — r3-vintage remainder, oldest first
     "systematic_sample", "pack_sequences_greedy",
     "sql_passthrough_reserved", "struct_field_access", "cube_agg",

@@ -2814,3 +2814,154 @@ def jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints — MOSS-style local fingerprint selection (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS h,
+               len(tokens) - 2 AS m
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    winmin AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+        QUALIFY i + 3 <= m
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+    doc_fp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+        FROM fps GROUP BY doc_id
+    ),
+    eligible AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) > 1 AND count(*) <= 64
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fp
+        FROM fps a
+        JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM eligible)
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_fp, fa.nfp AS nfp_a, fb.nfp AS nfp_b,
+           {round_sql(
+               "CAST(shared_fp AS DOUBLE) / least(fa.nfp, fb.nfp)", 4
+           )} AS overlap_coef
+    FROM shared
+    JOIN doc_fp fa ON fa.doc_id = doc_a
+    JOIN doc_fp fb ON fb.doc_id = doc_b
+    ORDER BY shared_fp DESC, doc_a, doc_b
+    LIMIT 10
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every trigram, slide a
+    w=4 window over the hash sequence, keep each window's MINIMUM
+    hash — the guarantee is every match of length ≥ w+2 tokens shares
+    a fingerprint, while only ~2/(w+1) of hashes are kept. The
+    SELECTED-fingerprint twin of `doc_fingerprint` (which keeps all
+    rolling hashes) and the position-aware alternative to
+    `minhash_lsh_candidates`: winnowing catches LOCAL overlap
+    (a shared paragraph in otherwise different docs) that whole-doc
+    MinHash dilutes away. Output: top-10 doc pairs by shared
+    fingerprints with the overlap coefficient.
+
+    Exactness: fingerprints are md5 hex strings (lexicographic min
+    agrees across engines), counts are BIGINTs; the one float is a
+    ratio of exact integers, 4dp. Scale shape: the window min runs
+    PER DOC over its own gram sequence (bounded by doc length, never
+    a corpus-wide window); pairing joins only on fingerprints shared
+    by 2..SHINGLE_DF_CAP docs — the same hot-bucket guard as
+    `jaccard_pairs`, so one boilerplate fingerprint shared by a
+    million docs is excluded as a stop-fingerprint instead of
+    exploding quadratically; TakeOrdered bounds the output."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("tokens") - 2)
+    grams = toks.select(
+        "doc_id",
+        (F.size("tokens") - 2).alias("m"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice("tokens", i, 3))).alias(
+                        "h"
+                    ),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "m", "g.i", "g.h")
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    )
+    winmin = grams.select(
+        "doc_id",
+        "i",
+        "m",
+        F.min("h").over(wwin).alias("fp"),
+    ).filter(F.col("i") + 3 <= F.col("m"))
+    fps = winmin.select("doc_id", "fp").distinct()
+    doc_fp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nfp")
+    )
+    eligible = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") > 1) & (F.col("df") <= SHINGLE_DF_CAP))
+        .select("fp")
+    )
+    capped = fps.join(eligible, "fp")
+    a, b = capped.alias("a"), capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+    )
+    fa = doc_fp.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a"))
+    fb = doc_fp.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        shared.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "nfp_a",
+            "nfp_b",
+            round_col(
+                F.col("shared_fp").cast("double")
+                / F.least("nfp_a", "nfp_b"),
+                4,
+            ).alias("overlap_coef"),
+        )
+        .orderBy(F.desc("shared_fp"), "doc_a", "doc_b")
+        .limit(10)
+    )

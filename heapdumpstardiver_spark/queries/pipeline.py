@@ -3961,3 +3961,173 @@ def madow_systematic_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit — ordinal-EMD sensitive-attribute audit (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH binned AS (
+        SELECT c_mktsegment, c_nationkey,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+        FROM customer
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned),
+    gbin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS gc
+        FROM binned GROUP BY bin
+    ),
+    classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM binned GROUP BY c_mktsegment, c_nationkey
+    ),
+    cbin AS (
+        SELECT c_mktsegment, c_nationkey, bin,
+               CAST(count(*) AS BIGINT) AS cc
+        FROM binned GROUP BY c_mktsegment, c_nationkey, bin
+    ),
+    grid AS (
+        SELECT cl.c_mktsegment, cl.c_nationkey, cl.class_size,
+               g.bin, g.gc, coalesce(cb.cc, 0) AS cc
+        FROM classes cl
+        CROSS JOIN gbin g
+        LEFT JOIN cbin cb
+          ON cb.c_mktsegment = cl.c_mktsegment
+         AND cb.c_nationkey = cl.c_nationkey
+         AND cb.bin = g.bin
+    ),
+    cum AS (
+        SELECT c_mktsegment, c_nationkey, class_size, bin,
+               sum(cc) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY bin) AS cum_cc,
+               sum(gc) OVER (PARTITION BY c_mktsegment, c_nationkey
+                   ORDER BY bin) AS cum_gc
+        FROM grid
+    ),
+    emd AS (
+        SELECT c_mktsegment, c_nationkey, class_size,
+               CAST(sum(abs(cum_cc * (SELECT n FROM tot)
+                            - cum_gc * class_size)) AS BIGINT) AS sdiff
+        FROM cum WHERE bin <= 9
+        GROUP BY c_mktsegment, c_nationkey, class_size
+    )
+    SELECT c_mktsegment, c_nationkey, class_size,
+           {round_sql(
+               "CAST(sdiff AS DOUBLE)"
+               " / (9.0 * (SELECT n FROM tot) * class_size)", 4
+           )} AS emd_t,
+           {round_sql(
+               "CAST(sdiff AS DOUBLE)"
+               " / (9.0 * (SELECT n FROM tot) * class_size)", 4
+           )} > 0.2 AS violates_t02
+    FROM emd
+    ORDER BY CAST(sdiff AS DOUBLE)
+             / (9.0 * (SELECT n FROM tot) * class_size) DESC,
+             c_mktsegment, c_nationkey
+    LIMIT 5
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) —
+    completing the privacy-release trio with `k_anonymity_audit`
+    (class sizes) and `l_diversity_audit`: even a large, diverse
+    equivalence class leaks if its SENSITIVE-attribute distribution
+    differs from the table's. Sensitive attribute = account-balance
+    decile (ordinal), distance = the ordered-attribute Earth Mover's
+    Distance (1/(m−1))Σ|CumP−CumQ|, classes = the same
+    mktsegment×nationkey quasi-identifier as the k-anonymity audit.
+    Output: the 5 worst classes and whether they breach t=0.2.
+
+    Exactness: deciles come from ntile over the TOTAL order
+    (c_acctbal, c_custkey) — identical in both engines; every
+    cumulative is integer (|cum_cc·N − cum_gc·size| keeps the EMD
+    numerator an exact BIGINT), so the single division per class is
+    deterministic and the ORDER BY on the raw quotient agrees
+    bit-for-bit. Scale shape: the audit runs on GROUP-COUNT-sized
+    relations (classes × 10 bins); the one corpus-wide step is the
+    decile sort, whose production form is broadcast percentile cuts
+    (`decile_binning_broadcast_cuts`) — noted, not needed, at audit
+    cadence."""
+    c = _t(spark, sf_dir, "customer")
+    binned = c.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.ntile(10)
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .alias("bin"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gbin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    )
+    classes = binned.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    cbin = binned.groupBy("c_mktsegment", "c_nationkey", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(gbin))
+        .join(
+            cbin,
+            ["c_mktsegment", "c_nationkey", "bin"],
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "bin",
+            "gc",
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "class_size",
+        "bin",
+        F.sum("cc").over(wcum).alias("cum_cc"),
+        F.sum("gc").over(wcum).alias("cum_gc"),
+    )
+    emd = (
+        cum.filter(F.col("bin") <= 9)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_mktsegment", "c_nationkey", "class_size", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_cc") * F.col("n")
+                    - F.col("cum_gc") * F.col("class_size")
+                )
+            )
+            .cast("long")
+            .alias("sdiff")
+        )
+    )
+    t = F.col("sdiff").cast("double") / (
+        9.0 * F.col("n") * F.col("class_size")
+    )
+    return (
+        emd.select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            round_col(t, 4).alias("emd_t"),
+            (round_col(t, 4) > 0.2).alias("violates_t02"),
+            t.alias("_t"),
+        )
+        .orderBy(F.desc("_t"), "c_mktsegment", "c_nationkey")
+        .limit(5)
+        .drop("_t")
+    )

@@ -67,3 +67,47 @@ def test_holt_forecast_linear_in_horizon(spark):
     f = [r["forecast_cents"] for r in rows]
     diffs = [f[i + 1] - f[i] for i in range(6)]
     assert max(diffs) - min(diffs) <= 1  # flooring wobble only
+
+
+def test_kcore_fixpoint_is_stable_and_below_trajectory(spark):
+    """The until-fixpoint variant must land on a TRUE fixpoint: one
+    more peel round applied to its core changes nothing; its core is
+    no larger than any round of the bounded trajectory; and every
+    surviving vertex has degree >= 3 inside the core."""
+    from pyspark.sql import functions as F
+
+    from heapdumpstardiver_spark.queries.relational import kcore_fixpoint
+
+    row = kcore_fixpoint(spark, SF_DIR).collect()[0]
+    assert row["rounds_to_fixpoint"] > 6  # deeper than the pinned budget
+    assert 0 < row["survivors"]
+    assert row["live_edges"] >= 3 * row["survivors"] / 2  # min-degree bound
+    traj = kcore_decomposition(spark, SF_DIR).collect()
+    assert row["survivors"] <= min(r["survivors"] for r in traj)
+    assert row["live_edges"] <= min(r["live_edges"] for r in traj)
+
+
+def test_checkpoint_flat_resets_stats_and_preserves_rows(spark):
+    """checkpoint_flat must return the same rows while giving the
+    plan DEFAULT size statistics (the anti-compounding guarantee the
+    k-core loop relies on) — localCheckpoint alone carries the
+    child's stats forward."""
+    from pyspark.sql import functions as F
+
+    from heapdumpstardiver_spark.iterate import checkpoint_flat
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    flat = checkpoint_flat(df)
+    assert sorted(r["id"] for r in flat.collect()) == list(range(100))
+    assert flat.schema == df.schema
+    ck_stats = int(
+        df.localCheckpoint()
+        ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    flat_stats = int(
+        flat._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert flat_stats != ck_stats
+    assert flat_stats == (1 << 63) - 1  # spark.sql.defaultSizeInBytes
