@@ -3098,3 +3098,95 @@ def cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
         .alias("magnitude"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cochran_armitage_trend — trend in proportions across ordered groups (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cochran_armitage_trend",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_j,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r_j
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_j) AS BIGINT) AS n,
+               CAST(sum(r_j) AS BIGINT) AS r,
+               CAST(sum(s * n_j) AS BIGINT) AS sn,
+               CAST(sum(s * s * n_j) AS BIGINT) AS ssn,
+               CAST(sum(s * r_j) AS BIGINT) AS sr
+        FROM g
+    ),
+    stat AS (
+        SELECT k, n, r,
+               n * sr - r * sn AS t_num,
+               (CAST(r AS DOUBLE) * (n - r) / n)
+               * (n * CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * sn) AS var_t
+        FROM tot
+    )
+    SELECT k AS n_groups, n AS n_rows, r AS n_returned,
+           t_num,
+           {round_sql("t_num / sqrt(var_t)", 4)} AS z_stat,
+           abs({round_sql("t_num / sqrt(var_t)", 4)}) > 1.96 AS reject_05
+    FROM stat
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the return rate
+    across ordered quantity levels — the ordered-alternative upgrade
+    of `chi_square_independence`: chi-square asks "are return rates
+    different anywhere", this asks "do they rise (or fall) WITH
+    quantity", gaining power exactly when the alternative is ordered
+    (dose-response, decile-trend, severity-band questions). Scores
+    s_j are the quantity levels themselves; T = NΣs_jr_j − RΣs_jn_j,
+    Var(T) = R(N−R)/N · (NΣs_j²n_j − (Σs_jn_j)²), z = T/√Var(T).
+
+    Determinism: levels, counts, and all five sufficient sums are
+    exact BIGINTs, so T is an exact integer in both engines; Var(T)
+    is one closed-form double expression off those integers, and z
+    rounds at 4dp with the reject bit on the rounded value. LONG
+    bound: Σs²n ≤ 2500·|lineitem| and N·Σsr ≤ N²·50 — safe through
+    ~600M rows, far past any oracle scale. Scale shape: one grouped
+    aggregate (≤50 groups), then a 1-row closed form."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").cast("long").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r_j"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum("r_j").cast("long").alias("r"),
+        F.sum(F.col("s") * F.col("n_j")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_j")).cast("long").alias("ssn"),
+        F.sum(F.col("s") * F.col("r_j")).cast("long").alias("sr"),
+    )
+    n, r = F.col("n"), F.col("r")
+    t_num = n * F.col("sr") - r * F.col("sn")
+    var_t = (r.cast("double") * (n - r) / n) * (
+        n * F.col("ssn").cast("double") - F.col("sn").cast("double") * F.col("sn")
+    )
+    stat = tot.select(
+        F.col("k").alias("n_groups"),
+        n.alias("n_rows"),
+        r.alias("n_returned"),
+        t_num.alias("t_num"),
+        round_col(t_num / F.sqrt(var_t), 4).alias("z_stat"),
+    )
+    return stat.select(
+        "n_groups",
+        "n_rows",
+        "n_returned",
+        "t_num",
+        "z_stat",
+        (F.abs(F.col("z_stat")) > 1.96).alias("reject_05"),
+    )

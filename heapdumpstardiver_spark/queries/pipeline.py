@@ -4131,3 +4131,126 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .drop("_t")
     )
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration — PAVA via the minimax closed form (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS w,
+               CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ),
+    seq AS (
+        SELECT h, w, s,
+               CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+               CAST(sum(w) OVER (ORDER BY h) AS BIGINT) AS cw,
+               CAST(sum(s) OVER (ORDER BY h) AS BIGINT) AS cs,
+               CAST(coalesce(sum(w) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cwp,
+               CAST(coalesce(sum(s) OVER (ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS csp
+        FROM hourly
+    ),
+    ranges AS (
+        SELECT j.i AS j, k.i AS k,
+               CAST(k.cs - j.csp AS DOUBLE) / (k.cw - j.cwp) AS avg_jk
+        FROM seq j JOIN seq k ON j.i <= k.i
+    ),
+    inner_min AS (
+        SELECT t.i, r.j, min(r.avg_jk) AS m
+        FROM seq t JOIN ranges r ON r.j <= t.i AND r.k >= t.i
+        GROUP BY t.i, r.j
+    ),
+    fit AS (
+        SELECT i, max(m) AS iso
+        FROM inner_min GROUP BY i
+    )
+    SELECT CAST(s2.h AS INT) AS hour, s2.w AS n_events,
+           {round_sql("CAST(s2.s AS DOUBLE) / s2.w / 100.0", 4)} AS raw_avg,
+           {round_sql("f.iso / 100.0", 4)} AS iso_avg
+    FROM seq s2 JOIN fit f ON f.i = s2.i
+    ORDER BY hour
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic regression (PAVA) of mean event value on
+    hour-of-day, via the MINIMAX closed form fit(i) = max_{{j≤i}}
+    min_{{k≥i}} weightedavg(y, j..k) — the calibration primitive
+    behind monotone probability calibration of a quality classifier
+    (`calibration_reliability` measures miscalibration; this is the
+    standard fix) and monotone binning for `decile_feature_binning`.
+    The sequential pool-adjacent-violators loop is replaced by an
+    order-free algebraic identity, which is exactly what a
+    distributed engine wants.
+
+    Determinism: hourly weights and value sums fix to exact BIGINTs
+    (cumulatives included), every candidate block average is ONE
+    division of exact integers — bit-identical in both engines — and
+    min/max over identical doubles is exact; 4dp rounding only at
+    output. Scale shape: the corpus collapses to 24 (hour, w, s)
+    rows in one shuffle; the j≤i≤k triple relation is 24³/6 ≈ 2.3k
+    rows of scalar arithmetic — constant as data grows, the
+    `theil_sen_trend` bounded-pairs discipline."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hourly = e.groupBy(F.hour("ts").cast("long").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("s"),
+    )
+    wo = Window.orderBy("h")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    seq = hourly.select(
+        "h",
+        "w",
+        "s",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cw"),
+        F.sum("s").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cs"),
+        F.coalesce(F.sum("w").over(wprev), F.lit(0)).cast("long").alias("cwp"),
+        F.coalesce(F.sum("s").over(wprev), F.lit(0)).cast("long").alias("csp"),
+    )
+    j, k = seq.alias("j"), seq.alias("k")
+    ranges = j.join(F.broadcast(k), F.col("j.i") <= F.col("k.i")).select(
+        F.col("j.i").alias("j"),
+        F.col("k.i").alias("k"),
+        (
+            (F.col("k.cs") - F.col("j.csp")).cast("double")
+            / (F.col("k.cw") - F.col("j.cwp"))
+        ).alias("avg_jk"),
+    )
+    t = seq.select(F.col("i"))
+    inner_min = (
+        t.join(
+            F.broadcast(ranges),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    fit = inner_min.groupBy("i").agg(F.max("m").alias("iso"))
+    return (
+        seq.join(fit, "i")
+        .select(
+            F.col("h").cast("int").alias("hour"),
+            F.col("w").alias("n_events"),
+            round_col(F.col("s").cast("double") / F.col("w") / 100.0, 4).alias(
+                "raw_avg"
+            ),
+            round_col(F.col("iso") / 100.0, 4).alias("iso_avg"),
+        )
+        .orderBy("hour")
+    )

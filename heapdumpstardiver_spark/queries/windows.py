@@ -4775,3 +4775,133 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("ewma") - F.col("mu")) / F.col("hw")), 4
         ).alias("max_limit_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conformal_interval_naive — split-conformal forecast band (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conformal_interval_naive",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    resid AS (
+        SELECT day, c - lag(c, 7) OVER (ORDER BY day) AS e
+        FROM daily
+        QUALIFY lag(c, 7) OVER (ORDER BY day) IS NOT NULL
+    ),
+    idx AS (
+        SELECT e, abs(e) AS ae,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM resid
+    ),
+    split AS (
+        SELECT i, e, ae, m,
+               CAST(floor(m * 0.8) AS BIGINT) AS n_cal
+        FROM idx
+    ),
+    q AS (
+        SELECT n_cal,
+               least(n_cal,
+                     CAST(ceil((n_cal + 1) * 0.9) AS BIGINT)) AS kq
+        FROM split GROUP BY n_cal
+    ),
+    cal_ranked AS (
+        SELECT ae, row_number() OVER (ORDER BY ae, i) AS rk
+        FROM split WHERE i <= n_cal
+    ),
+    qhat AS (
+        SELECT cr.ae AS q_cents
+        FROM cal_ranked cr JOIN q ON cr.rk = q.kq
+    ),
+    test AS (SELECT ae, m, n_cal FROM split WHERE i > n_cal)
+    SELECT max(n_cal) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           max((SELECT q_cents FROM qhat)) AS q_cents,
+           {round_sql(
+               "CAST(sum(CASE WHEN ae <= (SELECT q_cents FROM qhat)"
+               " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4
+           )} AS coverage,
+           CAST(0.9 AS DOUBLE) AS nominal
+    FROM test
+    """,
+)
+def conformal_interval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band for the seasonal-naive daily
+    forecast (ŷ_t = y_{{t−7}}): calibrate on the first 80% of
+    residuals, take the ⌈(n+1)·0.9⌉-th smallest |residual| as the
+    band half-width q̂, and report EMPIRICAL coverage on the held-out
+    20% — the distribution-free uncertainty quantification
+    (Vovk/Shafer; Lei et al. 2018) that turns any point forecast
+    (`holt_linear_forecast`, `seasonal_naive_error`'s baseline) into
+    a valid interval with finite-sample guarantees, no normality
+    assumed.
+
+    Determinism: residuals are exact integer-cent differences; the
+    calibration quantile is EXACT RANK SELECTION (row_number ordered
+    by (|e|, time), ties deterministic — never percentile
+    interpolation), the split index is ⌊0.8m⌋ on the time order, and
+    coverage is a ratio of exact counts rounded 4dp. Scale shape:
+    corpus → calendar-bounded daily aggregate (one shuffle); lag,
+    ranking, and both splits run over that bounded series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    wd = Window.orderBy("day")
+    resid = daily.select(
+        "day", (F.col("c") - F.lag("c", 7).over(wd)).alias("e")
+    ).filter(F.col("e").isNotNull())
+    idx = resid.select(
+        "e",
+        F.abs("e").alias("ae"),
+        F.row_number().over(wd).cast("long").alias("i"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("m"),
+    )
+    split = idx.select(
+        "i", "e", "ae", "m", F.floor(F.col("m") * 0.8).cast("long").alias("n_cal")
+    )
+    q = split.groupBy("n_cal").agg(
+        F.least(
+            F.col("n_cal"),
+            F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"),
+        ).alias("kq")
+    )
+    cal_ranked = split.filter(F.col("i") <= F.col("n_cal")).select(
+        "ae", F.row_number().over(Window.orderBy("ae", "i")).alias("rk")
+    )
+    qhat = cal_ranked.join(F.broadcast(q), F.col("rk") == F.col("kq")).select(
+        F.col("ae").alias("q_cents")
+    )
+    test = split.filter(F.col("i") > F.col("n_cal"))
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("q_cents").alias("q_cents"),
+            round_col(
+                F.sum(
+                    F.when(F.col("ae") <= F.col("q_cents"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+            F.lit(0.9).alias("nominal"),
+        )
+    )
