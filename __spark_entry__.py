@@ -55,7 +55,8 @@ _CHECK_PRIORITY = [
     "ewma_control_chart", "assortativity_degree", "kcore_fixpoint",
     "winnowing_fingerprints", "t_closeness_audit",
     "cochran_armitage_trend", "isotonic_calibration",
-    "conformal_interval_naive",
+    "conformal_interval_naive", "hill_tail_index", "cronbach_alpha",
+    "hurst_rs_exponent",
     # 3: staleness rotation — r3-vintage remainder, oldest first
     "systematic_sample", "pack_sequences_greedy",
     "sql_passthrough_reserved", "struct_field_access", "cube_agg",

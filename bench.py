@@ -96,7 +96,19 @@ R8_OPS = [
     "url_canonicalize_dedup",
     "theil_sen_trend",
 ]
-HEADLINE = CORE + LLM_OPS + EXT_OPS + R7_OPS + R8_OPS
+# Round-9 additions: the data-sized members of the new families —
+# MOSS winnowing fingerprint pairing, graph degree correlation, the
+# ntile-based privacy audit, and the PAVA calibration. kcore_fixpoint
+# (7 s at sf0.1 — 27 localCheckpoint rounds) stays sweep-only to keep
+# the bench inside the driver budget; the all-registry sweep records
+# its wall + ratio (1.3x) every round.
+R9_OPS = [
+    "winnowing_fingerprints",
+    "assortativity_degree",
+    "t_closeness_audit",
+    "isotonic_calibration",
+]
+HEADLINE = CORE + LLM_OPS + EXT_OPS + R7_OPS + R8_OPS + R9_OPS
 
 # Queries that execute jobs during DataFrame *construction* (iterative
 # label propagation's convergence rounds, k-means' centroid updates).

@@ -3190,3 +3190,162 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         (F.abs(F.col("z_stat")) > 1.96).alias("reject_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index — heavy-tail exponent from top order statistics (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+               row_number() OVER (
+                   ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey
+               ) AS rk
+        FROM orders
+    ),
+    topk AS (SELECT c, rk FROM ranked WHERE rk <= 101),
+    piv AS (SELECT c AS ck1 FROM topk WHERE rk = 101),
+    hill AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               avg(ln(CAST(t.c AS DOUBLE) / p.ck1)) AS h
+        FROM topk t CROSS JOIN piv p
+        WHERE t.rk <= 100
+    )
+    SELECT k, (SELECT ck1 FROM piv) AS x_k1_cents,
+           {stable_render_sql("h", 6)} AS hill_h,
+           {stable_render_sql("1.0 / h", 6)} AS tail_alpha
+    FROM hill
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index over the top-100
+    order values: H = (1/k)Σln(x₍ᵢ₎/x₍ₖ₊₁₎), α̂ = 1/H — the standard
+    heavy-tail diagnostic (Hill 1975) behind "is this metric
+    fat-tailed enough that means/variances mislead" decisions:
+    α̂ < 2 means infinite variance (use `trimmed_robust_stats` /
+    medians), α̂ > 3 means z-based monitoring is safe. Companion to
+    `benford_digit_audit` (digit-law shape) and
+    `gini_revenue_concentration` (inequality) on the same column.
+
+    Determinism: values fix to integer cents and the top-(k+1) set
+    is EXACT rank selection (ties broken by orderkey, identical in
+    both engines); each ln() argument is one exact-integer ratio,
+    but ln itself is libm — so the two float outputs ship via
+    stable_render (6dp decimal STRING), the `jsd_source_drift`
+    discipline for transcendental chains. Scale shape: a global
+    top-101 (TakeOrdered — no full sort materialization), then 100
+    rows of scalar arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+        "o_orderkey",
+    ).select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "o_orderkey"))
+        .alias("rk"),
+    )
+    topk = ranked.filter(F.col("rk") <= 101)
+    pivot = topk.filter(F.col("rk") == 101).select(
+        F.col("c").alias("ck1")
+    )
+    hill = (
+        topk.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(pivot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.avg(
+                F.log(F.col("c").cast("double") / F.col("ck1"))
+            ).alias("h"),
+            F.max("ck1").alias("x_k1_cents"),
+        )
+    )
+    return hill.select(
+        "k",
+        "x_k1_cents",
+        stable_render(F.col("h"), 6).alias("hill_h"),
+        stable_render(1.0 / F.col("h"), 6).alias("tail_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha — internal-consistency reliability (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cronbach_alpha",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS i1,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS i2,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS i3,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS i4,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS i5
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               var_samp(i1) + var_samp(i2) + var_samp(i3)
+               + var_samp(i4) + var_samp(i5) AS sum_item_var,
+               var_samp(i1 + i2 + i3 + i4 + i5) AS total_var
+        FROM per_user
+    )
+    SELECT n_users, 5 AS k_items,
+           {round_sql("sum_item_var", 4)} AS sum_item_var,
+           {round_sql("total_var", 4)} AS total_var,
+           {round_sql("5.0 / 4.0 * (1 - sum_item_var / total_var)", 4)}
+               AS cronbach_alpha
+    FROM v
+    """,
+)
+def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over the five per-user activity counts (click /
+    view / purchase / signup / error as the 'items'): α = k/(k−1) ·
+    (1 − Σσᵢ²/σ_total²) — the internal-consistency reliability
+    coefficient that says whether a set of engagement signals moves
+    together enough to justify summing them into one 'activity
+    score' (the composite `rfm_segmentation` and
+    `quality_filter_chain`-style gates implicitly assume). Low α →
+    the items measure different things; report them separately.
+
+    Determinism: the user×item matrix is exact BIGINT counts off
+    one shuffle (items pivoted via conditional sums, zero-filled by
+    construction); the six variances are var_samp over those
+    integers — the `welch_t_test` parity discipline — combined in
+    one closed form and rounded 4dp. Scale shape: one user-keyed
+    aggregate, then a single pass computing all six variances in
+    the same grouped aggregate; nothing after the shuffle exceeds
+    scalar state."""
+    e = _t(spark, sf_dir, "events")
+    items = ["click", "view", "purchase", "signup", "error"]
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"i{j + 1}")
+            for j, t in enumerate(items)
+        ]
+    )
+    total = sum(F.col(f"i{j + 1}") for j in range(5))
+    v = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        sum(F.var_samp(f"i{j + 1}") for j in range(5)).alias("sum_item_var"),
+        F.var_samp(total).alias("total_var"),
+    )
+    return v.select(
+        "n_users",
+        F.lit(5).cast("int").alias("k_items"),
+        round_col(F.col("sum_item_var"), 4).alias("sum_item_var"),
+        round_col(F.col("total_var"), 4).alias("total_var"),
+        round_col(
+            5.0 / 4.0 * (1 - F.col("sum_item_var") / F.col("total_var")), 4
+        ).alias("cronbach_alpha"),
+    )

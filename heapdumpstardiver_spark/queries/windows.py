@@ -4905,3 +4905,160 @@ def conformal_interval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.9).alias("nominal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hurst_rs_exponent — rescaled-range long-memory diagnostic (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hurst_rs_exponent",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT c, row_number() OVER (ORDER BY day) - 1 AS t,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    blocks AS (
+        SELECT m.m, CAST(t // m.m AS BIGINT) AS b, t, c
+        FROM seq, (VALUES (8), (16), (32)) m(m)
+        WHERE t // m.m < n // m.m
+    ),
+    bstats AS (
+        SELECT m, b, CAST(sum(c) AS BIGINT) AS sc
+        FROM blocks GROUP BY m, b
+    ),
+    dev AS (
+        SELECT bl.m, bl.b, bl.t,
+               bl.c - CAST(bs.sc AS DOUBLE) / bl.m AS d,
+               var_pop(bl.c) OVER (PARTITION BY bl.m, bl.b) AS vp
+        FROM blocks bl JOIN bstats bs ON bs.m = bl.m AND bs.b = bl.b
+    ),
+    cum AS (
+        SELECT m, b, vp,
+               sum(d) OVER (PARTITION BY m, b ORDER BY t) AS y
+        FROM dev
+    ),
+    rs AS (
+        SELECT m, b,
+               (max(y) - min(y)) / sqrt(max(vp)) AS ratio
+        FROM cum GROUP BY m, b
+    ),
+    per_m AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+               avg(ratio) AS avg_rs
+        FROM rs GROUP BY m
+    ),
+    fit AS (
+        SELECT (count(*) * sum(ln(m) * ln(avg_rs))
+                - sum(ln(m)) * sum(ln(avg_rs)))
+               / (count(*) * sum(ln(m) * ln(m)) - sum(ln(m)) * sum(ln(m)))
+                   AS hurst
+        FROM per_m
+    )
+    SELECT CAST(m AS INT) AS m, n_blocks,
+           {stable_render_sql("avg_rs", 6)} AS avg_rs,
+           {stable_render_sql("(SELECT hurst FROM fit)", 6)} AS hurst_h
+    FROM per_m ORDER BY m
+    """,
+)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by classical rescaled-range
+    (R/S) analysis: split the series into blocks of m ∈ {{8,16,32}}
+    days, compute each block's range-of-cumulative-deviations over
+    its standard deviation, and fit ln(R/S) ~ H·ln(m) — the
+    long-memory diagnostic (H≈0.5 random walk, H>0.5 persistent
+    trends, H<0.5 mean-reverting) that says whether
+    `holt_linear_forecast`-style extrapolation or
+    `ewma_control_chart`-style mean reversion matches the series.
+    Complements `daily_acf` (short lags) with the multi-scale view.
+
+    Determinism: daily cents are exact; block deviations subtract an
+    exact-integer mean division, and the cumulative Y runs ORDER BY
+    t within each block — bit-identical in both engines, so R is
+    exact; S (var_pop over ≤32 integers) and the two ln-OLS floats
+    carry sub-6dp engine wobble and ship via stable_render, the
+    `jsd_source_drift` transcendental discipline. Scale shape:
+    corpus → calendar-bounded daily series; all windows partition by
+    (m, block) over that bounded series; three rows out."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    seq = daily.select(
+        "c",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    ms = spark.createDataFrame([(8,), (16,), (32,)], "m int")
+    blocks = seq.crossJoin(F.broadcast(ms)).filter(
+        F.floor(F.col("t") / F.col("m"))
+        < F.floor(F.col("n") / F.col("m"))
+    ).select(
+        "m",
+        F.floor(F.col("t") / F.col("m")).cast("long").alias("b"),
+        "t",
+        "c",
+    )
+    bstats = blocks.groupBy("m", "b").agg(
+        F.sum("c").cast("long").alias("sc")
+    )
+    wb = Window.partitionBy("m", "b")
+    dev = blocks.join(bstats, ["m", "b"]).select(
+        "m",
+        "b",
+        "t",
+        (F.col("c") - F.col("sc").cast("double") / F.col("m")).alias("d"),
+        F.var_pop("c").over(wb).alias("vp"),
+    )
+    cum = dev.select(
+        "m",
+        "b",
+        "vp",
+        F.sum("d")
+        .over(
+            Window.partitionBy("m", "b")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("y"),
+    )
+    rs = cum.groupBy("m", "b").agg(
+        ((F.max("y") - F.min("y")) / F.sqrt(F.max("vp"))).alias("ratio")
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg("ratio").alias("avg_rs"),
+    )
+    lm = F.log(F.col("m").cast("double"))
+    lr = F.log("avg_rs")
+    fit = per_m.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(lm * lr) - F.sum(lm) * F.sum(lr))
+            / (F.count(F.lit(1)) * F.sum(lm * lm) - F.sum(lm) * F.sum(lm))
+        ).alias("hurst")
+    )
+    return (
+        per_m.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "n_blocks",
+            stable_render(F.col("avg_rs"), 6).alias("avg_rs"),
+            stable_render(F.col("hurst"), 6).alias("hurst_h"),
+        )
+        .orderBy("m")
+    )
