@@ -121,6 +121,7 @@ ITERATIVE = {
     # eager localCheckpoints run jobs at construction time
     "copurchase_triangle_count",
     "dominator_retained",
+    "assortativity_degree",
 }
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
