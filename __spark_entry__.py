@@ -70,9 +70,10 @@ _CHECK_PRIORITY = [
     "percentile_disc_groups", "range_join_nearby",
     "rollup_hypertable_cascade", "sessionize_lag",
     "window_rank_topk", "window_running_sum", "window_tumbling_hour",
-    # ---- ~r9 cap (50): 8 head slots + 27 r3-remainder + r9-new
-    # leave a few slots that land at the top of the r4-vintage block
-    # below; the rest overflows to r10 under the standing policy ----
+    # ---- ~r9 cap (50): 8 never-sampled/recap + 17 r9-new head slots
+    # leave ~25 rotation slots, so the cap lands near the end of the
+    # 27-entry r3-remainder above; its last entries and the r4 block
+    # below overflow to r10 under the standing staleness policy ----
     # r4-vintage greens, next-oldest first — r10 rotation overflow
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
