@@ -3349,3 +3349,277 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             5.0 / 4.0 * (1 - F.col("sum_item_var") / F.col("total_var")), 4
         ).alias("cronbach_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# friedman_kendall_w — k related samples over blocks (r9)
+# ---------------------------------------------------------------------------
+
+
+def _friedman_oracle() -> str:
+    """Friedman/Kendall-W oracle: per-user doubled tie-averaged ranks
+    of the five activity counts, generated as explicit 5x5 CASE
+    comparisons so the rank arithmetic stays pure BIGINT (doubled
+    rank 2r = 2*cnt_less + cnt_eq + 1; tie term per user =
+    sum(cnt_eq^2) - k)."""
+    items = ["click", "view", "purchase", "signup", "error"]
+    pivots = ",\n               ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS x{j + 1}"
+        for j, t in enumerate(items)
+    )
+    k = len(items)
+    cl = []
+    ce = []
+    for j in range(1, k + 1):
+        less = " + ".join(
+            f"(CASE WHEN x{l} < x{j} THEN 1 ELSE 0 END)"
+            for l in range(1, k + 1)
+            if l != j
+        )
+        eq = " + ".join(
+            f"(CASE WHEN x{l} = x{j} THEN 1 ELSE 0 END)"
+            for l in range(1, k + 1)
+        )
+        cl.append(f"({less}) AS cl{j}")
+        ce.append(f"({eq}) AS ce{j}")
+    r2 = ", ".join(f"2 * cl{j} + ce{j} + 1 AS r2_{j}" for j in range(1, k + 1))
+    tie = " + ".join(f"ce{j} * ce{j}" for j in range(1, k + 1))
+    rsums = ", ".join(
+        f"CAST(sum(r2_{j}) AS BIGINT) AS rr{j}" for j in range(1, k + 1)
+    )
+    ss = " + ".join(f"rr{j} * rr{j}" for j in range(1, k + 1))
+    from heapdumpstardiver_spark.exprs import round_sql
+
+    chi_adj = (
+        "(CAST(ss4 AS DOUBLE) / (10.0 * n) - 18.0 * n)"
+        " / (1 - CAST(tie_t AS DOUBLE) / (120.0 * n))"
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {pivots}
+        FROM events GROUP BY user_id
+    ),
+    cmp AS (
+        SELECT user_id, {", ".join(cl)}, {", ".join(ce)}
+        FROM per_user
+    ),
+    ranks AS (
+        SELECT user_id, {r2}, ({tie}) - {k} AS tie_u
+        FROM cmp
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               {rsums},
+               CAST(sum(tie_u) AS BIGINT) AS tie_t
+        FROM ranks
+    ),
+    stat AS (
+        SELECT n, tie_t, ({ss}) AS ss4 FROM agg
+    )
+    SELECT n AS n_users, {k} AS k_items,
+           {round_sql(chi_adj, 4)} AS chi2_friedman,
+           {round_sql(f"({chi_adj}) / (n * {k - 1}.0)", 4)} AS kendalls_w,
+           {round_sql(chi_adj, 4)} > 9.488 AS reject_05
+    FROM stat
+    """
+
+
+@query("friedman_kendall_w", oracle=_friedman_oracle())
+def friedman_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test + Kendall's W over the five per-user activity
+    counts (blocks = users, treatments = event types): within each
+    user the five counts get tie-averaged ranks, χ²_F =
+    12/(nk(k+1))ΣR_j² − 3n(k+1) with the tie correction
+    C = 1 − Σ(t³−t)/(nk(k²−1)), and W = χ²/(n(k−1)) ∈ [0,1] measures
+    agreement — the REPEATED-MEASURES member completing the k-group
+    family (`kruskal_wallis_h` is the unpaired rank test,
+    `cronbach_alpha` reads the same user×item matrix as reliability;
+    this asks whether users RANK the activities consistently).
+
+    Determinism: with k=5 fixed, ranks come from explicit 5×5
+    comparisons — the DOUBLED tie-averaged rank 2r = 2·cnt_less +
+    cnt_eq + 1 is an exact integer, per-user tie terms are
+    Σcnt_eq²−k (the group-size cube identity Σt³ = Σ_j cnt_eq_j²),
+    and every aggregate through ΣR²⁽ˣ²⁾ stays BIGINT (safe while
+    25·(10n)²·... < 2⁶³, i.e. n ≲ 10⁸ users); the χ²/C/W floats are
+    one closed-form 1-row expression, 4dp, reject on the rounded
+    value against the dof=4 ladder. Scale shape: one user-keyed
+    aggregate, per-row scalar rank arithmetic, one scalar rollup."""
+    e = _t(spark, sf_dir, "events")
+    items = ["click", "view", "purchase", "signup", "error"]
+    k = len(items)
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"x{j + 1}")
+            for j, t in enumerate(items)
+        ]
+    )
+    cols = [F.col(f"x{j}") for j in range(1, k + 1)]
+    r2s, ces = [], []
+    for j in range(k):
+        cl = sum(
+            F.when(cols[l] < cols[j], 1).otherwise(0)
+            for l in range(k)
+            if l != j
+        )
+        ce = sum(
+            F.when(cols[l] == cols[j], 1).otherwise(0) for l in range(k)
+        )
+        r2s.append((2 * cl + ce + 1).alias(f"r2_{j + 1}"))
+        ces.append(ce)
+    tie_u = (sum(c * c for c in ces) - F.lit(k)).alias("tie_u")
+    ranks = per_user.select(*r2s, tie_u)
+    agg = ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(f"r2_{j + 1}").cast("long").alias(f"rr{j + 1}")
+            for j in range(k)
+        ],
+        F.sum("tie_u").cast("long").alias("tie_t"),
+    )
+    ss4 = sum(F.col(f"rr{j + 1}") * F.col(f"rr{j + 1}") for j in range(k))
+    n = F.col("n")
+    chi_adj = (ss4.cast("double") / (10.0 * n) - 18.0 * n) / (
+        1 - F.col("tie_t").cast("double") / (120.0 * n)
+    )
+    chi_r = round_col(chi_adj, 4)
+    return agg.select(
+        n.alias("n_users"),
+        F.lit(k).cast("int").alias("k_items"),
+        chi_r.alias("chi2_friedman"),
+        round_col(chi_adj / (n * float(k - 1)), 4).alias("kendalls_w"),
+        (chi_r > 9.488).alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# theil_inequality_decomposition — within/between inequality split (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_inequality_decomposition",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(sum(o.o_totalprice) * 100 + 0.5) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx
+        FROM cust
+    ),
+    t_total AS (
+        SELECT sum((CAST(x AS DOUBLE) / sx)
+                   * ln(CAST(x AS DOUBLE) * n / sx)) AS t_all
+        FROM cust CROSS JOIN tot
+    ),
+    seggrp AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(x) AS BIGINT) AS sg
+        FROM cust GROUP BY seg
+    ),
+    t_between AS (
+        SELECT sum((CAST(sg AS DOUBLE) / sx)
+                   * ln((CAST(sg AS DOUBLE) / sx) * n / ng)) AS t_btw
+        FROM seggrp CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM seggrp) AS n_groups,
+           {stable_render_sql("(SELECT t_all FROM t_total)", 6)} AS theil_t,
+           {stable_render_sql("(SELECT t_btw FROM t_between)", 6)}
+               AS theil_between,
+           {stable_render_sql(
+               "(SELECT t_all FROM t_total) - (SELECT t_btw FROM t_between)",
+               6
+           )} AS theil_within,
+           {stable_render_sql(
+               "(SELECT t_btw FROM t_between) / (SELECT t_all FROM t_total)",
+               6
+           )} AS between_share
+    """,
+)
+def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer revenue with the
+    exact within/between decomposition by market segment: T =
+    Σ(xᵢ/X)ln(xᵢ·n/X), T_between = Σ(X_g/X)ln((X_g/X)·n/n_g), and
+    T_within = T − T_between by Theil's additivity — the question
+    `gini_revenue_concentration` can't answer: HOW MUCH of the
+    concentration is segment structure vs within-segment spread
+    (the data-mixture analogue: is corpus imbalance between sources
+    or inside them — `topic_balance_entropy`'s inequality-theoretic
+    twin).
+
+    Determinism: per-customer revenue fixes to integer cents, group
+    and grand sums are exact BIGINTs, every ln argument is a ratio
+    of exact integers; the ln-sums accumulate corpus-wide doubles,
+    so all four outputs ship via stable_render (6dp decimal string)
+    — the `importance_resample_dsir` discipline for corpus-wide
+    log-sums. Scale shape: one join + customer-keyed aggregate, one
+    segment aggregate, two scalar rollups; nothing pairwise."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x")
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "x")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    t_all = (
+        cust.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("x").cast("double") / F.col("sx"))
+                * F.log(F.col("x").cast("double") * F.col("n") / F.col("sx"))
+            ).alias("t_all")
+        )
+    )
+    seggrp = cust.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+    )
+    t_btw = (
+        seggrp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("sg").cast("double") / F.col("sx"))
+                * F.log(
+                    (F.col("sg").cast("double") / F.col("sx"))
+                    * F.col("n")
+                    / F.col("ng")
+                )
+            ).alias("t_btw")
+        )
+    )
+    ngroups = seggrp.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    out = (
+        tot.crossJoin(F.broadcast(ngroups))
+        .crossJoin(F.broadcast(t_all))
+        .crossJoin(F.broadcast(t_btw))
+    )
+    return out.select(
+        F.col("n").alias("n_customers"),
+        "n_groups",
+        stable_render(F.col("t_all"), 6).alias("theil_t"),
+        stable_render(F.col("t_btw"), 6).alias("theil_between"),
+        stable_render(F.col("t_all") - F.col("t_btw"), 6).alias(
+            "theil_within"
+        ),
+        stable_render(F.col("t_btw") / F.col("t_all"), 6).alias(
+            "between_share"
+        ),
+    )

@@ -4254,3 +4254,117 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# moran_i_grid — spatial autocorrelation over the synthetic grid (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "moran_i_grid",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               (user_id * 2654435761) % 100000 AS px,
+               (user_id * 40503 + 12345) % 100000 AS py
+        FROM events
+    ),
+    cells AS (
+        SELECT px // 5000 AS cx, py // 5000 AS cy,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(cnt) AS BIGINT) AS np
+        FROM cells
+    ),
+    z AS (
+        SELECT cx, cy, nc * cnt - np AS zi
+        FROM cells CROSS JOIN tot
+    ),
+    adj AS (
+        SELECT a.zi AS za, b.zi AS zb
+        FROM z a JOIN z b
+          ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1
+    ),
+    sums AS (
+        SELECT (SELECT nc FROM tot) AS nc,
+               (SELECT CAST(count(*) AS BIGINT) FROM adj) AS w,
+               (SELECT CAST(sum(za * zb) AS BIGINT) FROM adj) AS num,
+               (SELECT CAST(sum(zi * zi) AS BIGINT) FROM z) AS den
+    )
+    SELECT nc AS n_cells, w AS w_pairs,
+           {round_sql(
+               "CAST(nc AS DOUBLE) * num / (CAST(w AS DOUBLE) * den)", 6
+           )} AS moran_i,
+           {round_sql("-1.0 / (nc - 1)", 6)} AS expected_i,
+           {round_sql(
+               "CAST(nc AS DOUBLE) * num / (CAST(w AS DOUBLE) * den)", 6
+           )} > {round_sql("-1.0 / (nc - 1)", 6)} AS clustered
+    FROM sums
+    """,
+)
+def moran_i_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of point density over the
+    `geo_grid_neighbor_pairs` grid (rook adjacency between 5000-unit
+    cells): I = (n/W)·ΣΣw_ij z_i z_j / Σz_i² — the 'is density
+    spatially clustered or dispersed' screen that decides whether
+    spatial partitioning needs hot-cell splitting before the
+    neighbor join runs (I > E[I] = −1/(n−1) means neighbors
+    correlate: expect skewed cells).
+
+    Determinism: coordinates are the same Knuth-hash integers as the
+    grid join; deviations use the SCALED form zᵢ = n_cells·cntᵢ −
+    n_points (exact BIGINT — no float mean), so the cross-product
+    and variance sums are exact integers and the single division per
+    output is deterministic. Safe while n_cells·cnt < 2⁶³ (trivially,
+    with 400 cells). Scale shape: corpus → one row per CELL (≤400);
+    the adjacency join and every sum run on that bounded relation —
+    the aggregate-first discipline, spatial edition."""
+    e = _t(spark, sf_dir, "events")
+    pts = e.select("user_id").distinct().select(
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(100000)).alias("px"),
+        ((F.col("user_id") * F.lit(40503) + F.lit(12345)) % F.lit(100000)).alias(
+            "py"
+        ),
+    )
+    cells = pts.select(
+        F.expr("px DIV 5000").alias("cx"), F.expr("py DIV 5000").alias("cy")
+    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("cnt").cast("long").alias("np"),
+    )
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", (F.col("nc") * F.col("cnt") - F.col("np")).alias("zi")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    adj = a.join(
+        F.broadcast(b),
+        (
+            F.abs(F.col("a.cx") - F.col("b.cx"))
+            + F.abs(F.col("a.cy") - F.col("b.cy"))
+        )
+        == 1,
+    ).select(F.col("a.zi").alias("za"), F.col("b.zi").alias("zb"))
+    wnum = adj.agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum(F.col("za") * F.col("zb")).cast("long").alias("num"),
+    )
+    den = z.agg(F.sum(F.col("zi") * F.col("zi")).cast("long").alias("den"))
+    sums = (
+        tot.crossJoin(F.broadcast(wnum)).crossJoin(F.broadcast(den))
+    )
+    mi = F.col("nc").cast("double") * F.col("num") / (
+        F.col("w").cast("double") * F.col("den")
+    )
+    ei = -1.0 / (F.col("nc") - 1)
+    return sums.select(
+        F.col("nc").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        round_col(mi, 6).alias("moran_i"),
+        round_col(ei, 6).alias("expected_i"),
+        (round_col(mi, 6) > round_col(ei, 6)).alias("clustered"),
+    )

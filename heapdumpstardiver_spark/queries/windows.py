@@ -5062,3 +5062,99 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# periodogram_seasonal_power — DFT power at candidate seasonal periods (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "periodogram_seasonal_power",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT c, row_number() OVER (ORDER BY day) - 1 AS t,
+               count(*) OVER () AS n,
+               CAST(sum(c) OVER () AS BIGINT) AS sc
+        FROM daily
+    ),
+    cent AS (
+        SELECT t, n,
+               c - CAST(sc AS DOUBLE) / n AS xd
+        FROM seq
+    ),
+    dft AS (
+        SELECT p.p, max(n) AS n,
+               sum(xd * cos(2 * 3.141592653589793 * t / p.p)) AS a,
+               sum(xd * sin(2 * 3.141592653589793 * t / p.p)) AS b,
+               sum(xd * xd) AS ssq
+        FROM cent, (VALUES (7), (14), (30)) p(p)
+        GROUP BY p.p
+    )
+    SELECT CAST(p AS INT) AS period, CAST(n AS BIGINT) AS n_days,
+           {stable_render_sql("2.0 * (a * a + b * b) / (n * ssq)", 6)}
+               AS power_frac
+    FROM dft ORDER BY period
+    """,
+)
+def periodogram_seasonal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of daily revenue at candidate seasonal
+    periods 7/14/30 days: the DFT coefficients a_p = Σx̃ₜcos(2πt/p),
+    b_p = Σx̃ₜsin(2πt/p) over the mean-centered series, normalized to
+    the fraction of series variance 2(a²+b²)/(nΣx̃²) — the
+    frequency-domain seasonality detector that picks WHICH period
+    `seasonality_index_dow` / `stl_ma_decompose` should deseasonalize
+    with, instead of assuming weekly (`daily_acf`'s lag-7 view, in
+    the frequency domain).
+
+    Determinism: daily cents are exact and the mean subtraction is
+    one exact-integer division; cos/sin take the identical rational
+    arguments (π as the exact double literal 3.141592653589793) but
+    are libm calls, so the output ships via stable_render — the
+    transcendental-chain discipline. Scale shape: corpus →
+    calendar-bounded daily aggregate; the 3-period grid is a
+    broadcast cross join over that bounded series; three rows out."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "c",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).cast("long").alias("sc"),
+    )
+    cent = seq.select(
+        "t", "n", (F.col("c") - F.col("sc").cast("double") / F.col("n")).alias("xd")
+    )
+    ps = spark.createDataFrame([(7,), (14,), (30,)], "p int")
+    pi2 = 2 * 3.141592653589793
+    dft = (
+        cent.crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("xd") * F.cos(F.lit(pi2) * F.col("t") / F.col("p"))).alias("a"),
+            F.sum(F.col("xd") * F.sin(F.lit(pi2) * F.col("t") / F.col("p"))).alias("b"),
+            F.sum(F.col("xd") * F.col("xd")).alias("ssq"),
+        )
+    )
+    return dft.select(
+        F.col("p").cast("int").alias("period"),
+        F.col("n").cast("long").alias("n_days"),
+        stable_render(
+            2.0 * (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            / (F.col("n") * F.col("ssq")),
+            6,
+        ).alias("power_frac"),
+    ).orderBy("period")
