@@ -3623,3 +3623,107 @@ def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             "between_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# auc_rank_separability — ROC AUC as the rank statistic (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "auc_rank_separability",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    by_val AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum(pos) AS BIGINT) AS tp
+        FROM scored GROUP BY s
+    ),
+    ranked AS (
+        SELECT s, t, tp,
+               CAST(coalesce(sum(t) OVER (
+                   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+        FROM by_val
+    ),
+    agg AS (
+        SELECT CAST(sum(tp) AS BIGINT) AS n_pos,
+               CAST(sum(t - tp) AS BIGINT) AS n_neg,
+               CAST(sum((2 * cum_prev + t + 1) * tp) AS BIGINT) AS r2
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           {round_sql(
+               "(r2 / 2.0 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+               " / (CAST(n_pos AS DOUBLE) * n_neg)", 6
+           )} AS auc,
+           {round_sql(
+               "2 * ((r2 / 2.0 - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)"
+               " / (CAST(n_pos AS DOUBLE) * n_neg)) - 1", 6
+           )} AS gini_coef
+    FROM agg
+    """,
+)
+def auc_rank_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of event value as a classifier score separating
+    purchases from clicks, computed as the Mann-Whitney rank
+    statistic AUC = (ΣR⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) — P(random positive
+    outranks random negative), with ties counted half. The one-pass
+    distributed AUC every model-eval pipeline needs (no sort of the
+    full corpus by score, no thresholds grid), plus the Gini
+    coefficient 2·AUC−1 — the rank twin of
+    `calibration_reliability` (which checks probability VALUES; this
+    checks ORDERING power). `mann_whitney_u_test` reuses the same
+    machinery to test a difference; this reports the effect as the
+    evaluation metric.
+
+    Determinism: scores fix to integer cents; tie-averaged ranks
+    come DOUBLED off per-VALUE counts (2·cum_prev+t+1 — the
+    `wilcoxon_signed_rank` discipline, so ΣR⁺×2 is an exact BIGINT),
+    and the two floats are one closed-form division each, 6dp.
+    Scale shape: one value-keyed aggregate (never a corpus-wide
+    rank window), one value-ordered window over the DISTINCT-value
+    relation, one scalar rollup."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    by_val = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    w_prev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.select(
+        "s",
+        "t",
+        "tp",
+        F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+        .cast("long")
+        .alias("cum_prev"),
+    )
+    agg = ranked.agg(
+        F.sum("tp").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("tp")).cast("long").alias("n_neg"),
+        F.sum((2 * F.col("cum_prev") + F.col("t") + 1) * F.col("tp"))
+        .cast("long")
+        .alias("r2"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    auc = (F.col("r2") / 2.0 - np_.cast("double") * (np_ + 1) / 2) / (
+        np_.cast("double") * nn
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        round_col(auc, 6).alias("auc"),
+        round_col(2 * auc - 1, 6).alias("gini_coef"),
+    )

@@ -5158,3 +5158,202 @@ def periodogram_seasonal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("power_frac"),
     ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# cross_correlation_lead_lag — CCF between two daily series (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_correlation_lead_lag",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT x, y,
+               lag(x, 1) OVER (ORDER BY day) AS xm1,
+               lag(x, 2) OVER (ORDER BY day) AS xm2,
+               lag(x, 3) OVER (ORDER BY day) AS xm3,
+               lag(y, 1) OVER (ORDER BY day) AS ym1,
+               lag(y, 2) OVER (ORDER BY day) AS ym2,
+               lag(y, 3) OVER (ORDER BY day) AS ym3
+        FROM daily
+    ),
+    ccf AS (
+        SELECT CAST(l.l AS INT) AS lag,
+               CASE l.l
+                   WHEN -3 THEN (SELECT corr(y, xm3) FROM lagged)
+                   WHEN -2 THEN (SELECT corr(y, xm2) FROM lagged)
+                   WHEN -1 THEN (SELECT corr(y, xm1) FROM lagged)
+                   WHEN  0 THEN (SELECT corr(y, x) FROM lagged)
+                   WHEN  1 THEN (SELECT corr(x, ym1) FROM lagged)
+                   WHEN  2 THEN (SELECT corr(x, ym2) FROM lagged)
+                   WHEN  3 THEN (SELECT corr(x, ym3) FROM lagged)
+               END AS r
+        FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) l(l)
+    )
+    SELECT lag, {round_sql("r", 6)} AS ccf
+    FROM ccf ORDER BY lag
+    """,
+)
+def cross_correlation_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click-value and
+    purchase-value series at lags −3..+3 (negative lag = clicks LEAD
+    purchases by |lag| days): the lead/lag detector behind
+    attribution windows, campaign-effect delays, and
+    cascade-ordering of metrics — `daily_acf` correlates a series
+    with ITSELF; this correlates two series ACROSS time, and the
+    argmax lag says who moves first.
+
+    Determinism: one day-grouped scan produces both series; each CCF
+    point is corr() over identically-lagged pairs of that
+    calendar-bounded relation — the `daily_acf` 6dp-corr discipline,
+    and the lag grid is an explicit VALUES list so both engines
+    evaluate the same seven expressions. Scale shape: one shuffle to
+    the daily grain; the lag windows and seven corrs run over that
+    bounded series only."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        "y",
+        *[F.lag("x", k).over(w).alias(f"xm{k}") for k in (1, 2, 3)],
+        *[F.lag("y", k).over(w).alias(f"ym{k}") for k in (1, 2, 3)],
+    )
+    ccf = lagged.agg(
+        F.corr("y", "xm3").alias("m3"),
+        F.corr("y", "xm2").alias("m2"),
+        F.corr("y", "xm1").alias("m1"),
+        F.corr("y", "x").alias("z0"),
+        F.corr("x", "ym1").alias("p1"),
+        F.corr("x", "ym2").alias("p2"),
+        F.corr("x", "ym3").alias("p3"),
+    )
+    pairs = [(-3, "m3"), (-2, "m2"), (-1, "m1"), (0, "z0"),
+             (1, "p1"), (2, "p2"), (3, "p3")]
+    rows = ccf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lg).cast("int").alias("lag"),
+                        F.col(c).alias("r"),
+                    )
+                    for lg, c in pairs
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.lag").alias("lag"), F.col("e.r").alias("r"))
+    return rows.select(
+        "lag", round_col(F.col("r"), 6).alias("ccf")
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# gumbel_block_maxima — extreme-value return levels (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gumbel_block_maxima",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    weekly_max AS (
+        SELECT date_diff('day', DATE '1970-01-01', day) // 7 AS w,
+               CAST(max(c) AS BIGINT) AS mx
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               avg(CAST(mx AS DOUBLE) / 100) AS m,
+               stddev_samp(CAST(mx AS DOUBLE) / 100) AS s
+        FROM weekly_max
+    ),
+    fit AS (
+        SELECT n_blocks,
+               s * sqrt(6.0) / 3.141592653589793 AS beta,
+               m - 0.5772156649015329
+                   * (s * sqrt(6.0) / 3.141592653589793) AS mu
+        FROM mom
+    )
+    SELECT n_blocks,
+           {stable_render_sql("mu", 4)} AS gumbel_mu,
+           {stable_render_sql("beta", 4)} AS gumbel_beta,
+           {stable_render_sql("mu - beta * ln(-ln(0.99))", 4)}
+               AS return_level_p99
+    FROM fit
+    """,
+)
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit to WEEKLY MAXIMA of daily revenue by
+    the method of moments (β̂ = s√6/π, μ̂ = x̄ − γβ̂ with Euler's γ),
+    plus the p=0.99 return level μ̂ − β̂·ln(−ln 0.99) — the
+    block-maxima capacity question ('what daily peak should one in a
+    hundred weeks reach?') that mean-based monitors
+    (`anomaly_zscore_daily`) cannot answer because extremes don't
+    follow the bulk. The classical EVT first step; companion to
+    `hill_tail_index` (tail SHAPE) — this fits the max-domain
+    location/scale.
+
+    Determinism: daily cents are exact, weekly maxima are exact
+    BIGINT maxima over a calendar-bounded series; mean/stddev over
+    the ~dozens-of-blocks relation carry engine accumulation wobble
+    and π/γ/ln are transcendental, so all three floats ship via
+    stable_render (4dp decimal string). Scale shape: corpus → daily
+    → weekly-max (two bounded aggregates), then a 1-row closed
+    form."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    weekly_max = (
+        daily.select(
+            F.floor(
+                F.datediff(
+                    F.col("day"), F.lit("1970-01-01").cast("date")
+                )
+                / 7
+            ).alias("w"),
+            "c",
+        )
+        .groupBy("w")
+        .agg(F.max("c").cast("long").alias("mx"))
+    )
+    mom = weekly_max.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg(F.col("mx").cast("double") / 100).alias("m"),
+        F.stddev_samp(F.col("mx").cast("double") / 100).alias("s"),
+    )
+    beta = F.col("s") * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = F.col("m") - F.lit(0.5772156649015329) * beta
+    return mom.select(
+        "n_blocks",
+        stable_render(mu, 4).alias("gumbel_mu"),
+        stable_render(beta, 4).alias("gumbel_beta"),
+        stable_render(mu - beta * F.log(-F.log(F.lit(0.99))), 4).alias(
+            "return_level_p99"
+        ),
+    )
