@@ -59,7 +59,7 @@ _CHECK_PRIORITY = [
     "hurst_rs_exponent", "friedman_kendall_w", "moran_i_grid",
     "theil_inequality_decomposition", "periodogram_seasonal_power",
     "cross_correlation_lead_lag", "gumbel_block_maxima",
-    "auc_rank_separability",
+    "auc_rank_separability", "span_corruption_masking",
     # 3: staleness rotation — r3-vintage remainder, oldest first
     "systematic_sample", "pack_sequences_greedy",
     "sql_passthrough_reserved", "struct_field_access", "cube_agg",

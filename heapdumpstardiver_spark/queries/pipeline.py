@@ -4368,3 +4368,188 @@ def moran_i_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(ei, 6).alias("expected_i"),
         (round_col(mi, 6) > round_col(ei, 6)).alias("clustered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_masking — T5-style deterministic denoising targets (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "span_corruption_masking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, tokens[i] AS tok, len(tokens) AS n,
+               CAST('0x' || substr(md5(doc_id || ':' || i), 1, 4)
+                    AS BIGINT) % 8 = 0 AS st,
+               1 + CAST('0x' || substr(md5(doc_id || ':' || i), 5, 1)
+                        AS BIGINT) % 3 AS ln
+        FROM toks, unnest(range(1, len(tokens) + 1)) AS t(i)
+    ),
+    flags AS (
+        SELECT doc_id, i, tok, n, st,
+               (st
+                OR (lag(st, 1, false) OVER w AND lag(ln, 1, 0) OVER w > 1)
+                OR (lag(st, 2, false) OVER w AND lag(ln, 2, 0) OVER w > 2))
+                   AS masked
+        FROM pos
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    runs AS (
+        SELECT doc_id, i, tok, n, masked,
+               masked AND NOT lag(masked, 1, false)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS run_start
+        FROM flags
+    ),
+    numbered AS (
+        SELECT doc_id, i, tok, n, masked, run_start,
+               CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS k
+        FROM runs
+    ),
+    rendered AS (
+        SELECT doc_id, max(n) AS n_tokens,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_masked,
+               CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spans,
+               string_agg(
+                   CASE WHEN run_start THEN '<X_' || (k - 1) || '>'
+                        WHEN NOT masked THEN tok END, ' '
+                   ORDER BY i) AS masked_text
+        FROM numbered
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_masked, n_spans,
+           masked_text
+    FROM rendered ORDER BY doc_id LIMIT 10
+    """,
+)
+def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) as a
+    DETERMINISTIC corpus transform: ~12.5% of positions start a
+    corruption span of 1-3 tokens (both drawn from md5(doc_id:pos) —
+    no RNG, the `train_test_split_hash` reproducible-noise
+    discipline), overlapping spans merge, and each masked run is
+    replaced by a numbered sentinel <X_k> — the denoising-objective
+    input every span-corruption pretraining pipeline materializes.
+    Sits beside `pack_sequences_greedy` (batch shaping) and
+    `chunk_documents_overlap` (context shaping) as the third
+    training-data TRANSFORM.
+
+    Determinism: span starts/lengths are integer arithmetic on md5
+    hex prefixes (conv ≙ CAST('0x'||…)), the overlap-merge is three
+    fixed lag comparisons, sentinel numbering is a cumulative sum
+    over the doc-ordered positions, and the rendered text is an
+    ORDERED aggregation — every byte identical cross-engine. Scale
+    shape: explode → per-doc windows (bounded by doc length, never
+    corpus-wide) → one doc-keyed ordered aggregation; TakeOrdered
+    bounds the checked output while the plan itself maps the whole
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    idx = F.sequence(F.lit(1), F.size("tokens"))
+    pos = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.element_at("tokens", i).alias("tok"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "n", "p.i", "p.tok")
+    h = F.md5(F.concat_ws(":", "doc_id", "i"))
+    pos = pos.select(
+        "doc_id",
+        "n",
+        "i",
+        "tok",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 8 == 0).alias(
+            "st"
+        ),
+        (1 + F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 3).alias(
+            "ln"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    st1 = F.coalesce(F.lag("st", 1).over(w), F.lit(False))
+    ln1 = F.coalesce(F.lag("ln", 1).over(w), F.lit(0))
+    st2 = F.coalesce(F.lag("st", 2).over(w), F.lit(False))
+    ln2 = F.coalesce(F.lag("ln", 2).over(w), F.lit(0))
+    flags = pos.select(
+        "doc_id",
+        "n",
+        "i",
+        "tok",
+        "st",
+        (F.col("st") | (st1 & (ln1 > 1)) | (st2 & (ln2 > 2))).alias("masked"),
+    )
+    runs = flags.select(
+        "doc_id",
+        "n",
+        "i",
+        "tok",
+        "masked",
+        (
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked", 1).over(w), F.lit(False))
+        ).alias("run_start"),
+    )
+    numbered = runs.select(
+        "doc_id",
+        "n",
+        "i",
+        "tok",
+        "masked",
+        "run_start",
+        F.sum(F.when(F.col("run_start"), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("k"),
+    )
+    # render value: sentinel at run starts, token when unmasked, NULL
+    # for masked continuation rows — collect_list/string_agg skip
+    # NULLs in BOTH engines, so counts aggregate over ALL positions
+    # while the rendered stream drops the span interiors
+    rv = F.when(
+        F.col("run_start"),
+        F.concat(
+            F.lit("<X_"), (F.col("k") - 1).cast("string"), F.lit(">")
+        ),
+    ).when(~F.col("masked"), F.col("tok"))
+    rendered = (
+        numbered.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.sum(F.when(F.col("run_start"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                rv.isNotNull(),
+                                F.struct("i", rv.alias("v")),
+                            )
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                " ",
+            ).alias("masked_text"),
+        )
+    )
+    return rendered.orderBy("doc_id").limit(10)
