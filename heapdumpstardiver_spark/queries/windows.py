@@ -5357,3 +5357,187 @@ def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             "return_level_p99"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pinball_loss_quantile_eval — quantile-forecast scoring (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pinball_loss_quantile_eval",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    paired AS (
+        SELECT c AS y, lag(c, 7) OVER (ORDER BY day) AS yhat
+        FROM daily
+        QUALIFY lag(c, 7) OVER (ORDER BY day) IS NOT NULL
+    ),
+    grid AS (
+        SELECT CAST(t.tau AS DOUBLE) AS tau, y, yhat, y - yhat AS e
+        FROM paired, (VALUES (0.1), (0.5), (0.9)) t(tau)
+    )
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_days,
+           {round_sql(
+               "avg(CASE WHEN e >= 0 THEN tau * e"
+               " ELSE (tau - 1) * e END) / 100.0", 4
+           )} AS pinball_loss,
+           {round_sql(
+               "CAST(sum(CASE WHEN e >= 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / count(*)", 4
+           )} AS frac_above
+    FROM grid GROUP BY tau ORDER BY tau
+    """,
+)
+def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast at
+    τ ∈ {{0.1, 0.5, 0.9}}: L_τ = mean(τ·e⁺ + (1−τ)·e⁻) — the proper
+    scoring rule for quantile forecasts, and the metric a quantile
+    regression or `conformal_interval_naive`-style band is tuned
+    against (`seasonal_naive_error` scores the POINT forecast with
+    MAE/MAPE; this scores the same predictor AS IF it claimed each
+    quantile, and frac_above exposes its actual calibration — a
+    well-calibrated τ=0.9 forecast should sit above ~90% of
+    outcomes).
+
+    Determinism: errors are exact integer-cent differences off the
+    lag-7 pairing; each loss is one conditional mean over the
+    calendar-bounded series with literal τ constants — identical
+    expression trees, 4dp. Scale shape: corpus → daily aggregate
+    (one shuffle); the τ grid is a 3-row broadcast cross join over
+    the bounded series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    )
+    wd = Window.orderBy("day")
+    paired = daily.select(
+        F.col("c").alias("y"), F.lag("c", 7).over(wd).alias("yhat")
+    ).filter(F.col("yhat").isNotNull())
+    taus = spark.createDataFrame([(0.1,), (0.5,), (0.9,)], "tau double")
+    grid = paired.crossJoin(F.broadcast(taus)).select(
+        "tau", (F.col("y") - F.col("yhat")).alias("e")
+    )
+    loss = F.when(
+        F.col("e") >= 0, F.col("tau") * F.col("e")
+    ).otherwise((F.col("tau") - 1) * F.col("e"))
+    return (
+        grid.groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            round_col(F.avg(loss) / 100.0, 4).alias("pinball_loss"),
+            round_col(
+                F.sum(F.when(F.col("e") >= 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("frac_above"),
+        )
+        .orderBy("tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_entropy_rate — information rate of the journey chain (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst
+        FROM events
+    ),
+    trans AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    outdeg AS (
+        SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY src
+    ),
+    grand AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM trans),
+    rowent AS (
+        SELECT t.src, o.tot,
+               -sum((CAST(t.n AS DOUBLE) / o.tot)
+                    * ln(CAST(t.n AS DOUBLE) / o.tot)) AS h_row
+        FROM trans t JOIN outdeg o ON t.src = o.src
+        GROUP BY t.src, o.tot
+    ),
+    ent AS (
+        SELECT sum((CAST(tot AS DOUBLE) / g) * h_row) AS h_rate,
+               CAST(count(*) AS BIGINT) AS k_states
+        FROM rowent CROSS JOIN grand
+    )
+    SELECT k_states,
+           (SELECT g FROM grand) AS n_transitions,
+           {stable_render_sql("(SELECT h_rate FROM ent)", 6)}
+               AS entropy_rate_nats,
+           {stable_render_sql(
+               "(SELECT h_rate FROM ent) / ln((SELECT k_states FROM ent))",
+               6
+           )} AS normalized_rate
+    FROM ent
+    """,
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey Markov chain: H = −Σᵢπᵢ
+    Σⱼpᵢⱼ ln pᵢⱼ with the empirical source distribution as πᵢ — the
+    ONE number summarizing how predictable the next action is
+    (`markov_transition_matrix` gives the full pᵢⱼ table; this is
+    its information-theoretic summary, 0 = deterministic journeys,
+    ln k = uniform randomness, and the normalized form is the
+    predictability score a sessionization or prefetch heuristic
+    should be gated on).
+
+    Determinism: transition and marginal counts are exact BIGINTs
+    off the same lead() window as the transition matrix (ties break
+    by event_id); every pᵢⱼ is one exact-integer division, but the
+    Σp·ln p accumulations are transcendental chains, so both floats
+    ship via stable_render. Scale shape: one per-user window, one
+    (src,dst) shuffle, then k²-bounded arithmetic — the
+    `markov_transition_matrix` discipline with a two-level rollup."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    trans = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = trans.groupBy("src").agg(F.sum("n").cast("long").alias("tot"))
+    grand = trans.agg(F.sum("n").cast("long").alias("g"))
+    p = F.col("n").cast("double") / F.col("tot")
+    rowent = (
+        trans.join(outdeg, "src")
+        .groupBy("src", "tot")
+        .agg((-F.sum(p * F.log(p))).alias("h_row"))
+    )
+    ent = rowent.crossJoin(F.broadcast(grand)).agg(
+        F.sum(
+            (F.col("tot").cast("double") / F.col("g")) * F.col("h_row")
+        ).alias("h_rate"),
+        F.count(F.lit(1)).cast("long").alias("k_states"),
+        F.max("g").alias("n_transitions"),
+    )
+    return ent.select(
+        "k_states",
+        "n_transitions",
+        stable_render(F.col("h_rate"), 6).alias("entropy_rate_nats"),
+        stable_render(
+            F.col("h_rate") / F.log(F.col("k_states").cast("double")), 6
+        ).alias("normalized_rate"),
+    )
