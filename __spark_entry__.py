@@ -61,6 +61,7 @@ _CHECK_PRIORITY = [
     "cross_correlation_lead_lag", "gumbel_block_maxima",
     "auc_rank_separability", "span_corruption_masking",
     "pinball_loss_quantile_eval", "markov_entropy_rate",
+    "g_test_independence", "mcc_confusion_metrics",
     # 3: staleness rotation — r3-vintage remainder, oldest first
     "systematic_sample", "pack_sequences_greedy",
     "sql_passthrough_reserved", "struct_field_access", "cube_agg",

@@ -3727,3 +3727,186 @@ def auc_rank_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(auc, 6).alias("auc"),
         round_col(2 * auc - 1, 6).alias("gini_coef"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g_test_independence — likelihood-ratio independence test (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_test_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS row_tot
+           FROM cells GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS col_tot
+           FROM cells GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS r,
+                 CAST(count(DISTINCT source) AS BIGINT) AS c
+          FROM cells),
+    g AS (
+        SELECT sum(2.0 * obs * ln(CAST(obs AS DOUBLE) * total
+                                  / (CAST(row_tot AS DOUBLE) * col_tot)))
+                   AS g_stat
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source), n
+    )
+    SELECT n.r AS n_langs, n.c AS n_sources, n.total AS n_docs,
+           (n.r - 1) * (n.c - 1) AS dof,
+           {stable_render_sql("(SELECT g_stat FROM g)", 4)} AS g_stat
+    FROM n
+    """,
+)
+def g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of lang × source independence — the
+    information-theoretic twin of `chi_square_independence` on the
+    SAME contingency: G = 2ΣO·ln(O·N/(R·C)) equals 2N times the
+    mutual information in nats (`mutual_information_categorical`
+    reports that quantity directly; G is its test statistic), is
+    additive under table partitioning (decomposable drill-downs,
+    which Pearson χ² is not), and handles sparse tables cleanly —
+    empty cells contribute exactly 0, no 0²/E pseudo-terms.
+
+    Determinism: observed and marginal counts are exact BIGINTs and
+    each term's ln argument is a ratio of exact integers, but the
+    corpus-cells ln-sum is a transcendental chain → stable_render
+    (4dp decimal string). Scale shape: one (lang, source) aggregate,
+    marginals off the cell table, one scalar rollup — cell-bounded
+    after a single shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rt = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = cells.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    n = cells.agg(
+        F.sum("obs").cast("long").alias("total"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    g = (
+        cells.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                2.0
+                * F.col("obs")
+                * F.log(
+                    F.col("obs").cast("double")
+                    * F.col("total")
+                    / (F.col("row_tot").cast("double") * F.col("col_tot"))
+                )
+            ).alias("g_stat")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(g))
+        .select(
+            F.col("r").alias("n_langs"),
+            F.col("c").alias("n_sources"),
+            F.col("total").alias("n_docs"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            stable_render(F.col("g_stat"), 4).alias("g_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mcc_confusion_metrics — threshold-classifier evaluation set (r9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mcc_confusion_metrics",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cm AS (
+        SELECT
+            CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM labeled
+    )
+    SELECT tp, fp, fn, tn,
+           {round_sql("CAST(tp AS DOUBLE) / (tp + fp)", 6)} AS precision,
+           {round_sql("CAST(tp AS DOUBLE) / (tp + fn)", 6)} AS recall,
+           {round_sql(
+               "2.0 * tp / (2.0 * tp + fp + fn)", 6
+           )} AS f1,
+           {round_sql(
+               "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)"
+               " / sqrt((CAST(tp AS DOUBLE) + fp) * (CAST(tp AS DOUBLE) + fn)"
+               "        * (CAST(tn AS DOUBLE) + fp) * (CAST(tn AS DOUBLE) + fn))",
+               6
+           )} AS mcc
+    FROM cm
+    """,
+)
+def mcc_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full confusion-matrix evaluation of the fixed-threshold
+    classifier 'value ≥ 10 predicts purchase' against the actual
+    purchase label: precision, recall, F1, and Matthews correlation
+    — the THRESHOLDED companion to `auc_rank_separability` (AUC
+    scores the ranking; once a threshold ships, these four are what
+    the monitoring dashboard tracks, and MCC is the one that stays
+    honest under class imbalance where accuracy and even F1
+    mislead).
+
+    Determinism: the four confusion counts are exact BIGINTs from
+    one conditional aggregate (threshold compares against a literal
+    on the raw double — same comparison both engines); each metric
+    is one closed-form expression over those integers (MCC's
+    denominator product is computed in DOUBLE — the integer product
+    of four ~N-sized factors would overflow LONG at corpus scale),
+    6dp. Scale shape: one scan, one 4-counter aggregate, scalar
+    arithmetic — the cheapest possible evaluation plan."""
+    e = _t(spark, sf_dir, "events")
+    labeled = e.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(F.col("value") >= 10.0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cm = labeled.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x).cast("double") for x in ("tp", "fp", "fn", "tn"))
+    mcc = (tp * F.col("tn") - fp * F.col("fn")) / F.sqrt(
+        (tp + F.col("fp")) * (tp + F.col("fn"))
+        * (tn + F.col("fp")) * (tn + F.col("fn"))
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        round_col(tp / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        round_col(tp / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        round_col(2.0 * tp / (2.0 * tp + F.col("fp") + F.col("fn")), 6).alias(
+            "f1"
+        ),
+        round_col(mcc, 6).alias("mcc"),
+    )
