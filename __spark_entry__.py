@@ -24,62 +24,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-check scheduling: the driver verifies at most ~50 queries
-# per round, taken in dict order. r9 front (r8 was 50/50 green —
-# first fully green driver round; CORRECTNESS_r08.json):
-# (1) the 7 registry entries the driver has NEVER sampled — they
-#     landed after the r8 head was written and sat in the tail. The
-#     r8 judge independently verified all 7 exact at sf0.01
-#     (scripts/verify_contract.py); this head slot converts that
-#     local truth into canonical driver rows (r8 verdict item 3).
-#     stl_ma_decompose / mood_median_test additionally carry this
-#     round's ADVICE fixes (dow now 1=Sunday like
-#     seasonality_index_dow; χ² ladder NULL past dof 6), and
-#     minhash_prefilter_jaccard (re-listed) carries the new
-#     BAND_BUCKET_CAP — all re-verified locally.
-# (2) queries NEW in r9 — first canonical rows.
-# (3) staleness rotation (standing tail policy: max green-row age ≤3
-#     rounds): r8's rotation consumed the r3-vintage block through
-#     bitmask_decode; r9 resumes at systematic_sample, then the
-#     r4-vintage block. Everything is locally parity-checked every
-#     round regardless (verify_contract.py at sf0.01 + sf0.1).
+# per round, taken in dict order.
+#
+# FRESHNESS POLICY (restated r10, per the r9 verdict): every
+# registered query's canonical driver row is re-sampled within SIX
+# rounds — the attainable cadence at ~50 samples/round over a
+# 284-query registry (a full pass takes ~6 rounds once new-query head
+# slots are paid). The per-round compensating gate is the local
+# registry-wide `scripts/verify_contract.py` pass at sf0.01 + sf0.1,
+# which re-checks EVERY oracle-paired query each round regardless of
+# what the driver samples.
+#
+# r10 front:
+# (1) queries NEW in r10 — first canonical rows.
+# (2) conformal_interval_naive + kcore_fixpoint re-sampled: both
+#     carry r9 ADVICE fixes (empty-calibration shape parity; oracle
+#     unroll budget 30→40 with loud error() on overrun).
+# (3) staleness rotation, oldest vintage first: after r9 the
+#     cumulative record holds 15 r3-vintage and 42 r4-vintage green
+#     rows; the 15 r3 rows head the rotation (r9 verdict done-bar:
+#     zero rows older than r4 after r10), then the r4 block,
+#     of which ~27 fit under the cap — the remainder leads r11.
 _CHECK_PRIORITY = [
-    # 1: never-sampled tail entries — land first canonical rows
-    "benjamini_hochberg_fdr", "durbin_watson_autocorr",
-    "jarque_bera_normality", "ljung_box_test", "mood_median_test",
-    "stl_ma_decompose", "two_proportion_z_test",
-    # re-sample: BAND_BUCKET_CAP landed this round (r8 verdict item 4)
-    "minhash_prefilter_jaccard",
-    # 2: new in r9 — need first driver rows
-    "mann_kendall_trend", "runs_test_median", "sign_test_paired",
-    "cohens_d_effect", "pacf_yule_walker", "page_hinkley_drift",
-    "ewma_control_chart", "assortativity_degree", "kcore_fixpoint",
-    "winnowing_fingerprints", "t_closeness_audit",
-    "cochran_armitage_trend", "isotonic_calibration",
-    "conformal_interval_naive", "hill_tail_index", "cronbach_alpha",
-    "hurst_rs_exponent", "friedman_kendall_w", "moran_i_grid",
-    "theil_inequality_decomposition", "periodogram_seasonal_power",
-    "cross_correlation_lead_lag", "gumbel_block_maxima",
-    "auc_rank_separability", "span_corruption_masking",
-    "pinball_loss_quantile_eval", "markov_entropy_rate",
-    "g_test_independence", "mcc_confusion_metrics",
-    # 3: staleness rotation — r3-vintage remainder, oldest first
-    "systematic_sample", "pack_sequences_greedy",
-    "sql_passthrough_reserved", "struct_field_access", "cube_agg",
-    "set_ops_except_intersect", "pivot_status_year",
-    "salted_heavy_hitter_agg", "grouping_sets_agg",
-    "correlated_scalar_subquery", "unpivot_measures",
-    "approx_quantile_sketch", "asof_join_last_event",
+    # 1: new in r10 — need first driver rows
+    "incremental_dedup_lsh_batch", "bpe_train_merges",
+    "growth_by_retainer", "kneser_ney_trigram_score",
+    "adaptive_bucket_near_dup", "saturation_dedup_curve",
+    # 2: re-sample r9-ADVICE-fixed queries
+    "conformal_interval_naive", "kcore_fixpoint",
+    # 3: staleness rotation — r3-vintage remainder (15), oldest first
     "asof_join_next_event", "date_trunc_daily", "ema_user_value",
     "freq_items_sketch", "hierarchy_closure", "hprof_object_kinds",
     "hprof_record_tally", "json_extract_agg",
     "percentile_disc_groups", "range_join_nearby",
     "rollup_hypertable_cascade", "sessionize_lag",
     "window_rank_topk", "window_running_sum", "window_tumbling_hour",
-    # ---- ~r9 cap (50): 8 never-sampled/recap + 17 r9-new head slots
-    # leave ~25 rotation slots, so the cap lands near the end of the
-    # 27-entry r3-remainder above; its last entries and the r4 block
-    # below overflow to r10 under the standing staleness policy ----
-    # r4-vintage greens, next-oldest first — r10 rotation overflow
+    # 4: r4-vintage greens (42) — ~27 fit under the ~50 cap this
+    # round; the tail leads the r11 rotation. embedding_near_dup_
+    # pairs and kmeans_embedding_clusters are placed early: both are
+    # this round's verdict watch items.
+    "embedding_near_dup_pairs", "kmeans_embedding_clusters",
     "multimodal_payload_stats", "multimodal_fingerprint_topk",
     "multimodal_frame_sample", "multimodal_feature_extract",
     "scan_filter_project", "like_patterns", "pagination",
@@ -87,14 +71,14 @@ _CHECK_PRIORITY = [
     "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
     "similarity_lsh_bucketed", "embedding_norms", "text_quality",
     "token_count_regex", "lang_id_confusion", "doc_fingerprint",
-    "minhash_lsh_candidates", "embedding_near_dup_pairs",
+    "minhash_lsh_candidates",
     "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
     "vocab_topk", "dedup_connected_components",
     "dedup_cluster_representatives", "decontaminate_ngram_overlap",
     "data_mix_weighted_sample", "train_test_split_hash",
     "quality_filter_chain", "stratified_sample_per_source",
     "repetition_filter_gopher", "minhash_verify_jaccard",
-    "token_budget_select", "kmeans_embedding_clusters",
+    "token_budget_select",
     "quality_percentile_gate", "reachability_live_census",
     "semantic_dedup_centroid", "single_retainer_bytes",
     "dominator_retained",

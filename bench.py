@@ -131,6 +131,20 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _gc_settle(spark, pause: float = 0.5) -> None:
+    """Shed inherited JVM state (GC debt, shuffle-cleanup threads)
+    before re-timing a heavyweight sample. r10 probes: jaccard_pairs
+    at sf1 measured ~27 s deep in the sequential loop across FOUR
+    reps while an isolated fresh session measured 7.5 s min-of-3 —
+    the extra reps alone don't shed accumulated session state, an
+    explicit System.gc() + pause does much better."""
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(pause)
+
+
 def time_queries(
     spark,
     sf_dir: str,
@@ -191,7 +205,12 @@ def time_queries(
             # (min-of-2) still recorded 32 s in the loop while the
             # isolated steady state is ~6.7 s. Reps stop as soon as
             # the curve flattens, so well-behaved queries pay one.
+            # Each extra rep is preceded by a GC settle (see
+            # _gc_settle): r10 measured the reps plateauing at ~3.6x
+            # the isolated number without it — the contention the
+            # reps are meant to shed is GC debt, so shed it directly.
             for _ in range(3):
+                _gc_settle(spark)
                 nxt = run_once()
                 improved = nxt < best * 0.8
                 best = min(best, nxt)
@@ -280,6 +299,13 @@ def bench_ingest_and_waste(spark) -> tuple[dict, dict]:
         while f.read(32 * 1024 * 1024):
             pass
 
+    # The ingest block runs LAST in the bench; by then the session
+    # carries the whole headline+sf1 sweep's GC debt (r10: steady
+    # throughput read 77 MB/s in-loop vs 267 MB/s isolated on the
+    # same host). Settle before timing so the number tracks the
+    # engine, not the queue position.
+    _gc_settle(spark, pause=1.0)
+
     t0 = time.perf_counter()
     manifest = ingest_hprof(spark, dump, out_dir, overwrite=True)
     wall = time.perf_counter() - t0
@@ -289,9 +315,15 @@ def bench_ingest_and_waste(spark) -> tuple[dict, dict]:
     # artifact carries the cold number AND the steady-state throughput
     # the reference's pass-2 claim compares against
     # (/root/reference/src/commands/dump_to_parquet.rs:938-941).
-    t0 = time.perf_counter()
-    ingest_hprof(spark, dump, out_dir, overwrite=True)
-    wall2 = time.perf_counter() - t0
+    # min-of-2 for the steady number (same statistic as the query
+    # loop): one warm sample still carries multi-x scheduler noise.
+    wall2 = None
+    for _ in range(2):
+        _gc_settle(spark)
+        t0 = time.perf_counter()
+        ingest_hprof(spark, dump, out_dir, overwrite=True)
+        w = time.perf_counter() - t0
+        wall2 = w if wall2 is None else min(wall2, w)
     size_mb = os.path.getsize(dump) / 1e6
     ingest = {
         "mb_per_s": round(size_mb / wall, 2),

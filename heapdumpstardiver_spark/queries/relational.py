@@ -3313,15 +3313,19 @@ def assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_fixpoint_oracle(k: int = 3, budget: int = 30) -> str:
+def _kcore_fixpoint_oracle(k: int = 3, budget: int = 40) -> str:
     """Until-fixpoint k-core oracle: unroll a FIXED budget of peel
-    rounds (MATERIALIZED so the 30-deep CTE chain evaluates once per
+    rounds (MATERIALIZED so the deep CTE chain evaluates once per
     round, not exponentially), then pick the first round whose
     survivor count matches the previous round's — by monotonicity of
     peeling (the alive set only shrinks) equal counts mean equal
     sets, i.e. the fixpoint. Valid while the true fixpoint arrives
     within the budget (measured: 15 rounds at sf0.01, 27 at sf0.1;
-    the Spark side loops until convergence and is budget-free)."""
+    budget 40 leaves headroom, and the Spark side loops until
+    convergence and is budget-free). If the fixpoint ever exceeds the
+    budget the oracle raises via DuckDB error() instead of silently
+    yielding NULLs, so a budget overrun is distinguishable from a
+    real parity mismatch (r9 ADVICE)."""
     cte = []
     for r in range(1, budget + 1):
         cte.append(f"""
@@ -3367,13 +3371,19 @@ def _kcore_fixpoint_oracle(k: int = 3, budget: int = 30) -> str:
     fix AS (
         SELECT min(round) AS fr FROM seq WHERE s = prev
     ),
-    lives AS ({lives})
+    lives AS ({lives}),
+    fixchk AS (
+        SELECT CASE WHEN fr IS NULL
+                    THEN error('kcore oracle: fixpoint beyond {budget}-round unroll budget')
+                    ELSE fr END AS fr
+        FROM fix
+    )
     SELECT CAST(fr - 1 AS INT) AS rounds_to_fixpoint,
            CAST((SELECT s FROM counts WHERE round = fr) AS BIGINT)
                AS survivors,
            CAST((SELECT le FROM lives WHERE round = fr) AS BIGINT)
                AS live_edges
-    FROM fix
+    FROM fixchk
     """
 
 

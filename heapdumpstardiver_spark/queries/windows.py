@@ -4885,8 +4885,13 @@ def conformal_interval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal_ranked = split.filter(F.col("i") <= F.col("n_cal")).select(
         "ae", F.row_number().over(Window.orderBy("ae", "i")).alias("rk")
     )
-    qhat = cal_ranked.join(F.broadcast(q), F.col("rk") == F.col("kq")).select(
-        F.col("ae").alias("q_cents")
+    # .agg() guarantees exactly one row (NULL q_cents when the rank
+    # join is empty, e.g. degenerate n_cal=0) — matching the oracle's
+    # scalar subquery, which also yields NULL; a bare crossJoin with
+    # an empty qhat would instead drop the aggregate row (r9 ADVICE).
+    qhat = (
+        cal_ranked.join(F.broadcast(q), F.col("rk") == F.col("kq"))
+        .agg(F.max("ae").alias("q_cents"))
     )
     test = split.filter(F.col("i") > F.col("n_cal"))
     return (
