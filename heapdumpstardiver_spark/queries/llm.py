@@ -1087,6 +1087,198 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_lsh_batch",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    corpus_sh AS (SELECT * FROM sh WHERE doc_id < 400),
+    batch_sh  AS (SELECT * FROM sh WHERE doc_id >= 400),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+               min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3,
+               min(md5(shingle || ':4')) AS h4, min(md5(shingle || ':5')) AS h5,
+               min(md5(shingle || ':6')) AS h6, min(md5(shingle || ':7')) AS h7
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    corpus_index AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   row_number() OVER (
+                       PARTITION BY band, bucket ORDER BY doc_id
+                   ) AS rnb
+            FROM bands_all WHERE doc_id < 400
+        ) WHERE rnb <= 64
+    ),
+    batch_bands AS (SELECT * FROM bands_all WHERE doc_id >= 400),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+        FROM batch_bands b JOIN corpus_index c
+          ON b.band = c.band AND b.bucket = c.bucket
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT cand.b_doc, cand.c_doc, count(*) AS inter
+        FROM cand
+        JOIN batch_sh  sb ON sb.doc_id = cand.b_doc
+        JOIN corpus_sh sc ON sc.doc_id = cand.c_doc
+                          AND sc.shingle = sb.shingle
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT DISTINCT i.b_doc
+        FROM inter i
+        JOIN sizes zb ON zb.doc_id = i.b_doc
+        JOIN sizes zc ON zc.doc_id = i.c_doc
+        WHERE 2 * i.inter >= zb.n_sh + zc.n_sh - i.inter
+    ),
+    cand_docs AS (SELECT DISTINCT b_doc FROM cand)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS batch_docs,
+           CAST(count(ca.b_doc) AS BIGINT) AS cand_docs,
+           CAST(count(du.b_doc) AS BIGINT) AS dup_docs,
+           CAST(count(*) - count(du.b_doc) AS BIGINT) AS kept_docs
+    FROM documents d
+    LEFT JOIN cand_docs ca ON ca.b_doc = d.doc_id
+    LEFT JOIN dup du ON du.b_doc = d.doc_id
+    WHERE d.doc_id >= 400
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def incremental_dedup_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup of a new crawl batch against a
+    persisted corpus MinHash band index — the production crawl loop
+    (`incremental_dedup_new_batch` is its exact-hash twin; this one
+    catches paraphrased/boilerplate-shifted recrawls an md5 can't):
+    the standing corpus (doc_id < 400) is represented ONLY by its
+    band index (band, bucket → doc_id, capped) plus per-doc shingle
+    sets — both written once by the corpus pipeline
+    (`minhash_lsh_candidates`' signature stage) and only PROBED here;
+    the new batch (doc_id >= 400) computes its own 8-hash/4-band
+    signatures, probes the index by (band, bucket) equi-join,
+    and exact trigram Jaccard verifies candidates (threshold 0.5,
+    compared in INTEGER form 2·inter ≥ union — no float boundary).
+    Output per source: batch size, candidate docs, verified dup docs,
+    kept docs.
+
+    Scale shape: batch-side work is O(batch tokens); the probe join
+    keys on fixed-width band buckets against an index capped at
+    BAND_BUCKET_CAP members per bucket (cap applied at index-write
+    time, deterministic row_number by doc_id — mirrored in the
+    oracle), so one batch doc fans out to ≤ 4·64 candidates no matter
+    how dup-heavy the corpus; the verify join touches candidate docs'
+    shingles only. The corpus is never rescanned — at 100 TB the
+    index and shingle tables are bucketed parquet keyed by
+    (band, bucket) and doc_id, and each daily batch is a few GB
+    probing them."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("tokens") - 2)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
+    )
+    sh = toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+            for k in range(8)
+        ]
+    )
+    bands_all = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat(f"h{2 * bi}", f"h{2 * bi + 1}")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    corpus_index = (
+        bands_all.filter(F.col("doc_id") < 400)
+        .withColumn("rnb", F.row_number().over(wcap))
+        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
+        .drop("rnb")
+    )
+    batch_bands = bands_all.filter(F.col("doc_id") >= 400)
+    b, c = batch_bands.alias("b"), corpus_index.alias("c")
+    cand = (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("b_doc"), F.col("c.doc_id").alias("c_doc"))
+        .distinct()
+    )
+    sb = sh.alias("sb")
+    sc = sh.alias("sc")
+    inter = (
+        cand.join(sb, F.col("b_doc") == F.col("sb.doc_id"))
+        .join(
+            sc,
+            (F.col("c_doc") == F.col("sc.doc_id"))
+            & (F.col("sb.shingle") == F.col("sc.shingle")),
+        )
+        .groupBy("b_doc", "c_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    zb, zc = sizes.alias("zb"), sizes.alias("zc")
+    dup = (
+        inter.join(zb, F.col("b_doc") == F.col("zb.doc_id"))
+        .join(zc, F.col("c_doc") == F.col("zc.doc_id"))
+        .filter(
+            2 * F.col("inter")
+            >= F.col("zb.n_sh") + F.col("zc.n_sh") - F.col("inter")
+        )
+        .select("b_doc")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    cand_docs = cand.select("b_doc").distinct().withColumn("is_cand", F.lit(1))
+    batch_info = d.filter(F.col("doc_id") >= 400).select("doc_id", "source")
+    return (
+        batch_info.join(cand_docs, F.col("doc_id") == cand_docs["b_doc"], "left")
+        .drop(cand_docs["b_doc"])
+        .join(dup, F.col("doc_id") == dup["b_doc"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("batch_docs"),
+            F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("cand_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("dup_docs"),
+            (F.count(F.lit(1)) - F.coalesce(F.sum("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("kept_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "quality_classifier_score",
     oracle=f"""
     WITH feat AS (

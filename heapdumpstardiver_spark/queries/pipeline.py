@@ -1502,6 +1502,144 @@ def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Unrolled-CTE twin of the BPE training loop: per merge round,
+    (a) weighted adjacent-pair counts over the current word-type
+    segmentation, (b) the argmax pair (ties broken (cnt DESC, x, y) —
+    binary collation in both engines), (c) merge application as a
+    per-word left-to-right fold via ``list_reduce`` with a string
+    accumulator ("append y when the accumulator's last token is
+    exactly x" — the merged token x||y can never equal x, so the
+    check is sound; a naive string replace() of ' x y ' diverges on
+    runs because consumed separators hide alternating occurrences).
+    ``list_reduce`` seeds with the first element, exactly matching
+    the Spark fold's zero = element_at(syms, 1)."""
+    cte = []
+    for r in range(1, n_merges + 1):
+        cte.append(f"""
+    pairs{r} AS (
+        SELECT syms[i] AS x, syms[i + 1] AS y, wf
+        FROM words{r - 1}, unnest(range(1, len(syms))) AS t(i)
+    ),
+    best{r} AS (
+        SELECT x, y, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM pairs{r} GROUP BY x, y
+        ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    words{r} AS MATERIALIZED (
+        SELECT word, wf,
+               string_split(
+                   list_reduce(syms, (acc, s) -> CASE
+                       WHEN s = b.y AND (acc = b.x OR
+                            right(acc, length(b.x) + 1) = ' ' || b.x)
+                       THEN acc || b.y
+                       ELSE acc || ' ' || s END),
+                   ' ') AS syms
+        FROM words{r - 1}, best{r} b
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_idx, x AS sym_a, y AS sym_b,"
+        f" x || y AS merged, cnt AS pair_cnt FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH vocab AS (
+        SELECT token AS word, count(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    words0 AS MATERIALIZED (
+        SELECT word, wf,
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)) AS syms
+        FROM vocab
+    ),
+    {",".join(cte)}
+    SELECT * FROM ({finals}) ORDER BY merge_idx
+    """
+
+
+BPE_N_MERGES = 8
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle(BPE_N_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE TRAINING loop (Sennrich et al. 2016,
+    arXiv:1508.07909) — promotes `bpe_pair_merge_candidates` (one
+    statistics pass) to the real algorithm: N=8 merge rounds, each
+    (1) counting corpus-frequency-weighted adjacent symbol pairs over
+    the current word-type segmentation, (2) selecting the argmax pair
+    (ties: lexicographic — deterministic in both engines), and
+    (3) re-segmenting every word type by the new merge. Output: the
+    learned merge table (rank, pair, merged symbol, count at
+    selection time) — the tokenizer artifact a training pipeline
+    ships.
+
+    Spark-first shape: the corpus collapses ONCE to the (word type,
+    frequency) relation — all iteration is over |vocab| rows, never
+    corpus tokens (the classic BPE trick; corpus size only affects
+    the initial groupBy). Each round's driver traffic is ONE row (the
+    argmax pair — the same bounded-scalar discipline as
+    `dedup_connected_components`' convergence probe), the merge
+    applies as a JVM-side `aggregate` fold per word (no UDF), and the
+    word table is `checkpoint_flat`-ed per round so round r+1 neither
+    recomputes rounds 1..r (O(N²) work) nor compounds Catalyst size
+    stats. The oracle unrolls the same 8 rounds with `list_reduce`
+    folds (see `_bpe_train_oracle`); left-to-right merge semantics
+    are pinned identical — "append y when the accumulator's last
+    token is exactly x"."""
+    from ..iterate import checkpoint_flat
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    words = checkpoint_flat(
+        vocab.withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+    merges = []
+    for r in range(1, BPE_N_MERGES + 1):
+        # sequence(1, 0) DESCENDS in Spark (vs DuckDB range(1,1) =
+        # empty) — single-symbol words must not reach the generator.
+        pairs = words.filter(F.size("syms") >= 2).select(
+            F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+            "syms",
+            "wf",
+        ).select(
+            F.expr("element_at(syms, i)").alias("x"),
+            F.expr("element_at(syms, i + 1)").alias("y"),
+            "wf",
+        )
+        best = (
+            pairs.groupBy("x", "y")
+            .agg(F.sum("wf").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(1)
+            .collect()[0]
+        )
+        bx, by, bcnt = best["x"], best["y"], best["cnt"]
+        merges.append((r, bx, by, bx + by, bcnt))
+        qx = bx.replace("\\", "\\\\").replace("'", "\\'")
+        qy = by.replace("\\", "\\\\").replace("'", "\\'")
+        fold = F.expr(
+            "split(aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),"
+            f" (acc, s) -> CASE WHEN s = '{qy}' AND (acc = '{qx}'"
+            f" OR right(acc, {len(bx) + 1}) = concat(' ', '{qx}'))"
+            f" THEN concat(acc, '{qy}')"
+            " ELSE concat(acc, ' ', s) END), ' ')"
+        )
+        words = checkpoint_flat(words.select("word", "wf", fold.alias("syms")))
+    return spark.createDataFrame(
+        merges, "merge_idx int, sym_a string, sym_b string, merged string, pair_cnt long"
+    ).orderBy("merge_idx")
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking: fixed-size overlapping token windows
 # ---------------------------------------------------------------------------
