@@ -130,7 +130,11 @@ class HprofWriter:
 
 
 def build_test_dump(
-    path: str, id_size: int = 8, extra_strings: int = 0, omit_base: bool = False
+    path: str,
+    id_size: int = 8,
+    extra_strings: int = 0,
+    omit_base: bool = False,
+    hold_extras: bool = False,
 ) -> dict:
     """Write the standard test dump; returns ground truth. The same
     logical heap is emitted for either *id_size* so ingest results can
@@ -139,7 +143,12 @@ def build_test_dump(
     *extra_strings* appends that many additional String instances and
     *omit_base* allocates but does not emit the Base instance — knobs
     for producing a later/earlier heap state with stable object ids
-    (snapshot-diff tests: extras are "new", the omitted Base "freed")."""
+    (snapshot-diff tests: extras are "new", the omitted Base "freed").
+    *hold_extras* additionally emits the "leaking collection" shape
+    the MAT compare-dumps workflow attributes growth to: one new
+    Object[] holding every extra string, itself held by one new
+    rooted Child instance — so each extra object has exactly one
+    retainer and `growth_by_retainer` can attribute the growth."""
     w = HprofWriter(id_size=id_size)
     truth: dict = {}
     # Graph-level ground truth recorded while writing, so oracles can
@@ -276,20 +285,49 @@ def build_test_dump(
         objects.append((oid, "java.lang.String", 16 + len(packed)))
         edges.append((oid, b))
     truth["strings"] += 2
+    extra_ids = []
     for _ in range(extra_strings):
         oid = w.oid()
+        extra_ids.append(oid)
         packed = w.pack_id(barr_ids[0]) + struct.pack(">b", 0) + struct.pack(">i", 0) + b"\x00"
         seg2 += w.instance(oid, STR, packed)
         objects.append((oid, "java.lang.String", 16 + len(packed)))
         edges.append((oid, barr_ids[0]))
     truth["strings"] += extra_strings
+    if hold_extras and extra_ids:
+        holder_arr = w.oid()
+        seg2 += w.obj_array(holder_arr, OARR, extra_ids)
+        objects.append(
+            (holder_arr, "java.lang.Object[]", 16 + 8 * len(extra_ids))
+        )
+        edges += [(holder_arr, e) for e in extra_ids]
+        truth["object_arrays"] += 1
+        holder_child = w.oid()
+        hc_packed = (
+            struct.pack(">i", 99)
+            + w.pack_id(holder_arr)
+            + struct.pack(">q", -9)
+            + b"\x01"
+        )
+        seg2 += w.instance(holder_child, CHILD, hc_packed)
+        objects.append((holder_child, "com.test.Child", 16 + len(hc_packed)))
+        edges.append((holder_child, holder_arr))
+        seg2 += w.root(0xFF, holder_child)
+        roots.append(holder_child)
+        truth["gc_roots"] += 1
+        truth["holder_arr"] = holder_arr
+        truth["holder_child"] = holder_child
     w.heap_segment(bytes(seg2))
     w.heap_end()
 
     with open(path, "wb") as f:
         f.write(w.buf)
     truth["base_inst"] = base_inst
-    truth["instances"] = truth["strings"] + (1 if omit_base else 2)  # + Base + Child
+    truth["instances"] = (
+        truth["strings"]
+        + (1 if omit_base else 2)  # + Base + Child
+        + (1 if hold_extras and extra_ids else 0)  # + holder Child
+    )
     truth["class_dumps"] = 4
     truth["prim_arrays"] = len(barr_ids) + 3
     truth["objects"] = objects

@@ -1399,6 +1399,173 @@ def single_retainer_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_FIXTURE: tuple[str, str, dict, dict] | None = None
+
+
+def snapshot_fixture() -> tuple[str, str, dict, dict]:
+    """(path_before, path_after, truth_before, truth_after) for the
+    two-snapshot leak fixture: `before` is the standard test dump;
+    `after` drops the Base instance (freed), adds 6 new Strings, and
+    — the leak shape — one new Object[] holding them all, itself held
+    by one new rooted Child (hprof_writer hold_extras). Built once
+    per process with the same atomic-replace discipline as
+    hprof_fixture."""
+    global _SNAP_FIXTURE
+    if _SNAP_FIXTURE is None:
+        import tempfile
+
+        from ..ingest.hprof_writer import build_test_dump
+
+        d = os.path.join(tempfile.gettempdir(), "hds_hprof_snapfix")
+        os.makedirs(d, exist_ok=True)
+        paths, truths = [], []
+        for name, kw in (
+            ("before.hprof", {}),
+            (
+                "after.hprof",
+                {"extra_strings": 6, "omit_base": True, "hold_extras": True},
+            ),
+        ):
+            path = os.path.join(d, name)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            truths.append(build_test_dump(tmp, **kw))
+            os.replace(tmp, path)
+            paths.append(path)
+        _SNAP_FIXTURE = (paths[0], paths[1], truths[0], truths[1])
+    return _SNAP_FIXTURE
+
+
+def _snapshot_warehouse(spark: SparkSession):
+    """The two-snapshot fixture ingested once into a cached
+    Hive-partitioned snapshot warehouse (`snapshot=1` = before,
+    `snapshot=2` = after) — same atomic staging-rename caching as
+    _fixture_warehouse."""
+    from ..catalog import Warehouse
+    from ..ingest.snapshots import append_snapshot
+
+    p1, p2, _, _ = snapshot_fixture()
+    wh_dir = os.path.join(os.path.dirname(p1), "wh")
+    if not os.path.exists(os.path.join(wh_dir, "_DONE")):
+        staging = f"{wh_dir}.build.{os.getpid()}"
+        append_snapshot(spark, p1, staging, 1, overwrite=True)
+        append_snapshot(spark, p2, staging, 2, overwrite=True)
+        with open(os.path.join(staging, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, wh_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return Warehouse(spark, wh_dir)
+
+
+def _growth_oracle() -> str:
+    """Oracle for growth_by_retainer from the two fixture truths:
+    DuckDB computes new objects (in `after`, not `before`, by id),
+    in-degrees over the after-snapshot edge VALUES, and attributes
+    each new object's recorded shallow bytes to its sole retainer's
+    type ('(shared)' / '(unreferenced)' buckets otherwise) — while
+    Spark derives the same from the INGESTED two-snapshot warehouse
+    via object_diff + heap_edges + shallow_sizes."""
+    _, _, t1, t2 = snapshot_fixture()
+    ids1 = ", ".join(f"({o})" for o, _t, _b in t1["objects"])
+    objs2 = ", ".join(f"({o}, '{t}', {b})" for o, t, b in t2["objects"])
+    edges2 = ", ".join(f"({s}, {d})" for s, d in t2["edges"])
+    return f"""
+    WITH o1(obj_id) AS (SELECT * FROM (VALUES {ids1}) a(i)),
+    o2(obj_id, type_name, shallow_bytes) AS (
+        SELECT * FROM (VALUES {objs2}) b(i, t, sz)),
+    e2(src, dst) AS (SELECT DISTINCT * FROM (VALUES {edges2}) e(s, d)),
+    newobj AS (
+        SELECT * FROM o2
+        WHERE obj_id NOT IN (SELECT obj_id FROM o1)
+    ),
+    indeg AS (
+        SELECT dst, count(*) AS n, min(src) AS retainer
+        FROM e2 GROUP BY dst
+    ),
+    attr AS (
+        SELECT nb.type_name AS grown_type, nb.shallow_bytes,
+               CASE WHEN i.n IS NULL THEN '(unreferenced)'
+                    WHEN i.n > 1 THEN '(shared)'
+                    ELSE ro.type_name END AS retainer_type
+        FROM newobj nb
+        LEFT JOIN indeg i ON i.dst = nb.obj_id
+        LEFT JOIN o2 ro ON i.n = 1 AND ro.obj_id = i.retainer
+    )
+    SELECT retainer_type, grown_type,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(shallow_bytes) AS BIGINT) AS grown_bytes
+    FROM attr GROUP BY retainer_type, grown_type
+    ORDER BY grown_bytes DESC, retainer_type, grown_type
+    """
+
+
+@query("growth_by_retainer", oracle=_growth_oracle())
+def growth_by_retainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot leak ATTRIBUTION — the MAT compare-dumps
+    workflow neither the reference nor the waste checks covered:
+    between two heap snapshots of the same process, every NEW object
+    (present in `after` only, `ingest/snapshots.object_diff`
+    semantics) is attributed to the type of its sole retainer in the
+    after snapshot (exactly-one in-edge, the `single_retainer_bytes`
+    attribution rule; multi-referenced news bucket to '(shared)',
+    root-only/unreferenced to '(unreferenced)'), and growth rolls up
+    to (retainer type, grown type, count, bytes) — "which holder
+    grew" rather than `type_histogram_delta`'s "which class grew".
+    The fixture's answer: one new rooted Child holds one new
+    Object[6] which holds the 6 new Strings.
+
+    Scale shape: snapshot partition pruning bounds every scan to the
+    two snapshots (Hive `snapshot=` directories, zero I/O for the
+    rest of the history); the diff is ONE groupBy on obj_id (grouped
+    presence flags, not two anti-joins); in-degree is one groupBy
+    over the after snapshot's fixed-width edge list; sizes and types
+    come from metadata-bounded joins. Nothing driver-side beyond the
+    class registry."""
+    from ..analytics.dominators import shallow_sizes
+    from ..analytics.reachability import heap_edges
+    from ..ingest.snapshots import SnapshotView, object_diff
+
+    wh = _snapshot_warehouse(spark)
+    after = SnapshotView(spark, wh.root, 2)
+    new_objs = (
+        object_diff(wh, before=1, after=2)
+        .filter(F.col("status") == "new")
+        .select("obj_id", F.col("type_name").alias("grown_type"))
+    )
+    edges = heap_edges(after).distinct()
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n"), F.min("src").alias("retainer")
+    )
+    oi = after.table("_object_index").select(
+        F.col("obj_id").alias("r_obj"), F.col("type_name").alias("r_type")
+    )
+    sizes = shallow_sizes(after)
+    attr = (
+        new_objs.join(indeg, new_objs.obj_id == indeg.dst, "left")
+        .join(oi, (F.col("n") == 1) & (F.col("retainer") == F.col("r_obj")), "left")
+        .join(sizes, "obj_id")
+        .select(
+            F.when(F.col("n").isNull(), F.lit("(unreferenced)"))
+            .when(F.col("n") > 1, F.lit("(shared)"))
+            .otherwise(F.col("r_type"))
+            .alias("retainer_type"),
+            "grown_type",
+            "shallow_bytes",
+        )
+    )
+    return (
+        attr.groupBy("retainer_type", "grown_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum("shallow_bytes").cast("long").alias("grown_bytes"),
+        )
+        .orderBy(F.desc("grown_bytes"), "retainer_type", "grown_type")
+    )
+
+
 def _root_path_oracle() -> str:
     """Oracle for gc_root_path: DuckDB enumerates every root-to-object
     path with a recursive CTE (depth-bounded cycle guard) and picks,

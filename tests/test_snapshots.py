@@ -163,3 +163,37 @@ def test_compact_table_flat_and_partitioned(spark, tmp_path_factory):
     plan = df._jdf.queryExecution().executedPlan().toString()
     (scan,) = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert "snapshot" in scan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_growth_by_retainer_attribution(spark, tmp_path):
+    """hold_extras emits the leaking-collection shape and
+    growth_by_retainer attributes every new object to its sole
+    retainer: 6 new Strings -> the new Object[], the Object[] -> the
+    new Child, the rooted Child itself unreferenced."""
+    from heapdumpstardiver_spark.queries import relational as rel
+
+    rows = {
+        (r["retainer_type"], r["grown_type"]): r
+        for r in rel.growth_by_retainer(spark, "").collect()
+    }
+    s = rows[("java.lang.Object[]", "java.lang.String")]
+    assert s["n_new"] == 6 and s["grown_bytes"] == 6 * (16 + 14)
+    a = rows[("com.test.Child", "java.lang.Object[]")]
+    assert a["n_new"] == 1 and a["grown_bytes"] == 16 + 8 * 6
+    c = rows[("(unreferenced)", "com.test.Child")]
+    assert c["n_new"] == 1
+    assert len(rows) == 3
+
+
+def test_hold_extras_truth_consistency(tmp_path):
+    """The hold_extras knob keeps the recorded ground truth additive:
+    object/edge/root counts grow by exactly the holder shape."""
+    base = build_test_dump(str(tmp_path / "x1.hprof"), extra_strings=4)
+    held = build_test_dump(
+        str(tmp_path / "x2.hprof"), extra_strings=4, hold_extras=True
+    )
+    assert len(held["objects"]) == len(base["objects"]) + 2
+    # +4 array->string edges, +1 child->array edge
+    assert len(held["edges"]) == len(base["edges"]) + 4 + 1
+    assert held["gc_roots"] == base["gc_roots"] + 1
+    assert held["holder_child"] == held["edges"][-1][0]
