@@ -727,6 +727,146 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kneser_ney_trigram_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, generate_subscripts(tokens, 1) AS pos, unnest(tokens) AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    ),
+    seq AS (
+        SELECT doc_id, pos, token AS w3,
+               lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+               lag(token, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM toks WHERE token <> ''
+    ),
+    occ AS (SELECT doc_id, w1, w2, w3 FROM seq WHERE w1 IS NOT NULL),
+    bg AS (SELECT w2, w3 FROM seq WHERE w2 IS NOT NULL),
+    tri_types AS (
+        SELECT w1, w2, w3, count(*) AS c3 FROM occ GROUP BY w1, w2, w3
+    ),
+    ctx2 AS (
+        SELECT w1, w2, sum(c3) AS c2, count(*) AS nfwd12
+        FROM tri_types GROUP BY w1, w2
+    ),
+    mid23 AS (
+        SELECT w2, w3, count(*) AS nprec23 FROM tri_types GROUP BY w2, w3
+    ),
+    midw2 AS (
+        SELECT w2, count(*) AS nmid2, count(DISTINCT w3) AS nfwdmid2
+        FROM tri_types GROUP BY w2
+    ),
+    bg_types AS (SELECT w2, w3, count(*) AS cb FROM bg GROUP BY w2, w3),
+    uni3 AS (SELECT w3, count(*) AS nuni FROM bg_types GROUP BY w3),
+    nbg AS (SELECT count(*) AS n_bg_types FROM bg_types),
+    model AS (
+        SELECT t.w1, t.w2, t.w3,
+               greatest(CAST(t.c3 AS DOUBLE) - 0.75, 0.0) / c.c2
+               + 0.75 * c.nfwd12 / c.c2
+                 * (greatest(CAST(m.nprec23 AS DOUBLE) - 0.75, 0.0) / g.nmid2
+                    + 0.75 * g.nfwdmid2 / g.nmid2
+                      * (CAST(u.nuni AS DOUBLE) / n.n_bg_types)) AS p3
+        FROM tri_types t
+        JOIN ctx2 c ON c.w1 = t.w1 AND c.w2 = t.w2
+        JOIN mid23 m ON m.w2 = t.w2 AND m.w3 = t.w3
+        JOIN midw2 g ON g.w2 = t.w2
+        JOIN uni3 u ON u.w3 = t.w3
+        CROSS JOIN nbg n
+    ),
+    scored AS (
+        SELECT o.doc_id,
+               {round_sql("-avg(ln(p3))", 6)} AS nll_r,
+               count(*) AS n_trigrams
+        FROM occ o
+        JOIN model md ON md.w1 = o.w1 AND md.w2 = o.w2 AND md.w3 = o.w3
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, CAST(CAST(nll_r AS DECIMAL(18,6)) AS VARCHAR) AS nll,
+           n_trigrams
+    FROM scored ORDER BY nll_r DESC, doc_id
+    LIMIT 50
+    """,
+)
+def kneser_ney_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999,
+    fixed discount D=0.75) — completes the n-gram LM ladder above
+    `unigram_logprob_score`/`bigram_logprob_score` with the standard
+    LM smoothing: the top order discounts raw trigram counts, the
+    middle and bottom orders use CONTINUATION counts (how many
+    distinct contexts a gram completes), so boilerplate that repeats
+    in one context stops looking probable. Per-document mean NLL
+    under the corpus-trained model; top-50 most atypical docs.
+
+    Every statistic is a reduced TYPE-level relation, not an
+    occurrence relation: trigram types (one groupBy), their
+    (w1,w2)/(w2,w3)/(w2) rollups, bigram types, and continuation
+    unigrams — each orders of magnitude smaller than the corpus; the
+    per-type probability is assembled by equi-joins among them and
+    joined back to occurrences on the trigram key (one shuffle each).
+    Zeros cannot occur: a scored trigram exists in the model by
+    construction, and every scored w3 is some bigram's second word so
+    its continuation count is ≥ 1. Both engines evaluate the
+    identical arithmetic expression tree over exact integer counts;
+    ln/avg at 6 dp follows the proven logprob-family discipline."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w3")
+    ).filter(F.col("w3") != "")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("w2", F.lag("w3").over(wdoc)).withColumn(
+        "w1", F.lag("w3", 2).over(wdoc)
+    )
+    occ = seq.filter(F.col("w1").isNotNull()).select("doc_id", "w1", "w2", "w3")
+    bg = seq.filter(F.col("w2").isNotNull()).select("w2", "w3")
+    tri_types = occ.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx2 = tri_types.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"), F.count(F.lit(1)).alias("nfwd12")
+    )
+    mid23 = tri_types.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nprec23"))
+    midw2 = tri_types.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("nmid2"),
+        F.count_distinct("w3").alias("nfwdmid2"),
+    )
+    bg_types = bg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cb"))
+    uni3 = bg_types.groupBy("w3").agg(F.count(F.lit(1)).alias("nuni"))
+    nbg = bg_types.agg(F.count(F.lit(1)).alias("n_bg_types"))
+    p_uni = F.col("nuni").cast("double") / F.col("n_bg_types")
+    p_mid = (
+        F.greatest(F.col("nprec23").cast("double") - 0.75, F.lit(0.0))
+        / F.col("nmid2")
+        + 0.75 * F.col("nfwdmid2") / F.col("nmid2") * p_uni
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - 0.75, F.lit(0.0)) / F.col("c2")
+        + 0.75 * F.col("nfwd12") / F.col("c2") * p_mid
+    )
+    model = (
+        tri_types.join(ctx2, ["w1", "w2"])
+        .join(mid23, ["w2", "w3"])
+        .join(midw2, ["w2"])
+        .join(uni3, ["w3"])
+        .crossJoin(F.broadcast(nbg))
+        .select("w1", "w2", "w3", p3.alias("p3"))
+    )
+    return (
+        occ.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            round_col(-F.avg(F.log("p3")), 6).alias("nll_r"),
+            F.count(F.lit(1)).alias("n_trigrams"),
+        )
+        .orderBy(F.desc("nll_r"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.col("nll_r").cast("decimal(18,6)").cast("string").alias("nll"),
+            "n_trigrams",
+        )
+    )
+
+
+@query(
     "repetition_filter_gopher",
     oracle=f"""
     WITH toks AS (
