@@ -49,7 +49,7 @@ _CHECK_PRIORITY = [
     # 1: new in r10 — need first driver rows
     "incremental_dedup_lsh_batch", "bpe_train_merges",
     "growth_by_retainer", "kneser_ney_trigram_score",
-    "adaptive_bucket_near_dup", "saturation_dedup_curve",
+    "tokenizer_apply_bpe", "saturation_dedup_curve",
     # 2: re-sample r9-ADVICE-fixed queries
     "conformal_interval_naive", "kcore_fixpoint",
     # 3: staleness rotation — r3-vintage remainder (15), oldest first

@@ -85,6 +85,125 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "saturation_dedup_curve",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS h,
+               max(doc_id) OVER () AS mx
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, mx,
+               CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY h)
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM hashed
+    ),
+    bucketed AS (
+        SELECT CAST(1
+             + (CASE WHEN doc_id > (mx * 1 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 2 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 3 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 4 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 5 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 6 + 7) // 8 THEN 1 ELSE 0 END)
+             + (CASE WHEN doc_id > (mx * 7 + 7) // 8 THEN 1 ELSE 0 END)
+             AS INT) AS curve_point,
+               is_dup
+        FROM flags
+    ),
+    per AS (
+        SELECT curve_point, count(*) AS step_docs,
+               sum(is_dup) AS step_dup
+        FROM bucketed GROUP BY curve_point
+    ),
+    cum AS (
+        SELECT curve_point,
+               CAST(sum(step_docs) OVER w AS BIGINT) AS n_docs,
+               CAST(sum(step_dup) OVER w AS BIGINT) AS n_dup,
+               CAST(step_docs AS BIGINT) AS step_docs,
+               CAST(step_dup AS BIGINT) AS step_dup
+        FROM per
+        WINDOW w AS (ORDER BY curve_point
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT curve_point, n_docs, n_dup,
+           {round_sql("CAST(n_dup AS DOUBLE) / n_docs", 6)} AS dup_rate,
+           {round_sql("CAST(step_dup AS DOUBLE) / step_docs", 6)}
+               AS marginal_dup_rate
+    FROM cum ORDER BY curve_point
+    """,
+)
+def saturation_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup saturation curve — the crawl-planning diagnostic behind
+    "is more crawling still buying new data?": treating doc_id as
+    crawl order, the corpus is cut at 8 id-range checkpoints and each
+    reports its cumulative duplicate fraction plus the MARGINAL dup
+    rate of the newest slice (a rising marginal rate = the crawl is
+    saturating; scaling-law data-curation work tracks exactly this
+    curve before paying for more tokens).
+
+    One pass, no prefix re-scans and no global ordering: a doc is a
+    duplicate iff an earlier doc_id carries the same content hash
+    (min-over-hash window — the one real shuffle); its checkpoint
+    bucket is a closed-form sum of 7 integer threshold comparisons
+    against ⌈max_id·i/8⌉ (max_id is a broadcast one-row aggregate —
+    deliberately NOT a rank: a global row_number would single-
+    partition the corpus), and the cumulative curve is a window over
+    the 8-row bucket aggregate."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    is_dup = F.when(
+        F.col("doc_id") > F.min("doc_id").over(Window.partitionBy("h")), 1
+    ).otherwise(0)
+    # integer-exact thresholds: (mx*i + 7) // 8 — Spark's / on longs
+    # is double division, so floor() the exact-integer-valued double
+    # (exact below 2^53)
+    bucket = sum(
+        (
+            F.when(
+                F.col("doc_id") > F.floor((F.col("mx") * i + 7) / 8), 1
+            ).otherwise(0)
+            for i in range(1, 8)
+        ),
+        start=F.lit(1),
+    )
+    per = (
+        hashed.withColumn("is_dup", is_dup)
+        .crossJoin(F.broadcast(mx))
+        .select(bucket.cast("int").alias("curve_point"), "is_dup")
+        .groupBy("curve_point")
+        .agg(
+            F.count(F.lit(1)).alias("step_docs"),
+            F.sum("is_dup").alias("step_dup"),
+        )
+    )
+    wc = Window.orderBy("curve_point").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "curve_point",
+        F.sum("step_docs").over(wc).cast("long").alias("n_docs"),
+        F.sum("step_dup").over(wc).cast("long").alias("n_dup"),
+        F.col("step_docs").cast("long").alias("step_docs"),
+        F.col("step_dup").cast("long").alias("step_dup"),
+    )
+    return cum.select(
+        "curve_point",
+        "n_docs",
+        "n_dup",
+        round_col(F.col("n_dup").cast("double") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        round_col(
+            F.col("step_dup").cast("double") / F.col("step_docs"), 6
+        ).alias("marginal_dup_rate"),
+    ).orderBy("curve_point")
+
+
+@query(
     "dedup_prefix_groups",
     oracle="""
     WITH groups AS (

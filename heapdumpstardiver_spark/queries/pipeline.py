@@ -1642,8 +1642,9 @@ def bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle(n_merges: int = 8) -> str:
-    """Unrolled-CTE twin of the BPE training loop: per merge round,
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared unrolled-CTE body of the BPE oracles (vocab →
+    words0 → N× (pairsR, bestR, wordsR)): per merge round,
     (a) weighted adjacent-pair counts over the current word-type
     segmentation, (b) the argmax pair (ties broken (cnt DESC, x, y) —
     binary collation in both engines), (c) merge application as a
@@ -1677,13 +1678,7 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
                    ' ') AS syms
         FROM words{r - 1}, best{r} b
     )""")
-    finals = "\n    UNION ALL ".join(
-        f"SELECT CAST({r} AS INT) AS merge_idx, x AS sym_a, y AS sym_b,"
-        f" x || y AS merged, cnt AS pair_cnt FROM best{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return f"""
-    WITH vocab AS (
+    return f"""vocab AS (
         SELECT token AS word, count(*) AS wf
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         WHERE token <> '' GROUP BY token
@@ -1694,7 +1689,19 @@ def _bpe_train_oracle(n_merges: int = 8) -> str:
                               i -> substr(word, i, 1)) AS syms
         FROM vocab
     ),
-    {",".join(cte)}
+    {",".join(cte)}"""
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    """Merge-table oracle: the chain plus a UNION over the N argmax
+    rows."""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_idx, x AS sym_a, y AS sym_b,"
+        f" x || y AS merged, cnt AS pair_cnt FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_chain(n_merges)}
     SELECT * FROM ({finals}) ORDER BY merge_idx
     """
 
@@ -1728,6 +1735,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds (see `_bpe_train_oracle`); left-to-right merge semantics
     are pinned identical — "append y when the accumulator's last
     token is exactly x"."""
+    _, merges = _bpe_trained_segmentation(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_idx int, sym_a string, sym_b string, merged string, pair_cnt long"
+    ).orderBy("merge_idx")
+
+
+def _bpe_trained_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """Run the BPE training loop; return (final word segmentation
+    DataFrame ``(word, wf, syms)`` after BPE_N_MERGES merges, merge
+    table rows). Shared by `bpe_train_merges` (the merge table) and
+    `tokenizer_apply_bpe` (tokenize with the trained model)."""
     from ..iterate import checkpoint_flat
 
     d = _t(spark, sf_dir, "documents")
@@ -1775,9 +1795,67 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE concat(acc, ' ', s) END), ' ')"
         )
         words = checkpoint_flat(words.select("word", "wf", fold.alias("syms")))
-    return spark.createDataFrame(
-        merges, "merge_idx int, sym_a string, sym_b string, merged string, pair_cnt long"
-    ).orderBy("merge_idx")
+    return words, merges
+
+
+@query(
+    "tokenizer_apply_bpe",
+    oracle=f"""
+    WITH {_bpe_cte_chain(BPE_N_MERGES)},
+    seg AS (SELECT word, len(syms) AS n_seg FROM words{BPE_N_MERGES}),
+    tok AS (
+        SELECT source, token AS word
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    ),
+    per AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * n_seg) AS BIGINT) AS n_bpe_tokens,
+           {round_sql("CAST(sum(c * n_seg) AS DOUBLE) / sum(c)", 6)}
+               AS tokens_per_word
+    FROM per JOIN seg USING (word)
+    GROUP BY source ORDER BY source
+    """,
+)
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED BPE model — the inference
+    half of `bpe_train_merges` (train → apply is the full tokenizer
+    lifecycle): after the 8 learned merges, each word type's final
+    segment count prices every occurrence, rolled up per source as
+    total words, total BPE tokens, and tokens-per-word (the
+    compression ratio a tokenizer report tracks; sources that resist
+    compression have vocabulary the merges never learned —
+    out-of-domain text).
+
+    Scale shape: tokenization is a JOIN against the |vocab|-sized
+    trained segmentation — the corpus is never re-folded per merge;
+    occurrence counts reduce to the (source × word type) relation
+    before the join, so the join and final rollup are both
+    reduced-relation shuffles (at 100 TB, broadcast the segmentation:
+    it is model metadata, a few MB)."""
+    d = _t(spark, sf_dir, "documents")
+    words, _ = _bpe_trained_segmentation(spark, sf_dir)
+    seg = words.select("word", F.size("syms").alias("n_seg"))
+    per = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_seg")).cast("long").alias("n_bpe_tokens"),
+            round_col(
+                F.sum(F.col("c") * F.col("n_seg")).cast("double") / F.sum("c"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------
