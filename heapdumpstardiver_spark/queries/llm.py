@@ -203,6 +203,129 @@ def saturation_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("curve_point")
 
 
+_CDC_W = 8  # rolling-hash window (chars)
+_CDC_MOD = 1048576  # 2^20 hash modulus
+_CDC_DIV = 64  # boundary divisor → ~64-char expected chunks
+_CDC_WEIGHTS = [pow(31, j, _CDC_MOD) for j in range(_CDC_W)]
+
+
+def _cdc_oracle() -> str:
+    terms = " + ".join(
+        f"cps[i - {j}] * {w}" for j, w in enumerate(_CDC_WEIGHTS)
+    )
+    return f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))) AS cps
+        FROM documents WHERE length(text) >= 1
+    ),
+    b AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) >= {_CDC_W}
+                    THEN list_filter(range({_CDC_W}, length(text) + 1),
+                         i -> (({terms}) % {_CDC_MOD}) % {_CDC_DIV} = 0)
+                    ELSE [] END AS bpos
+        FROM c
+    ),
+    bounds AS (
+        SELECT doc_id, text,
+               list_concat(list_concat([0], bpos), [length(text)]) AS bs
+        FROM b
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(
+            list_transform(range(1, len(bs)),
+                k -> substr(text, bs[k] + 1, bs[k + 1] - bs[k]))) AS chunk
+        FROM bounds
+    ),
+    hashed AS (
+        SELECT doc_id, md5(chunk) AS chunk_hash, length(chunk) AS chunk_len
+        FROM chunks WHERE chunk <> ''
+    )
+    SELECT chunk_hash, CAST(max(chunk_len) AS INT) AS chunk_len,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM hashed GROUP BY chunk_hash
+    ORDER BY n_occ DESC, chunk_hash LIMIT 20
+    """
+
+
+@query("cdc_chunk_dedup", oracle=_cdc_oracle())
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (gear/Rabin-style, the backup-
+    dedup technique applied to training text): chunk boundaries are
+    placed where a fixed-8-char rolling hash ≡ 0 (mod 64), so an
+    INSERTION only moves boundaries locally — the chunks away from
+    the edit keep their content hashes, catching shifted duplication
+    that fixed-stride `chunk_documents_overlap` and whole-doc hashing
+    both miss. Top-20 most-repeated chunks with doc- and
+    occurrence-counts (boilerplate passages, quoted blocks).
+
+    Shape: the hash is a per-position sum over a CONSTANT window —
+    one JVM-side transform/filter chain per document (codepoints,
+    boundary positions, substrings), zero Python; the only shuffle
+    keys are fixed-width chunk hashes. Hash arithmetic is exact
+    integer (weights 31^j mod 2^20 precomputed as shared literals, Σ
+    < 2^27), identical in both engines; Spark's descending-sequence
+    trap is guarded (docs shorter than the window produce one
+    chunk)."""
+    terms = " + ".join(
+        f"element_at(cps, i - {j}) * {w}" for j, w in enumerate(_CDC_WEIGHTS)
+    )
+    d = _t(spark, sf_dir, "documents")
+    c = d.filter(F.length("text") >= 1).select(
+        "doc_id",
+        "text",
+        F.expr(
+            "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"
+        ).alias("cps"),
+    )
+    b = c.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CASE WHEN length(text) >= {_CDC_W} THEN "
+            f"filter(sequence({_CDC_W}, length(text)),"
+            f" i -> (({terms}) % {_CDC_MOD}) % {_CDC_DIV} = 0) "
+            "ELSE array() END"
+        ).alias("bpos"),
+    )
+    bounds = b.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat(array(0L), transform(bpos, x -> cast(x AS LONG)),"
+            " array(cast(length(text) AS LONG)))"
+        ).alias("bs"),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bs) - 1),"
+                " k -> substring(text, cast(element_at(bs, k) AS INT) + 1,"
+                " cast(element_at(bs, k + 1) - element_at(bs, k) AS INT)))"
+            )
+        ).alias("chunk"),
+    ).filter(F.col("chunk") != "")
+    hashed = chunks.select(
+        "doc_id",
+        F.md5("chunk").alias("chunk_hash"),
+        F.length("chunk").alias("chunk_len"),
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").cast("int").alias("chunk_len"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+        .limit(20)
+    )
+
+
 @query(
     "dedup_prefix_groups",
     oracle="""
@@ -2319,6 +2442,153 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_render(slope, 6).alias("heaps_beta"),
         stable_render(F.exp(F.avg("y") - slope * F.avg("x")), 4).alias("heaps_k"),
         stable_render(F.corr("y", "x"), 6).alias("log_log_corr"),
+    )
+
+
+@query(
+    "good_turing_vocab_estimate",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ),
+    fof AS (SELECT c, count(*) AS n_c FROM tf GROUP BY c)
+    SELECT CAST(sum(n_c) AS BIGINT) AS v_observed,
+           CAST(sum(c * n_c) AS BIGINT) AS n_tokens,
+           CAST(coalesce(max(CASE WHEN c = 1 THEN n_c END), 0) AS BIGINT)
+               AS n1,
+           CAST(coalesce(max(CASE WHEN c = 2 THEN n_c END), 0) AS BIGINT)
+               AS n2,
+           {round_sql(
+               "CAST(coalesce(max(CASE WHEN c = 1 THEN n_c END), 0)"
+               " AS DOUBLE) / sum(c * n_c)", 6
+           )} AS p_unseen,
+           {round_sql(
+               "sum(n_c) + CAST(coalesce(max(CASE WHEN c = 1 THEN n_c END),"
+               " 0) AS DOUBLE)"
+               " * (coalesce(max(CASE WHEN c = 1 THEN n_c END), 0) - 1)"
+               " / (2.0 * (coalesce(max(CASE WHEN c = 2 THEN n_c END), 0)"
+               " + 1))", 2
+           )} AS chao1_vocab
+    FROM fof
+    """,
+)
+def good_turing_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + Chao1 vocabulary-richness estimate —
+    the "how much vocabulary have we NOT crawled yet" number that
+    complements `heaps_law_fit`'s growth curve: the probability the
+    next token is an unseen type is N₁/N (Good 1953), and the
+    bias-corrected Chao1 estimator V + N₁(N₁−1)/(2(N₂+1)) bounds the
+    total vocabulary from the hapax/dis-legomena counts alone
+    (always defined — no N₂=0 division). Tokenizer-budget and
+    crawl-stopping input.
+
+    Shape: corpus → token-frequency relation (one shuffle) →
+    frequency-of-frequencies (second, tiny) → one scalar row;
+    everything integer until the two final rounded divisions."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tf.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    n1 = F.coalesce(F.max(F.when(F.col("c") == 1, F.col("n_c"))), F.lit(0))
+    n2 = F.coalesce(F.max(F.when(F.col("c") == 2, F.col("n_c"))), F.lit(0))
+    return fof.agg(
+        F.sum("n_c").cast("long").alias("v_observed"),
+        F.sum(F.col("c") * F.col("n_c")).cast("long").alias("n_tokens"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        round_col(
+            n1.cast("double") / F.sum(F.col("c") * F.col("n_c")), 6
+        ).alias("p_unseen"),
+        round_col(
+            F.sum("n_c") + n1.cast("double") * (n1 - 1) / (2.0 * (n2 + 1)), 2
+        ).alias("chao1_vocab"),
+    )
+
+
+@query(
+    "embedding_quantization_error",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127 AS sc
+        FROM base
+        WHERE list_max(list_transform(v, x -> abs(x))) > 0
+    ),
+    r AS (
+        SELECT vec_id, v,
+               list_transform(v, x ->
+                   (CASE WHEN x < 0 THEN -floor(abs(x) / sc + 0.5)
+                         ELSE floor(abs(x) / sc + 0.5) END) * sc) AS rec
+        FROM s
+    ),
+    m AS (
+        SELECT vec_id,
+               list_dot_product(v, rec)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(rec, rec))) AS cosv,
+               list_dot_product(
+                   list_transform(range(1, 65), i -> v[i] - rec[i]),
+                   list_transform(range(1, 65), i -> v[i] - rec[i])) / 64
+                   AS mse
+        FROM r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           {stable_render_sql("avg(cosv)", 6)} AS avg_cos,
+           {stable_render_sql("min(cosv)", 6)} AS min_cos,
+           {stable_render_sql("avg(mse)", 6)} AS avg_mse,
+           {stable_render_sql("max(mse)", 6)} AS max_mse
+    FROM m
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error audit (FAISS-SQ8-style,
+    symmetric per-vector scale = max|v|/127, round-half-away-from-
+    zero) — the go/no-go table before shrinking an embedding store
+    4×: reconstruction cosine (worst and average) and per-dim MSE. If
+    min_cos stays ≳0.99 the ANN family (`similarity_lsh_bucketed`,
+    `similarity_ivf_probe`) can run on int8 payloads with rescoring
+    only for the top candidates.
+
+    Shape: entirely per-row JVM array arithmetic (one scan, one
+    1-row aggregate) — nothing shuffles but five scalars. Parity: the
+    quantizer is floor(|x|/scale + 0.5) with an explicit sign branch
+    (identical IEEE ops both engines), dot products are sequential
+    folds (exprs.dot ≙ list_dot_product), and the four float outputs
+    ship via stable_render."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select("vec_id", v.alias("v")).filter(
+        F.array_max(F.transform(F.col("v"), F.abs)) > 0
+    )
+    sc = (F.array_max(F.transform(F.col("v"), F.abs)) / 127).alias("sc")
+    s = base.select("vec_id", "v", sc)
+    qcomp = lambda x: (  # noqa: E731 — mirrors the oracle lambda
+        F.when(x < 0, -F.floor(F.abs(x) / F.col("sc") + 0.5)).otherwise(
+            F.floor(F.abs(x) / F.col("sc") + 0.5)
+        )
+        * F.col("sc")
+    )
+    r = s.select("vec_id", "v", F.transform(F.col("v"), qcomp).alias("rec"))
+    diff = F.zip_with(F.col("v"), F.col("rec"), lambda a, b: a - b)
+    m = r.select(
+        cosine(F.col("v"), F.col("rec")).alias("cosv"),
+        (dot(diff, diff) / 64).alias("mse"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        stable_render(F.avg("cosv"), 6).alias("avg_cos"),
+        stable_render(F.min("cosv"), 6).alias("min_cos"),
+        stable_render(F.avg("mse"), 6).alias("avg_mse"),
+        stable_render(F.max("mse"), 6).alias("max_mse"),
     )
 
 

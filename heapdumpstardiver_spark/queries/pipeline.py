@@ -1858,6 +1858,80 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "context_window_loss",
+    oracle=f"""
+    WITH per AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    w(window_tokens) AS (VALUES (128), (512), (2048))
+    SELECT window_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > window_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           {round_sql(
+               "CAST(sum(CASE WHEN n_tok > window_tokens THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6
+           )} AS trunc_rate,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(greatest(n_tok - window_tokens, 0)) AS BIGINT)
+               AS tokens_lost,
+           {round_sql(
+               "CAST(sum(greatest(n_tok - window_tokens, 0)) AS DOUBLE)"
+               " / sum(n_tok)", 6
+           )} AS loss_rate
+    FROM per CROSS JOIN w
+    GROUP BY window_tokens ORDER BY window_tokens
+    """,
+)
+def context_window_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation audit — the sequence-length budgeting
+    table behind choosing a model's context size and a packing
+    strategy (`pack_sequences_greedy`, `chunk_documents_overlap`):
+    for candidate windows {128, 512, 2048} tokens, how many documents
+    would be cut and what fraction of corpus TOKENS a hard truncation
+    throws away (doc-rate and token-rate diverge exactly when length
+    is heavy-tailed — the case where truncation silently deletes the
+    long-document distribution).
+
+    Shape: one corpus scan reduces to (doc, token-count); the 3-row
+    window table cross-joins against THAT reduced relation (never the
+    text), and the rollup is one tiny aggregation. All counts exact
+    integers; the two rates are the only divisions."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tok")
+    )
+    w = spark.createDataFrame([(128,), (512,), (2048,)], "window_tokens int")
+    lost = F.greatest(F.col("n_tok") - F.col("window_tokens"), F.lit(0))
+    return (
+        per.crossJoin(F.broadcast(w))
+        .groupBy("window_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_tok") > F.col("window_tokens"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            round_col(
+                F.sum(
+                    F.when(F.col("n_tok") > F.col("window_tokens"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("trunc_rate"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            round_col(
+                F.sum(lost).cast("double") / F.sum("n_tok"), 6
+            ).alias("loss_rate"),
+        )
+        .orderBy("window_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking: fixed-size overlapping token windows
 # ---------------------------------------------------------------------------
