@@ -50,6 +50,8 @@ _CHECK_PRIORITY = [
     "incremental_dedup_lsh_batch", "bpe_train_merges",
     "growth_by_retainer", "kneser_ney_trigram_score",
     "tokenizer_apply_bpe", "saturation_dedup_curve",
+    "cdc_chunk_dedup", "good_turing_vocab_estimate",
+    "context_window_loss", "embedding_quantization_error",
     # 2: re-sample r9-ADVICE-fixed queries
     "conformal_interval_naive", "kcore_fixpoint",
     # 3: staleness rotation — r3-vintage remainder (15), oldest first

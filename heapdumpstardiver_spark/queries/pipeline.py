@@ -1349,6 +1349,138 @@ def semantic_dedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MMR_K = 8
+MMR_LAMBDA = "0.7"  # literal strings so both engines parse the same constant
+MMR_ONE_MINUS = "0.3"
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    """Unrolled greedy-MMR oracle: the centroid is dimension-wise
+    portably-rounded (the kmeans discipline), relevance and pair
+    similarities are list_dot_product folds (bit-identical to
+    exprs.dot), and each round's argmax replays the identical
+    0.7·rel − 0.3·maxsim expression with ties on vec_id."""
+    cte = []
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM sel{j}" for j in range(1, t)
+        )
+        cte.append(f"""
+    selu{t - 1} AS MATERIALIZED ({prev}),
+    score{t} AS MATERIALIZED (
+        SELECT r.vec_id,
+               max(list_dot_product(r.v, s.v)
+                   / (sqrt(list_dot_product(r.v, r.v))
+                      * sqrt(list_dot_product(s.v, s.v)))) AS maxsim
+        FROM rel r, selu{t - 1} s
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM selu{t - 1})
+        GROUP BY r.vec_id
+    ),
+    sel{t} AS MATERIALIZED (
+        SELECT r.vec_id, r.v, r.rel,
+               {MMR_LAMBDA} * r.rel - {MMR_ONE_MINUS} * s.maxsim AS mmr
+        FROM score{t} s JOIN rel r USING (vec_id)
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS pick_idx, vec_id,"
+        f" {stable_render_sql('rel', 6)} AS rel,"
+        f" {stable_render_sql('mmr', 6)} AS mmr FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+        SELECT i, {round_sql("avg(v[i])", 6)} AS c
+        FROM base, range(1, 65) r(i) GROUP BY i
+    ),
+    cvec AS (SELECT list(c ORDER BY i) AS cv FROM cent),
+    rel AS MATERIALIZED (
+        SELECT vec_id, v,
+               list_dot_product(v, cv)
+               / (sqrt(list_dot_product(v, v))
+                  * sqrt(list_dot_product(cv, cv))) AS rel
+        FROM base, cvec
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, v, rel, rel AS mmr FROM rel
+        ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    {",".join(cte)}
+    SELECT * FROM ({finals}) ORDER BY pick_idx
+    """
+
+
+@query("mmr_diverse_selection", oracle=_mmr_oracle())
+def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy Maximal-Marginal-Relevance selection (Carbonell &
+    Goldstein 1998) of k=8 documents from the embedding corpus:
+    pick 1 maximizes relevance to the corpus centroid, every later
+    pick maximizes 0.7·relevance − 0.3·max-similarity-to-selected —
+    the diversity-aware selection behind few-shot exemplar choice,
+    eval-set curation, and dedup-aware sampling (`greedy_source_
+    coverage` is its set-cover cousin over tokens; this one works in
+    embedding space).
+
+    Scale shape: the selected set is k-bounded INDEX METADATA — each
+    of the k rounds is a narrow argmax projection over the corpus
+    with the selected vectors unrolled as literal arrays (the kmeans
+    centroid discipline; driver traffic = one 64-float row per
+    round), so nothing shuffles but a TakeOrdered(1). Parity: the
+    centroid ships dimension-wise portably-rounded, every similarity
+    is a sequential fold (exprs.dot ≙ list_dot_product) evaluated on
+    identical doubles, so both engines make the same greedy choice at
+    every round — ties break on vec_id in both."""
+    from ..exprs import dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent_rows = (
+        base.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(round_col(F.avg("x"), 6).alias("c"))
+        .orderBy("i")
+        .collect()
+    )
+    cv = F.array(*[F.lit(float(r["c"])) for r in cent_rows])
+    rel = base.withColumn(
+        "rel",
+        dot(F.col("v"), cv) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(cv, cv))),
+    )
+    lam, oml = float(MMR_LAMBDA), float(MMR_ONE_MINUS)
+    picks = []  # (pick_idx, vec_id, rel, mmr)
+    sel_vecs: list = []  # literal arrays of the selected vectors
+    sel_ids: list = []
+    for t in range(1, MMR_K + 1):
+        if t == 1:
+            cand = rel.withColumn("mmr", F.col("rel"))
+        else:
+            sims = [
+                dot(F.col("v"), sv)
+                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(sv, sv)))
+                for sv in sel_vecs
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            cand = rel.filter(~F.col("vec_id").isin(sel_ids)).withColumn(
+                "mmr", lam * F.col("rel") - oml * maxsim
+            )
+        row = cand.orderBy(F.desc("mmr"), "vec_id").limit(1).collect()[0]
+        picks.append((t, row["vec_id"], row["rel"], row["mmr"]))
+        sel_ids.append(row["vec_id"])
+        sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["v"]]))
+    out = spark.createDataFrame(
+        picks, "pick_idx int, vec_id long, rel_raw double, mmr_raw double"
+    )
+    return out.select(
+        "pick_idx",
+        "vec_id",
+        stable_render(F.col("rel_raw"), 6).alias("rel"),
+        stable_render(F.col("mmr_raw"), 6).alias("mmr"),
+    ).orderBy("pick_idx")
+
+
 @query(
     "quality_percentile_gate",
     oracle=f"""
