@@ -397,6 +397,64 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 5 AS fold
+        FROM documents
+    ),
+    per AS (
+        SELECT source, CAST(fold AS INT) AS fold, count(*) AS n_docs
+        FROM assigned GROUP BY source, fold
+    ),
+    tot AS (SELECT source, sum(n_docs) AS n_src FROM per GROUP BY source)
+    SELECT p.source, p.fold, CAST(p.n_docs AS BIGINT) AS n_docs,
+           {round_sql("CAST(t.n_src AS DOUBLE) / 5", 4)} AS exp_docs,
+           {round_sql("p.n_docs * 5.0 / t.n_src - 1.0", 4)} AS rel_dev
+    FROM per p JOIN tot t USING (source)
+    ORDER BY source, fold
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold CV assignment with a balance audit — the
+    protocol step between curation and training eval: folds are a
+    CONTENT-hash mod 5 (the `train_test_split_hash` discipline, so
+    byte-identical duplicates land in the same fold by construction —
+    no cross-fold leakage), stratified reporting per source with each
+    fold's relative deviation from the n/5 expectation (a |rel_dev|
+    far above ~(5/n_src)^0.5 flags a stratum too small to stratify).
+
+    One scan, one (source, fold) aggregation, one tiny per-source
+    rollup joined back — all shuffle keys low-cardinality; the fold
+    hash is the first 8 md5 hex chars parsed as an integer (fits
+    2^32, exact in both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 5
+    ).cast("int")
+    per = (
+        d.select("source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "fold",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            round_col(F.col("n_src").cast("double") / 5, 4).alias("exp_docs"),
+            round_col(
+                F.col("n_docs") * 5.0 / F.col("n_src") - 1.0, 4
+            ).alias("rel_dev"),
+        )
+        .orderBy("source", "fold")
+    )
+
+
+@query(
     "quality_filter_chain",
     oracle=f"""
     WITH base AS (
