@@ -18,3 +18,8 @@ from .windowed import (  # noqa: F401
     streaming_dedup,
     tumbling_counts,
 )
+from .lsh_dedup import (  # noqa: F401
+    build_corpus_index,
+    flag_batch,
+    streaming_lsh_dedup,
+)

@@ -1,0 +1,173 @@
+"""Streaming near-duplicate dedup against a persisted corpus index —
+the continuous face of ``queries/llm.incremental_dedup_lsh_batch``
+(which covers the daily-batch shape): newly crawled documents arrive
+as a stream, each micro-batch computes its own MinHash band
+signatures, probes the STATIC corpus band index by (band, bucket),
+exact-verifies candidates by trigram Jaccard (integer-form threshold
+2·inter ≥ union), and commits per-batch verdict files.
+
+The corpus side is written ONCE by ``build_corpus_index`` — band
+membership capped at BAND_BUCKET_CAP per (band, bucket) at write time
+(hot-bucket guard), plus the per-doc shingle sets and sizes the
+verify stage probes. The stream side never rescans it; a micro-batch
+costs O(batch) + candidate-bounded verify regardless of corpus size.
+
+Sink idempotence: verdicts are written to ``batch=<id>`` partition
+directories with overwrite, so foreachBatch's at-least-once replay
+re-delivers a byte-identical no-op (the `cdc_apply` discipline).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.llm import BAND_BUCKET_CAP
+
+N_HASHES = 8
+N_BANDS = 4
+
+
+def doc_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingles, band rows) for a (doc_id, text) relation — the same
+    8-hash/4-band construction as the batch operator (trigram md5
+    shingles, lexicographic min over salted md5 hex)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("tokens") - 2)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
+    )
+    sh = toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat(f"h{2 * bi}", f"h{2 * bi + 1}")).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return sh, bands
+
+
+def build_corpus_index(spark: SparkSession, corpus: DataFrame, index_dir: str) -> None:
+    """Persist the probe-side artifacts: capped band index, shingle
+    sets, and shingle-set sizes. In production this is the corpus
+    pipeline's side output, bucketed by (band, bucket) / doc_id."""
+    from pyspark.sql import Window
+
+    sh, bands = doc_signatures(corpus)
+    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rnb", F.row_number().over(wcap))
+        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
+        .drop("rnb")
+    )
+    capped.write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
+    sh.write.mode("overwrite").parquet(os.path.join(index_dir, "shingles"))
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "sizes"))
+
+
+def flag_batch(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Per-doc verdicts for one batch: (doc_id, n_candidates, is_dup).
+    is_dup = some corpus doc's trigram Jaccard clears 0.5, compared in
+    integer form. Docs too short to shingle have no candidates and
+    are kept."""
+    idx = spark.read.parquet(os.path.join(index_dir, "bands"))
+    corpus_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    corpus_sizes = spark.read.parquet(os.path.join(index_dir, "sizes"))
+    sh, bands = doc_signatures(batch_docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    b, c = bands.alias("b"), idx.alias("c")
+    cand = (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("b_doc"), F.col("c.doc_id").alias("c_doc"))
+        .distinct()
+    )
+    sb, sc = sh.alias("sb"), corpus_sh.alias("sc")
+    inter = (
+        cand.join(sb, F.col("b_doc") == F.col("sb.doc_id"))
+        .join(
+            sc,
+            (F.col("c_doc") == F.col("sc.doc_id"))
+            & (F.col("sb.shingle") == F.col("sc.shingle")),
+        )
+        .groupBy("b_doc", "c_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    zb = sizes.alias("zb")
+    zc = corpus_sizes.alias("zc")
+    dup = (
+        inter.join(zb, F.col("b_doc") == F.col("zb.doc_id"))
+        .join(zc, F.col("c_doc") == F.col("zc.doc_id"))
+        .filter(
+            2 * F.col("inter")
+            >= F.col("zb.n_sh") + F.col("zc.n_sh") - F.col("inter")
+        )
+        .select("b_doc")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    n_cand = cand.groupBy("b_doc").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        batch_docs.select("doc_id")
+        .join(n_cand, F.col("doc_id") == n_cand["b_doc"], "left")
+        .drop(n_cand["b_doc"])
+        .join(dup, F.col("doc_id") == dup["b_doc"], "left")
+        .drop(dup["b_doc"])
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def streaming_lsh_dedup(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Drain *stream_docs* with availableNow, flagging each micro-batch
+    against the corpus index and committing verdicts to a
+    ``batch=<id>`` partition (overwrite → replay-idempotent)."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        flags = flag_batch(spark, batch, index_dir)
+        flags.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

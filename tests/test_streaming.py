@@ -547,3 +547,50 @@ def test_streaming_psi_drift_matches_batch(spark, events_dir, tmp_path):
     # reference-period windows should sit near zero PSI; at least one
     # window must carry a meaningful (finite) statistic
     assert all(abs(v) < 10 for v in g.values())
+
+
+def test_streaming_lsh_dedup_matches_batch(spark, tmp_path):
+    """The streaming near-dup path (micro-batches probing the
+    persisted corpus band index via foreachBatch) must produce
+    EXACTLY the per-doc verdicts of one batch pass over the same
+    docs — and the batch=<id> partition layout must cover every
+    streamed doc exactly once."""
+    from heapdumpstardiver_spark.streaming import lsh_dedup as L
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+
+    index_dir = str(tmp_path / "index")
+    L.build_corpus_index(spark, corpus, index_dir)
+
+    # stage the new docs as TWO files -> two micro-batches
+    in_dir = tmp_path / "incoming"
+    batch.filter(F.col("doc_id") < 450).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    batch.filter(F.col("doc_id") >= 450).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir = str(tmp_path / "verdicts")
+    q = L.streaming_lsh_dedup(
+        spark, stream, index_dir, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["is_dup"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_candidates"], r["is_dup"])
+        for r in L.flag_batch(spark, batch, index_dir).collect()
+    }
+    assert got == want
+    assert len(got) == batch.count()
+    assert any(v[1] for v in got.values())  # the fixture has near-dups
