@@ -2592,6 +2592,125 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RP_IN_DIM, _RP_OUT_DIM = 64, 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 sign matrix (out_dim × in_dim) from md5 — the
+    Achlioptas {±1} JL projection; computed once in Python and
+    embedded as identical literals in BOTH engines."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0] < "8"
+            else -1
+            for i in range(_RP_IN_DIM)
+        ]
+        for j in range(_RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    proj = ", ".join(
+        f"list_dot_product(v, {signs[j]}) / 4" for j in range(_RP_OUT_DIM)
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 50
+    ),
+    p AS (SELECT vec_id, v, [{proj}] AS pv FROM base),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               sqrt(list_dot_product(
+                   list_transform(range(1, {_RP_IN_DIM + 1}), i -> a.v[i] - b.v[i]),
+                   list_transform(range(1, {_RP_IN_DIM + 1}), i -> a.v[i] - b.v[i])))
+                   AS d_full,
+               sqrt(list_dot_product(
+                   list_transform(range(1, {_RP_OUT_DIM + 1}), i -> a.pv[i] - b.pv[i]),
+                   list_transform(range(1, {_RP_OUT_DIM + 1}), i -> a.pv[i] - b.pv[i])))
+                   AS d_proj
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+    ),
+    r AS (SELECT d_proj / d_full AS ratio FROM pairs WHERE d_full > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           {stable_render_sql("avg(ratio)", 6)} AS avg_ratio,
+           {stable_render_sql("min(ratio)", 6)} AS min_ratio,
+           {stable_render_sql("max(ratio)", 6)} AS max_ratio,
+           {round_sql(
+               "CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.3 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6
+           )} AS frac_within_30pct
+    FROM r
+    """
+
+
+@query("random_projection_distortion", oracle=_rp_oracle())
+def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project the
+    64-dim embeddings to 16 dims with a deterministic Achlioptas ±1
+    sign matrix (md5-derived, shared literal in both engines) and
+    measure pairwise-distance distortion d_proj/d_full over the
+    first-50-vector pair set — the go/no-go check before running the
+    ANN/dedup family on a 4× cheaper projected store (JL: ratios
+    concentrate near 1; `frac_within_30pct` is the operational
+    number).
+
+    Shape: the projection is 16 sequential-fold dot products against
+    literal sign vectors (JVM-side, zero shuffles); the audit pair
+    set is id-bounded (50 vectors → 1225 pairs) so the self-join is
+    broadcast-sized by construction — the audit cost does not grow
+    with the corpus. Parity: folds ≙ list_dot_product, √16 = 4 exact,
+    distances/ratios identical IEEE trees, outputs via
+    stable_render."""
+    signs = _rp_signs()
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = F.array(
+        *[
+            (dot(F.col("v"), F.array(*[F.lit(float(s)) for s in signs[j]])) / 4)
+            for j in range(_RP_OUT_DIM)
+        ]
+    )
+    p = base.select("vec_id", "v", proj.alias("pv"))
+    a, b = p.alias("a"), p.alias("b")
+    dfull = F.sqrt(
+        dot(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x - y),
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x - y),
+        )
+    )
+    dproj = F.sqrt(
+        dot(
+            F.zip_with(F.col("a.pv"), F.col("b.pv"), lambda x, y: x - y),
+            F.zip_with(F.col("a.pv"), F.col("b.pv"), lambda x, y: x - y),
+        )
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        dfull.alias("d_full"), dproj.alias("d_proj")
+    )
+    r = pairs.filter(F.col("d_full") > 0).select(
+        (F.col("d_proj") / F.col("d_full")).alias("ratio")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        stable_render(F.avg("ratio"), 6).alias("avg_ratio"),
+        stable_render(F.min("ratio"), 6).alias("min_ratio"),
+        stable_render(F.max("ratio"), 6).alias("max_ratio"),
+        round_col(
+            F.sum(F.when(F.abs(F.col("ratio") - 1.0) <= 0.3, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_within_30pct"),
+    )
+
+
 @query(
     "label_coherence_audit",
     oracle=f"""
