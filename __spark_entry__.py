@@ -53,6 +53,7 @@ _CHECK_PRIORITY = [
     "cdc_chunk_dedup", "good_turing_vocab_estimate",
     "context_window_loss", "embedding_quantization_error",
     "mmr_diverse_selection", "stratified_kfold_assignment",
+    "random_projection_distortion",
     # 2: re-sample r9-ADVICE-fixed queries
     "conformal_interval_naive", "kcore_fixpoint",
     # 3: staleness rotation — r3-vintage remainder (15), oldest first
