@@ -35,16 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # which re-checks EVERY oracle-paired query each round regardless of
 # what the driver samples.
 #
-# r10 front:
-# (1) queries NEW in r10 — first canonical rows.
+# r10 front (final counts):
+# (1) the 13 queries NEW in r10 — first canonical rows.
 # (2) conformal_interval_naive + kcore_fixpoint re-sampled: both
 #     carry r9 ADVICE fixes (empty-calibration shape parity; oracle
 #     unroll budget 30→40 with loud error() on overrun).
 # (3) staleness rotation, oldest vintage first: after r9 the
 #     cumulative record holds 15 r3-vintage and 42 r4-vintage green
 #     rows; the 15 r3 rows head the rotation (r9 verdict done-bar:
-#     zero rows older than r4 after r10), then the r4 block,
-#     of which ~27 fit under the cap — the remainder leads r11.
+#     zero rows older than r4 after r10). 13+2+15 = 30 head slots
+#     leave ~20 under the ~50 cap, so the r4 block below is sampled
+#     through ~token_count_regex; its remainder (~22 rows, from
+#     lang_id_confusion) leads the r11 rotation, then the r5 block.
 _CHECK_PRIORITY = [
     # 1: new in r10 — need first driver rows
     "incremental_dedup_lsh_batch", "bpe_train_merges",
