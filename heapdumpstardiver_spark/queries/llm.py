@@ -2711,6 +2711,142 @@ def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_plane_bucket_sql(p: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << (p - 1 - i)} ELSE 0 END)"
+        for i in range(p)
+    )
+
+
+@query(
+    "lsh_plane_recall_curve",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id < 200
+    ),
+    sgn AS (
+        SELECT vec_id, v,
+               {_lsh_plane_bucket_sql(4)} AS b4,
+               {_lsh_plane_bucket_sql(6)} AS b6,
+               {_lsh_plane_bucket_sql(8)} AS b8,
+               {_lsh_plane_bucket_sql(10)} AS b10
+        FROM base
+    ),
+    pairs AS (
+        SELECT CASE WHEN list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))) > 0.35
+                    THEN 1 ELSE 0 END AS is_true,
+               CASE WHEN a.b4 = b.b4 THEN 1 ELSE 0 END AS f4,
+               CASE WHEN a.b6 = b.b6 THEN 1 ELSE 0 END AS f6,
+               CASE WHEN a.b8 = b.b8 THEN 1 ELSE 0 END AS f8,
+               CASE WHEN a.b10 = b.b10 THEN 1 ELSE 0 END AS f10
+        FROM sgn a JOIN sgn b ON a.vec_id < b.vec_id
+    ),
+    agg AS (
+        SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+               CAST(sum(f4) AS BIGINT) AS c4,
+               CAST(sum(f4 * is_true) AS BIGINT) AS h4,
+               CAST(sum(f6) AS BIGINT) AS c6,
+               CAST(sum(f6 * is_true) AS BIGINT) AS h6,
+               CAST(sum(f8) AS BIGINT) AS c8,
+               CAST(sum(f8 * is_true) AS BIGINT) AS h8,
+               CAST(sum(f10) AS BIGINT) AS c10,
+               CAST(sum(f10 * is_true) AS BIGINT) AS h10
+        FROM pairs
+    )
+    SELECT planes, n_true, n_cand, n_hit,
+           {round_sql("CAST(n_hit AS DOUBLE) / n_true", 6)} AS recall,
+           {round_sql("CAST(n_hit AS DOUBLE) / n_cand", 6)} AS precision
+    FROM (
+        SELECT CAST(4 AS INT) AS planes, n_true, c4 AS n_cand, h4 AS n_hit FROM agg
+        UNION ALL SELECT 6, n_true, c6, h6 FROM agg
+        UNION ALL SELECT 8, n_true, c8, h8 FROM agg
+        UNION ALL SELECT 10, n_true, c10, h10 FROM agg
+    ) ORDER BY planes
+    """,
+)
+def lsh_plane_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH operating curve: candidate-set recall AND precision of
+    the near-dup threshold (cos > 0.35) at 4/6/8/10 hyperplanes, on an
+    id-bounded 200-vector audit sample — the measured basis for
+    `embedding_near_dup_pairs`' plane-count formula (each extra bit
+    halves the candidate set and eats recall; this query shows exactly
+    how much, the way `lsh_tuning_curve` does for MinHash banding).
+
+    Shape: ONE bounded self-join computes ground truth and all four
+    bucket-collision flags per pair; everything downstream is a 1-row
+    integer aggregate unioned into the 4-point curve — the audit cost
+    is O(sample²), independent of corpus size. Exact: integer counts,
+    two rounded divisions, identical cosine folds both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.filter(F.col("vec_id") < 200).select("vec_id", v.alias("v"))
+
+    def bucket(p: int):
+        return sum(
+            (
+                F.when(F.element_at("v", i + 1) > 0, 1 << (p - 1 - i)).otherwise(0)
+                for i in range(p)
+            ),
+            start=F.lit(0),
+        )
+
+    sgn = base.select(
+        "vec_id", "v", *[bucket(p).alias(f"b{p}") for p in (4, 6, 8, 10)]
+    )
+    a, b = sgn.alias("a"), sgn.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.when(cos > 0.35, 1).otherwise(0).alias("is_true"),
+        *[
+            F.when(F.col(f"a.b{p}") == F.col(f"b.b{p}"), 1)
+            .otherwise(0)
+            .alias(f"f{p}")
+            for p in (4, 6, 8, 10)
+        ],
+    )
+    agg = pairs.agg(
+        F.sum("is_true").cast("long").alias("n_true"),
+        *[F.sum(f"f{p}").cast("long").alias(f"c{p}") for p in (4, 6, 8, 10)],
+        *[
+            F.sum(F.col(f"f{p}") * F.col("is_true")).cast("long").alias(f"h{p}")
+            for p in (4, 6, 8, 10)
+        ],
+    )
+    curve = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("planes"),
+                        F.col("n_true"),
+                        F.col(f"c{p}").alias("n_cand"),
+                        F.col(f"h{p}").alias("n_hit"),
+                    )
+                    for p in (4, 6, 8, 10)
+                ]
+            )
+        ).alias("r")
+    ).select("r.planes", "r.n_true", "r.n_cand", "r.n_hit")
+    return curve.select(
+        "planes",
+        "n_true",
+        "n_cand",
+        "n_hit",
+        round_col(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+        round_col(F.col("n_hit").cast("double") / F.col("n_cand"), 6).alias(
+            "precision"
+        ),
+    ).orderBy("planes")
+
+
 @query(
     "label_coherence_audit",
     oracle=f"""

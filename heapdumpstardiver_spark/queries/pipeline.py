@@ -397,6 +397,72 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_sampling_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(n_tokens) AS all_tokens,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS z
+        FROM per
+    )
+    SELECT source, n_tokens,
+           {round_sql("CAST(n_tokens AS DOUBLE) / all_tokens", 6)}
+               AS natural_frac,
+           {round_sql("pow(CAST(n_tokens AS DOUBLE), 0.7) / z", 6)}
+               AS temp_weight,
+           {round_sql(
+               "(pow(CAST(n_tokens AS DOUBLE), 0.7) / z)"
+               " / (CAST(n_tokens AS DOUBLE) / all_tokens)", 4
+           )} AS boost
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling weights w_s ∝ n_s^τ (τ=0.7 —
+    the multilingual mixing rule from mBERT/XLM-R, arXiv:1911.02116):
+    flattens the natural token distribution so low-resource sources
+    are over-sampled without drowning the head. Per source: natural
+    token share, temperature weight, and the boost factor (effective
+    epochs per corpus epoch — a boost far above ~5 is the overfitting
+    alarm for tiny sources). The weights feed
+    `data_mix_weighted_sample` as its target distribution.
+
+    Shape: corpus → per-source token totals (one shuffle over ≤
+    |sources| groups), then a 1-row total broadcast; pow/ratios at
+    6 dp portable rounding (the proven corr/var discipline for
+    order-dependent float sums)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.7)).alias("z"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), 0.7) / F.col("z")
+    nat = F.col("n_tokens").cast("double") / F.col("all_tokens")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            round_col(nat, 6).alias("natural_frac"),
+            round_col(w, 6).alias("temp_weight"),
+            round_col(w / nat, 4).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "stratified_kfold_assignment",
     oracle=f"""
     WITH assigned AS (
