@@ -56,7 +56,7 @@ _CHECK_PRIORITY = [
     "context_window_loss", "embedding_quantization_error",
     "mmr_diverse_selection", "stratified_kfold_assignment",
     "random_projection_distortion", "lsh_plane_recall_curve",
-    "temperature_sampling_weights",
+    "temperature_sampling_weights", "fragment_reassembly_candidates",
     # 2: re-sample r9-ADVICE-fixed queries
     "conformal_interval_naive", "kcore_fixpoint",
     # 3: staleness rotation — r3-vintage remainder (15), oldest first

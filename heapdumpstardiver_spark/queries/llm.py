@@ -327,6 +327,68 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fragment_reassembly_candidates",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    edges AS (
+        SELECT doc_id,
+               md5(array_to_string(t[1:4], ' ')) AS first4,
+               md5(array_to_string(t[len(t) - 3 : len(t)], ' ')) AS last4
+        FROM toks WHERE len(t) >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.last4 AS frag_hash
+    FROM edges a JOIN edges b
+      ON a.last4 = b.first4 AND a.doc_id <> b.doc_id
+    ORDER BY doc_a, doc_b LIMIT 50
+    """,
+)
+def fragment_reassembly_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection: doc A's last-4-token window hashed
+    equal to doc B's first-4-token window means B plausibly CONTINUES
+    A — the crawl-shard-boundary reassembly signal (truncated pages
+    re-fetched, multi-part articles) that none of the whole-doc or
+    chunk dedup family can see, because the overlap is at the EDGES.
+    Docs need ≥8 tokens so the two windows can't overlap each other
+    inside one doc (window 4 balances selectivity against the
+    fixture's short docs — production would use 8-16 tokens).
+
+    Shape: the corpus reduces to two fixed-width edge hashes per doc
+    (one scan, JVM slicing); the candidate join keys on those hashes
+    only — text never enters the shuffle; output id-ordered top-50."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    edges = d.select(
+        "doc_id",
+        t.alias("t"),
+    ).filter(F.size("t") >= 8).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", 1, 4))).alias("first4"),
+        F.md5(
+            F.concat_ws(" ", F.expr("slice(t, size(t) - 3, 4)"))
+        ).alias("last4"),
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.last4") == F.col("b.first4"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.last4").alias("frag_hash"),
+        )
+        .orderBy("doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+@query(
     "dedup_prefix_groups",
     oracle="""
     WITH groups AS (
