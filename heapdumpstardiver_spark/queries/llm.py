@@ -389,6 +389,108 @@ def fragment_reassembly_candidates(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "cross_source_ngram_matrix",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(t[i : i + 7], ' ')) AS g
+        FROM toks, unnest(range(1, len(t) - 8 + 2)) AS r(i)
+        WHERE len(t) >= 8
+    ),
+    df AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(*) <= {SHINGLE_DF_CAP}
+    ),
+    kept AS (SELECT grams.source, grams.g FROM grams JOIN df USING (g)),
+    per AS (SELECT source, count(*) AS n_grams FROM kept GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_grams
+        FROM kept a JOIN kept b
+          ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, CAST(shared_grams AS BIGINT) AS shared_grams,
+           {round_sql(
+               "CAST(shared_grams AS DOUBLE)"
+               " / least(pa.n_grams, pb.n_grams)", 6
+           )} AS overlap_coef
+    FROM shared
+    JOIN per pa ON pa.source = source_a
+    JOIN per pb ON pb.source = source_b
+    ORDER BY shared_grams DESC, source_a, source_b
+    LIMIT 20
+    """,
+)
+def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: which SOURCE PAIRS share
+    verbatim 8-gram content, with the overlap coefficient
+    shared/min(|A|,|B|) — the between-corpus generalization of
+    `decontaminate_ngram_overlap` (doc vs eval set) and
+    `cross_source_duplication` (doc level): a high-coefficient pair
+    means one source republishes the other, so mixing weights
+    (`temperature_sampling_weights`) double-count it. Top-20 pairs.
+
+    Shape: corpus → DISTINCT (source, gram-hash) relation (one
+    explode + distinct); grams shared by more than SHINGLE_DF_CAP
+    sources are stop-phrases and are dropped (mirrored in the oracle
+    — a boilerplate gram in every source would otherwise make the
+    pair join quadratic in |sources| for zero signal); the pair join
+    keys on fixed-width hashes, per-source totals broadcast back."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    ).filter(F.size("t") >= 8)
+    idx = F.sequence(F.lit(1), F.size("t") - 7)
+    hashes = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 8))))
+    grams = toks.select("source", F.explode(hashes).alias("g")).distinct()
+    df_ok = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("g")
+    )
+    kept = grams.join(df_ok, "g")
+    per = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            round_col(
+                F.col("shared_grams").cast("double")
+                / F.least(F.col("na"), F.col("nb")),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy(F.desc("shared_grams"), "source_a", "source_b")
+        .limit(20)
+    )
+
+
+@query(
     "dedup_prefix_groups",
     oracle="""
     WITH groups AS (
