@@ -36,17 +36,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # what the driver samples.
 #
 # r10 front (final counts):
-# (1) the 17 queries NEW in r10 — first canonical rows.
+# (1) the 18 queries NEW in r10 — first canonical rows.
 # (2) conformal_interval_naive + kcore_fixpoint re-sampled: both
 #     carry r9 ADVICE fixes (empty-calibration shape parity; oracle
 #     unroll budget 30→40 with loud error() on overrun).
 # (3) staleness rotation, oldest vintage first: after r9 the
 #     cumulative record holds 15 r3-vintage and 42 r4-vintage green
 #     rows; the 15 r3 rows head the rotation (r9 verdict done-bar:
-#     zero rows older than r4 after r10). 17+2+15 = 34 head slots
-#     leave ~16 under the ~50 cap, so the r4 block below is sampled
-#     through ~explode_tokens; its remainder (~26 rows, from
-#     similarity_lsh_bucketed) leads the r11 rotation, then r5's.
+#     zero rows older than r4 after r10). 18+2+15 = 35 head slots
+#     leave ~15 under the ~50 cap, so the r4 block below is sampled
+#     through ~hierarchy_join; its remainder (~27 rows, from
+#     explode_tokens) leads the r11 rotation, then the r5 block.
 _CHECK_PRIORITY = [
     # 1: new in r10 — need first driver rows
     "incremental_dedup_lsh_batch", "bpe_train_merges",
@@ -57,7 +57,7 @@ _CHECK_PRIORITY = [
     "mmr_diverse_selection", "stratified_kfold_assignment",
     "random_projection_distortion", "lsh_plane_recall_curve",
     "temperature_sampling_weights", "fragment_reassembly_candidates",
-    "cross_source_ngram_matrix",
+    "cross_source_ngram_matrix", "ngram_repetition_curve",
     # 2: re-sample r9-ADVICE-fixed queries
     "conformal_interval_naive", "kcore_fixpoint",
     # 3: staleness rotation — r3-vintage remainder (15), oldest first

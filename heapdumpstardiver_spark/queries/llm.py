@@ -490,6 +490,83 @@ def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_rep_arm_sql(n: int) -> str:
+    return f"""
+        SELECT CAST({n} AS INT) AS ngram_order,
+               CAST(count(*) AS BIGINT) AS total_occ,
+               count(DISTINCT g) AS distinct_grams
+        FROM (
+            SELECT md5(array_to_string(t[i : i + {n - 1}], ' ')) AS g
+            FROM toks, unnest(range(1, len(t) - {n} + 2)) AS r(i)
+            WHERE len(t) >= {n}
+        )"""
+
+
+@query(
+    "ngram_repetition_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    arms AS (
+        {" UNION ALL ".join(_ngram_rep_arm_sql(n) for n in (1, 2, 4, 8))}
+    )
+    SELECT ngram_order, total_occ, distinct_grams,
+           {round_sql(
+               "1.0 - CAST(distinct_grams AS DOUBLE) / total_occ", 6
+           )} AS repeat_rate
+    FROM arms ORDER BY ngram_order
+    """,
+)
+def ngram_repetition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repetition curve across n-gram orders {1, 2, 4, 8}: the
+    fraction of n-gram OCCURRENCES that are repeats of an
+    already-seen gram. Unigram repetition is just Zipf; repetition
+    that stays high at order 8 is verbatim duplication — the
+    memorization-risk curve (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" tracks exactly this
+    before/after dedup), and the before/after delta of this query is
+    the dedup pipeline's effectiveness number.
+
+    Shape: one explode + one (count, count-distinct) aggregate per
+    order over fixed-width gram hashes — four independent reduced
+    aggregations unioned into the 4-point curve; nothing but hashes
+    shuffles. Exact integer counts; one rounded division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
+    )
+    arms = []
+    for n in (1, 2, 4, 8):
+        grams = toks.filter(F.size("t") >= n).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+                )
+            ).alias("g")
+        )
+        arms.append(
+            grams.agg(
+                F.lit(n).cast("int").alias("ngram_order"),
+                F.count(F.lit(1)).cast("long").alias("total_occ"),
+                F.count_distinct("g").alias("distinct_grams"),
+            )
+        )
+    curve = arms[0]
+    for a in arms[1:]:
+        curve = curve.unionByName(a)
+    return curve.select(
+        "ngram_order",
+        "total_occ",
+        "distinct_grams",
+        round_col(
+            1.0 - F.col("distinct_grams").cast("double") / F.col("total_occ"), 6
+        ).alias("repeat_rate"),
+    ).orderBy("ngram_order")
+
+
 @query(
     "dedup_prefix_groups",
     oracle="""
