@@ -2998,8 +2998,10 @@ def _lsh_plane_bucket_sql(p: int) -> str:
         FROM pairs
     )
     SELECT planes, n_true, n_cand, n_hit,
-           {round_sql("CAST(n_hit AS DOUBLE) / n_true", 6)} AS recall,
-           {round_sql("CAST(n_hit AS DOUBLE) / n_cand", 6)} AS precision
+           CASE WHEN n_true = 0 THEN NULL ELSE
+               {round_sql("CAST(n_hit AS DOUBLE) / n_true", 6)} END AS recall,
+           CASE WHEN n_cand = 0 THEN NULL ELSE
+               {round_sql("CAST(n_hit AS DOUBLE) / n_cand", 6)} END AS precision
     FROM (
         SELECT CAST(4 AS INT) AS planes, n_true, c4 AS n_cand, h4 AS n_hit FROM agg
         UNION ALL SELECT 6, n_true, c6, h6 FROM agg
@@ -3079,12 +3081,17 @@ def lsh_plane_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         "n_cand",
         "n_hit",
-        round_col(F.col("n_hit").cast("double") / F.col("n_true"), 6).alias(
-            "recall"
-        ),
-        round_col(F.col("n_hit").cast("double") / F.col("n_cand"), 6).alias(
-            "precision"
-        ),
+        # Zero-denominator guard (r10 ADVICE): on a degenerate sample
+        # (no true pair / empty bucket class) Spark's double division
+        # yields NULL while DuckDB yields inf — pin both to NULL.
+        F.when(
+            F.col("n_true") > 0,
+            round_col(F.col("n_hit").cast("double") / F.col("n_true"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0,
+            round_col(F.col("n_hit").cast("double") / F.col("n_cand"), 6),
+        ).alias("precision"),
     ).orderBy("planes")
 
 

@@ -1295,3 +1295,222 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("media_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (pHash) image near-duplicate detection
+# ---------------------------------------------------------------------------
+#
+# DCT-based pHash (the classic perceptual hash: 32x32 luma -> 2D DCT
+# -> 8x8 low-frequency block -> median-threshold bits) with the
+# banded-Hamming LSH candidate pattern from the text dedup family —
+# the IMAGE twin of `incremental_dedup_lsh_batch`'s document pipeline.
+# Everything is integer-exact: the DCT uses a scaled integer cosine
+# table (round(cos(pi*(2n+1)k/64) * 1024)) computed ONCE here and
+# embedded as the same literal in BOTH engines, so the oracle can
+# unroll the full transform in SQL.
+
+import math as _math
+
+_PHASH_SCALE = 1024
+_PHASH_COS = [
+    [
+        int(_math.floor(_math.cos(_math.pi * (2 * n + 1) * k / 64) * _PHASH_SCALE + 0.5))
+        for n in range(32)
+    ]
+    for k in range(8)
+]
+_PHASH_N_BASE = 8      # distinct source images
+_PHASH_N_VARIANT = 3   # j=0 original, j=1/2 lightly perturbed re-encodes
+_PHASH_HAM_T = 7       # <= 7 bit flips over 63 bits = near-duplicate
+_PHASH_BANDS = 8       # 8 bands x 8 bits: pigeonhole-exact for d <= 7
+
+
+def _phash_pixel(b: int, j: int, x: int, y: int) -> int:
+    """Deterministic 32x32 luma fixture: 4x4-pixel blocks whose
+    intensity is a per-base hash (rich LOW-frequency content, so
+    bases are far apart in pHash space — measured cross-base Hamming
+    >= 22), plus variant noise j*25 on ~1/4 of pixels (measured
+    same-base Hamming 0-3, comfortably under the <= 7 threshold)."""
+    p = ((b * 37 + (x // 4) * 53 + (y // 4) * 71) % 17) * 15
+    n = j * 25 if (x * 31 + y * 17 + b) % 4 == 0 else 0
+    return min(p + n, 255)
+
+
+def _phash_oracle() -> str:
+    cos_vals = ", ".join(
+        f"({k}, {n}, {c})"
+        for k, row in enumerate(_PHASH_COS)
+        for n, c in enumerate(row)
+    )
+    return f"""
+    WITH ct(k, n, c) AS (SELECT * FROM (VALUES {cos_vals}) t(k, n, c)),
+    imgs AS (
+        SELECT b, j, b * {_PHASH_N_VARIANT} + j AS media_id
+        FROM range({_PHASH_N_BASE}) rb(b), range({_PHASH_N_VARIANT}) rj(j)
+    ),
+    px AS (
+        SELECT media_id, x, y,
+               least(((b*37 + (x//4)*53 + (y//4)*71) % 17) * 15
+                     + CASE WHEN (x*31 + y*17 + b) % 4 = 0
+                            THEN j * 25 ELSE 0 END, 255) AS v
+        FROM imgs, range(32) rx(x), range(32) ry(y)
+    ),
+    coef AS (
+        SELECT media_id, cu.k AS u, cv.k AS w,
+               CAST(sum(CAST(px.v AS BIGINT) * cu.c * cv.c) AS BIGINT) AS f
+        FROM px JOIN ct cu ON cu.n = px.x JOIN ct cv ON cv.n = px.y
+        GROUP BY 1, 2, 3
+    ),
+    ac AS (SELECT media_id, u, w, f FROM coef WHERE NOT (u = 0 AND w = 0)),
+    thr AS (
+        SELECT media_id, f AS thr FROM (
+            SELECT media_id, f, row_number() OVER (
+                PARTITION BY media_id ORDER BY f, u*8 + w) AS rn
+            FROM ac) WHERE rn = 32
+    ),
+    hashes AS (
+        SELECT a.media_id,
+               CAST(sum(CASE WHEN a.f > t.thr
+                        THEN (CAST(1 AS BIGINT) << (a.u*8 + a.w - 1))
+                        ELSE 0 END) AS BIGINT) AS h
+        FROM ac a JOIN thr t USING (media_id) GROUP BY 1
+    ),
+    bands AS (
+        SELECT media_id, h, k, (h >> (k * 8)) & 255 AS bv
+        FROM hashes, range({_PHASH_BANDS}) rk(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS ma, b.media_id AS mb
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT CAST(ma AS INT) AS media_id_a, CAST(mb AS INT) AS media_id_b,
+           CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS hamming,
+           CAST(CASE WHEN ma // {_PHASH_N_VARIANT} = mb // {_PHASH_N_VARIANT}
+                THEN 1 ELSE 0 END AS INT) AS same_source_image
+    FROM cand
+    JOIN hashes ha ON ha.media_id = ma
+    JOIN hashes hb ON hb.media_id = mb
+    WHERE bit_count(xor(ha.h, hb.h)) <= {_PHASH_HAM_T}
+    ORDER BY media_id_a, media_id_b
+    """
+
+
+@query("image_phash_near_dup", oracle=_phash_oracle())
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE detection — the image twin
+    of the text near-dup pipeline (`incremental_dedup_lsh_batch`):
+    real 32x32 grayscale PNGs (8 source images x 3 re-encode variants
+    with pixel-level perturbations) are decoded through the production
+    `multimodal.decode` mapInPandas path, pHashed (integer 8x32 DCT,
+    top-left 8x8 low-frequency block, DC dropped, exact rank-32 median
+    threshold over the 63 AC coefficients -> 63-bit hash), bucketed by
+    8 Hamming-LSH bands of 8 bits, and candidate pairs are verified by
+    full 63-bit Hamming distance <= 7. Banding is pigeonhole-EXACT at
+    this threshold: any pair within Hamming 7 of 8 bands must agree on
+    at least one whole band, so candidate generation has zero false
+    negatives (false positives are killed by the verify stage).
+
+    Scale shape: payload bytes never shuffle (decode + hash inside one
+    narrow Arrow-batched stage); only the 8-byte hash flows into the
+    band explode (8 rows/image) and the band-bucket equi-join — the
+    same join geometry as the MinHash banding family, so the
+    BAND_BUCKET_CAP hot-bucket treatment applies verbatim when a crawl
+    has millions of identical thumbnails. Parity: the DCT is integer
+    arithmetic on a shared literal cosine table, the threshold is an
+    exact rank selection, and the oracle unrolls the whole transform
+    (pixels -> DCT -> bits -> bands -> verify) in SQL."""
+    rows = []
+    for b in range(_PHASH_N_BASE):
+        for j in range(_PHASH_N_VARIANT):
+            luma = [
+                _phash_pixel(b, j, x, y) for y in range(32) for x in range(32)
+            ]
+            rgb = bytes(v for v in luma for _ in range(3))
+            rows.append(
+                (
+                    b * _PHASH_N_VARIANT + j,
+                    "image",
+                    M.encode_png(32, 32, rgb),
+                    ("png", 32, 32, None, None),
+                )
+            )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    def _phash(col):
+        import numpy as np
+        import pandas as pd
+
+        cosm = np.array(_PHASH_COS, dtype=np.int64)
+        out = []
+        for buf in col:
+            a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+            p = a.reshape(32, 32, 3)[:, :, 0]  # [y, x] luma plane
+            fm = cosm @ p.T @ cosm.T  # fm[u, w] = sum p[y,x] C[u,x] C[w,y]
+            flat = [(int(fm[u, w]), u * 8 + w) for u in range(8)
+                    for w in range(8) if (u, w) != (0, 0)]
+            thr = sorted(flat)[31][0]
+            h = 0
+            for f, idx in flat:
+                if f > thr:
+                    h |= 1 << (idx - 1)
+            out.append(h)
+        return pd.Series(out)
+
+    phash_udf = F.pandas_udf(_phash, "long")
+    hashes = M.decode(df).select(
+        F.col("media_id").cast("int").alias("media_id"),
+        phash_udf("decoded").alias("h"),
+    )
+    bands = hashes.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright("h", k * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("media_id", "h", "bd.k", "bd.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col("media_id").alias("media_id_a"), F.col("h").alias("ha"))
+    hb = hashes.select(F.col("media_id").alias("media_id_b"), F.col("h").alias("hb"))
+    return (
+        cand.join(ha, "media_id_a")
+        .join(hb, "media_id_b")
+        .select(
+            "media_id_a",
+            "media_id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming"),
+            F.expr(
+                f"CAST(CASE WHEN media_id_a div {_PHASH_N_VARIANT}"
+                f" = media_id_b div {_PHASH_N_VARIANT}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("same_source_image"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAM_T)
+        .orderBy("media_id_a", "media_id_b")
+    )

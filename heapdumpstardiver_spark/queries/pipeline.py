@@ -415,10 +415,10 @@ def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS natural_frac,
            {round_sql("pow(CAST(n_tokens AS DOUBLE), 0.7) / z", 6)}
                AS temp_weight,
-           {round_sql(
+           CASE WHEN n_tokens = 0 THEN NULL ELSE {round_sql(
                "(pow(CAST(n_tokens AS DOUBLE), 0.7) / z)"
                " / (CAST(n_tokens AS DOUBLE) / all_tokens)", 4
-           )} AS boost
+           )} END AS boost
     FROM per CROSS JOIN tot
     ORDER BY source
     """,
@@ -456,7 +456,11 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             round_col(nat, 6).alias("natural_frac"),
             round_col(w, 6).alias("temp_weight"),
-            round_col(w / nat, 4).alias("boost"),
+            # 0-token source → 0/0: NULL in both engines (r10 ADVICE;
+            # DuckDB would otherwise render NaN, Spark NULL).
+            F.when(F.col("n_tokens") > 0, round_col(w / nat, 4)).alias(
+                "boost"
+            ),
         )
         .orderBy("source")
     )

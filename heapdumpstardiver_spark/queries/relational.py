@@ -1443,8 +1443,16 @@ def _snapshot_warehouse(spark: SparkSession):
     from ..catalog import Warehouse
     from ..ingest.snapshots import append_snapshot
 
-    p1, p2, _, _ = snapshot_fixture()
-    wh_dir = os.path.join(os.path.dirname(p1), "wh")
+    p1, p2, t1, t2 = snapshot_fixture()
+    # Cache keyed by the fixture ground truth: the .hprof files are
+    # rebuilt every process, and a warehouse keyed only by a _DONE
+    # marker would silently survive a fixture-shape change across
+    # runs (r10 ADVICE) — hashing the truth dicts into the directory
+    # name makes any shape change build a fresh warehouse.
+    import hashlib
+
+    digest = hashlib.md5(repr((t1, t2)).encode()).hexdigest()[:10]
+    wh_dir = os.path.join(os.path.dirname(p1), f"wh.{digest}")
     if not os.path.exists(os.path.join(wh_dir, "_DONE")):
         staging = f"{wh_dir}.build.{os.getpid()}"
         append_snapshot(spark, p1, staging, 1, overwrite=True)
@@ -1489,7 +1497,8 @@ def _growth_oracle() -> str:
         SELECT nb.type_name AS grown_type, nb.shallow_bytes,
                CASE WHEN i.n IS NULL THEN '(unreferenced)'
                     WHEN i.n > 1 THEN '(shared)'
-                    ELSE ro.type_name END AS retainer_type
+                    ELSE coalesce(ro.type_name, '(unknown)') END
+                   AS retainer_type
         FROM newobj nb
         LEFT JOIN indeg i ON i.dst = nb.obj_id
         LEFT JOIN o2 ro ON i.n = 1 AND ro.obj_id = i.retainer
@@ -1550,7 +1559,10 @@ def growth_by_retainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(F.col("n").isNull(), F.lit("(unreferenced)"))
             .when(F.col("n") > 1, F.lit("(shared)"))
-            .otherwise(F.col("r_type"))
+            # '(unknown)' bucket when the sole retainer is missing
+            # from _object_index: a bare NULL here would sort first
+            # in Spark but last in DuckDB on ORDER BY ties.
+            .otherwise(F.coalesce(F.col("r_type"), F.lit("(unknown)")))
             .alias("retainer_type"),
             "grown_type",
             "shallow_bytes",
