@@ -5243,3 +5243,385 @@ def span_corruption_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rendered.orderBy("doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training
+# ---------------------------------------------------------------------------
+#
+# The second of the two standard subword-tokenizer families (Kudo 2018,
+# arXiv:1804.10959), complementing `bpe_train_merges`: start from a
+# seed vocabulary of frequent substrings, then alternate Viterbi
+# segmentation of every word type under the current piece
+# log-probabilities with usage-count re-estimation and pruning of the
+# lowest-usage multi-char pieces (hard-EM — the Viterbi variant of
+# SentencePiece's EM+prune schedule; single characters are never
+# pruned so every word stays segmentable).
+#
+# Parity architecture: piece log-probs are computed DRIVER-side with
+# CPython's libm (round6(ln c − ln T)) and shipped into the Spark plan
+# as a literal map — the DuckDB oracle recomputes the identical values
+# with its own libm (same glibc, and the 6-dp portable rounding
+# absorbs any sub-ulp residue), so both engines run the SAME Viterbi
+# DP on the SAME rounded doubles and the argmax can never diverge.
+# Tie-breaks are pinned (score DESC, piece-length DESC, piece DESC)
+# in both the fold's struct-max and the oracle's row_number.
+
+import math
+
+UNI_MAXP = 4        # max piece length considered
+UNI_MAXW = 8        # word types truncated to this many chars for training
+UNI_SEED_MULTI = 24 # multi-char pieces in the seed vocabulary
+UNI_BUDGETS = (16, 12)  # multi-char pieces kept after prune rounds 1, 2
+UNI_ROUNDS = 3
+
+
+def _round6(x: float) -> float:
+    """Python twin of exprs.round_col/round_sql at n=6 (portable
+    half-up on the exact double, -0.0 normalized)."""
+    if x >= 0:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0 + 0.0
+    return -(math.floor(-x * 1000000.0 + 0.5) / 1000000.0) + 0.0
+
+
+def _uni_logprobs(counts: dict[str, int]) -> dict[str, float]:
+    t = float(sum(counts.values()))
+    lt = math.log(t)
+    return {p: _round6(math.log(float(c)) - lt) for p, c in counts.items()}
+
+
+def _uni_fold_sql(model: dict[str, float]) -> str:
+    """The Viterbi DP as ONE JVM-side `aggregate` fold per word type:
+    the accumulator is the best (score, segmentation) per prefix
+    length, each step takes a struct-max over the <=4 candidate last
+    pieces (struct field order = the tie-break order), and the model
+    is a literal map (driver-side metadata, like kmeans centroids).
+    try_element_at: a piece outside the vocabulary scores the -1e9
+    sentinel — single chars are always present, so a valid path
+    always exists and the sentinel never wins."""
+    entries = ", ".join(
+        f"'{p}', CAST({lp!r} AS DOUBLE)" for p, lp in sorted(model.items())
+    )
+    m = f"map({entries})"
+    cands = []
+    for l in range(1, UNI_MAXP + 1):
+        piece = f"substring(word, j - {l} + 1, {l})"
+        cands.append(
+            f"""CASE WHEN j >= {l} THEN named_struct(
+            's', element_at(acc, j - {l} + 1).s
+                 + coalesce(try_element_at({m}, {piece}), CAST(-1e9 AS DOUBLE)),
+            'l', {l}, 'p', {piece},
+            'g', CASE WHEN j = {l} THEN {piece}
+                 ELSE concat(element_at(acc, j - {l} + 1).g, ' ', {piece}) END)
+        ELSE named_struct('s', CAST(-1e30 AS DOUBLE), 'l', {l}, 'p', '', 'g', '') END"""
+        )
+    return f"""aggregate(
+        sequence(1, length(word)),
+        array(named_struct('s', CAST(0.0 AS DOUBLE), 'l', 0, 'p', '', 'g', '')),
+        (acc, j) -> acc || array(array_max(array({", ".join(cands)}))),
+        acc -> element_at(acc, length(word) + 1)
+    )"""
+
+
+def _unigram_trained(spark: SparkSession, sf_dir: str):
+    """Run the unigram-LM training loop; returns (final segmentation
+    DataFrame ``(word, wf, seg, n_seg)``, per-round stats rows,
+    per-round models). Shared by `unigram_train_stats` and
+    `tokenizer_apply_unigram`."""
+    from ..iterate import checkpoint_flat
+
+    d = _t(spark, sf_dir, "documents")
+    words = checkpoint_flat(
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.substring("tok", 1, UNI_MAXW).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    # Seed statistics: corpus-frequency-weighted substring counts.
+    seedc = (
+        words.select(
+            "wf",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(word)),
+                        i -> transform(sequence(1, least({UNI_MAXP}, length(word) - i + 1)),
+                                       l -> substring(word, i, l))))"""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wf").cast("long").alias("cnt"))
+    )
+    singles = {
+        r["piece"]: r["cnt"]
+        for r in seedc.filter(F.length("piece") == 1).collect()
+    }
+    top_multi = (
+        seedc.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(UNI_SEED_MULTI)
+        .collect()
+    )
+    multis = {r["piece"]: r["cnt"] for r in top_multi}
+    model = _uni_logprobs({**singles, **multis})
+
+    stats, models, seg = [], [], None
+    for r in range(1, UNI_ROUNDS + 1):
+        models.append(dict(model))
+        fin = F.expr(_uni_fold_sql(model))
+        seg = words.select("word", "wf", fin.alias("f")).select(
+            "word",
+            "wf",
+            F.col("f.g").alias("seg"),
+            F.size(F.split(F.col("f.g"), " ")).alias("n_seg"),
+        )
+        tot = seg.agg(
+            F.sum("wf").cast("long").alias("w"),
+            F.sum(F.col("wf") * F.col("n_seg")).cast("long").alias("p"),
+        ).collect()[0]
+        n_multi = sum(1 for p in model if len(p) > 1)
+        stats.append(
+            (
+                r,
+                n_multi,
+                len(model),
+                int(tot["w"]),
+                int(tot["p"]),
+                _round6(float(tot["p"]) / float(tot["w"])),
+            )
+        )
+        if r < UNI_ROUNDS:
+            usage = {
+                row["piece"]: row["u"]
+                for row in seg.select(
+                    F.explode(F.split("seg", " ")).alias("piece"), "wf"
+                )
+                .groupBy("piece")
+                .agg(F.sum("wf").cast("long").alias("u"))
+                .collect()
+            }
+            budget = UNI_BUDGETS[r - 1]
+            kept_multi = sorted(
+                ((p, u) for p, u in usage.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:budget]
+            counts = {p: usage.get(p, 0) + 1 for p in singles}
+            counts.update({p: u + 1 for p, u in kept_multi})
+            model = _uni_logprobs(counts)
+    return seg, stats, models
+
+
+def _uni_cte_chain() -> str:
+    """The unrolled-CTE oracle body: seed counts -> model1 -> per
+    round (8-position forward Viterbi DP with row_number tie-break,
+    final segmentation, usage counts, prune + re-estimate). Every
+    multiply-referenced CTE is MATERIALIZED (the kcore lesson: the
+    chain re-expands exponentially otherwise)."""
+    lp1 = round_sql("ln(CAST(cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE))", 6)
+    parts = [
+        f"""toks AS (
+        SELECT substr(token, 1, {UNI_MAXW}) AS word, count(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY 1
+    ),
+    vocab0 AS MATERIALIZED (
+        SELECT word, CAST(wf AS BIGINT) AS wf, length(word) AS len FROM toks
+    ),
+    seedc AS MATERIALIZED (
+        SELECT substr(word, i, l) AS piece, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM vocab0,
+             unnest(range(1, len + 1)) ri(i),
+             unnest(range(1, {UNI_MAXP} + 1)) rl(l)
+        WHERE i + l - 1 <= len
+        GROUP BY 1
+    ),
+    sgl AS MATERIALIZED (
+        SELECT piece, cnt FROM seedc WHERE length(piece) = 1),
+    mdl1base AS MATERIALIZED (
+        SELECT piece, cnt FROM sgl
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM seedc WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {UNI_SEED_MULTI}) tm
+    ),
+    model1 AS MATERIALIZED (
+        SELECT piece, {lp1} AS lp
+        FROM mdl1base, (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM mdl1base) tt
+    )"""
+    ]
+    lpn = round_sql("ln(CAST(c AS DOUBLE)) - ln(CAST(t AS DOUBLE))", 6)
+    for r in range(1, UNI_ROUNDS + 1):
+        for j in range(1, UNI_MAXW + 1):
+            cands = []
+            for l in range(1, min(UNI_MAXP, j) + 1):
+                piece = f"substr(v.word, {j - l + 1}, {l})"
+                if l == j:
+                    cands.append(f"""
+            SELECT v.word, v.wf, v.len,
+                   CAST(0.0 AS DOUBLE)
+                   + coalesce(m.lp, CAST(-1e9 AS DOUBLE)) AS score,
+                   {l} AS l, {piece} AS piece, {piece} AS seg
+            FROM vocab0 v LEFT JOIN model{r} m ON m.piece = {piece}
+            WHERE v.len >= {j}""")
+                else:
+                    cands.append(f"""
+            SELECT v.word, v.wf, v.len,
+                   v.score + coalesce(m.lp, CAST(-1e9 AS DOUBLE)) AS score,
+                   {l} AS l, {piece} AS piece,
+                   v.seg || ' ' || {piece} AS seg
+            FROM dp{r}_{j - l} v LEFT JOIN model{r} m ON m.piece = {piece}
+            WHERE v.len >= {j}""")
+            union = " UNION ALL ".join(cands)
+            parts.append(f"""
+    dp{r}_{j} AS MATERIALIZED (
+        SELECT word, wf, len, score, seg FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY word
+                ORDER BY score DESC, l DESC, piece DESC) AS rn
+            FROM ({union}) c
+        ) b WHERE rn = 1
+    )""")
+        fin_union = " UNION ALL ".join(
+            f"SELECT word, wf, seg FROM dp{r}_{j} WHERE len = {j}"
+            for j in range(1, UNI_MAXW + 1)
+        )
+        parts.append(f"""
+    fin{r} AS MATERIALIZED (
+        SELECT word, wf, seg, len(string_split(seg, ' ')) AS n_seg
+        FROM ({fin_union}) u
+    )""")
+        if r < UNI_ROUNDS:
+            budget = UNI_BUDGETS[r - 1]
+            parts.append(f"""
+    usage{r} AS MATERIALIZED (
+        SELECT piece, CAST(sum(wf) AS BIGINT) AS u
+        FROM (SELECT unnest(string_split(seg, ' ')) AS piece, wf
+              FROM fin{r}) x
+        GROUP BY 1
+    ),
+    mdl{r + 1}base AS MATERIALIZED (
+        SELECT s.piece, coalesce(u.u, 0) + 1 AS c
+        FROM sgl s LEFT JOIN usage{r} u ON u.piece = s.piece
+        UNION ALL
+        SELECT piece, u + 1 AS c FROM (
+            SELECT piece, u FROM usage{r} WHERE length(piece) > 1
+            ORDER BY u DESC, piece LIMIT {budget}) km
+    ),
+    model{r + 1} AS MATERIALIZED (
+        SELECT piece, {lpn} AS lp
+        FROM mdl{r + 1}base,
+             (SELECT CAST(sum(c) AS BIGINT) AS t FROM mdl{r + 1}base) tt
+    )""")
+    return ",".join(parts)
+
+
+def _uni_stats_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({r} AS INT) AS round,
+        (SELECT CAST(count(*) AS INT) FROM model{r}
+         WHERE length(piece) > 1) AS vocab_multi,
+        (SELECT CAST(count(*) AS INT) FROM model{r}) AS vocab_total,
+        CAST(sum(wf) AS BIGINT) AS corpus_words,
+        CAST(sum(wf * n_seg) AS BIGINT) AS corpus_pieces,
+        {round_sql("CAST(sum(wf * n_seg) AS DOUBLE) / sum(wf)", 6)}
+            AS pieces_per_word
+    FROM fin{r}"""
+        for r in range(1, UNI_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_uni_cte_chain()}
+    SELECT * FROM ({rows}) ORDER BY round
+    """
+
+
+@query("unigram_train_stats", oracle=_uni_stats_oracle())
+def unigram_train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (Kudo 2018 SentencePiece, hard-EM
+    variant): seed vocabulary = all single chars + the top-24
+    frequency-weighted substrings (length <= 4) over the word-type
+    relation; each of 3 rounds Viterbi-segments every word type under
+    the current piece log-probabilities, re-estimates piece usage, and
+    prunes the multi-char vocabulary to a shrinking budget (24 -> 16
+    -> 12; chars are never pruned). Output: one bounded stats row per
+    round — vocabulary sizes, corpus words/pieces under that round's
+    segmentation, pieces-per-word (the compression curve a tokenizer
+    report tracks; it degrades as pruning bites, which is the
+    size/quality trade the budget chooses).
+
+    Scale shape: the corpus collapses ONCE to word types (the BPE
+    discipline); the model is driver-side metadata (<= ~50 pieces,
+    like kmeans centroids) shipped back as a literal map, so each
+    round is ONE JVM-side `aggregate` fold projection over |vocab|
+    rows plus two bounded collects (usage counts, one stats row) —
+    no joins, no shuffles beyond the usage groupBy, no growing plan
+    (the word relation is static and checkpointed once). Parity: both
+    engines run the identical DP on identical 6-dp-rounded log-probs;
+    ties pinned (score DESC, piece-length DESC, piece DESC)."""
+    _, stats, _ = _unigram_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        stats,
+        "round int, vocab_multi int, vocab_total int,"
+        " corpus_words long, corpus_pieces long, pieces_per_word double",
+    ).orderBy("round")
+
+
+@query(
+    "tokenizer_apply_unigram",
+    oracle=f"""
+    WITH {_uni_cte_chain()},
+    tok AS (
+        SELECT source, token AS word
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    ),
+    per AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * n_seg) AS BIGINT) AS n_pieces,
+           {round_sql("CAST(sum(c * n_seg) AS DOUBLE) / sum(c)", 6)}
+               AS pieces_per_word
+    FROM per JOIN fin{UNI_ROUNDS} f ON f.word = substr(per.word, 1, {UNI_MAXW})
+    GROUP BY source ORDER BY source
+    """,
+)
+def tokenizer_apply_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED unigram-LM model — the
+    inference half of `unigram_train_stats` (train -> apply is the
+    full tokenizer lifecycle, mirroring `tokenizer_apply_bpe` for the
+    BPE family): each word's final-round Viterbi segment count prices
+    every occurrence, rolled up per source as words, pieces, and
+    pieces-per-word. Sources that resist compression carry vocabulary
+    the seed never captured — the same out-of-domain signal as the
+    BPE twin, now under the probabilistic segmentation model.
+
+    Scale shape: tokenization is a JOIN against the |vocab|-sized
+    trained segmentation (broadcast it — it is model metadata);
+    occurrence counts reduce to (source x word type) before the join.
+    Training truncates word types to {UNI_MAXW} chars, so apply joins
+    on the truncated form — deterministic in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    seg, _, _ = _unigram_trained(spark, sf_dir)
+    per = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.join(
+            F.broadcast(seg.select(F.col("word").alias("tword"), "n_seg")),
+            F.substring(per.word, 1, UNI_MAXW) == F.col("tword"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_seg")).cast("long").alias("n_pieces"),
+            round_col(
+                F.sum(F.col("c") * F.col("n_seg")).cast("double") / F.sum("c"),
+                6,
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -60,3 +60,51 @@ def test_phash_hash_is_63_bit_balanced(spark):
                     h |= 1 << (idx - 1)
             assert 0 < h < (1 << 63)
             assert bin(h).count("1") <= 31
+
+
+def test_unigram_segmentation_reconstructs_every_word(spark):
+    """Viterbi output must be a true segmentation: concatenating the
+    chosen pieces reproduces the (truncated) word type exactly, and
+    every piece is within the max piece length."""
+    from heapdumpstardiver_spark.queries.pipeline import (
+        UNI_MAXP,
+        _unigram_trained,
+    )
+
+    seg, _, _ = _unigram_trained(spark, SF_DIR)
+    for r in seg.collect():
+        pieces = r["seg"].split(" ")
+        assert "".join(pieces) == r["word"]
+        assert all(1 <= len(p) <= UNI_MAXP for p in pieces)
+        assert r["n_seg"] == len(pieces)
+
+
+def test_unigram_prune_schedule_and_stats_consistency(spark):
+    """The prune schedule must bite (seed 24 multis, then at most the
+    16/12 budgets — fewer if fewer pieces saw Viterbi usage — and
+    never growing), corpus word mass is invariant across rounds, and
+    pieces_per_word is internally consistent with the integer
+    counts."""
+    rows = _rows(spark, "unigram_train_stats")
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    multis = [r["vocab_multi"] for r in rows]
+    assert multis[0] == 24
+    assert multis[1] <= 16 and multis[2] <= 12
+    assert multis[0] >= multis[1] >= multis[2] > 0
+    assert len({r["corpus_words"] for r in rows}) == 1
+    for r in rows:
+        assert r["vocab_total"] > r["vocab_multi"]  # chars never pruned
+        assert r["corpus_pieces"] >= r["corpus_words"]
+        assert abs(
+            r["pieces_per_word"] - r["corpus_pieces"] / r["corpus_words"]
+        ) < 1e-6
+
+
+def test_unigram_apply_totals_match_final_training_round(spark):
+    """Applying the trained model to the same corpus must price every
+    occurrence with the round-3 segmentation: per-source totals sum
+    to the training round-3 corpus words/pieces."""
+    train = {r["round"]: r for r in _rows(spark, "unigram_train_stats")}
+    apply_rows = _rows(spark, "tokenizer_apply_unigram")
+    assert sum(r["n_words"] for r in apply_rows) == train[3]["corpus_words"]
+    assert sum(r["n_pieces"] for r in apply_rows) == train[3]["corpus_pieces"]
