@@ -4049,3 +4049,168 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("shared_fp"), "doc_a", "doc_b")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-day incremental dedup against a PERSISTED, APPENDED index
+# ---------------------------------------------------------------------------
+
+def _multiday_oracle(n_days: int = 3) -> str:
+    """Unrolled 3-day crawl loop: each day's batch is flagged against
+    the CANONICAL index over (initial corpus + all prior days' kept
+    docs), then its unique docs join the corpus. Band membership is
+    re-capped per day (the compacted form `compact_corpus_index`
+    restores; Spark compacts after each append so both sides probe
+    the identical canonical index)."""
+    cap = BAND_BUCKET_CAP
+    parts = [f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tokens[i:i+2], ' ')) AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+               min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3,
+               min(md5(shingle || ':4')) AS h4, min(md5(shingle || ':5')) AS h5,
+               min(md5(shingle || ':6')) AS h6, min(md5(shingle || ':7')) AS h7
+        FROM sh GROUP BY doc_id
+    ),
+    bands_all AS MATERIALIZED (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    corpus1 AS MATERIALIZED (
+        SELECT doc_id FROM documents WHERE doc_id % {n_days + 1} = 0)"""]
+    for k in range(1, n_days + 1):
+        parts.append(f"""
+    index{k} AS MATERIALIZED (
+        SELECT doc_id, band, bucket FROM (
+            SELECT b.doc_id, b.band, b.bucket,
+                   row_number() OVER (
+                       PARTITION BY b.band, b.bucket ORDER BY b.doc_id
+                   ) AS rnb
+            FROM bands_all b JOIN corpus{k} c ON c.doc_id = b.doc_id
+        ) x WHERE rnb <= {cap}
+    ),
+    batch{k} AS (
+        SELECT doc_id FROM documents WHERE doc_id % {n_days + 1} = {k}),
+    cand{k} AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id AS b_doc, c.doc_id AS c_doc
+        FROM bands_all b
+        JOIN batch{k} bk ON bk.doc_id = b.doc_id
+        JOIN index{k} c ON b.band = c.band AND b.bucket = c.bucket
+    ),
+    dup{k} AS MATERIALIZED (
+        SELECT DISTINCT i.b_doc FROM (
+            SELECT cand.b_doc, cand.c_doc, count(*) AS inter
+            FROM cand{k} cand
+            JOIN sh sb ON sb.doc_id = cand.b_doc
+            JOIN sh sc ON sc.doc_id = cand.c_doc
+                       AND sc.shingle = sb.shingle
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes zb ON zb.doc_id = i.b_doc
+        JOIN sizes zc ON zc.doc_id = i.c_doc
+        WHERE 2 * i.inter >= zb.n_sh + zc.n_sh - i.inter
+    ),
+    corpus{k + 1} AS MATERIALIZED (
+        SELECT doc_id FROM corpus{k}
+        UNION ALL
+        SELECT doc_id FROM batch{k}
+        WHERE doc_id NOT IN (SELECT b_doc FROM dup{k})
+    )""")
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS day,
+        (SELECT CAST(count(*) AS BIGINT) FROM batch{k}) AS batch_docs,
+        (SELECT CAST(count(DISTINCT b_doc) AS BIGINT) FROM cand{k})
+            AS cand_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM dup{k}) AS dup_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM batch{k})
+            - (SELECT CAST(count(*) AS BIGINT) FROM dup{k}) AS kept_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM sizes s
+         JOIN corpus{k + 1} c ON c.doc_id = s.doc_id) AS index_docs_after"""
+        for k in range(1, n_days + 1)
+    )
+    return f"WITH {','.join(parts)} SELECT * FROM ({rows}) ORDER BY day"
+
+
+@query("incremental_dedup_lsh_multiday", oracle=_multiday_oracle())
+def incremental_dedup_lsh_multiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index crawl loop run for three consecutive days —
+    the maintenance story `incremental_dedup_lsh_batch` (one batch vs
+    a frozen index) leaves open: day k's batch probes the index built
+    from the initial corpus PLUS every prior day's verified-unique
+    docs (`streaming.lsh_dedup.append_to_corpus_index`), survivors
+    are appended, and the index is compacted back to canonical form
+    (`compact_corpus_index` — global smallest-doc_id band re-cap; the
+    append-only interim is a per-segment-capped superset, so skipping
+    compaction can only ADD candidates, never lose one). Output: the
+    per-day dedup ledger (batch/candidate/dup/kept counts + shingled
+    index size after the append) — day-over-day dup rates rising is
+    the crawl-frontier-collapse alarm.
+
+    Scale shape: each day costs O(batch) band probes + candidate-
+    bounded verify, never a corpus rescan; appends are parquet
+    segment appends; compaction is the only corpus-sized pass and is
+    scheduled (here per-day so the oracle's canonical re-cap is the
+    exact semantics; production runs it off the probe path). Parity:
+    the whole 3-day loop is unrolled in SQL with the same md5 MinHash
+    banding, cap, and integer-form Jaccard threshold."""
+    import shutil
+    import tempfile
+
+    from ..streaming.lsh_dedup import (
+        build_corpus_index,
+        compact_corpus_index,
+        dedup_and_append_batch,
+    )
+
+    n_days = 3
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index_dir = tempfile.mkdtemp(prefix="hds_lsh_multiday_")
+    try:
+        build_corpus_index(
+            spark, d.filter(F.col("doc_id") % (n_days + 1) == 0), index_dir
+        )
+        ledger = []
+        for k in range(1, n_days + 1):
+            batch = d.filter(F.col("doc_id") % (n_days + 1) == k)
+            flags = dedup_and_append_batch(spark, batch, index_dir)
+            compact_corpus_index(spark, index_dir)
+            row = flags.agg(
+                F.count(F.lit(1)).cast("long").alias("batch_docs"),
+                F.sum((F.col("n_candidates") > 0).cast("long"))
+                .cast("long")
+                .alias("cand_docs"),
+                F.sum(F.col("is_dup").cast("long")).cast("long").alias("dup_docs"),
+            ).collect()[0]
+            import os as _os
+
+            idx_docs = (
+                spark.read.parquet(_os.path.join(index_dir, "sizes")).count()
+            )
+            ledger.append(
+                (
+                    k,
+                    int(row["batch_docs"]),
+                    int(row["cand_docs"]),
+                    int(row["dup_docs"]),
+                    int(row["batch_docs"]) - int(row["dup_docs"]),
+                    int(idx_docs),
+                )
+            )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        ledger,
+        "day int, batch_docs long, cand_docs long, dup_docs long,"
+        " kept_docs long, index_docs_after long",
+    ).orderBy("day")

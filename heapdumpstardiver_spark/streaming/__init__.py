@@ -19,7 +19,10 @@ from .windowed import (  # noqa: F401
     tumbling_counts,
 )
 from .lsh_dedup import (  # noqa: F401
+    append_to_corpus_index,
     build_corpus_index,
+    compact_corpus_index,
+    dedup_and_append_batch,
     flag_batch,
     streaming_lsh_dedup,
 )

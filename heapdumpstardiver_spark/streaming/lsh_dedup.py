@@ -171,3 +171,98 @@ def streaming_lsh_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _capped_bands(bands: DataFrame) -> DataFrame:
+    """Enforce the BAND_BUCKET_CAP membership rule (keep the CAP
+    smallest doc_ids per (band, bucket)) over a band-row relation."""
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    return (
+        bands.withColumn("rnb", F.row_number().over(wcap))
+        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
+        .drop("rnb")
+    )
+
+
+def append_to_corpus_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    """APPEND a batch of (verified-unique, previously unseen doc_id)
+    documents to a persisted corpus index — the day-N side of the
+    crawl loop, so tomorrow's batch dedups against everything through
+    today without ever rebuilding the corpus side.
+
+    LSM-style append-only segments: the batch's band rows are capped
+    per (band, bucket) WITHIN the batch and appended; shingles and
+    sizes append uncapped (they are per-doc, the verify stage probes
+    them by candidate doc_id). Until the next compaction the bands
+    table is therefore a per-segment-capped SUPERSET of the canonical
+    one-shot index: probes see every candidate the canonical index
+    would surface (no false negatives) with fan-out bounded by
+    CAP x n_segments per bucket. `compact_corpus_index` restores the
+    canonical form exactly.
+
+    The batch-local cap is LOSSLESS w.r.t. the canonical rule: a row
+    dropped here ranks > CAP among its own batch's bucket members, so
+    it ranks > CAP in any union containing that batch — the global
+    re-cap at compaction could never have kept it."""
+    sh, bands = doc_signatures(docs)
+    _capped_bands(bands).write.mode("append").parquet(
+        os.path.join(index_dir, "bands")
+    )
+    sh.write.mode("append").parquet(os.path.join(index_dir, "shingles"))
+    sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "sizes"))
+
+
+def compact_corpus_index(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite the index into canonical one-shot form: bands globally
+    re-capped (smallest-doc_id rule over ALL segments), small segment
+    files coalesced. After compaction the index is row-identical to
+    `build_corpus_index` over the union of every appended corpus —
+    the parity `tests/test_streaming.py` pins. Rewrites go through a
+    staging directory and an atomic rename, so a probe racing the
+    compaction reads either the old or the new layout, never a
+    partial one."""
+    import shutil
+
+    for name, transform in (
+        ("bands", _capped_bands),
+        ("shingles", None),
+        ("sizes", None),
+    ):
+        path = os.path.join(index_dir, name)
+        df = spark.read.parquet(path)
+        if transform is not None:
+            df = transform(df)
+        staging = f"{path}.compact.{os.getpid()}"
+        df.write.mode("overwrite").parquet(staging)
+        old = f"{path}.old.{os.getpid()}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def dedup_and_append_batch(
+    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """The full day-N crawl-loop step: flag the batch against the
+    index (day 1..N-1), append only the verified-unique survivors,
+    and return the materialized per-doc verdicts. In-batch duplicates
+    of a flagged doc are still appended (in-batch dedup is
+    `incremental_dedup_lsh_batch`'s keep-first stage — compose them
+    for the complete pipeline)."""
+    # Materialize the verdicts BEFORE mutating the index: the flags
+    # plan lazily scans the index directories, so a post-append
+    # re-execution would race its own appended rows. localCheckpoint
+    # keeps the batch-sized verdict relation distributed (never a
+    # driver collect).
+    flags = flag_batch(spark, batch_docs, index_dir).localCheckpoint()
+    kept = batch_docs.join(
+        flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    append_to_corpus_index(spark, kept, index_dir)
+    return flags

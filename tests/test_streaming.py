@@ -594,3 +594,87 @@ def test_streaming_lsh_dedup_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) == batch.count()
     assert any(v[1] for v in got.values())  # the fixture has near-dups
+
+
+def test_lsh_index_appends_plus_compact_equal_oneshot_build(spark, tmp_path):
+    """N appends + compaction must be ROW-IDENTICAL to a one-shot
+    build on the union — for an arbitrary (non-monotone) id order,
+    because the batch-local band cap is lossless w.r.t. the global
+    smallest-doc_id rule. Before compaction the bands table must be a
+    superset of the canonical one (probe-side no-false-negatives)."""
+    import os
+
+    from heapdumpstardiver_spark.streaming import lsh_dedup as L
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # three batches deliberately interleaved by id (non-monotone)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    inc_dir = str(tmp_path / "inc")
+    L.build_corpus_index(spark, b1, inc_dir)
+    L.append_to_corpus_index(spark, b2, inc_dir)
+    L.append_to_corpus_index(spark, b3, inc_dir)
+
+    one_dir = str(tmp_path / "oneshot")
+    L.build_corpus_index(spark, docs, one_dir)
+
+    def rows(d, name):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(os.path.join(d, name)).collect()
+        )
+
+    # pre-compaction: per-segment-capped superset of the canonical bands
+    assert set(rows(one_dir, "bands")) <= set(rows(inc_dir, "bands"))
+
+    L.compact_corpus_index(spark, inc_dir)
+    for name in ("bands", "shingles", "sizes"):
+        assert rows(inc_dir, name) == rows(one_dir, name), name
+
+
+def test_lsh_dedup_and_append_crawl_loop(spark, tmp_path):
+    """The day-N loop: a batch's unique docs must be appended so the
+    NEXT day's re-crawl of the same content is flagged; already-known
+    duplicates must be flagged and NOT appended."""
+    import os
+
+    from heapdumpstardiver_spark.streaming import lsh_dedup as L
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") < 300)
+    index_dir = str(tmp_path / "index")
+    L.build_corpus_index(spark, day1, index_dir)
+
+    # day 2: novel docs + exact re-crawls of day-1 content under new ids
+    novel = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    recrawl = day1.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    day2 = novel.unionByName(recrawl)
+    verdicts = {
+        r["doc_id"]: r["is_dup"]
+        for r in L.dedup_and_append_batch(spark, day2, index_dir).collect()
+    }
+    assert len(verdicts) == day2.count()
+    # every re-crawled copy is caught against the day-1 index
+    assert all(verdicts[100000 + i] for i in range(20) if 100000 + i in verdicts)
+    dup_ids = {d for d, v in verdicts.items() if v}
+    kept_ids = set(verdicts) - dup_ids
+
+    # appended = exactly the unique survivors
+    sizes = spark.read.parquet(os.path.join(index_dir, "sizes"))
+    indexed = {r["doc_id"] for r in sizes.collect()}
+    assert kept_ids <= indexed
+    assert not (dup_ids & indexed)
+
+    # day 3: re-crawl a day-2 NOVEL doc -> flagged against the appended index
+    kept_novel = sorted(i for i in kept_ids if i < 100000)[:5]
+    day3 = docs.filter(F.col("doc_id").isin(kept_novel)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    v3 = {
+        r["doc_id"]: r["is_dup"]
+        for r in L.flag_batch(spark, day3, index_dir).collect()
+    }
+    assert v3 and all(v3.values())
