@@ -26,72 +26,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-check scheduling: the driver verifies at most ~50 queries
 # per round, taken in dict order.
 #
-# FRESHNESS POLICY (restated r10, per the r9 verdict): every
-# registered query's canonical driver row is re-sampled within SIX
-# rounds — the attainable cadence at ~50 samples/round over a
-# 284-query registry (a full pass takes ~6 rounds once new-query head
-# slots are paid). The per-round compensating gate is the local
-# registry-wide `scripts/verify_contract.py` pass at sf0.01 + sf0.1,
-# which re-checks EVERY oracle-paired query each round regardless of
-# what the driver samples.
+# FRESHNESS POLICY (r10, restated with the cadence math kept generic
+# so the text survives registry growth): every registered query's
+# canonical driver row is re-sampled within ceil(registry_size / ~50)
+# rounds — six at the current 308-query registry (new-query head
+# slots are paid first each round). The per-round compensating gate
+# is the local registry-wide `scripts/verify_contract.py` pass at
+# sf0.01 + sf0.1, which re-checks EVERY oracle-paired query each
+# round regardless of what the driver samples.
 #
-# r10 front (final counts):
-# (1) the 18 queries NEW in r10 — first canonical rows.
-# (2) conformal_interval_naive + kcore_fixpoint re-sampled: both
-#     carry r9 ADVICE fixes (empty-calibration shape parity; oracle
-#     unroll budget 30→40 with loud error() on overrun).
-# (3) staleness rotation, oldest vintage first: after r9 the
-#     cumulative record holds 15 r3-vintage and 42 r4-vintage green
-#     rows; the 15 r3 rows head the rotation (r9 verdict done-bar:
-#     zero rows older than r4 after r10). 18+2+15 = 35 head slots
-#     leave ~15 under the ~50 cap, so the r4 block below is sampled
-#     through ~hierarchy_join; its remainder (~27 rows, from
-#     explode_tokens) leads the r11 rotation, then the r5 block.
+# r11 front:
+# (1) the 6 queries NEW in r11 — first canonical rows.
+# (2) staleness rotation, oldest vintage first: after r10 the record
+#     holds 27 r4-vintage greens (the explode_tokens…dominator_
+#     retained block below — r10 sampled the first 15 r4 rows) and
+#     33 r5-vintage greens. 6 + 27 = 33 head slots leave ~17 for the
+#     r5 block; its remainder (~16 rows, from large_volume_orders)
+#     leads the r12 rotation. Done-bar this round: zero rows older
+#     than r5 in the cumulative record after r11.
 _CHECK_PRIORITY = [
-    # 1: new in r10 — need first driver rows
-    "incremental_dedup_lsh_batch", "bpe_train_merges",
-    "growth_by_retainer", "kneser_ney_trigram_score",
-    "tokenizer_apply_bpe", "saturation_dedup_curve",
-    "cdc_chunk_dedup", "good_turing_vocab_estimate",
-    "context_window_loss", "embedding_quantization_error",
-    "mmr_diverse_selection", "stratified_kfold_assignment",
-    "random_projection_distortion", "lsh_plane_recall_curve",
-    "temperature_sampling_weights", "fragment_reassembly_candidates",
-    "cross_source_ngram_matrix", "ngram_repetition_curve",
-    # 2: re-sample r9-ADVICE-fixed queries
-    "conformal_interval_naive", "kcore_fixpoint",
-    # 3: staleness rotation — r3-vintage remainder (15), oldest first
-    "asof_join_next_event", "date_trunc_daily", "ema_user_value",
-    "freq_items_sketch", "hierarchy_closure", "hprof_object_kinds",
-    "hprof_record_tally", "json_extract_agg",
-    "percentile_disc_groups", "range_join_nearby",
-    "rollup_hypertable_cascade", "sessionize_lag",
-    "window_rank_topk", "window_running_sum", "window_tumbling_hour",
-    # 4: r4-vintage greens (42) — ~27 fit under the ~50 cap this
-    # round; the tail leads the r11 rotation. embedding_near_dup_
-    # pairs and kmeans_embedding_clusters are placed early: both are
-    # this round's verdict watch items.
-    "embedding_near_dup_pairs", "kmeans_embedding_clusters",
-    "multimodal_payload_stats", "multimodal_fingerprint_topk",
-    "multimodal_frame_sample", "multimodal_feature_extract",
-    "scan_filter_project", "like_patterns", "pagination",
-    "join_fact_fact", "enrichment_join", "join_ratio_filter",
-    "join_semi", "join_anti", "hierarchy_join", "explode_tokens",
-    "similarity_lsh_bucketed", "embedding_norms", "text_quality",
-    "token_count_regex", "lang_id_confusion", "doc_fingerprint",
-    "minhash_lsh_candidates",
-    "simhash_fingerprint", "similarity_ivf_probe", "jaccard_pairs",
-    "vocab_topk", "dedup_connected_components",
-    "dedup_cluster_representatives", "decontaminate_ngram_overlap",
-    "data_mix_weighted_sample", "train_test_split_hash",
-    "quality_filter_chain", "stratified_sample_per_source",
-    "repetition_filter_gopher", "minhash_verify_jaccard",
-    "token_budget_select",
+    # 1: new in r11 — need first driver rows
+    "image_phash_near_dup", "unigram_train_stats",
+    "tokenizer_apply_unigram", "incremental_dedup_lsh_multiday",
+    "video_phash_near_dup", "audio_fingerprint_near_dup",
+    # 2: staleness rotation — r4-vintage remainder (27), oldest first
+    "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
+    "text_quality", "token_count_regex", "lang_id_confusion",
+    "doc_fingerprint", "minhash_lsh_candidates", "simhash_fingerprint",
+    "similarity_ivf_probe", "jaccard_pairs", "vocab_topk",
+    "dedup_connected_components", "dedup_cluster_representatives",
+    "decontaminate_ngram_overlap", "data_mix_weighted_sample",
+    "train_test_split_hash", "quality_filter_chain",
+    "stratified_sample_per_source", "repetition_filter_gopher",
+    "minhash_verify_jaccard", "token_budget_select",
     "quality_percentile_gate", "reachability_live_census",
     "semantic_dedup_centroid", "single_retainer_bytes",
     "dominator_retained",
-    # r5-vintage greens (r6/r7-checked greens follow in registration
-    # order via _ordered's tail — they are the youngest):
+    # 3: r5-vintage greens (33) — ~17 fit under the ~50 cap this
+    # round; the tail leads the r12 rotation.
     "window_sliding_15m", "session_window_native",
     "decile_binning_broadcast_cuts", "attribution_last_touch",
     "bootstrap_mean_ci", "cohens_kappa_langid",

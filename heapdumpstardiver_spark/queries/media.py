@@ -1514,3 +1514,466 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAM_T)
         .orderBy("media_id_a", "media_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate detection (per-frame pHash + aligned-frame vote)
+# ---------------------------------------------------------------------------
+
+_VPH_BASE = 6    # distinct source videos
+_VPH_VAR = 2     # j=0 original, j=1 perturbed re-encode
+_VPH_FRAMES = 4  # frames per video
+_VPH_MIN_MATCH = 3  # aligned frames within HAM_T needed to call near-dup
+
+
+def _vph_pixel(b: int, j: int, f: int, x: int, y: int) -> int:
+    """Deterministic 32x32 luma per (video b, variant j, frame f):
+    the proven 4x4-block-hash pattern (rich low-frequency content,
+    cross-video aligned Hamming >= 26 measured) with per-frame drift
+    (f enters the block hash) and variant noise that leaves most
+    frames within Hamming <= 7 but pushes SOME past it (measured:
+    every variant pair keeps >= 3 of 4 aligned frames matched) — the
+    multi-frame vote is exactly what makes video near-dup robust
+    where a single-frame hash is not."""
+    v = ((b * 37 + f * 61 + (x // 4) * 53 + (y // 4) * 71) % 17) * 15
+    if (x * 31 + y * 17 + b + f) % 4 == 0:
+        v += 25 * j
+    return min(v, 255)
+
+
+def _phash_cos_sql() -> str:
+    return ", ".join(
+        f"({k}, {n}, {c})"
+        for k, row in enumerate(_PHASH_COS)
+        for n, c in enumerate(row)
+    )
+
+
+def _vph_oracle() -> str:
+    return f"""
+    WITH ct(k, n, c) AS (SELECT * FROM (VALUES {_phash_cos_sql()}) t(k, n, c)),
+    vids AS (
+        SELECT b, j, b * {_VPH_VAR} + j AS video_id
+        FROM range({_VPH_BASE}) rb(b), range({_VPH_VAR}) rj(j)
+    ),
+    px AS (
+        SELECT video_id, f, x, y,
+               least(((b*37 + f*61 + (x//4)*53 + (y//4)*71) % 17) * 15
+                     + CASE WHEN (x*31 + y*17 + b + f) % 4 = 0
+                            THEN j * 25 ELSE 0 END, 255) AS v
+        FROM vids, range({_VPH_FRAMES}) rf(f),
+             range(32) rx(x), range(32) ry(y)
+    ),
+    coef AS (
+        SELECT video_id, f, cu.k AS u, cv.k AS w,
+               CAST(sum(CAST(px.v AS BIGINT) * cu.c * cv.c) AS BIGINT) AS fc
+        FROM px JOIN ct cu ON cu.n = px.x JOIN ct cv ON cv.n = px.y
+        GROUP BY 1, 2, 3, 4
+    ),
+    ac AS (SELECT * FROM coef WHERE NOT (u = 0 AND w = 0)),
+    thr AS (
+        SELECT video_id, f, fc AS thr FROM (
+            SELECT video_id, f, fc, row_number() OVER (
+                PARTITION BY video_id, f ORDER BY fc, u*8 + w) AS rn
+            FROM ac) x WHERE rn = 32
+    ),
+    hashes AS (
+        SELECT a.video_id, a.f,
+               CAST(sum(CASE WHEN a.fc > t.thr
+                        THEN (CAST(1 AS BIGINT) << (a.u*8 + a.w - 1))
+                        ELSE 0 END) AS BIGINT) AS h
+        FROM ac a JOIN thr t ON t.video_id = a.video_id AND t.f = a.f
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT video_id, f, h, k, (h >> (k * 8)) & 255 AS bv
+        FROM hashes, range({_PHASH_BANDS}) rk(k)
+    ),
+    candv AS (
+        SELECT DISTINCT a.video_id AS va, b.video_id AS vb
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.bv = b.bv AND a.video_id < b.video_id
+    ),
+    ver AS (
+        SELECT c.va, c.vb, bit_count(xor(ha.h, hb.h)) AS hm
+        FROM candv c
+        JOIN hashes ha ON ha.video_id = c.va
+        JOIN hashes hb ON hb.video_id = c.vb AND hb.f = ha.f
+    )
+    SELECT CAST(va AS INT) AS video_id_a, CAST(vb AS INT) AS video_id_b,
+           CAST(sum(CASE WHEN hm <= {_PHASH_HAM_T} THEN 1 ELSE 0 END) AS INT)
+               AS n_frames_matched,
+           CAST(max(hm) AS INT) AS max_frame_hamming,
+           CAST(CASE WHEN va // {_VPH_VAR} = vb // {_VPH_VAR}
+                THEN 1 ELSE 0 END AS INT) AS same_source_video
+    FROM ver GROUP BY va, vb
+    HAVING sum(CASE WHEN hm <= {_PHASH_HAM_T} THEN 1 ELSE 0 END)
+           >= {_VPH_MIN_MATCH}
+    ORDER BY video_id_a, video_id_b
+    """
+
+
+@query("video_phash_near_dup", oracle=_vph_oracle())
+def video_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection — per-frame pHash plus an
+    aligned-frame vote, completing the dedup mandate across the third
+    modality (text: `incremental_dedup_lsh_batch`; image:
+    `image_phash_near_dup`): real MJPEG containers of lossless-JPEG
+    (SOF3) frames are split AND decoded in the production
+    one-mapInPandas stage (`multimodal.split_mjpeg_frames`), each
+    frame pHashed (the shared integer-DCT pipeline), frame hashes
+    banded into the 8x8-bit Hamming LSH, and candidate VIDEO pairs
+    verified by counting temporally ALIGNED frames within Hamming <=
+    7 — >= 3 of 4 calls the pair near-duplicate. The multi-frame vote
+    is the point: the fixture deliberately perturbs some frames past
+    the single-frame threshold, and the vote still catches every
+    variant pair (while cross-video pairs match zero frames).
+
+    Scale shape: payloads decode+hash in one narrow Arrow stage; only
+    (video_id, frame_idx, 8-byte hash) rows flow into the band
+    explode and bucket equi-join (the text-LSH geometry, cap applies
+    verbatim); verify joins hashes by (video, frame) — never pixels.
+    Parity: same literal cosine table, rank-32 threshold, and banding
+    as the image operator; the oracle unrolls all {_VPH_FRAMES} frames
+    of all {_VPH_BASE * _VPH_VAR} videos through the same SQL DCT."""
+    rows = []
+    for b in range(_VPH_BASE):
+        for j in range(_VPH_VAR):
+            frames = [
+                M.encode_jpeg_lossless(
+                    32,
+                    32,
+                    bytes(
+                        _vph_pixel(b, j, f, x, y)
+                        for y in range(32)
+                        for x in range(32)
+                    ),
+                    predictor=1,
+                )
+                for f in range(_VPH_FRAMES)
+            ]
+            rows.append(
+                (
+                    b * _VPH_VAR + j,
+                    "video",
+                    M.encode_mjpeg(frames),
+                    ("mjpeg", 32, 32, None, _VPH_FRAMES),
+                )
+            )
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    def _phash_gray(col):
+        import numpy as np
+        import pandas as pd
+
+        cosm = np.array(_PHASH_COS, dtype=np.int64)
+        out = []
+        for buf in col:
+            p = (
+                np.frombuffer(bytes(buf), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(32, 32)
+            )
+            fm = cosm @ p.T @ cosm.T
+            flat = [
+                (int(fm[u, w]), u * 8 + w)
+                for u in range(8)
+                for w in range(8)
+                if (u, w) != (0, 0)
+            ]
+            thr = sorted(flat)[31][0]
+            h = 0
+            for fc, idx in flat:
+                if fc > thr:
+                    h |= 1 << (idx - 1)
+            out.append(h)
+        return pd.Series(out)
+
+    udf = F.pandas_udf(_phash_gray, "long")
+    hashes = M.split_mjpeg_frames(df).select(
+        F.col("media_id").cast("int").alias("video_id"),
+        F.col("frame_idx").alias("f"),
+        udf("decoded").alias("h"),
+    )
+    bands = hashes.select(
+        "video_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright("h", k * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("video_id", "bd.k", "bd.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.video_id") < F.col("b.video_id")),
+        )
+        .select(
+            F.col("a.video_id").alias("va"), F.col("b.video_id").alias("vb")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("video_id").alias("va"), "f", F.col("h").alias("h_a")
+    )
+    hb = hashes.select(
+        F.col("video_id").alias("vb"), "f", F.col("h").alias("h_b")
+    )
+    hm = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "va")
+        .join(hb, ["vb", "f"])
+        .select("va", "vb", hm.alias("hm"))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum(F.when(F.col("hm") <= _PHASH_HAM_T, 1).otherwise(0))
+            .cast("int")
+            .alias("n_frames_matched"),
+            F.max("hm").cast("int").alias("max_frame_hamming"),
+        )
+        .filter(F.col("n_frames_matched") >= _VPH_MIN_MATCH)
+        .select(
+            F.col("va").cast("int").alias("video_id_a"),
+            F.col("vb").cast("int").alias("video_id_b"),
+            "n_frames_matched",
+            "max_frame_hamming",
+            F.expr(
+                f"CAST(CASE WHEN va div {_VPH_VAR} = vb div {_VPH_VAR}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("same_source_video"),
+        )
+        .orderBy("video_id_a", "video_id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection (Haitsma-Kalker binary fingerprints)
+# ---------------------------------------------------------------------------
+
+_AFP_COS8 = [
+    [
+        int(_math.floor(_math.cos(_math.pi * (2 * n + 1) * k / 16) * 1024 + 0.5))
+        for n in range(8)
+    ]
+    for k in range(8)
+]
+_AFP_BASE = 6   # distinct source clips
+_AFP_VAR = 2    # j=0 original, j=1 lightly perturbed re-encode
+_AFP_FRAMES = 16   # frames per clip (32 samples each -> 512 samples)
+_AFP_DIFF_T = 12   # <= 12 differing bits of 105 = near-duplicate
+
+
+def _afp_mean(b: int, j: int, f: int, g: int) -> int:
+    """Deterministic per-(frame f, 4-sample group g) level: the
+    proven block-hash pattern in 1D x time (distinct spectral
+    envelope per base clip; measured cross-clip fingerprint distance
+    >= 37 bits) plus variant noise 600 (~2% of range; measured
+    same-clip distance <= 5 bits, >= 12 of 15 frame codes exact)."""
+    v = ((b * 37 + f * 61 + g * 53) % 17) * 1800
+    if (g * 31 + f * 17 + b) % 4 == 0:
+        v += 600 * j
+    return v
+
+
+def _afp_sample(b: int, j: int, t: int) -> int:
+    return _afp_mean(b, j, t // 32, (t % 32) // 4)
+
+
+def _afp_cos8_sql() -> str:
+    return ", ".join(
+        f"({k}, {n}, {c})"
+        for k, row in enumerate(_AFP_COS8)
+        for n, c in enumerate(row)
+    )
+
+
+def _afp_oracle() -> str:
+    return f"""
+    WITH c8(k, n, c) AS (SELECT * FROM (VALUES {_afp_cos8_sql()}) t(k, n, c)),
+    clips AS (
+        SELECT b, j, b * {_AFP_VAR} + j AS clip_id
+        FROM range({_AFP_BASE}) rb(b), range({_AFP_VAR}) rj(j)
+    ),
+    means AS (
+        SELECT clip_id, f, g,
+               CAST(((b*37 + f*61 + g*53) % 17) * 1800
+                    + CASE WHEN (g*31 + f*17 + b) % 4 = 0
+                           THEN 600 * j ELSE 0 END AS BIGINT) AS v
+        FROM clips, range({_AFP_FRAMES}) rf(f), range(8) rg(g)
+    ),
+    en AS (
+        SELECT clip_id, f, c8.k AS m,
+               CAST(sum(v * c8.c) AS BIGINT)
+               * CAST(sum(v * c8.c) AS BIGINT) AS e
+        FROM means JOIN c8 ON c8.n = means.g
+        GROUP BY 1, 2, 3
+    ),
+    bits AS (
+        SELECT a.clip_id, a.f, a.m,
+               CASE WHEN (a.e - r.e) - (p.e - q.e) > 0
+                    THEN (CAST(1 AS BIGINT) << a.m) ELSE 0 END AS bit
+        FROM en a
+        JOIN en r ON r.clip_id = a.clip_id AND r.f = a.f AND r.m = a.m + 1
+        JOIN en p ON p.clip_id = a.clip_id AND p.f = a.f - 1 AND p.m = a.m
+        JOIN en q ON q.clip_id = a.clip_id AND q.f = a.f - 1
+                  AND q.m = a.m + 1
+        WHERE a.m < 7 AND a.f >= 1
+    ),
+    codes AS (
+        SELECT clip_id, f, CAST(sum(bit) AS BIGINT) AS code
+        FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.clip_id AS ca, b.clip_id AS cb
+        FROM codes a JOIN codes b
+          ON a.f = b.f AND a.code = b.code AND a.clip_id < b.clip_id
+    ),
+    ver AS (
+        SELECT c.ca, c.cb,
+               bit_count(xor(x.code, y.code)) AS db,
+               CASE WHEN x.code = y.code THEN 1 ELSE 0 END AS ex
+        FROM cand c
+        JOIN codes x ON x.clip_id = c.ca
+        JOIN codes y ON y.clip_id = c.cb AND y.f = x.f
+    )
+    SELECT CAST(ca AS INT) AS clip_id_a, CAST(cb AS INT) AS clip_id_b,
+           CAST(sum(db) AS INT) AS diff_bits,
+           CAST(sum(ex) AS INT) AS n_frames_exact,
+           CAST(CASE WHEN ca // {_AFP_VAR} = cb // {_AFP_VAR}
+                THEN 1 ELSE 0 END AS INT) AS same_source_clip
+    FROM ver GROUP BY ca, cb
+    HAVING sum(db) <= {_AFP_DIFF_T}
+    ORDER BY clip_id_a, clip_id_b
+    """
+
+
+@query("audio_fingerprint_near_dup", oracle=_afp_oracle())
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO detection via Haitsma-Kalker binary
+    spectral fingerprints (ISMIR 2002 — the classic robust audio
+    hash), closing the dedup mandate across all three binary
+    modalities (text LSH / image pHash / video frame-vote / audio):
+    real RIFF/WAVE PCM16 clips decode through the production
+    `multimodal.decode` stage, each 32-sample frame reduces to 8
+    band-energy values (integer DCT-8 over 4-sample group means,
+    shared literal cosine table), and the HK bit derivation — sign of
+    the band-delta's FRAME delta — yields a 7-bit code per frame, 105
+    fingerprint bits per clip. Clips sharing any exact (frame, code)
+    sub-fingerprint become candidates (the paper's lookup-table
+    strategy as an equi-join); verification sums XOR popcounts over
+    aligned frames, <= {_AFP_DIFF_T} of 105 differing bits calls the
+    pair near-duplicate.
+
+    Scale shape: payload bytes never shuffle (decode + frame
+    reduction + code derivation inside one Arrow-batched UDF); 15
+    two-byte codes per clip flow into the (frame, code) equi-join —
+    sub-fingerprint buckets are the audio analogue of LSH band
+    buckets, hot-bucket caps apply verbatim. Parity: all-integer
+    arithmetic end to end (group means are exact: piecewise-constant
+    fixture, energies are BIGINT squares), oracle unrolls frames ->
+    DCT-8 -> HK bits -> candidate join -> verify in SQL."""
+    rows = [
+        (
+            b * _AFP_VAR + j,
+            "audio",
+            M.encode_wav_pcm16(
+                [_afp_sample(b, j, t) for t in range(_AFP_FRAMES * 32)]
+            ),
+            ("wav", None, None, 8000, None),
+        )
+        for b in range(_AFP_BASE)
+        for j in range(_AFP_VAR)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
+    )
+
+    def _codes(col):
+        import numpy as np
+        import pandas as pd
+
+        cos8 = np.array(_AFP_COS8, dtype=np.int64)
+        out = []
+        for buf in col:
+            s = (
+                np.frombuffer(bytes(buf), dtype="<i2")
+                .astype(np.int64)
+                .reshape(_AFP_FRAMES, 8, 4)
+            )
+            means = s.sum(axis=2) // 4  # non-negative: // == trunc
+            coef = means @ cos8.T  # [f, k]
+            e = coef * coef
+            d = e[:, :7] - e[:, 1:]  # band deltas per frame
+            hk = (d[1:] - d[:-1]) > 0  # frame deltas, frames 1..15
+            codes = (hk.astype(np.int64) << np.arange(7, dtype=np.int64)).sum(
+                axis=1
+            )
+            out.append([int(c) for c in codes])
+        return pd.Series(out)
+
+    codes_udf = F.pandas_udf(_codes, "array<long>")
+    codes = (
+        M.decode(df)
+        .select(
+            F.col("media_id").cast("int").alias("clip_id"),
+            F.posexplode(codes_udf("decoded")).alias("i", "code"),
+        )
+        .select("clip_id", (F.col("i") + 1).alias("f"), "code")
+    )
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.clip_id") < F.col("b.clip_id")),
+        )
+        .select(
+            F.col("a.clip_id").alias("ca"), F.col("b.clip_id").alias("cb")
+        )
+        .distinct()
+    )
+    cx = codes.select(
+        F.col("clip_id").alias("ca"), "f", F.col("code").alias("code_a")
+    )
+    cy = codes.select(
+        F.col("clip_id").alias("cb"), "f", F.col("code").alias("code_b")
+    )
+    return (
+        cand.join(cx, "ca")
+        .join(cy, ["cb", "f"])
+        .groupBy("ca", "cb")
+        .agg(
+            F.sum(F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b"))))
+            .cast("int")
+            .alias("diff_bits"),
+            F.sum(F.when(F.col("code_a") == F.col("code_b"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_frames_exact"),
+        )
+        .filter(F.col("diff_bits") <= _AFP_DIFF_T)
+        .select(
+            F.col("ca").cast("int").alias("clip_id_a"),
+            F.col("cb").cast("int").alias("clip_id_b"),
+            "diff_bits",
+            "n_frames_exact",
+            F.expr(
+                f"CAST(CASE WHEN ca div {_AFP_VAR} = cb div {_AFP_VAR}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("same_source_clip"),
+        )
+        .orderBy("clip_id_a", "clip_id_b")
+    )

@@ -108,3 +108,31 @@ def test_unigram_apply_totals_match_final_training_round(spark):
     apply_rows = _rows(spark, "tokenizer_apply_unigram")
     assert sum(r["n_words"] for r in apply_rows) == train[3]["corpus_words"]
     assert sum(r["n_pieces"] for r in apply_rows) == train[3]["corpus_pieces"]
+
+
+def test_video_phash_vote_finds_all_variants_and_nothing_else(spark):
+    """6 source videos x 2 variants: the aligned-frame vote must
+    surface exactly the 6 variant pairs — including fixtures where
+    SOME frames are perturbed past the single-frame threshold (the
+    vote's whole point) — and no cross-video pair."""
+    rows = _rows(spark, "video_phash_near_dup")
+    assert len(rows) == 6
+    for r in rows:
+        assert r["same_source_video"] == 1
+        assert 3 <= r["n_frames_matched"] <= 4
+        assert r["video_id_a"] // 2 == r["video_id_b"] // 2
+    # the fixture deliberately includes a frame past the threshold
+    assert any(r["n_frames_matched"] == 3 for r in rows)
+
+
+def test_audio_fingerprint_finds_all_variants_and_nothing_else(spark):
+    """6 source clips x 2 variants: Haitsma-Kalker verification must
+    keep exactly the 6 variant pairs, each well under the 12-of-105
+    bit budget, with most frame codes exactly shared (the candidate
+    lookup requires at least one)."""
+    rows = _rows(spark, "audio_fingerprint_near_dup")
+    assert len(rows) == 6
+    for r in rows:
+        assert r["same_source_clip"] == 1
+        assert 0 <= r["diff_bits"] <= 12
+        assert r["n_frames_exact"] >= 12
