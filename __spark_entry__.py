@@ -29,19 +29,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # FRESHNESS POLICY (r10, restated with the cadence math kept generic
 # so the text survives registry growth): every registered query's
 # canonical driver row is re-sampled within ceil(registry_size / ~50)
-# rounds — six at the current 308-query registry (new-query head
+# rounds — six at the current 310-query registry (new-query head
 # slots are paid first each round). The per-round compensating gate
 # is the local registry-wide `scripts/verify_contract.py` pass at
 # sf0.01 + sf0.1, which re-checks EVERY oracle-paired query each
 # round regardless of what the driver samples.
 #
 # r11 front:
-# (1) the 6 queries NEW in r11 — first canonical rows.
+# (1) the 8 queries NEW in r11 — first canonical rows.
 # (2) staleness rotation, oldest vintage first: after r10 the record
 #     holds 27 r4-vintage greens (the explode_tokens…dominator_
 #     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. 6 + 27 = 33 head slots leave ~17 for the
-#     r5 block; its remainder (~16 rows, from large_volume_orders)
+#     33 r5-vintage greens. 8 + 27 = 35 head slots leave ~15 for the
+#     r5 block; its remainder (~18 rows, from ks_test_two_sample)
 #     leads the r12 rotation. Done-bar this round: zero rows older
 #     than r5 in the cumulative record after r11.
 _CHECK_PRIORITY = [
@@ -49,6 +49,7 @@ _CHECK_PRIORITY = [
     "image_phash_near_dup", "unigram_train_stats",
     "tokenizer_apply_unigram", "incremental_dedup_lsh_multiday",
     "video_phash_near_dup", "audio_fingerprint_near_dup",
+    "tokenizer_fertility_compare", "cross_modal_consistency_audit",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",
@@ -62,7 +63,7 @@ _CHECK_PRIORITY = [
     "quality_percentile_gate", "reachability_live_census",
     "semantic_dedup_centroid", "single_retainer_bytes",
     "dominator_retained",
-    # 3: r5-vintage greens (33) — ~17 fit under the ~50 cap this
+    # 3: r5-vintage greens (33) — ~15 fit under the ~50 cap this
     # round; the tail leads the r12 rotation.
     "window_sliding_15m", "session_window_native",
     "decile_binning_broadcast_cuts", "attribution_last_touch",

@@ -5625,3 +5625,215 @@ def tokenizer_apply_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "tokenizer_fertility_compare",
+    oracle=f"""
+    WITH {_bpe_cte_chain(BPE_N_MERGES)},
+    {_uni_cte_chain()},
+    bseg AS (SELECT word, len(syms) AS bpe_seg FROM words{BPE_N_MERGES}),
+    tok AS (
+        SELECT source, token AS word
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    ),
+    per AS (SELECT source, word, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           {round_sql("CAST(sum(c * b.bpe_seg) AS DOUBLE) / sum(c)", 6)}
+               AS bpe_tokens_per_word,
+           {round_sql("CAST(sum(c * u.n_seg) AS DOUBLE) / sum(c)", 6)}
+               AS unigram_pieces_per_word,
+           {round_sql(
+               "(CAST(sum(c * u.n_seg) AS DOUBLE) / sum(c))"
+               " / (CAST(sum(c * b.bpe_seg) AS DOUBLE) / sum(c))", 6
+           )} AS unigram_vs_bpe_ratio
+    FROM per
+    JOIN bseg b ON b.word = per.word
+    JOIN fin{UNI_ROUNDS} u ON u.word = substr(per.word, 1, {UNI_MAXW})
+    GROUP BY source ORDER BY source
+    """,
+)
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Side-by-side fertility (tokens-per-word) of the two trained
+    tokenizer families — the model-selection table a tokenizer bakeoff
+    produces: per source, words priced under BOTH the 8-merge BPE
+    segmentation and the 3-round unigram-LM segmentation, plus the
+    unigram/BPE fertility ratio (persistently > 1 on a source means
+    the unigram prune schedule is too aggressive for that domain;
+    < 1 means BPE's greedy merges under-serve it). Trains both models
+    in-query (the same loops as `bpe_train_merges` /
+    `unigram_train_stats`), so the comparison always reflects the
+    current corpus.
+
+    Scale shape: both trainings iterate over the word-TYPE relation
+    only; the comparison itself is two broadcast-sized model joins
+    against the reduced (source x word type) relation — one corpus
+    scan total. Parity: integer segment counts from both engines'
+    identical trainings; three rounded divisions."""
+    d = _t(spark, sf_dir, "documents")
+    bwords, _ = _bpe_trained_segmentation(spark, sf_dir)
+    bseg = bwords.select("word", F.size("syms").alias("bpe_seg"))
+    useg, _, _ = _unigram_trained(spark, sf_dir)
+    per = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bpw = F.sum(F.col("c") * F.col("bpe_seg")).cast("double") / F.sum("c")
+    upw = F.sum(F.col("c") * F.col("n_seg")).cast("double") / F.sum("c")
+    return (
+        per.join(F.broadcast(bseg), "word")
+        .join(
+            F.broadcast(useg.select(F.col("word").alias("uw"), "n_seg")),
+            F.substring(per.word, 1, UNI_MAXW) == F.col("uw"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            round_col(bpw, 6).alias("bpe_tokens_per_word"),
+            round_col(upw, 6).alias("unigram_pieces_per_word"),
+            round_col(upw / bpw, 6).alias("unigram_vs_bpe_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "cross_modal_consistency_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tokens[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, len(tokens) - 3 + 2)) AS t(i)
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(md5(shingle || ':0')) AS h0, min(md5(shingle || ':1')) AS h1,
+               min(md5(shingle || ':2')) AS h2, min(md5(shingle || ':3')) AS h3
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || h1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h2 || h3) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    dup AS (
+        SELECT i.doc_a, i.doc_b, i.inter, za.n_sh + zb.n_sh - i.inter AS un
+        FROM (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE 2 * i.inter >= za.n_sh + zb.n_sh - i.inter
+    ),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT d.doc_a, d.doc_b,
+           {round_sql("CAST(d.inter AS DOUBLE) / d.un", 6)} AS jaccard,
+           {stable_render_sql(
+               "list_dot_product(ea.v, eb.v)"
+               " / (sqrt(list_dot_product(ea.v, ea.v))"
+               "    * sqrt(list_dot_product(eb.v, eb.v)))", 6
+           )} AS cos_sim,
+           CAST(CASE WHEN list_dot_product(ea.v, eb.v)
+                / (sqrt(list_dot_product(ea.v, ea.v))
+                   * sqrt(list_dot_product(eb.v, eb.v))) > 0.8
+                THEN 1 ELSE 0 END AS INT) AS embedding_agrees
+    FROM dup d
+    JOIN emb ea ON ea.vec_id = d.doc_a
+    JOIN emb eb ON eb.vec_id = d.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def cross_modal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit — ties the TEXT near-dup family
+    to the EMBEDDING store: every verified text near-duplicate pair
+    (MinHash-LSH candidates, exact trigram Jaccard >= 0.5 in integer
+    form) is scored by its embedding cosine, and pairs whose vectors
+    DISAGREE (cos <= 0.8 despite near-identical text) are the audit's
+    catch: stale re-embeds, corrupt vector rows, or an embedding
+    model that missed a paraphrase family — exactly the rows that
+    poison `semantic_dedup_centroid` and the ANN family if trusted
+    blindly.
+
+    Scale shape: the pair set is the (already sub-quadratic) verified
+    near-dup relation, so the embedding join adds two vec_id-keyed
+    lookups per pair — the audit rides the dedup pipeline's cost.
+    Parity: integer Jaccard verify, fold-identical cosines
+    (exprs.dot <=> list_dot_product), stable-rendered output, and the
+    0.8 flag compares bit-identical doubles in both engines."""
+    from ..exprs import dot
+    from .llm import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("tokens"))
+        .filter(F.size("tokens") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    dup = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(2 * F.col("inter") >= F.col("un"))
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        dup.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_col(F.col("inter").cast("double") / F.col("un"), 6).alias(
+                "jaccard"
+            ),
+            stable_render(cos, 6).alias("cos_sim"),
+            F.when(cos > 0.8, 1).otherwise(0).cast("int").alias(
+                "embedding_agrees"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -136,3 +136,35 @@ def test_audio_fingerprint_finds_all_variants_and_nothing_else(spark):
         assert r["same_source_clip"] == 1
         assert 0 <= r["diff_bits"] <= 12
         assert r["n_frames_exact"] >= 12
+
+
+def test_fertility_compare_consistent_with_individual_tokenizers(spark):
+    """The bakeoff table must reproduce each tokenizer's own apply
+    numbers: per source, BPE fertility == tokenizer_apply_bpe's
+    tokens_per_word and unigram fertility == tokenizer_apply_unigram's
+    pieces_per_word, and the ratio column is their quotient."""
+    cmp_rows = {r["source"]: r for r in _rows(spark, "tokenizer_fertility_compare")}
+    bpe = {r["source"]: r for r in _rows(spark, "tokenizer_apply_bpe")}
+    uni = {r["source"]: r for r in _rows(spark, "tokenizer_apply_unigram")}
+    assert cmp_rows.keys() == bpe.keys() == uni.keys()
+    for s, r in cmp_rows.items():
+        assert abs(r["bpe_tokens_per_word"] - bpe[s]["tokens_per_word"]) < 1e-6
+        assert (
+            abs(r["unigram_pieces_per_word"] - uni[s]["pieces_per_word"]) < 1e-6
+        )
+        assert r["bpe_tokens_per_word"] >= 1.0
+        assert r["unigram_pieces_per_word"] >= 1.0
+
+
+def test_cross_modal_audit_pairs_are_verified_text_dups(spark):
+    """Every audited pair must be a true text near-dup (Jaccard >= 0.5
+    by the integer rule the verify stage uses) with a cosine in
+    [-1, 1], and the agree flag must match the 0.8 rule on the
+    rendered cosine."""
+    rows = _rows(spark, "cross_modal_consistency_audit")
+    assert rows
+    for r in rows:
+        assert r["jaccard"] >= 0.5 - 1e-9
+        c = float(r["cos_sim"])
+        assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
+        assert r["embedding_agrees"] == (1 if c > 0.8 else 0)
