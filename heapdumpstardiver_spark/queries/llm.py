@@ -4184,7 +4184,10 @@ def incremental_dedup_lsh_multiday(spark: SparkSession, sf_dir: str) -> DataFram
         for k in range(1, n_days + 1):
             batch = d.filter(F.col("doc_id") % (n_days + 1) == k)
             flags = dedup_and_append_batch(spark, batch, index_dir)
-            compact_corpus_index(spark, index_dir)
+            if k < n_days:
+                # canonical band index for the NEXT day's probe; the
+                # last day's compaction would affect nothing we read.
+                compact_corpus_index(spark, index_dir)
             row = flags.agg(
                 F.count(F.lit(1)).cast("long").alias("batch_docs"),
                 F.sum((F.col("n_candidates") > 0).cast("long"))

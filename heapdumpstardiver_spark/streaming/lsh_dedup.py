@@ -218,22 +218,27 @@ def append_to_corpus_index(
     ).parquet(os.path.join(index_dir, "sizes"))
 
 
-def compact_corpus_index(spark: SparkSession, index_dir: str) -> None:
-    """Rewrite the index into canonical one-shot form: bands globally
-    re-capped (smallest-doc_id rule over ALL segments), small segment
-    files coalesced. After compaction the index is row-identical to
-    `build_corpus_index` over the union of every appended corpus —
-    the parity `tests/test_streaming.py` pins. Rewrites go through a
-    staging directory and an atomic rename, so a probe racing the
-    compaction reads either the old or the new layout, never a
-    partial one."""
+def compact_corpus_index(
+    spark: SparkSession, index_dir: str, full: bool = False
+) -> None:
+    """Rewrite the index into canonical one-shot form. Only the BANDS
+    table carries append-time divergence (per-segment caps), so the
+    default pass re-caps and rewrites bands alone — after it the
+    whole index is row-identical to `build_corpus_index` over the
+    union of every appended corpus (shingles/sizes appends are
+    already row-canonical; the parity `tests/test_streaming.py`
+    pins all three tables). ``full=True`` additionally rewrites
+    shingles and sizes to coalesce accumulated small segment files —
+    a file-layout optimization, not a semantics change. Rewrites go
+    through a staging directory and an atomic rename, so a probe
+    racing the compaction reads either the old or the new layout,
+    never a partial one."""
     import shutil
 
-    for name, transform in (
-        ("bands", _capped_bands),
-        ("shingles", None),
-        ("sizes", None),
-    ):
+    tables = [("bands", _capped_bands)]
+    if full:
+        tables += [("shingles", None), ("sizes", None)]
+    for name, transform in tables:
         path = os.path.join(index_dir, name)
         df = spark.read.parquet(path)
         if transform is not None:
