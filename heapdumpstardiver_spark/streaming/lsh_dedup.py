@@ -88,16 +88,20 @@ def build_corpus_index(spark: SparkSession, corpus: DataFrame, index_dir: str) -
 
 
 def flag_batch(
-    spark: SparkSession, batch_docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    index_dir: str,
+    signatures: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-doc verdicts for one batch: (doc_id, n_candidates, is_dup).
     is_dup = some corpus doc's trigram Jaccard clears 0.5, compared in
     integer form. Docs too short to shingle have no candidates and
-    are kept."""
+    are kept. Pass ``signatures=(shingles, bands)`` to reuse a
+    precomputed signature pass (the append path needs the same one)."""
     idx = spark.read.parquet(os.path.join(index_dir, "bands"))
     corpus_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
     corpus_sizes = spark.read.parquet(os.path.join(index_dir, "sizes"))
-    sh, bands = doc_signatures(batch_docs)
+    sh, bands = signatures if signatures else doc_signatures(batch_docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     b, c = bands.alias("b"), idx.alias("c")
     cand = (
@@ -187,7 +191,10 @@ def _capped_bands(bands: DataFrame) -> DataFrame:
 
 
 def append_to_corpus_index(
-    spark: SparkSession, docs: DataFrame, index_dir: str
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    signatures: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """APPEND a batch of (verified-unique, previously unseen doc_id)
     documents to a persisted corpus index — the day-N side of the
@@ -208,7 +215,7 @@ def append_to_corpus_index(
     dropped here ranks > CAP among its own batch's bucket members, so
     it ranks > CAP in any union containing that batch — the global
     re-cap at compaction could never have kept it."""
-    sh, bands = doc_signatures(docs)
+    sh, bands = signatures if signatures else doc_signatures(docs)
     _capped_bands(bands).write.mode("append").parquet(
         os.path.join(index_dir, "bands")
     )
@@ -260,14 +267,23 @@ def dedup_and_append_batch(
     of a flagged doc are still appended (in-batch dedup is
     `incremental_dedup_lsh_batch`'s keep-first stage — compose them
     for the complete pipeline)."""
-    # Materialize the verdicts BEFORE mutating the index: the flags
-    # plan lazily scans the index directories, so a post-append
-    # re-execution would race its own appended rows. localCheckpoint
-    # keeps the batch-sized verdict relation distributed (never a
-    # driver collect).
-    flags = flag_batch(spark, batch_docs, index_dir).localCheckpoint()
-    kept = batch_docs.join(
-        flags.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+    # One signature pass serves BOTH the probe and the append
+    # (localCheckpoint materializes the batch-sized relations so the
+    # second use does not recompute shingling). Verdicts materialize
+    # BEFORE the index mutates: the flags plan lazily scans the index
+    # directories, so a post-append re-execution would race its own
+    # appended rows. All relations stay distributed (never a driver
+    # collect).
+    sh, bands = doc_signatures(batch_docs)
+    sh, bands = sh.localCheckpoint(), bands.localCheckpoint()
+    flags = flag_batch(
+        spark, batch_docs, index_dir, signatures=(sh, bands)
+    ).localCheckpoint()
+    kept_ids = flags.filter(~F.col("is_dup")).select("doc_id")
+    append_to_corpus_index(
+        spark,
+        batch_docs.join(kept_ids, "doc_id"),
+        index_dir,
+        signatures=(sh.join(kept_ids, "doc_id"), bands.join(kept_ids, "doc_id")),
     )
-    append_to_corpus_index(spark, kept, index_dir)
     return flags
