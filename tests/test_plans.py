@@ -1288,3 +1288,25 @@ def test_stats_test_family_jvm_only(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_media_near_dup_payloads_never_shuffle(spark):
+    """The three r11 media near-dup operators: payload bytes decode +
+    fingerprint inside ONE Arrow-batched stage; every exchange below
+    the verify joins carries only hash/code columns, never payload or
+    decoded bytes; no row-at-a-time Python anywhere."""
+    for name in (
+        "image_phash_near_dup",
+        "video_phash_near_dup",
+        "audio_fingerprint_near_dup",
+    ):
+        df = hds.QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        for ln in plan.splitlines():
+            if "Exchange" in ln:
+                assert "payload" not in ln and "decoded" not in ln, (
+                    name,
+                    ln.strip(),
+                )
