@@ -1440,46 +1440,8 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
     )
 
-    def _phash(col):
-        import numpy as np
-        import pandas as pd
-
-        cosm = np.array(_PHASH_COS, dtype=np.int64)
-        out = []
-        for buf in col:
-            a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
-            p = a.reshape(32, 32, 3)[:, :, 0]  # [y, x] luma plane
-            fm = cosm @ p.T @ cosm.T  # fm[u, w] = sum p[y,x] C[u,x] C[w,y]
-            flat = [(int(fm[u, w]), u * 8 + w) for u in range(8)
-                    for w in range(8) if (u, w) != (0, 0)]
-            thr = sorted(flat)[31][0]
-            h = 0
-            for f, idx in flat:
-                if f > thr:
-                    h |= 1 << (idx - 1)
-            out.append(h)
-        return pd.Series(out)
-
-    phash_udf = F.pandas_udf(_phash, "long")
-    hashes = M.decode(df).select(
-        F.col("media_id").cast("int").alias("media_id"),
-        phash_udf("decoded").alias("h"),
-    )
-    bands = hashes.select(
-        "media_id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftright("h", k * 8).bitwiseAND(F.lit(255)).alias("bv"),
-                    )
-                    for k in range(_PHASH_BANDS)
-                ]
-            )
-        ).alias("bd"),
-    ).select("media_id", "h", "bd.k", "bd.bv")
+    hashes = phash_hashes(df)
+    bands = phash_bands(hashes).select("media_id", "h", "k", "bv")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1977,3 +1939,58 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id_a", "clip_id_b")
     )
+
+
+def phash_hashes(media_df: DataFrame) -> DataFrame:
+    """(media_id INT, h LONG) pHashes for an RGB-PNG media relation:
+    decode + integer-DCT hash inside one Arrow-batched pass (payloads
+    never shuffle). Shared by `image_phash_near_dup` and the
+    streaming pHash dedup (`streaming.phash_dedup`)."""
+
+    def _phash(col):
+        import numpy as np
+        import pandas as pd
+
+        cosm = np.array(_PHASH_COS, dtype=np.int64)
+        out = []
+        for buf in col:
+            a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+            p = a.reshape(32, 32, 3)[:, :, 0]  # [y, x] luma plane
+            fm = cosm @ p.T @ cosm.T  # fm[u, w] = sum p[y,x] C[u,x] C[w,y]
+            flat = [(int(fm[u, w]), u * 8 + w) for u in range(8)
+                    for w in range(8) if (u, w) != (0, 0)]
+            thr = sorted(flat)[31][0]
+            h = 0
+            for f, idx in flat:
+                if f > thr:
+                    h |= 1 << (idx - 1)
+            out.append(h)
+        return pd.Series(out)
+
+    phash_udf = F.pandas_udf(_phash, "long")
+    return M.decode(media_df).select(
+        F.col("media_id").cast("int").alias("media_id"),
+        phash_udf("decoded").alias("h"),
+    )
+
+
+def phash_bands(hashes: DataFrame) -> DataFrame:
+    """Explode 63-bit pHashes into the 8x8-bit Hamming-LSH band rows
+    (media_id, h, k, bv) — pigeonhole-exact at Hamming <= 7."""
+    return hashes.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright("h", k * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("media_id", "h", "bd.k", "bd.bv")

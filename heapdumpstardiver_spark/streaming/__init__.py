@@ -26,3 +26,11 @@ from .lsh_dedup import (  # noqa: F401
     flag_batch,
     streaming_lsh_dedup,
 )
+from .phash_dedup import (  # noqa: F401
+    append_to_phash_index,
+    build_phash_index,
+    compact_phash_index,
+    dedup_and_append_image_batch,
+    flag_batch_images,
+    streaming_phash_dedup,
+)

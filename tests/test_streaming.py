@@ -678,3 +678,125 @@ def test_lsh_dedup_and_append_crawl_loop(spark, tmp_path):
         for r in L.flag_batch(spark, day3, index_dir).collect()
     }
     assert v3 and all(v3.values())
+
+
+def _phash_media_rows(pairs):
+    """Media rows for (base, variant) pairs via the image_phash_near_dup
+    fixture generator; media_id = base * 100 + variant (distinct from
+    the query's own ids, irrelevant here)."""
+    from heapdumpstardiver_spark import multimodal as M
+    from heapdumpstardiver_spark.queries.media import _phash_pixel
+
+    rows = []
+    for b, j in pairs:
+        luma = [_phash_pixel(b, j, x, y) for y in range(32) for x in range(32)]
+        rgb = bytes(v for v in luma for _ in range(3))
+        rows.append(
+            (b * 100 + j, "image", M.encode_png(32, 32, rgb),
+             ("png", 32, 32, None, None))
+        )
+    return rows
+
+
+def test_streaming_phash_dedup_matches_batch_and_flags_variants(spark, tmp_path):
+    """The streaming image near-dup path must reproduce the one-shot
+    batch verdicts exactly, flag every perturbed variant of an indexed
+    image as dup, and keep novel images."""
+    from heapdumpstardiver_spark import multimodal as M
+    from heapdumpstardiver_spark.streaming import phash_dedup as P
+
+    corpus = spark.createDataFrame(
+        _phash_media_rows([(b, 0) for b in range(8)]), M.MEDIA_SCHEMA
+    )
+    index_dir = str(tmp_path / "index")
+    P.build_phash_index(spark, corpus, index_dir)
+
+    # batch: variants of indexed bases (dups) + novel bases (kept)
+    batch_rows = _phash_media_rows(
+        [(b, j) for b in range(8) for j in (1, 2)]
+        + [(b, 0) for b in range(8, 12)]
+    )
+    batch = spark.createDataFrame(batch_rows, M.MEDIA_SCHEMA)
+
+    in_dir = tmp_path / "incoming"
+    half = {r[0] for r in batch_rows[: len(batch_rows) // 2]}
+    batch.filter(F.col("media_id").isin(list(half))).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+    batch.filter(~F.col("media_id").isin(list(half))).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out_dir = str(tmp_path / "verdicts")
+    q = P.streaming_phash_dedup(
+        spark, stream, index_dir, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["media_id"]: (r["n_candidates"], r["is_dup"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r["media_id"]: (r["n_candidates"], r["is_dup"])
+        for r in P.flag_batch_images(spark, batch, index_dir).collect()
+    }
+    assert got == want
+    assert len(got) == len(batch_rows)
+    for b in range(8):
+        assert got[b * 100 + 1][1] and got[b * 100 + 2][1]
+    for b in range(8, 12):
+        assert not got[b * 100][1]
+
+
+def test_phash_index_appends_plus_compact_equal_oneshot(spark, tmp_path):
+    """N image-batch appends + compaction ≡ one-shot index build on
+    the union — the lsh_dedup lossless-cap lemma applied to pHash
+    bands — and the append loop catches a re-crawl of a previously
+    appended novel image."""
+    import os
+
+    from heapdumpstardiver_spark import multimodal as M
+    from heapdumpstardiver_spark.streaming import phash_dedup as P
+
+    b1 = spark.createDataFrame(
+        _phash_media_rows([(b, 0) for b in range(4)]), M.MEDIA_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        _phash_media_rows([(b, 0) for b in range(4, 8)]), M.MEDIA_SCHEMA
+    )
+    inc = str(tmp_path / "inc")
+    P.build_phash_index(spark, b1, inc)
+    P.append_to_phash_index(spark, b2, inc)
+    P.compact_phash_index(spark, inc)
+
+    one = str(tmp_path / "one")
+    P.build_phash_index(
+        spark,
+        spark.createDataFrame(
+            _phash_media_rows([(b, 0) for b in range(8)]), M.MEDIA_SCHEMA
+        ),
+        one,
+    )
+    for name in ("bands", "hashes"):
+        rows = lambda d: sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(d, name)).collect()
+        )
+        assert rows(inc) == rows(one), name
+
+    # day-2 loop: novel base 8 appended; its day-3 variant is caught
+    day2 = spark.createDataFrame(
+        _phash_media_rows([(8, 0)]), M.MEDIA_SCHEMA
+    )
+    v2 = P.dedup_and_append_image_batch(spark, day2, inc).collect()
+    assert len(v2) == 1 and not v2[0]["is_dup"]
+    day3 = spark.createDataFrame(
+        _phash_media_rows([(8, 1)]), M.MEDIA_SCHEMA
+    )
+    v3 = P.flag_batch_images(spark, day3, inc).collect()
+    assert len(v3) == 1 and v3[0]["is_dup"]
