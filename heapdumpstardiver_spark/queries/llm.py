@@ -4217,3 +4217,303 @@ def incremental_dedup_lsh_multiday(spark: SparkSession, sf_dir: str) -> DataFram
         "day int, batch_docs long, cand_docs long, dup_docs long,"
         " kept_docs long, index_docs_after long",
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval + reciprocal-kNN near-dup (r11 batch 2)
+# ---------------------------------------------------------------------------
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 50  # per-leg candidate depth fed into the fusion
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dlen FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS token FROM base
+        )
+        WHERE token IN ('join', 'scan', 'merge')
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    lex_scored AS (
+        SELECT t.doc_id,
+               {round_sql(
+                   "sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                   " * (t.tf * 2.2)"
+                   " / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)))", 4)} AS score
+        FROM tf t
+        JOIN df d ON t.token = d.token
+        JOIN dl l ON t.doc_id = l.doc_id, stats s
+        GROUP BY t.doc_id
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+        FROM lex_scored
+        QUALIFY lex_rk <= {_RRF_DEPTH}
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dense_scored AS (
+        SELECT vec_id AS doc_id,
+               {round_sql(
+                   "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
+                   " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+                   " CAST(embedding AS DOUBLE[])))"
+                   " * sqrt(list_dot_product(qv, qv)))", 4)} AS cos
+        FROM embeddings, q WHERE vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rk
+        FROM dense_scored
+        QUALIFY dense_rk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(l.lex_rk, 0) AS lex_rk,
+               coalesce(d.dense_rk, 0) AS dense_rk,
+               (CASE WHEN l.lex_rk IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K} + l.lex_rk) END)
+             + (CASE WHEN d.dense_rk IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K} + d.dense_rk) END) AS rrf
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(lex_rk AS BIGINT) AS lex_rk,
+           CAST(dense_rk AS BIGINT) AS dense_rk,
+           {stable_render_sql("rrf", 6)} AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): the BM25 lexical leg (`bm25_keyword_search`'s scoring)
+    and the dense cosine leg (`similarity_topk`'s scoring, query =
+    vec_id 0) each produce a top-``_RRF_DEPTH`` ranking, fused by
+    ``sum(1 / (60 + rank))`` — the standard RAG-stack merge of a
+    keyword index and a vector index, as one declarative plan.
+
+    Scale shape: each leg ends in a TakeOrdered(depth) — the fusion
+    join runs over two depth-bounded relations (broadcast-sized
+    regardless of corpus size), so the fusion itself is free; the
+    corpus-side cost is exactly the two legs' (term-pruned lexical
+    scan; ANN-replaceable dense scan). Ranks tie-break on doc_id over
+    ROUNDED scores in both engines, so ranking is deterministic."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    terms = ["join", "scan", "merge"]
+
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
+        .groupBy("doc_id")
+        .agg(round_col(F.sum("part"), 4).alias("score"))
+    )
+    # TakeOrdered(depth) FIRST, then rank the depth-bounded result: the
+    # global row_number window only ever sees _RRF_DEPTH rows, so no
+    # corpus-sized relation funnels through a single partition.
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        lex_scored.orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("lex_rk", F.row_number().over(w_lex))
+        .select("doc_id", "lex_rk")
+    )
+
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    ev = F.col("embedding").cast("array<double>")
+    dense_scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_col(cosine(ev, F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w_dense = Window.orderBy(F.desc("cos"), "doc_id")
+    dense = (
+        dense_scored.orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("dense_rk", F.row_number().over(w_dense))
+        .select("doc_id", "dense_rk")
+    )
+
+    lex_term = F.when(
+        F.col("lex_rk").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rk")))
+    dense_term = F.when(
+        F.col("dense_rk").isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rk")))
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rk", F.lit(0)).cast("long").alias("lex_rk_o"),
+            F.coalesce("dense_rk", F.lit(0)).cast("long").alias("dense_rk_o"),
+            (lex_term + dense_term).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("lex_rk_o").alias("lex_rk"),
+            F.col("dense_rk_o").alias("dense_rk"),
+            stable_render(F.col("rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
+_MKNN_K = 5  # per-vector neighbour depth for the reciprocal test
+
+
+def _mknn_oracle() -> str:
+    # 6 sign-planes, matching embedding_near_dup_pairs' oracle pin
+    # (the Spark side widens the plane count with the corpus).
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (5 - i)} ELSE 0 END)"
+        for i in range(6)
+    )
+    cos = (
+        "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
+    )
+    return f"""
+    WITH sgn AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               ({bucket}) AS bucket
+        FROM embeddings
+    ),
+    knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               {round_sql(cos, 4)} AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {round_sql(cos, 4)} DESC, b.vec_id
+               ) AS rk
+        FROM sgn a JOIN sgn b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    topk AS (SELECT src, nbr, cos FROM knn WHERE rk <= {_MKNN_K})
+    SELECT f.src AS vec_a, f.nbr AS vec_b, f.cos AS cos_sim
+    FROM topk f JOIN topk r ON f.src = r.nbr AND f.nbr = r.src
+    WHERE f.src < f.nbr
+    ORDER BY f.cos DESC, vec_a, vec_b LIMIT 50
+    """
+
+
+@query("mutual_knn_near_dup", oracle=_mknn_oracle())
+def mutual_knn_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN near-duplicate pairs: (a, b) is reported only if
+    b is in a's top-k AND a is in b's top-k by cosine — the mutual-NN
+    criterion that screens out hub vectors (a generic boilerplate
+    embedding sits in everyone's top-k but reciprocates almost none;
+    one-directional kNN would flood the dedup list with it).
+
+    Same sign-LSH bucketing as `embedding_near_dup_pairs`
+    (``max(6, ceil(log2(n/32)))`` planes → ~32 vectors/bucket), so the
+    kNN join is per-bucket quadratic with a bounded bucket size, the
+    per-vector top-k is a window rank over bucket-bounded candidates,
+    and the reciprocity test is an equi-join of the k-bounded kNN
+    relation with itself — every stage shuffles O(n·k) rows, never
+    pairs. Norms are hoisted per side before the pair join."""
+    import math
+
+    from pyspark.sql import Window
+
+    from ..catalog import table_rows
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
+    planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
+    bucket = sum(
+        (
+            F.when(
+                F.element_at("embedding", i + 1) > 0, 1 << (planes - 1 - i)
+            ).otherwise(0)
+            for i in range(planes)
+        ),
+        start=F.lit(0),
+    )
+    v = F.col("embedding").cast("array<double>")
+    sgn = e.select("vec_id", v.alias("v"), bucket.alias("bucket")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    a, b = sgn.alias("a"), sgn.alias("b")
+    cos = round_col(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "nbr")
+    knn = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("nbr"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MKNN_K)
+        .select("src", "nbr", "cos")
+    )
+    fwd, rev = knn.alias("f"), knn.alias("r")
+    return (
+        fwd.join(
+            rev,
+            (F.col("f.src") == F.col("r.nbr")) & (F.col("f.nbr") == F.col("r.src")),
+        )
+        .filter(F.col("f.src") < F.col("f.nbr"))
+        .select(
+            F.col("f.src").alias("vec_a"),
+            F.col("f.nbr").alias("vec_b"),
+            F.col("f.cos").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(50)
+    )

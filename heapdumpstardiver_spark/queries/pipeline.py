@@ -5837,3 +5837,125 @@ def cross_modal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (r11 batch 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+             unnest(tokens) AS u(t)
+        WHERE t <> ''
+    ),
+    n AS (SELECT count(*) AS total FROM toks),
+    freq AS (
+        SELECT doc_id, count(*) OVER (PARTITION BY token) AS c
+        FROM toks
+    ),
+    scored AS (
+        SELECT doc_id, {round_sql("-avg(ln(CAST(c AS DOUBLE) / total))", 6)} AS nll
+        FROM freq CROSS JOIN n GROUP BY doc_id, total
+    ),
+    ranked AS (
+        SELECT doc_id, nll,
+               row_number() OVER (ORDER BY nll, doc_id) AS rn,
+               count(*) OVER () AS n_docs
+        FROM scored
+    ),
+    cuts AS (
+        SELECT max(CASE WHEN rn = CAST(ceil(n_docs / 3.0) AS BIGINT)
+                        THEN nll END) AS t1,
+               max(CASE WHEN rn = CAST(ceil(2.0 * n_docs / 3.0) AS BIGINT)
+                        THEN nll END) AS t2
+        FROM ranked
+    ),
+    bucketed AS (
+        SELECT d.source,
+               CASE WHEN s.nll <= c.t1 THEN 'head'
+                    WHEN s.nll <= c.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.nll
+        FROM scored s JOIN documents d USING (doc_id), cuts c
+    )
+    SELECT source, bucket, count(*) AS n_docs,
+           {stable_render_sql("avg(nll)", 6)} AS avg_nll
+    FROM bucketed
+    GROUP BY source, bucket ORDER BY source, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-unigram NLL proxy
+    (`unigram_logprob_score`'s scoring), cut the corpus at the global
+    tertiles, and report each source's head/middle/tail composition —
+    the standard pre-training data triage that keeps 'head' outright,
+    LM-filters 'middle', and drops or down-samples 'tail'.
+
+    Tertile cutoffs use the explicit ceil(q·n) rank-selection
+    convention (`percentile_disc_groups`) so both engines select the
+    same RAW rounded score — no interpolation arithmetic to diverge.
+    The ranked relation is one row per DOCUMENT (not per token); at
+    100 TB the global row_number over doc scores swaps to an
+    approx_percentile sketch for the two cutoffs — the bucketing and
+    rollup stages are unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    total = d.agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        ).alias("total")
+    )
+    scored = (
+        freq.crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "total")
+        .agg(
+            round_col(
+                -F.avg(F.log(F.col("c").cast("double") / F.col("total"))), 6
+            ).alias("nll")
+        )
+        .select("doc_id", "nll")
+    )
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy("nll", "doc_id"))
+    ).withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy()))
+    cuts = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n_docs") / 3.0).cast("long"),
+                F.col("nll"),
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(2.0 * F.col("n_docs") / 3.0).cast("long"),
+                F.col("nll"),
+            )
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("t1"), "head")
+        .when(F.col("nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select("source", bucket.alias("bucket"), "nll")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            stable_render(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -3652,3 +3652,146 @@ def kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "live_edges",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-layout advisor: Z-order vs linear sort (r11 batch 2)
+# ---------------------------------------------------------------------------
+
+# 8-bit quantization per dimension, 16-bit Morton code, top-6-bit file
+# assignment (64 files), and a 16x16-cell rectangle probe. All-integer
+# arithmetic so the oracle replays it bit-exactly.
+_Z_BITS = 8
+_Z_FILE_SHIFT = 10  # 16-bit z >> 10 -> 64 z-order files
+_Z_RECT = (32, 47, 96, 111)  # qx0, qx1, qy0, qy1
+
+
+def _z_interleave_sql(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    x0, x1, y0, y1 = _Z_RECT
+    return f"""
+    WITH dom AS (
+        SELECT max(l_partkey) AS mx, max(l_suppkey) AS my FROM lineitem
+    ),
+    q AS (
+        SELECT CAST((l_partkey * 256) // (mx + 1) AS BIGINT) AS qx,
+               CAST((l_suppkey * 256) // (my + 1) AS BIGINT) AS qy
+        FROM lineitem, dom
+    ),
+    coded AS (
+        SELECT qx, qy,
+               (qx >> 2) AS file_linear,
+               (({_z_interleave_sql("qx", "qy")}) >> {_Z_FILE_SHIFT}) AS file_zorder,
+               CASE WHEN qx BETWEEN {x0} AND {x1}
+                     AND qy BETWEEN {y0} AND {y1} THEN 1 ELSE 0 END AS hit
+        FROM q
+    ),
+    per_file AS (
+        SELECT layout, file_id, count(*) AS rows_in_file,
+               sum(hit) AS hits_in_file,
+               min(qx) AS min_x, max(qx) AS max_x,
+               min(qy) AS min_y, max(qy) AS max_y
+        FROM (
+            SELECT 'linear' AS layout, file_linear AS file_id, qx, qy, hit
+            FROM coded
+            UNION ALL
+            SELECT 'zorder', file_zorder, qx, qy, hit FROM coded
+        )
+        GROUP BY layout, file_id
+    )
+    SELECT layout,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN max_x >= {x0} AND min_x <= {x1}
+                          AND max_y >= {y0} AND min_y <= {y1}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN max_x >= {x0} AND min_x <= {x1}
+                          AND max_y >= {y0} AND min_y <= {y1}
+                    THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(hits_in_file) AS BIGINT) AS matching_rows
+    FROM per_file
+    GROUP BY layout ORDER BY layout
+    """
+
+
+@query("zorder_clustering_audit", oracle=_zorder_oracle())
+def zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout advisor: how many parquet files would a 2-D
+    rectangle predicate scan under a LINEAR (sort-by-x) layout versus
+    a Z-ORDER (Morton-interleaved) layout, given file-level min/max
+    statistics — the decision Delta/Iceberg `OPTIMIZE ZORDER BY`
+    automates, audited from the data itself.
+
+    Both layouts are simulated from all-integer arithmetic: each
+    dimension quantizes to 8 bits ((v * 256) div (max+1)), the Morton
+    code interleaves the two bit-streams, and a file is the top 6 bits
+    of its layout's sort key (64 files each). Pruning replays the
+    standard min/max-overlap test per file. One corpus scan, two
+    64-group aggregates, two output rows — at 100 TB this runs as a
+    metadata-sized aggregation and tells you whether rewriting the
+    table Z-ordered is worth it BEFORE you burn the cluster time
+    (complements `partition_key_advisor`, which picks the partition
+    column; this picks the within-partition sort).
+
+    The quantized-space audit is exact for the quantized predicate by
+    construction; real file stats would add only residual skew inside
+    a quantization cell."""
+    x0, x1, y0, y1 = _Z_RECT
+    li = _t(spark, sf_dir, "lineitem")
+    dom = li.agg(
+        F.max("l_partkey").alias("mx"), F.max("l_suppkey").alias("my")
+    )
+    q = li.crossJoin(F.broadcast(dom)).select(
+        F.floor(F.col("l_partkey") * 256 / (F.col("mx") + 1)).alias("qx"),
+        F.floor(F.col("l_suppkey") * 256 / (F.col("my") + 1)).alias("qy"),
+    )
+    coded = q.select(
+        "qx",
+        "qy",
+        F.shiftright(F.col("qx"), 2).alias("file_linear"),
+        F.shiftright(
+            F.expr(_z_interleave_sql("qx", "qy")), _Z_FILE_SHIFT
+        ).alias("file_zorder"),
+        F.when(
+            F.col("qx").between(x0, x1) & F.col("qy").between(y0, y1), 1
+        ).otherwise(0).alias("hit"),
+    )
+    stacked = coded.select(
+        F.lit("linear").alias("layout"),
+        F.col("file_linear").alias("file_id"),
+        "qx", "qy", "hit",
+    ).unionAll(
+        coded.select(
+            F.lit("zorder").alias("layout"),
+            F.col("file_zorder").alias("file_id"),
+            "qx", "qy", "hit",
+        )
+    )
+    per_file = stacked.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("rows_in_file"),
+        F.sum("hit").alias("hits_in_file"),
+        F.min("qx").alias("min_x"), F.max("qx").alias("max_x"),
+        F.min("qy").alias("min_y"), F.max("qy").alias("max_y"),
+    )
+    overlaps = (
+        (F.col("max_x") >= x0) & (F.col("min_x") <= x1)
+        & (F.col("max_y") >= y0) & (F.col("min_y") <= y1)
+    )
+    return (
+        per_file.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(overlaps, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum(F.when(overlaps, F.col("rows_in_file")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("hits_in_file").cast("long").alias("matching_rows"),
+        )
+        .orderBy("layout")
+    )

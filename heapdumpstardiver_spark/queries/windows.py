@@ -5546,3 +5546,79 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_rate") / F.log(F.col("k_states").cast("double")), 6
         ).alias("normalized_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (r11 batch 2)
+# ---------------------------------------------------------------------------
+
+# Funnel patterns over the per-user event-initial string (each event
+# type keeps its distinct first letter: v=view c=click p=purchase
+# s=signup e=error). Non-overlapping leftmost matching in both engines.
+_SEQ_STRICT = "vc*p"  # view -> zero+ clicks -> purchase
+_SEQ_LOOSE = "v[ce]*p"  # clicks or errors tolerated in between
+
+
+@query(
+    "event_sequence_pattern",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_STRICT}')) AS BIGINT)
+               AS strict_funnels,
+           CAST(len(regexp_extract_all(seq, '{_SEQ_LOOSE}')) AS BIGINT)
+               AS loose_funnels
+    FROM seqs
+    ORDER BY strict_funnels DESC, user_id LIMIT 20
+    """,
+)
+def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern detection over the event
+    stream: per user, events collapse (in (ts, event_id) order) into a
+    one-char-per-event string, and funnel patterns become plain regexes
+    counted with non-overlapping leftmost semantics — 'view then
+    clicks then purchase' is ``vc*p``. This is the standard
+    poor-man's-MATCH_RECOGNIZE encoding (Spark has no native one), and
+    it turns arbitrary sequence patterns — retries before error,
+    abandoned carts, re-engagement gaps — into one regexp over a
+    grouped string.
+
+    Scale shape: ONE shuffle on user_id (the collect_list group-by);
+    the per-user sequence string is session-bounded (users' event
+    counts, ~60 here), so the regex runs on short strings in the JVM,
+    and the final TakeOrdered(20) bounds the driver. At 100 TB the
+    group-by would be windowed by (user, day) first to bound worst-case
+    string length — the pattern and plan are unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: F.substring(x["event_type"], 1, 1),
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            F.regexp_count("seq", F.lit(_SEQ_STRICT))
+            .cast("long")
+            .alias("strict_funnels"),
+            F.regexp_count("seq", F.lit(_SEQ_LOOSE))
+            .cast("long")
+            .alias("loose_funnels"),
+        )
+        .orderBy(F.desc("strict_funnels"), "user_id")
+        .limit(20)
+    )
