@@ -5959,3 +5959,209 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (third tokenizer family, r11 batch 2)
+# ---------------------------------------------------------------------------
+
+WP_MAXW = 10       # word types truncated to this many chars
+WP_MAXP = 4        # max piece length considered
+WP_TOP_INIT = 24   # multi-char word-initial pieces kept
+WP_TOP_CONT = 24   # multi-char '##'-continuation pieces kept
+
+
+def _wp_vocab(spark: SparkSession, sf_dir: str) -> tuple:
+    """Derive the WordPiece vocabulary from the word-type relation:
+    ALL single characters (word-initial, and '##'-prefixed
+    continuation) plus the top-K multi-char pieces per class by
+    corpus-frequency-weighted count. Returns (vocab keys set,
+    word-type DataFrame). Vocabulary is bounded driver metadata
+    (~100 keys), like the unigram/kmeans models."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.substring("tok", 1, WP_MAXW).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wf"))
+    )
+    pieces = words.select(
+        "wf",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(word)),
+                    i -> transform(
+                        sequence(1, least({WP_MAXP}, length(word) - i + 1)),
+                        l -> CASE WHEN i = 1 THEN substring(word, i, l)
+                             ELSE concat('##', substring(word, i, l)) END)))"""
+            )
+        ).alias("piece"),
+    )
+    plen = F.length(F.regexp_replace("piece", "^##", ""))
+    counted = pieces.groupBy("piece").agg(F.sum("wf").cast("long").alias("cnt"))
+    singles = [
+        r["piece"] for r in counted.filter(plen == 1).collect()
+    ]
+    top_init = [
+        r["piece"]
+        for r in counted.filter((plen > 1) & (~F.col("piece").startswith("##")))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(WP_TOP_INIT)
+        .collect()
+    ]
+    top_cont = [
+        r["piece"]
+        for r in counted.filter((plen > 1) & F.col("piece").startswith("##"))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(WP_TOP_CONT)
+        .collect()
+    ]
+    return set(singles) | set(top_init) | set(top_cont), words
+
+
+def _wp_fold_sql(vocab: set) -> str:
+    """Greedy longest-match-first WordPiece matching as ONE JVM-side
+    `aggregate` fold per word type: the accumulator is
+    (next position, rendered pieces, unk count); each of the
+    length(word) steps either consumes the longest vocabulary match at
+    the current position (lengths tried 4..1, '##' prefix when not
+    word-initial) or emits [UNK] and advances one char."""
+    arr = "array(" + ", ".join(f"'{p}'" for p in sorted(vocab)) + ")"
+    branches = []
+    for l in range(WP_MAXP, 0, -1):
+        key = (
+            f"CASE WHEN acc.pos = 1 THEN substring(word, acc.pos, {l}) "
+            f"ELSE concat('##', substring(word, acc.pos, {l})) END"
+        )
+        branches.append(
+            f"""WHEN acc.pos + {l} - 1 <= length(word)
+                 AND array_contains({arr}, {key})
+            THEN named_struct(
+                'pos', acc.pos + {l},
+                'g', CASE WHEN acc.g = '' THEN {key}
+                     ELSE concat(acc.g, ' ', {key}) END,
+                'unk', acc.unk)"""
+        )
+    return f"""aggregate(
+        sequence(1, length(word)),
+        named_struct('pos', 1, 'g', '', 'unk', 0),
+        (acc, j) -> CASE WHEN acc.pos > length(word) THEN acc
+            {' '.join(branches)}
+            ELSE named_struct(
+                'pos', acc.pos + 1,
+                'g', CASE WHEN acc.g = '' THEN '[UNK]'
+                     ELSE concat(acc.g, ' [UNK]') END,
+                'unk', acc.unk + 1) END,
+        acc -> acc
+    )"""
+
+
+def _wp_oracle() -> str:
+    """Vocabulary CTEs + a recursive-CTE replay of the greedy
+    longest-match loop (DuckDB has no fold lambda with carried struct
+    state; the recursion advances one matched piece per level, depth
+    <= WP_MAXW + 1)."""
+    key = lambda l: (
+        f"CASE WHEN s.pos = 1 THEN substr(s.word, s.pos, {l}) "
+        f"ELSE '##' || substr(s.word, s.pos, {l}) END"
+    )
+    return f"""
+    WITH RECURSIVE words AS MATERIALIZED (
+        SELECT substr(token, 1, {WP_MAXW}) AS word, CAST(count(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY 1
+    ),
+    pieces AS MATERIALIZED (
+        SELECT piece, sum(wf) AS cnt,
+               length(replace(piece, '##', '')) AS plen,
+               (piece LIKE '##%%') AS is_cont
+        FROM (
+            SELECT wf,
+                   CASE WHEN i = 1 THEN substr(word, i, l)
+                        ELSE '##' || substr(word, i, l) END AS piece
+            FROM words,
+                 unnest(range(1, length(word) + 1)) AS gi(i),
+                 unnest(range(1, {WP_MAXP} + 1)) AS gl(l)
+            WHERE i + l - 1 <= length(word)
+        )
+        GROUP BY piece
+    ),
+    vocab AS MATERIALIZED (
+        SELECT piece FROM pieces WHERE plen = 1
+        UNION ALL
+        SELECT piece FROM (
+            SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM pieces WHERE plen > 1 AND NOT is_cont
+        ) WHERE rk <= {WP_TOP_INIT}
+        UNION ALL
+        SELECT piece FROM (
+            SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM pieces WHERE plen > 1 AND is_cont
+        ) WHERE rk <= {WP_TOP_CONT}
+    ),
+    seg AS (
+        SELECT word, wf, 1 AS pos, '' AS g, 0 AS unk FROM words
+        UNION ALL
+        SELECT s.word, s.wf,
+               s.pos + CASE WHEN v4.piece IS NOT NULL THEN 4
+                            WHEN v3.piece IS NOT NULL THEN 3
+                            WHEN v2.piece IS NOT NULL THEN 2
+                            WHEN v1.piece IS NOT NULL THEN 1
+                            ELSE 1 END,
+               CASE WHEN s.g = '' THEN '' ELSE s.g || ' ' END ||
+               coalesce(v4.piece, v3.piece, v2.piece, v1.piece, '[UNK]'),
+               s.unk + CASE WHEN v1.piece IS NULL AND v2.piece IS NULL
+                             AND v3.piece IS NULL AND v4.piece IS NULL
+                       THEN 1 ELSE 0 END
+        FROM seg s
+        LEFT JOIN vocab v4
+          ON s.pos + 3 <= length(s.word) AND v4.piece = {key(4)}
+        LEFT JOIN vocab v3
+          ON s.pos + 2 <= length(s.word) AND v3.piece = {key(3)}
+        LEFT JOIN vocab v2
+          ON s.pos + 1 <= length(s.word) AND v2.piece = {key(2)}
+        LEFT JOIN vocab v1
+          ON v1.piece = {key(1)}
+        WHERE s.pos <= length(s.word)
+    )
+    SELECT word, wf, g AS pieces,
+           CAST(len(string_split(g, ' ')) AS INT) AS n_pieces,
+           CAST(unk AS INT) AS unk_count
+    FROM seg
+    WHERE pos = length(word) + 1
+    ORDER BY wf DESC, word LIMIT 20
+    """
+
+
+@query("tokenizer_apply_wordpiece", oracle=_wp_oracle())
+def tokenizer_apply_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization (Wu et al. 2016; the BERT tokenizer) —
+    the third standard tokenizer family next to `tokenizer_apply_bpe`
+    and `tokenizer_apply_unigram`: greedy LONGEST-match-first against
+    a vocabulary whose non-initial pieces carry the '##' continuation
+    prefix, with [UNK] fallback.
+
+    Same scale decomposition as the other two families: the corpus is
+    touched once to build the WORD-TYPE relation (tokenization is a
+    function of the word, so each distinct word is segmented once and
+    results re-weight by frequency); the vocabulary is bounded driver
+    metadata (~100 keys here) shipped back as an array literal; the
+    greedy match runs as one JVM `aggregate` fold per word type —
+    no Python in the loop, no shuffle beyond the word-type group-by.
+    The oracle replays vocabulary selection and the greedy loop with
+    a recursive CTE (depth <= WP_MAXW + 1)."""
+    vocab, words = _wp_vocab(spark, sf_dir)
+    fold = F.expr(_wp_fold_sql(vocab))
+    return (
+        words.select("word", "wf", fold.alias("f"))
+        .select(
+            "word",
+            "wf",
+            F.col("f.g").alias("pieces"),
+            F.size(F.split(F.col("f.g"), " ")).cast("int").alias("n_pieces"),
+            F.col("f.unk").cast("int").alias("unk_count"),
+        )
+        .orderBy(F.desc("wf"), "word")
+        .limit(20)
+    )
