@@ -4517,3 +4517,305 @@ def mutual_knn_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking agreement + filtered vector search (r11 batch 3)
+# ---------------------------------------------------------------------------
+
+_RBO_DEPTH = 10
+_RBO_P_NUM, _RBO_P_DEN = 9, 10  # p = 0.9 as an exact rational
+
+
+def _rbo_terms(x: str) -> str:
+    """Left-associated sum of the RBO@10 terms. Each term is ONE
+    double division of exactly-representable integers-as-doubles
+    (9^(d-1)·x_d ≤ 3.9e9 and 10^(d-1)·d·10 ≤ 1e11, both < 2^53), so
+    the whole expression is bit-identical across engines with no
+    libm pow and no aggregation-order dependence."""
+    terms = []
+    for d in range(1, _RBO_DEPTH + 1):
+        w9 = _RBO_P_NUM ** (d - 1)
+        den = _RBO_P_DEN ** (d - 1) * d * 10  # one precomputed literal:
+        # the product would overflow 32-bit int if left to the parser
+        terms.append(
+            f"(CAST({x}{d} * {w9} AS DOUBLE) / CAST({den} AS DOUBLE))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rbo_oracle() -> str:
+    overlaps = ",\n           ".join(
+        f"CAST(sum(CASE WHEN pa <= {d} AND pb <= {d} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS x{d}"
+        for d in range(1, _RBO_DEPTH + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dlen FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS token FROM base
+        )
+        WHERE token IN ('join', 'scan', 'merge')
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    lex_scored AS (
+        SELECT t.doc_id,
+               {round_sql(
+                   "sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                   " * (t.tf * 2.2)"
+                   " / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)))", 4)} AS score
+        FROM tf t
+        JOIN df d ON t.token = d.token
+        JOIN dl l ON t.doc_id = l.doc_id, stats s
+        GROUP BY t.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS pa
+        FROM lex_scored QUALIFY pa <= {_RBO_DEPTH}
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dense_scored AS (
+        SELECT vec_id AS doc_id,
+               {round_sql(
+                   "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
+                   " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+                   " CAST(embedding AS DOUBLE[])))"
+                   " * sqrt(list_dot_product(qv, qv)))", 4)} AS cos
+        FROM embeddings, q WHERE vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS pb
+        FROM dense_scored QUALIFY pb <= {_RBO_DEPTH}
+    ),
+    joined AS (
+        SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+               coalesce(l.pa, {_RBO_DEPTH + 1}) AS pa,
+               coalesce(d.pb, {_RBO_DEPTH + 1}) AS pb
+        FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    ),
+    pivoted AS (SELECT {overlaps} FROM joined)
+    SELECT CAST({_RBO_DEPTH} AS INT) AS depth,
+           x5 AS overlap_at_5, x{_RBO_DEPTH} AS overlap_at_{_RBO_DEPTH},
+           {stable_render_sql(_rbo_terms("x"), 8)} AS rbo_p09
+    FROM pivoted
+    """
+
+
+@query("rank_biased_overlap", oracle=_rbo_oracle())
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the lexical
+    BM25 ranking and the dense cosine ranking at depth 10, p = 0.9 —
+    the standard top-weighted agreement metric for comparing two
+    retrieval systems' rankings (Kendall/Spearman treat all depths
+    equally; RBO discounts geometrically, matching user attention).
+    Quantifies how much signal `hybrid_search_rrf` actually fuses: RBO
+    near 1 means the legs are redundant, near 0 complementary.
+
+    Both legs are the depth-bounded rankings from the RRF operator
+    (TakeOrdered before ranking). The RBO sum is written as an
+    explicit left-associated chain of per-depth terms, each one
+    division of exactly-representable doubles (p^(d-1) carried as the
+    rational 9^(d-1)/10^(d-1), no libm pow) — bit-identical in both
+    engines with no SUM-order dependence."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    terms = ["join", "scan", "merge"]
+
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
+        .groupBy("doc_id")
+        .agg(round_col(F.sum("part"), 4).alias("score"))
+    )
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        lex_scored.orderBy(F.desc("score"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .withColumn("pa", F.row_number().over(w_lex))
+        .select("doc_id", "pa")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    ev = F.col("embedding").cast("array<double>")
+    dense_scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            round_col(cosine(ev, F.col("qv")), 4).alias("cos"),
+        )
+    )
+    w_dense = Window.orderBy(F.desc("cos"), "doc_id")
+    dense = (
+        dense_scored.orderBy(F.desc("cos"), "doc_id")
+        .limit(_RBO_DEPTH)
+        .withColumn("pb", F.row_number().over(w_dense))
+        .select("doc_id", "pb")
+    )
+    absent = _RBO_DEPTH + 1
+    joined = lex.join(dense, "doc_id", "full_outer").select(
+        F.coalesce("pa", F.lit(absent)).alias("pa"),
+        F.coalesce("pb", F.lit(absent)).alias("pb"),
+    )
+    overlaps = [
+        F.sum(
+            F.when((F.col("pa") <= dd) & (F.col("pb") <= dd), 1).otherwise(0)
+        ).cast("long").alias(f"x{dd}")
+        for dd in range(1, _RBO_DEPTH + 1)
+    ]
+    pivoted = joined.agg(*overlaps)
+    return pivoted.select(
+        F.lit(_RBO_DEPTH).cast("int").alias("depth"),
+        F.col("x5").alias("overlap_at_5"),
+        F.col(f"x{_RBO_DEPTH}").alias(f"overlap_at_{_RBO_DEPTH}"),
+        stable_render(F.expr(_rbo_terms("x")), 8).alias("rbo_p09"),
+    )
+
+
+_FANN_LABEL = 1   # metadata predicate for the filtered search
+_FANN_K = 10      # requested result size
+_FANN_OVERFETCH = 3  # post-filter candidate multiplier
+
+
+@query(
+    "filtered_ann_pre_vs_post",
+    oracle=f"""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               {round_sql(
+                   "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
+                   " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+                   " CAST(embedding AS DOUBLE[])))"
+                   " * sqrt(list_dot_product(qv, qv)))", 4)} AS cos
+        FROM embeddings, q WHERE vec_id <> 0
+    ),
+    pre AS (
+        SELECT vec_id, cos,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        FROM scored WHERE label = {_FANN_LABEL}
+        QUALIFY rk <= {_FANN_K}
+    ),
+    cand AS (
+        SELECT vec_id, label, cos,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS crk
+        FROM scored
+        QUALIFY crk <= {_FANN_K * _FANN_OVERFETCH}
+    ),
+    post AS (
+        SELECT vec_id, cos,
+               row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+        FROM cand WHERE label = {_FANN_LABEL}
+        QUALIFY rk <= {_FANN_K}
+    )
+    SELECT 'prefilter' AS method, CAST(rk AS BIGINT) AS rk, vec_id, cos AS cos_sim
+    FROM pre
+    UNION ALL
+    SELECT 'postfilter', CAST(rk AS BIGINT), vec_id, cos FROM post
+    ORDER BY method DESC, rk
+    """,
+)
+def filtered_ann_pre_vs_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, both execution strategies side by side:
+    PRE-filter (apply the metadata predicate label = 1 before scoring
+    — exact, but the index must support predicate pushdown) versus
+    POST-filter (score everyone, overfetch 3k unfiltered candidates,
+    then filter — what a metadata-blind ANN index forces, and it can
+    come back short when the predicate is selective). The gap between
+    the two result lists IS the recall loss a post-filtering vector
+    store silently eats; this operator makes it measurable.
+
+    Scale shape: both strategies are one corpus scan with the query
+    vector broadcast and a TakeOrdered tail; pre-filter additionally
+    pushes the label predicate into the parquet scan (visible as
+    PushedFilters), which at 100 TB is the difference between
+    scanning a partition and scanning the corpus. Rankings are over
+    ROUNDED cosines with vec_id tie-break — deterministic in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    ev = F.col("embedding").cast("array<double>")
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            round_col(cosine(ev, F.col("qv")), 4).alias("cos"),
+        )
+    )
+
+    def ranked_topk(sdf: DataFrame, k: int, rk_name: str) -> DataFrame:
+        w = Window.orderBy(F.desc("cos"), "vec_id")
+        return (
+            sdf.orderBy(F.desc("cos"), "vec_id")
+            .limit(k)
+            .withColumn(rk_name, F.row_number().over(w))
+        )
+
+    pre = ranked_topk(
+        scored.filter(F.col("label") == _FANN_LABEL), _FANN_K, "rk"
+    ).select("rk", "vec_id", "cos")
+    cand = ranked_topk(scored, _FANN_K * _FANN_OVERFETCH, "crk")
+    post = ranked_topk(
+        cand.filter(F.col("label") == _FANN_LABEL).select("vec_id", "cos"),
+        _FANN_K,
+        "rk",
+    ).select("rk", "vec_id", "cos")
+    out = pre.select(
+        F.lit("prefilter").alias("method"),
+        F.col("rk").cast("long").alias("rk"),
+        "vec_id",
+        F.col("cos").alias("cos_sim"),
+    ).unionAll(
+        post.select(
+            F.lit("postfilter").alias("method"),
+            F.col("rk").cast("long").alias("rk"),
+            "vec_id",
+            F.col("cos").alias("cos_sim"),
+        )
+    )
+    return out.orderBy(F.desc("method"), "rk")

@@ -6165,3 +6165,100 @@ def tokenizer_apply_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wf"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (r11 batch 3)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    """Unrolled greedy farthest-point oracle: round t's pick maximizes
+    the min squared-euclidean distance to rounds 1..t-1 (ties on
+    vec_id), replaying the identical dot-product expansion."""
+    sq = (
+        "list_dot_product(r.v, r.v)"
+        " - 2 * list_dot_product(r.v, s.v)"
+        " + list_dot_product(s.v, s.v)"
+    )
+    cte = []
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM sel{j}" for j in range(1, t)
+        )
+        cte.append(f"""
+    selu{t - 1} AS MATERIALIZED ({prev}),
+    sel{t} AS MATERIALIZED (
+        SELECT r.vec_id, r.v, min({sq}) AS mind
+        FROM base r, selu{t - 1} s
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM selu{t - 1})
+        GROUP BY r.vec_id, r.v
+        ORDER BY mind DESC, r.vec_id LIMIT 1
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS pick_idx, vec_id,"
+        f" {stable_render_sql('mind', 6)} AS min_dist_sq FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, v, 0.0 AS mind FROM base WHERE vec_id = 0
+    ),
+    {",".join(cte)}
+    SELECT * FROM ({finals}) ORDER BY pick_idx
+    """
+
+
+@query("kcenter_coreset_selection", oracle=_kcenter_oracle())
+def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    selection over the embedding corpus: seed with vec_id 0, then k-1
+    times pick the vector FARTHEST (max-min squared euclidean) from
+    everything selected so far — the classic 2-approximation whose
+    picks are the maximally-spread coreset used for eval-set seeding,
+    active-learning batch selection, and diversity-first data pruning
+    (`mmr_diverse_selection` trades relevance against diversity; this
+    is the pure-diversity endpoint).
+
+    Scale shape follows the MMR/kmeans discipline: the selected set is
+    k-bounded INDEX METADATA unrolled as literal arrays; each round is
+    one narrow min-over-k projection of the corpus ending in a
+    TakeOrdered(1) — one 64-float row of driver traffic per round, no
+    shuffle. Distances expand to dot-product folds (exprs.dot ≙
+    list_dot_product) evaluated on identical doubles, so both engines
+    make the same greedy pick every round (ties on vec_id)."""
+    from ..exprs import dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seed = base.filter(F.col("vec_id") == 0).collect()[0]
+    picks = [(1, int(seed["vec_id"]), 0.0)]
+    sel_ids = [int(seed["vec_id"])]
+    sel_vecs = [F.array(*[F.lit(float(x)) for x in seed["v"]])]
+    for t in range(2, KCENTER_K + 1):
+        dists = [
+            dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * dot(F.col("v"), sv)
+            + dot(sv, sv)
+            for sv in sel_vecs
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (
+            base.filter(~F.col("vec_id").isin(sel_ids))
+            .withColumn("mind", mind)
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((t, int(row["vec_id"]), float(row["mind"])))
+        sel_ids.append(int(row["vec_id"]))
+        sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["v"]]))
+    out = spark.createDataFrame(picks, "pick_idx int, vec_id long, mind double")
+    return out.select(
+        "pick_idx", "vec_id", stable_render(F.col("mind"), 6).alias("min_dist_sq")
+    ).orderBy("pick_idx")
