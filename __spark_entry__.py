@@ -36,14 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # round regardless of what the driver samples.
 #
 # r11 front:
-# (1) the 14 queries NEW in r11 — first canonical rows.
+# (1) the queries NEW in r11 — first canonical rows.
 # (2) staleness rotation, oldest vintage first: after r10 the record
 #     holds 27 r4-vintage greens (the explode_tokens…dominator_
 #     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. 14 + 27 = 41 head slots leave ~9 for the
-#     r5 block; its remainder (~24 rows, from daily_acf) leads the
-#     r12 rotation. Done-bar this round: zero rows older than r5 in
-#     the cumulative record after r11.
+#     33 r5-vintage greens. With 17 new-query head slots, 17 + 27 =
+#     44 leave ~6 for the r5 block; its remainder (~27 rows, from
+#     copurchase_triangle_count) leads the r12 rotation. Done-bar
+#     this round: zero rows older than r5 in the cumulative record
+#     after r11.
 _CHECK_PRIORITY = [
     # 1: new in r11 — need first driver rows
     "image_phash_near_dup", "unigram_train_stats",
@@ -53,6 +54,8 @@ _CHECK_PRIORITY = [
     "hybrid_search_rrf", "mutual_knn_near_dup",
     "zorder_clustering_audit", "event_sequence_pattern",
     "ccnet_perplexity_buckets", "tokenizer_apply_wordpiece",
+    "kcenter_coreset_selection", "rank_biased_overlap",
+    "filtered_ann_pre_vs_post",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",

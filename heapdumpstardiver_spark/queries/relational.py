@@ -3762,17 +3762,25 @@ def zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qx").between(x0, x1) & F.col("qy").between(y0, y1), 1
         ).otherwise(0).alias("hit"),
     )
+    # One corpus scan: each row fans out to its two (layout, file_id)
+    # assignments via a 2-element explode instead of a UNION ALL of two
+    # copies of the scan subtree (AQE would otherwise scan lineitem and
+    # recompute the domain aggregate once per branch).
     stacked = coded.select(
-        F.lit("linear").alias("layout"),
-        F.col("file_linear").alias("file_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("file_linear").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("file_zorder").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
         "qx", "qy", "hit",
-    ).unionAll(
-        coded.select(
-            F.lit("zorder").alias("layout"),
-            F.col("file_zorder").alias("file_id"),
-            "qx", "qy", "hit",
-        )
-    )
+    ).select("lf.layout", "lf.file_id", "qx", "qy", "hit")
     per_file = stacked.groupBy("layout", "file_id").agg(
         F.count(F.lit(1)).alias("rows_in_file"),
         F.sum("hit").alias("hits_in_file"),

@@ -168,3 +168,144 @@ def test_cross_modal_audit_pairs_are_verified_text_dups(spark):
         c = float(r["cos_sim"])
         assert -1.0 - 1e-9 <= c <= 1.0 + 1e-9
         assert r["embedding_agrees"] == (1 if c > 0.8 else 0)
+
+
+# ---------------------------------------------------------------------------
+# r11 batch 2/3: retrieval, layout, coreset, tokenizer families
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_scores_consistent_with_leg_ranks(spark):
+    """Every fused row must cite at least one leg rank, and the
+    rendered rrf score must equal the 1/(60+rank) recomputation from
+    the reported ranks (rank 0 = absent from that leg's top-50)."""
+    rows = _rows(spark, "hybrid_search_rrf")
+    assert len(rows) == 20
+    prev = None
+    for r in rows:
+        assert r["lex_rk"] > 0 or r["dense_rk"] > 0
+        expect = 0.0
+        if r["lex_rk"] > 0:
+            expect += 1.0 / (60 + r["lex_rk"])
+        if r["dense_rk"] > 0:
+            expect += 1.0 / (60 + r["dense_rk"])
+        got = float(r["rrf_score"])
+        assert abs(got - expect) < 5e-7
+        if prev is not None:
+            assert got <= prev + 1e-12
+        prev = got
+
+
+def test_mutual_knn_pairs_are_canonical_and_bounded(spark):
+    """Pairs come out canonicalized (a < b), in descending-cos order,
+    and reciprocity caps the pair count at n*k/2."""
+    rows = _rows(spark, "mutual_knn_near_dup")
+    assert rows, "fixture embeddings must produce mutual pairs"
+    prev = None
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert (r["vec_a"], r["vec_b"]) not in seen
+        seen.add((r["vec_a"], r["vec_b"]))
+        if prev is not None:
+            assert r["cos_sim"] <= prev + 1e-12
+        prev = r["cos_sim"]
+    assert len(rows) <= 500 * 5 // 2
+
+
+def test_zorder_beats_linear_on_2d_rectangle(spark):
+    """The point of the advisor: under a 2-D predicate the Z-order
+    layout must prune at least as many files as the sort-by-x layout,
+    both layouts must agree on the true matching rows, and scanned
+    rows can never undercount matches."""
+    rows = {r["layout"]: r for r in _rows(spark, "zorder_clustering_audit")}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin["matching_rows"] == zo["matching_rows"]
+    assert zo["files_scanned"] <= lin["files_scanned"]
+    for r in (lin, zo):
+        assert r["n_files"] <= 64
+        assert r["rows_scanned"] >= r["matching_rows"]
+
+
+def test_funnel_counts_strict_subset_of_loose(spark):
+    """Every strict funnel (view->clicks->purchase) is also a loose
+    funnel, and each funnel consumes at least two events."""
+    rows = _rows(spark, "event_sequence_pattern")
+    assert len(rows) == 20
+    assert rows[0]["strict_funnels"] > 0
+    for r in rows:
+        assert r["strict_funnels"] <= r["loose_funnels"]
+        assert r["n_events"] >= 2 * r["strict_funnels"]
+
+
+def test_ccnet_buckets_partition_the_corpus(spark):
+    """head/middle/tail must partition all 500 docs, and bucket mean
+    NLLs must be ordered head < middle < tail within the global cut
+    structure (heads are the lowest-perplexity docs by construction)."""
+    rows = _rows(spark, "ccnet_perplexity_buckets")
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert {r["bucket"] for r in rows} == {"head", "middle", "tail"}
+    overall = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        overall[r["bucket"]].append((float(r["avg_nll"]), r["n_docs"]))
+    mean = {
+        b: sum(v * n for v, n in xs) / sum(n for _, n in xs)
+        for b, xs in overall.items()
+    }
+    assert mean["head"] < mean["middle"] < mean["tail"]
+
+
+def test_wordpiece_segmentation_reconstructs_every_word(spark):
+    """Stripping '##' and joining the pieces must reproduce the word
+    whenever no [UNK] fired; the vocabulary contains every corpus
+    character, so unk_count must be zero everywhere."""
+    rows = _rows(spark, "tokenizer_apply_wordpiece")
+    assert len(rows) == 20
+    for r in rows:
+        assert r["unk_count"] == 0
+        pieces = r["pieces"].split(" ")
+        assert r["n_pieces"] == len(pieces)
+        rebuilt = pieces[0] + "".join(p.removeprefix("##") for p in pieces[1:])
+        assert rebuilt == r["word"]
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert not pieces[0].startswith("##")
+
+
+def test_kcenter_distances_monotone_nonincreasing(spark):
+    """Greedy farthest-point: the selected min-distance sequence is
+    non-increasing after the seed (each new center can only shrink
+    later max-min distances)."""
+    rows = _rows(spark, "kcenter_coreset_selection")
+    assert [r["pick_idx"] for r in rows] == list(range(1, 9))
+    assert rows[0]["vec_id"] == 0
+    assert float(rows[0]["min_dist_sq"]) == 0.0
+    dists = [float(r["min_dist_sq"]) for r in rows[1:]]
+    assert all(d > 0 for d in dists)
+    assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:]))
+    assert len({r["vec_id"] for r in rows}) == 8
+
+
+def test_rbo_bounds_and_overlap_monotonicity(spark):
+    """RBO is a [0,1] agreement; depth-5 overlap can neither exceed 5
+    nor the depth-10 overlap."""
+    (row,) = _rows(spark, "rank_biased_overlap")
+    assert row["depth"] == 10
+    assert 0 <= row["overlap_at_5"] <= 5
+    assert row["overlap_at_5"] <= row["overlap_at_10"] <= 10
+    assert 0.0 <= float(row["rbo_p09"]) <= 1.0
+
+
+def test_postfilter_results_are_prefix_of_prefilter_truth(spark):
+    """Post-filtering can only ever return a PREFIX of the true
+    filtered ranking (the label-1 vectors that survived the global
+    overfetch cut, in the same order) — and on this fixture it comes
+    back short, which is the recall loss the operator measures."""
+    rows = _rows(spark, "filtered_ann_pre_vs_post")
+    pre = [r for r in rows if r["method"] == "prefilter"]
+    post = [r for r in rows if r["method"] == "postfilter"]
+    assert len(pre) == 10
+    assert len(post) <= len(pre)
+    for p, q in zip(post, pre):
+        assert p["rk"] == q["rk"]
+        assert p["vec_id"] == q["vec_id"]
+        assert p["cos_sim"] == q["cos_sim"]
