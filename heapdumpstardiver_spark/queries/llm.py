@@ -4819,3 +4819,307 @@ def filtered_ann_pre_vs_post(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("method"), "rk")
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift, n-gram coverage, multi-probe LSH (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_mean_shift_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE label IN (0, 1)
+    ),
+    dims AS (
+        SELECT label, i, {round_sql("avg(v[i])", 6)} AS m
+        FROM base, range(1, 65) r(i)
+        GROUP BY label, i
+    ),
+    diffs AS (
+        SELECT a.i, (a.m - b.m) AS d
+        FROM dims a JOIN dims b ON a.i = b.i AND a.label = 0 AND b.label = 1
+    ),
+    folded AS (
+        SELECT list_reduce(list(d * d ORDER BY i), (x, y) -> x + y) AS mmd_sq
+        FROM diffs
+    ),
+    top AS (
+        SELECT i AS top_dim, d AS top_shift FROM diffs
+        ORDER BY abs(d) DESC, i LIMIT 1
+    ),
+    counts AS (
+        SELECT CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM base
+    )
+    SELECT n_a, n_b,
+           {stable_render_sql("mmd_sq", 8)} AS mmd_sq,
+           CAST(top_dim AS INT) AS top_dim,
+           {stable_render_sql("top_shift", 6)} AS top_shift
+    FROM folded, top, counts
+    """,
+)
+def embedding_mean_shift_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space two-sample drift between the label-0 and
+    label-1 cohorts: squared maximum mean discrepancy under the LINEAR
+    kernel — which collapses exactly to |mean(X) − mean(Y)|², the mean-
+    embedding shift — plus the single most-drifted dimension. PSI/JSD
+    (`psi_drift_by_decile`, `jsd_source_drift`) watch scalar feature
+    histograms; this is their vector-space counterpart for detecting a
+    re-embed, a model swap, or a topical shift between two corpus
+    slices before ANN recall silently degrades.
+
+    Scale shape: per-dimension means are ONE grouped aggregate over
+    the posexploded (label, dim) pairs — 128 output cells regardless
+    of corpus size; the 64-term Σd² runs as an ordered fold over the
+    collected per-dim diffs (deterministic summation order in both
+    engines, the RBO discipline). Per-dim means are portably rounded
+    before differencing so the fold inputs are bit-identical."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("label").isin(0, 1)).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        base.select("label", F.posexplode("v").alias("i0", "x"))
+        .groupBy("label", (F.col("i0") + 1).alias("i"))
+        .agg(round_col(F.avg("x"), 6).alias("m"))
+    )
+    a = dims.filter(F.col("label") == 0).select("i", F.col("m").alias("ma"))
+    b = dims.filter(F.col("label") == 1).select("i", F.col("m").alias("mb"))
+    diffs = a.join(b, "i").select("i", (F.col("ma") - F.col("mb")).alias("d"))
+    folded = diffs.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "d"))),
+                lambda s: s["d"] * s["d"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("mmd_sq")
+    )
+    top = (
+        diffs.orderBy(F.abs(F.col("d")).desc(), "i")
+        .limit(1)
+        .select(
+            F.col("i").cast("int").alias("top_dim"),
+            F.col("d").alias("top_shift"),
+        )
+    )
+    counts = base.agg(
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(folded))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_a",
+            "n_b",
+            stable_render(F.col("mmd_sq"), 8).alias("mmd_sq"),
+            "top_dim",
+            stable_render(F.col("top_shift"), 6).alias("top_shift"),
+        )
+    )
+
+
+_NGC_ORDERS = (1, 2, 4)
+
+
+def _ngc_gram_sql(n: int, rel: str) -> str:
+    # unnest(range(...)) is the lateral-correlation spelling DuckDB
+    # accepts (bare range() rejects column parameters in FROM).
+    return f"""
+        SELECT md5(array_to_string(toks[i:i+{n - 1}], ' ')) AS g
+        FROM {rel}, unnest(range(1, len(toks) - {n} + 2)) AS r(i)
+        WHERE len(toks) >= {n}
+    """
+
+
+def _ngc_oracle() -> str:
+    parts = []
+    for n in _NGC_ORDERS:
+        parts.append(f"""
+    tr{n} AS (SELECT DISTINCT g FROM ({_ngc_gram_sql(n, "train")})),
+    ho{n} AS ({_ngc_gram_sql(n, "heldout")}),
+    s{n} AS (
+        SELECT CAST({n} AS INT) AS n,
+               CAST(count(*) AS BIGINT) AS heldout_grams,
+               CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS covered_grams
+        FROM ho{n} h LEFT JOIN tr{n} t USING (g)
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT n, heldout_grams, covered_grams,"
+        f" {round_sql('CAST(covered_grams AS DOUBLE) / heldout_grams', 6)}"
+        f" AS coverage FROM s{n}"
+        for n in _NGC_ORDERS
+    )
+    return f"""
+    WITH toksrc AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    train AS (SELECT toks FROM toksrc WHERE doc_id % 2 = 0),
+    heldout AS (SELECT toks FROM toksrc WHERE doc_id % 2 = 1),
+    {",".join(parts)}
+    SELECT * FROM ({finals}) ORDER BY n
+    """
+
+
+@query("ngram_coverage_curve", oracle=_ngc_oracle())
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram coverage curve at orders 1/2/4: what fraction
+    of a held-out split's n-gram OCCURRENCES already appear in the
+    training split's n-gram TYPE set. Unigram coverage bounds OOV
+    behavior (`vocab_oov_coverage`); the higher orders measure how
+    much of the held-out text is locally predictable from training
+    context — the curve's decay rate separates topically-fresh data
+    (steep) from near-duplicate data (flat and high), making it a
+    quick data-value probe for a candidate crawl against the existing
+    corpus.
+
+    Scale shape: grams travel as md5 hashes only (text never
+    shuffles); per order it is one distinct on the train side and one
+    hash equi-join — the decontaminate/cross-source join geometry —
+    with a 3-row output. Split = doc_id parity (deterministic, no
+    RNG)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    out = None
+    for n in _NGC_ORDERS:
+        idx = F.sequence(F.lit(1), F.size("toks") - n + 1)
+        grams = F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, n)))
+        )
+        def gram_rel(sdf):
+            return (
+                sdf.filter(F.size("toks") >= n)
+                .select(F.explode(grams).alias("g"))
+            )
+        train = gram_rel(toks.filter(F.col("doc_id") % 2 == 0)).distinct()
+        heldout = gram_rel(toks.filter(F.col("doc_id") % 2 == 1))
+        s = (
+            heldout.join(train.withColumn("hit", F.lit(1)), "g", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("heldout_grams"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("covered_grams"),
+            )
+            .select(
+                F.lit(n).cast("int").alias("n"),
+                "heldout_grams",
+                "covered_grams",
+                round_col(
+                    F.col("covered_grams").cast("double") / F.col("heldout_grams"), 6
+                ).alias("coverage"),
+            )
+        )
+        out = s if out is None else out.unionAll(s)
+    return out.orderBy("n")
+
+
+_MP_PLANES = 8  # sign planes for the multi-probe experiment
+
+
+@query(
+    "lsh_multiprobe_gain",
+    oracle=f"""
+    WITH sgn AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm,
+               ({" + ".join(
+                   f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (_MP_PLANES - 1 - i)} ELSE 0 END)"
+                   for i in range(_MP_PLANES)
+               )}) AS bucket
+        FROM embeddings
+        WHERE vec_id < 200
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket AS ba, b.bucket AS bb,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM sgn a JOIN sgn b ON a.vec_id < b.vec_id
+    ),
+    flags AS (
+        SELECT va, vb, (cos > 0.35) AS is_true,
+               (ba = bb) AS exact_hit,
+               (xor(CAST(ba AS BIGINT), CAST(bb AS BIGINT)) IN
+                ({", ".join(str(1 << j) for j in range(_MP_PLANES))})
+                OR ba = bb) AS probe_hit
+        FROM pairs
+    )
+    SELECT CAST({_MP_PLANES} AS INT) AS planes,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS true_pairs,
+           CAST(sum(CASE WHEN is_true AND exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_recall_hits,
+           CAST(sum(CASE WHEN is_true AND probe_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS probe_recall_hits,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_candidates,
+           CAST(sum(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS probe_candidates
+    FROM flags
+    """,
+)
+def lsh_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH audit (Lv et al., VLDB'07): at 8 planes,
+    how much near-dup recall (cos > 0.35) does probing the 8
+    Hamming-1 neighbor buckets add over the exact bucket alone, and
+    at what candidate-volume cost. Multi-probe is the standard lever
+    when one table's recall is short but memory forbids more tables —
+    this measures the trade on YOUR corpus before committing
+    (complements `lsh_plane_recall_curve`, which sweeps plane count).
+
+    The audit evaluates pair-level hit flags on the id-bounded
+    vec_id < 200 sample in ONE bounded self-join — O(sample²)
+    regardless of corpus size (the `lsh_plane_recall_curve` geometry):
+    a Hamming-1 probe hit is `popcount(bucket_a XOR bucket_b) <= 1`,
+    spelled as an 8-literal IN-set so both engines evaluate identical
+    integer tests. The production probe path stays an equi-join (each
+    query explodes into 9 probe bucket keys — fan-out 9, never a
+    pair scan); this is its measured recall/cost basis."""
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(
+                F.element_at("embedding", i + 1) > 0, 1 << (_MP_PLANES - 1 - i)
+            ).otherwise(0)
+            for i in range(_MP_PLANES)
+        ),
+        start=F.lit(0),
+    )
+    v = F.col("embedding").cast("array<double>")
+    sgn = (
+        e.filter(F.col("vec_id") < 200)
+        .select("vec_id", v.alias("v"), bucket.alias("bucket"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    a, b = sgn.alias("a"), sgn.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    xor = F.col("a.bucket").cast("long").bitwiseXOR(F.col("b.bucket").cast("long"))
+    one_bit = xor.isin([1 << j for j in range(_MP_PLANES)])
+    flags = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (cos > 0.35).alias("is_true"),
+            (F.col("a.bucket") == F.col("b.bucket")).alias("exact_hit"),
+            ((F.col("a.bucket") == F.col("b.bucket")) | one_bit).alias("probe_hit"),
+        )
+    )
+    return flags.agg(
+        F.lit(_MP_PLANES).cast("int").alias("planes"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("true_pairs"),
+        F.sum(F.when(F.col("is_true") & F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_recall_hits"),
+        F.sum(F.when(F.col("is_true") & F.col("probe_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("probe_recall_hits"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).cast("long").alias("exact_candidates"),
+        F.sum(F.when(F.col("probe_hit"), 1).otherwise(0)).cast("long").alias("probe_candidates"),
+    )

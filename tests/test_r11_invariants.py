@@ -309,3 +309,43 @@ def test_postfilter_results_are_prefix_of_prefilter_truth(spark):
         assert p["rk"] == q["rk"]
         assert p["vec_id"] == q["vec_id"]
         assert p["cos_sim"] == q["cos_sim"]
+
+
+def test_mean_shift_drift_bounds(spark):
+    """MMD² under the linear kernel is a sum of squares (≥ 0) and the
+    top dimension's squared shift can never exceed it."""
+    (row,) = _rows(spark, "embedding_mean_shift_drift")
+    mmd = float(row["mmd_sq"])
+    top = float(row["top_shift"])
+    assert mmd >= 0.0
+    assert top * top <= mmd + 1e-9
+    assert 1 <= row["top_dim"] <= 64
+    assert row["n_a"] > 0 and row["n_b"] > 0
+
+
+def test_ngram_coverage_decays_with_order(spark):
+    """Higher-order coverage can only drop: every covered 2-gram
+    implies both unigrams are covered, so the curve is monotone
+    non-increasing in n; counts are containment-consistent."""
+    rows = _rows(spark, "ngram_coverage_curve")
+    assert [r["n"] for r in rows] == [1, 2, 4]
+    prev = None
+    for r in rows:
+        assert 0 <= r["covered_grams"] <= r["heldout_grams"]
+        cov = r["coverage"]
+        assert 0.0 <= cov <= 1.0
+        if prev is not None:
+            assert cov <= prev + 1e-9
+        prev = cov
+
+
+def test_multiprobe_dominates_exact_bucket(spark):
+    """Probing Hamming-1 neighbours is a strict superset of the exact
+    bucket: both recall hits and candidate volume must dominate, and
+    hits can never exceed the true-pair count."""
+    (row,) = _rows(spark, "lsh_multiprobe_gain")
+    assert row["probe_recall_hits"] >= row["exact_recall_hits"]
+    assert row["probe_candidates"] >= row["exact_candidates"]
+    assert row["exact_recall_hits"] <= row["true_pairs"]
+    assert row["probe_recall_hits"] <= row["true_pairs"]
+    assert row["probe_candidates"] <= 200 * 199 // 2
