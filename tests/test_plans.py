@@ -1310,3 +1310,51 @@ def test_media_near_dup_payloads_never_shuffle(spark):
                     name,
                     ln.strip(),
                 )
+
+
+def test_filtered_ann_prefilter_pushes_label_predicate(spark):
+    """The pre-filter strategy's whole point: the label predicate must
+    reach the parquet scan as a data filter (at 100 TB that is the
+    partition/row-group prune), and no Python evaluates anywhere."""
+    plan = plan_of(spark, "filtered_ann_pre_vs_post")
+    scans = scan_lines(plan, "embeddings")
+    assert any(
+        "DataFilters: [" in s and "label" in s.split("DataFilters:")[1][:300]
+        for s in scans
+    ), "label predicate not pushed to any embeddings scan"
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_rrf_legs_are_take_ordered_before_fusion(spark):
+    """Both retrieval legs must end in TakeOrderedAndProject (the
+    depth bound) so the fusion join and the rank windows only ever see
+    depth-bounded relations; the fused join must be a broadcast-size
+    join, not a shuffle of corpus-sized inputs."""
+    plan = plan_of(spark, "hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_audit_scans_lineitem_once_per_branch(spark):
+    """The layout audit must not duplicate the corpus subtree: with
+    the 2-element explode spelling there is exactly ONE lineitem scan
+    feeding the stacked aggregate (plus one for the domain aggregate),
+    not one per layout branch."""
+    plan = plan_of_no_aqe(spark, "zorder_clustering_audit")
+    scans = scan_lines(plan, "lineitem")
+    assert len(scans) - plan.count("ReusedExchange") <= 2, (
+        f"{len(scans)} lineitem scans"
+    )
+
+
+def test_mutual_knn_joins_on_bucket_never_all_pairs(spark):
+    """The kNN join condition must include the bucket equality (the
+    sub-quadratic guarantee): no cartesian product, no corpus-wide
+    unpartitioned window (the rank window partitions by src)."""
+    plan = plan_of(spark, "mutual_knn_near_dup")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[bucket", plan
+    ), "expected the pair join keyed on the LSH bucket"
