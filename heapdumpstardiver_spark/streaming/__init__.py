@@ -18,6 +18,12 @@ from .windowed import (  # noqa: F401
     streaming_dedup,
     tumbling_counts,
 )
+from .mean_shift import (  # noqa: F401
+    baseline_dim_means,
+    mean_shift_from_sums,
+    stream_embeddings,
+    streaming_dim_sums,
+)
 from .lsh_dedup import (  # noqa: F401
     append_to_corpus_index,
     build_corpus_index,

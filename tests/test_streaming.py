@@ -800,3 +800,35 @@ def test_phash_index_appends_plus_compact_equal_oneshot(spark, tmp_path):
     )
     v3 = P.flag_batch_images(spark, day3, inc).collect()
     assert len(v3) == 1 and v3[0]["is_dup"]
+
+
+def test_streaming_mean_shift_matches_batch_query(spark, tmp_path):
+    """The d-row (sum, count) streaming state must reproduce the batch
+    `embedding_mean_shift_drift` statistic over the same cohorts: the
+    baseline (label 0) is fixed batch metadata, the label-1 cohort
+    arrives as a stream, and the drained state yields the same MMD²,
+    top dimension, and cohort sizes (floats within summation-order
+    tolerance, structure exact)."""
+    import heapdumpstardiver_spark as hds
+    from tests.conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cohort_dir = str(tmp_path / "emb_stream")
+    batch.filter(F.col("label") == 1).write.parquet(cohort_dir)
+
+    baseline = S.baseline_dim_means(batch.filter(F.col("label") == 0))
+    assert len(baseline) == 64
+    n_baseline = batch.filter(F.col("label") == 0).count()
+
+    sums = S.streaming_dim_sums(S.stream_embeddings(spark, cohort_dir))
+    state = _drain(spark, sums, "t_mean_shift", tmp_path, mode="complete")
+    assert state.count() == 64  # the whole streaming state is d rows
+
+    (got,) = S.mean_shift_from_sums(state, baseline, n_baseline).collect()
+    (want,) = hds.QUERIES["embedding_mean_shift_drift"](spark, SF_DIR).collect()
+
+    assert got["n_a"] == want["n_a"]
+    assert got["n_b"] == want["n_b"]
+    assert got["top_dim"] == want["top_dim"]
+    assert abs(float(got["mmd_sq"]) - float(want["mmd_sq"])) < 1e-9
+    assert abs(float(got["top_shift"]) - float(want["top_shift"])) < 1e-9
