@@ -5123,3 +5123,118 @@ def lsh_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).cast("long").alias("exact_candidates"),
         F.sum(F.when(F.col("probe_hit"), 1).otherwise(0)).cast("long").alias("probe_candidates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index lifecycle (r11 batch 4)
+# ---------------------------------------------------------------------------
+
+_IVFL_DIST = (
+    "(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)"
+    " + list_dot_product(c.cv, c.cv))"
+)
+
+
+def _ivfl_update(src: str, dst: str) -> str:
+    return f"""
+    m{dst} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+               FROM {src} WHERE rn = 1),
+    c{dst} AS MATERIALIZED (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+                 SELECT cid, pos, {round_sql("avg(val)", 6)} AS val
+                 FROM m{dst} GROUP BY cid, pos) GROUP BY cid)"""
+
+
+def _ivfl_oracle() -> str:
+    """Replays the full lifecycle: 2 Lloyd rounds on the day-1 slice
+    (deterministic init = 4 smallest vec_ids), frozen-centroid
+    assignment of the UNION (the append), nprobe=2 centroid selection
+    for the query vector, and the exact cosine top-10 over the two
+    chosen inverted lists."""
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE vec_id % 5 <> 4
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM v WHERE vec_id < 4),
+    a1 AS (SELECT a.vec_id, a.v, c.cid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+           FROM v a CROSS JOIN c0 c),
+    {_ivfl_update("a1", "1")},
+    a2 AS (SELECT a.vec_id, a.v, c.cid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+           FROM v a CROSS JOIN c1 c),
+    {_ivfl_update("a2", "2")},
+    vu AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    af AS MATERIALIZED (
+        SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+        FROM vu a CROSS JOIN c2 c
+    ),
+    q AS (SELECT v AS qv FROM vu WHERE vec_id = 0),
+    qsel AS (
+        SELECT c.cid FROM c2 c, q a(v)
+        ORDER BY (list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)
+                  + list_dot_product(c.cv, c.cv)) ASC, c.cid
+        LIMIT 2
+    )
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cid,
+           {round_sql(
+               "list_dot_product(a.v, qv)"
+               " / (sqrt(list_dot_product(a.v, a.v))"
+               " * sqrt(list_dot_product(qv, qv)))", 4)} AS cos_sim
+    FROM af a JOIN qsel s ON a.cid = s.cid, q
+    WHERE a.rn = 1 AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """
+
+
+@query("ivf_index_lifecycle_probe", oracle=_ivfl_oracle())
+def ivf_index_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end persisted-IVF-index lifecycle (`ann_index.py`):
+    BUILD on the day-1 slice (vec_id % 5 != 4; exact 2-round Lloyd,
+    deterministic init, 6-dp rounded centroid updates), APPEND the
+    day-2 slice against the frozen centroids (O(batch) — the store is
+    never rescanned), then PROBE vec_id 0's vector with nprobe=2 for
+    the exact cosine top-10. The persisted `assignments` table is
+    partitioned by cid, so the probe's cluster selection physically
+    becomes Hive partition pruning — the unchosen inverted lists are
+    never read (plan-pinned in `tests/test_ann_index.py`; N-appends ≡
+    one-shot-build parity pinned there too).
+
+    The oracle replays training, frozen-centroid union assignment,
+    centroid selection, and the top-k entirely in SQL — every
+    comparison on portably-rounded values, ties on cid/vec_id."""
+    import shutil
+    import tempfile
+
+    from ..ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    ]
+    index_dir = tempfile.mkdtemp(prefix="hds_ivf_")
+    try:
+        build_ivf_index(spark, e.filter(F.col("vec_id") % 5 != 4), index_dir)
+        append_to_ivf_index(spark, e.filter(F.col("vec_id") % 5 == 4), index_dir)
+        out = probe_ivf_index(
+            spark, index_dir, qv, nprobe=2, topk=10, exclude_vec_id=0
+        ).collect()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["cid"], r["cos_sim"]) for r in out],
+        "vec_id long, cid int, cos_sim double",
+    ).orderBy(F.desc("cos_sim"), "vec_id")
