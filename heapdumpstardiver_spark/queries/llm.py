@@ -5238,3 +5238,316 @@ def ivf_index_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["vec_id"], r["cid"], r["cos_sim"]) for r in out],
         "vec_id long, cid int, cos_sim double",
     ).orderBy(F.desc("cos_sim"), "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming pairing + graded retrieval eval (r11 batch 5)
+# ---------------------------------------------------------------------------
+
+_SH_HAM_MAX = 3  # 4 nibble bands => pigeonhole-exact at Hamming <= 3
+
+
+@query(
+    "simhash_hamming_near_dup",
+    oracle=f"""
+    WITH fp AS MATERIALIZED ({_SIMHASH_ORACLE}),
+    bands AS (
+        SELECT doc_id,
+               b AS band,
+               (simhash16 >> (4 * b)) & 15 AS bucket
+        FROM fp, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    capped AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   row_number() OVER (PARTITION BY band, bucket
+                                      ORDER BY doc_id) AS rnb
+            FROM bands
+        ) WHERE rnb <= {BAND_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(CAST(fa.simhash16 AS BIGINT),
+                              CAST(fb.simhash16 AS BIGINT))) AS INT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(CAST(fa.simhash16 AS BIGINT),
+                        CAST(fb.simhash16 AS BIGINT))) <= {_SH_HAM_MAX}
+    ORDER BY hamming, doc_a, doc_b LIMIT 50
+    """,
+)
+def simhash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the pairing stage the
+    `simhash_fingerprint` operator feeds (Charikar 2002 / Manku et al.
+    2007's web-dedup pipeline): the 16-bit fingerprint splits into 4
+    nibble bands; two fingerprints within Hamming distance 3 must
+    agree on at least one whole band (pigeonhole — the same exactness
+    argument as the image pHash banding), so candidates come from band
+    equi-joins, never a pair scan, and the Hamming verify runs only on
+    candidates. Completes the text near-dup route family: MinHash
+    (set similarity), CDC chunks (shift-resistant), SimHash (weighted
+    cosine-of-features).
+
+    Hot buckets are capped at BAND_BUCKET_CAP docs (deterministic
+    smallest-doc_id keep, mirrored in the oracle — at 16 bits a band
+    is only a nibble, so a big corpus needs the 64-bit fingerprint
+    where bands are 16-bit and buckets stay sparse; the cap makes the
+    16-bit demo scale-safe regardless). popcount(xor) evaluates
+    identically in both engines on the same packed integers."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("token"), 1, 4), 16, 10)
+            .cast("long")
+            .alias("h16"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    fingerprint = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0) for j in range(16)),
+        start=F.lit(0),
+    )
+    fp = (
+        tok.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", fingerprint.cast("long").alias("sh"))
+        .localCheckpoint()
+    )
+    bands = fp.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).withColumn(
+        # SQL shiftright accepts a column shift amount; the Python
+        # F.shiftright wrapper takes only int literals
+        "bucket",
+        F.expr("shiftright(sh, 4 * band) & 15"),
+    )
+    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
+    capped = (
+        bands.withColumn("rnb", F.row_number().over(wcap))
+        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
+        .select("doc_id", "band", "bucket")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _SH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+_NDCG_K = 10
+# 1/log2(i+1) discounts precomputed as Python doubles so neither
+# engine evaluates libm log at query time — the weights are literals,
+# bit-identical by construction.
+_NDCG_W = [1.0 / __import__("math").log2(i + 1) for i in range(1, _NDCG_K + 1)]
+
+
+def _ndcg_chain(prefix: str) -> str:
+    """Left-associated Σ gain_i · w_i over pivoted columns."""
+    return "(" + " + ".join(
+        f"(coalesce({prefix}{i}, 0.0) * {_NDCG_W[i - 1]!r})"
+        for i in range(1, _NDCG_K + 1)
+    ) + ")"
+
+
+def _ndcg_oracle() -> str:
+    lex_pivot = ",\n           ".join(
+        f"max(CASE WHEN rk = {i} THEN g END) AS l{i}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    ideal_pivot = ",\n           ".join(
+        f"max(CASE WHEN irk = {i} THEN g END) AS i{i}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dlen FROM base),
+    stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM (
+            SELECT doc_id, unnest(toks) AS token FROM base
+        )
+        WHERE token IN ('join', 'scan', 'merge')
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    lex_scored AS (
+        SELECT t.doc_id,
+               {round_sql(
+                   "sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+                   " * (t.tf * 2.2)"
+                   " / (t.tf + 1.2 * (0.25 + 0.75 * l.dlen / s.avgdl)))", 4)} AS score
+        FROM tf t
+        JOIN df d ON t.token = d.token
+        JOIN dl l ON t.doc_id = l.doc_id, stats s
+        GROUP BY t.doc_id
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM lex_scored QUALIFY rk <= {_NDCG_K}
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    gains AS MATERIALIZED (
+        SELECT vec_id AS doc_id,
+               greatest({round_sql(
+                   "list_dot_product(CAST(embedding AS DOUBLE[]), qv)"
+                   " / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+                   " CAST(embedding AS DOUBLE[])))"
+                   " * sqrt(list_dot_product(qv, qv)))", 4)}, 0.0) AS g
+        FROM embeddings, q WHERE vec_id <> 0
+    ),
+    lexp AS (
+        SELECT {lex_pivot}
+        FROM lex l LEFT JOIN gains USING (doc_id)
+    ),
+    ideal AS (
+        SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS irk
+        FROM gains QUALIFY irk <= {_NDCG_K}
+    ),
+    idealp AS (SELECT {ideal_pivot} FROM ideal)
+    SELECT {stable_render_sql(_ndcg_chain("l"), 6)} AS dcg,
+           {stable_render_sql(_ndcg_chain("i"), 6)} AS idcg,
+           {stable_render_sql(
+               f"({_ndcg_chain('l')}) / ({_ndcg_chain('i')})", 6)} AS ndcg
+    FROM lexp, idealp
+    """
+
+
+@query("ndcg_lexical_vs_dense", oracle=_ndcg_oracle())
+def ndcg_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the lexical BM25 ranking judged by dense-cosine
+    relevance (gain = max(cos, 0) against the query vector): the
+    graded-relevance retrieval eval, completing the IR-eval family —
+    `ann_recall_at_k` (set recall), `rank_biased_overlap` (rank
+    agreement), `auc_rank_separability` (binary separability), and now
+    position-discounted graded quality. In a RAG stack this scores the
+    cheap lexical index against the embedding model's judgment before
+    paying for the dense leg at query time.
+
+    Determinism discipline: the 1/log2(i+1) discounts are PRECOMPUTED
+    Python literals (no libm at query time); gains are 4-dp rounded
+    cosines; DCG/IDCG are explicit left-associated 10-term chains over
+    pivoted rank columns (the RBO convention) — no SUM-order
+    dependence anywhere. Both rankings bound to k rows before any
+    window runs."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    terms = ["join", "scan", "merge"]
+
+    base = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    dl = base.select("doc_id", F.size("toks").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
+        .groupBy("doc_id")
+        .agg(round_col(F.sum("part"), 4).alias("score"))
+    )
+    w_lex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        lex_scored.orderBy(F.desc("score"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("rk", F.row_number().over(w_lex))
+        .select("doc_id", "rk")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    ev = F.col("embedding").cast("array<double>")
+    gains = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.greatest(round_col(cosine(ev, F.col("qv")), 4), F.lit(0.0)).alias("g"),
+        )
+    )
+    lexp = (
+        lex.join(gains, "doc_id", "left")
+        .agg(*[
+            F.max(F.when(F.col("rk") == i, F.col("g"))).alias(f"l{i}")
+            for i in range(1, _NDCG_K + 1)
+        ])
+    )
+    w_ideal = Window.orderBy(F.desc("g"), "doc_id")
+    idealp = (
+        gains.orderBy(F.desc("g"), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn("irk", F.row_number().over(w_ideal))
+        .agg(*[
+            F.max(F.when(F.col("irk") == i, F.col("g"))).alias(f"i{i}")
+            for i in range(1, _NDCG_K + 1)
+        ])
+    )
+    dcg = F.expr(_ndcg_chain("l"))
+    idcg = F.expr(_ndcg_chain("i"))
+    return lexp.crossJoin(F.broadcast(idealp)).select(
+        stable_render(dcg, 6).alias("dcg"),
+        stable_render(idcg, 6).alias("idcg"),
+        stable_render(dcg / idcg, 6).alias("ndcg"),
+    )

@@ -349,3 +349,34 @@ def test_multiprobe_dominates_exact_bucket(spark):
     assert row["exact_recall_hits"] <= row["true_pairs"]
     assert row["probe_recall_hits"] <= row["true_pairs"]
     assert row["probe_candidates"] <= 200 * 199 // 2
+
+
+def test_simhash_pairs_within_hamming_ball_and_banded(spark):
+    """Every returned pair is canonical (a < b), within the Hamming-3
+    verify ball, sorted by distance, and — pigeonhole over 4 nibble
+    bands — must share at least one whole band nibble."""
+    rows = _rows(spark, "simhash_hamming_near_dup")
+    assert rows, "fixture corpus must contain simhash near-dups"
+    fp = {
+        r["doc_id"]: r["simhash16"]
+        for r in _rows(spark, "simhash_fingerprint")
+    }
+    prev = -1
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+        assert r["hamming"] >= prev
+        prev = r["hamming"]
+        x = fp[r["doc_a"]] ^ fp[r["doc_b"]]
+        assert bin(x).count("1") == r["hamming"]
+        assert any((x >> (4 * b)) & 15 == 0 for b in range(4))
+
+
+def test_ndcg_bounds_and_ideal_dominates(spark):
+    """IDCG is the supremum ordering of the same gains, so
+    0 <= DCG <= IDCG and nDCG lands in [0, 1]."""
+    (row,) = _rows(spark, "ndcg_lexical_vs_dense")
+    dcg, idcg, ndcg = (float(row[c]) for c in ("dcg", "idcg", "ndcg"))
+    assert idcg > 0
+    assert 0.0 <= dcg <= idcg + 1e-9
+    assert 0.0 <= ndcg <= 1.0 + 1e-9
