@@ -18,6 +18,11 @@ from .windowed import (  # noqa: F401
     streaming_dedup,
     tumbling_counts,
 )
+from .percolate import (  # noqa: F401
+    percolate_matches,
+    stream_documents,
+    streaming_percolate,
+)
 from .mean_shift import (  # noqa: F401
     baseline_dim_means,
     mean_shift_from_sums,

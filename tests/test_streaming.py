@@ -832,3 +832,58 @@ def test_streaming_mean_shift_matches_batch_query(spark, tmp_path):
     assert got["top_dim"] == want["top_dim"]
     assert abs(float(got["mmd_sq"]) - float(want["mmd_sq"])) < 1e-9
     assert abs(float(got["top_shift"]) - float(want["top_shift"])) < 1e-9
+
+
+def test_streaming_percolate_matches_batch(spark, tmp_path):
+    """Percolation is per-document, so the union of all micro-batch
+    verdict partitions must equal the batch matcher's output on the
+    same corpus exactly — and rerunning a batch id must overwrite,
+    not duplicate (replay idempotence)."""
+    from heapdumpstardiver_spark.queries.llm import _PERCOLATE_RULES
+    from heapdumpstardiver_spark.streaming.percolate import (
+        percolate_matches,
+        stream_documents,
+        streaming_percolate,
+    )
+    from tests.conftest import SF_DIR
+
+    # stage the documents table as a streaming input DIRECTORY (the
+    # fixture parquet is a single file; file streams need a dir)
+    docs_dir = str(tmp_path / "docs_stream")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+    rules = spark.createDataFrame(
+        [(rid, t) for rid, terms in _PERCOLATE_RULES for t in terms],
+        ["rule_id", "term"],
+    )
+    out_dir = str(tmp_path / "perc_out")
+    q = streaming_percolate(
+        stream_documents(spark, docs_dir),
+        rules,
+        out_dir,
+        str(tmp_path / "perc_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in spark.read.parquet(out_dir).select("doc_id", "rule_id").collect()
+    }
+    want = {
+        (r["doc_id"], r["rule_id"])
+        for r in percolate_matches(spark.read.parquet(docs_dir), rules).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # replay idempotence: re-writing batch 0 with the same input is a
+    # byte-identical no-op at the row level
+    batch0 = spark.read.parquet(docs_dir)
+    percolate_matches(batch0, rules).write.mode("overwrite").parquet(
+        f"{out_dir}/batch=0"
+    )
+    again = {
+        (r["doc_id"], r["rule_id"])
+        for r in spark.read.parquet(out_dir).select("doc_id", "rule_id").collect()
+    }
+    assert again == want
