@@ -40,11 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (2) staleness rotation, oldest vintage first: after r10 the record
 #     holds 27 r4-vintage greens (the explode_tokens…dominator_
 #     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. With 23 new-query head slots, 23 + 27 =
-#     50 fill the cap exactly; the full r5 block (33 rows, from
-#     window_sliding_15m) leads the r12 rotation. Done-bar this
-#     round: zero rows older than r5 in the cumulative record after
-#     r11 (the r4 block clears; r5 clears in r12 as scheduled).
+#     33 r5-vintage greens. With 25 new-query head slots, 25 + 27 =
+#     52 slightly overfill the ~50 cap — if the driver cuts at 50,
+#     the last ~2 r4 rows (single_retainer_bytes, dominator_retained)
+#     plus the full r5 block (33 rows, from window_sliding_15m) lead
+#     the r12 rotation. Done-bar: zero rows older than r5 after r11
+#     modulo that cap spill; r5 clears in r12 as scheduled.
 _CHECK_PRIORITY = [
     # 1: new in r11 — need first driver rows
     "image_phash_near_dup", "unigram_train_stats",
@@ -58,7 +59,8 @@ _CHECK_PRIORITY = [
     "filtered_ann_pre_vs_post", "embedding_mean_shift_drift",
     "ngram_coverage_curve", "lsh_multiprobe_gain",
     "ivf_index_lifecycle_probe", "simhash_hamming_near_dup",
-    "ndcg_lexical_vs_dense",
+    "ndcg_lexical_vs_dense", "packing_strategy_advisor",
+    "event_trigram_patterns",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",

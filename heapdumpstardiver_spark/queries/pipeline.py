@@ -6262,3 +6262,128 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "pick_idx", "vec_id", stable_render(F.col("mind"), 6).alias("min_dist_sq")
     ).orderBy("pick_idx")
+
+
+# ---------------------------------------------------------------------------
+# Packing-strategy advisor (r11 batch 6)
+# ---------------------------------------------------------------------------
+
+_PACK_W = 256  # context window (tokens per training bin)
+
+
+def _pow2_case_sql(col: str) -> str:
+    """Smallest power of two >= col (col in 1.._PACK_W), as an explicit
+    CASE chain — identical integer arithmetic in both engines."""
+    branches = " ".join(
+        f"WHEN {col} <= {1 << b} THEN {1 << b}"
+        for b in range(0, _PACK_W.bit_length())
+    )
+    return f"(CASE {branches} END)"
+
+
+@query(
+    "packing_strategy_advisor",
+    oracle=f"""
+    WITH t AS (
+        SELECT least(len(list_filter(string_split(text, ' '), x -> x <> '')),
+                     {_PACK_W}) AS n
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_docs, sum(n) AS total FROM t),
+    shelf AS (
+        SELECT {_pow2_case_sql("n")} AS shelf_len,
+               count(*) AS cnt, sum(n) AS bucket_tokens
+        FROM t GROUP BY shelf_len
+    ),
+    shelf_bins AS (
+        SELECT CAST(sum(
+                   (cnt + ({_PACK_W} // shelf_len) - 1)
+                   // ({_PACK_W} // shelf_len)) AS BIGINT) AS bins,
+               CAST(sum(bucket_tokens) AS BIGINT) AS used
+        FROM shelf
+    ),
+    rows_out AS (
+        SELECT 'a_naive_one_per_bin' AS strategy,
+               CAST(n_docs AS BIGINT) AS bins,
+               CAST(n_docs * {_PACK_W} - total AS BIGINT) AS padded_tokens
+        FROM tot
+        UNION ALL
+        SELECT 'b_length_bucket_shelf',
+               b.bins,
+               CAST(b.bins * {_PACK_W} - b.used AS BIGINT)
+        FROM shelf_bins b
+        UNION ALL
+        SELECT 'c_concat_lower_bound',
+               CAST((total + {_PACK_W} - 1) // {_PACK_W} AS BIGINT),
+               CAST(((total + {_PACK_W} - 1) // {_PACK_W}) * {_PACK_W} - total
+                    AS BIGINT)
+        FROM tot
+    )
+    SELECT strategy, bins, padded_tokens,
+           {round_sql(
+               "1.0 - CAST(padded_tokens AS DOUBLE)"
+               f" / (bins * {_PACK_W})", 6)} AS utilization
+    FROM rows_out ORDER BY strategy
+    """,
+)
+def packing_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing-strategy advisor at W=256: how many
+    training bins and how much padding waste under (a) the naive
+    one-document-per-padded-bin batcher, (b) length-bucketed shelf
+    packing (round each doc up to the next power of two, fill bins
+    with floor(W/shelf) same-shelf docs — what production LLM batchers
+    actually do), and (c) the concatenation lower bound
+    (`pack_sequences_greedy`'s regime, ceil(total/W)). Padding is pure
+    FLOP waste at training time; the (a)→(b) delta is the payoff of
+    adding a length-bucketing stage, and the (b)→(c) gap is what
+    crossing document boundaries would still buy.
+
+    Every strategy here is CLOSED-FORM from grouped counts — doc
+    lengths reduce to 9 shelf buckets, so there is no sequential
+    bin state, no window, no fold: one scan, one 9-row aggregate,
+    3 output rows at any corpus size. Docs longer than W are clipped
+    to W (they fill a bin exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.least(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+        F.lit(_PACK_W),
+    )
+    t = d.select(n.alias("n"))
+    tot = t.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("total")
+    )
+    shelf = (
+        t.select(F.expr(_pow2_case_sql("n")).alias("shelf_len"), "n")
+        .groupBy("shelf_len")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("bucket_tokens"))
+    )
+    fit = F.floor(F.lit(_PACK_W) / F.col("shelf_len"))
+    shelf_bins = shelf.agg(
+        F.sum(F.ceil(F.col("cnt") / fit)).cast("long").alias("bins"),
+        F.sum("bucket_tokens").cast("long").alias("used"),
+    )
+    a = tot.select(
+        F.lit("a_naive_one_per_bin").alias("strategy"),
+        F.col("n_docs").cast("long").alias("bins"),
+        (F.col("n_docs") * _PACK_W - F.col("total")).cast("long").alias("padded_tokens"),
+    )
+    b = shelf_bins.select(
+        F.lit("b_length_bucket_shelf").alias("strategy"),
+        "bins",
+        (F.col("bins") * _PACK_W - F.col("used")).cast("long").alias("padded_tokens"),
+    )
+    cbins = F.ceil(F.col("total") / F.lit(_PACK_W)).cast("long")
+    c = tot.select(
+        F.lit("c_concat_lower_bound").alias("strategy"),
+        cbins.alias("bins"),
+        (cbins * _PACK_W - F.col("total")).cast("long").alias("padded_tokens"),
+    )
+    util = F.lit(1.0) - F.col("padded_tokens").cast("double") / (
+        F.col("bins") * F.lit(_PACK_W)
+    )
+    return (
+        a.unionAll(b)
+        .unionAll(c)
+        .select("strategy", "bins", "padded_tokens", round_col(util, 6).alias("utilization"))
+        .orderBy("strategy")
+    )

@@ -5622,3 +5622,70 @@ def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("strict_funnels"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "event_trigram_patterns",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    ),
+    grams AS (
+        SELECT user_id, substr(seq, i, 3) AS pattern
+        FROM seqs, unnest(range(1, len(seq) - 3 + 2)) AS r(i)
+        WHERE len(seq) >= 3
+    )
+    SELECT pattern,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_occurrences
+    FROM grams
+    GROUP BY pattern
+    ORDER BY n_occurrences DESC, pattern LIMIT 15
+    """,
+)
+def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-subsequence mining over the event stream (the
+    discovery half next to `event_sequence_pattern`'s regex detection
+    half): every contiguous 3-event pattern per user, ranked by
+    occurrence count with user support — PrefixSpan's length-3 slice,
+    computed relationally. 'What sequences happen' feeds 'which
+    sequences to alert on'.
+
+    Same scale shape as the detector: one collect_list shuffle on
+    user_id builds the session-bounded per-user string, the trigram
+    explode fans out |seq|-2 fixed-width 3-char rows (never raw
+    events), and the support aggregate is one hash shuffle on the
+    pattern. Top-15 via TakeOrdered."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: F.substring(x["event_type"], 1, 1),
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    idx = F.sequence(F.lit(1), F.length("seq") - 2)
+    grams = (
+        seqs.filter(F.length("seq") >= 3)
+        .select(
+            "user_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.col("seq"), i, F.lit(3)))
+            ).alias("pattern"),
+        )
+    )
+    return (
+        grams.groupBy("pattern")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pattern")
+        .limit(15)
+    )

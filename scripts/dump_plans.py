@@ -155,6 +155,8 @@ EXTRA = [
     "ivf_index_lifecycle_probe",
     "simhash_hamming_near_dup",
     "ndcg_lexical_vs_dense",
+    "packing_strategy_advisor",
+    "event_trigram_patterns",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -380,3 +380,37 @@ def test_ndcg_bounds_and_ideal_dominates(spark):
     assert idcg > 0
     assert 0.0 <= dcg <= idcg + 1e-9
     assert 0.0 <= ndcg <= 1.0 + 1e-9
+
+
+def test_packing_strategies_strictly_ordered(spark):
+    """Bin counts must satisfy concat-lower-bound <= shelf <= naive,
+    padding likewise (reversed), and utilization must reconcile with
+    bins and padding exactly."""
+    rows = {r["strategy"]: r for r in _rows(spark, "packing_strategy_advisor")}
+    a, b, c = (
+        rows["a_naive_one_per_bin"],
+        rows["b_length_bucket_shelf"],
+        rows["c_concat_lower_bound"],
+    )
+    assert c["bins"] <= b["bins"] <= a["bins"]
+    assert c["padded_tokens"] <= b["padded_tokens"] <= a["padded_tokens"]
+    for r in (a, b, c):
+        assert 0 <= r["padded_tokens"] < r["bins"] * 256
+        assert abs(
+            r["utilization"] - (1.0 - r["padded_tokens"] / (r["bins"] * 256))
+        ) < 1e-6
+
+
+def test_event_trigrams_support_bounded_by_occurrences(spark):
+    """User support can never exceed total occurrences; patterns are
+    3 chars from the event-initial alphabet and ranked by count."""
+    rows = _rows(spark, "event_trigram_patterns")
+    assert len(rows) == 15
+    prev = None
+    for r in rows:
+        assert len(r["pattern"]) == 3
+        assert set(r["pattern"]) <= set("vcpse")
+        assert 0 < r["n_users"] <= r["n_occurrences"]
+        if prev is not None:
+            assert r["n_occurrences"] <= prev
+        prev = r["n_occurrences"]
