@@ -60,7 +60,7 @@ _CHECK_PRIORITY = [
     "ngram_coverage_curve", "lsh_multiprobe_gain",
     "ivf_index_lifecycle_probe", "simhash_hamming_near_dup",
     "ndcg_lexical_vs_dense", "packing_strategy_advisor",
-    "event_trigram_patterns",
+    "event_trigram_patterns", "embedding_power_iteration_pca",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",

@@ -6387,3 +6387,138 @@ def packing_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("strategy", "bins", "padded_tokens", round_col(util, 6).alias("utilization"))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA over the embedding covariance block (r11 batch 6)
+# ---------------------------------------------------------------------------
+
+_PI_D = 8       # leading embedding dims (the covariance-block window)
+_PI_STEPS = 8   # unrolled power-iteration steps
+
+
+def _pi_fold(items: list[float]) -> float:
+    """Left fold starting from the FIRST element — the exact
+    accumulation DuckDB's init-less list_reduce performs."""
+    acc = items[0]
+    for x in items[1:]:
+        acc = acc + x
+    return acc
+
+
+def _pi_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, _PI_STEPS + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT c.i, list_reduce(list(c.c * v.v ORDER BY c.j),
+                                (a, b) -> a + b) AS w
+        FROM cmat c JOIN {prev} v ON c.j = v.i GROUP BY c.i
+    ),
+    n{t} AS (SELECT sqrt(list_reduce(list(w * w ORDER BY i),
+                                     (a, b) -> a + b)) AS nrm FROM w{t}),
+    v{t} AS MATERIALIZED (
+        SELECT i, {round_sql("w / nrm", 6)} AS v FROM w{t}, n{t}
+    )""")
+        prev = f"v{t}"
+    return f"""
+    WITH cells AS (
+        SELECT i.i AS i, j.j AS j,
+               {round_sql(
+                   "covar_samp(CAST(embedding[i] AS DOUBLE),"
+                   " CAST(embedding[j] AS DOUBLE))", 6)} AS c
+        FROM embeddings,
+             (SELECT unnest(range(1, {_PI_D} + 1)) AS i) i,
+             (SELECT unnest(range(1, {_PI_D} + 1)) AS j) j
+        GROUP BY i.i, j.j
+    ),
+    cmat AS MATERIALIZED (SELECT * FROM cells),
+    v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+           FROM (SELECT unnest(range(1, {_PI_D} + 1)) AS i)),
+    {",".join(steps)},
+    wr AS (
+        SELECT c.i, list_reduce(list(c.c * v.v ORDER BY c.j),
+                                (a, b) -> a + b) AS w
+        FROM cmat c JOIN v{_PI_STEPS} v ON c.j = v.i GROUP BY c.i
+    ),
+    ray AS (
+        SELECT list_reduce(list(v.v * w.w ORDER BY v.i), (a, b) -> a + b)
+            AS lam
+        FROM v{_PI_STEPS} v JOIN wr w ON v.i = w.i
+    ),
+    tr AS (
+        SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b) AS trace
+        FROM cmat WHERE i = j
+    ),
+    top AS (
+        SELECT i AS top_dim, v AS top_loading FROM v{_PI_STEPS}
+        ORDER BY abs(v) DESC, i LIMIT 1
+    )
+    SELECT {stable_render_sql("lam", 6)} AS eigenvalue,
+           CAST(top_dim AS INT) AS top_dim,
+           {stable_render_sql("top_loading", 6)} AS top_loading,
+           {stable_render_sql("lam / trace", 6)} AS anisotropy
+    FROM ray, tr, top
+    """
+
+
+@query("embedding_power_iteration_pca", oracle=_pi_oracle())
+def embedding_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the leading 8×8 embedding
+    covariance block by power iteration — the PCA diagnostic behind
+    whitening decisions and ANN health (a high anisotropy ratio
+    λ₁/trace means the embedding space collapses toward one direction,
+    which degrades cosine contrast and sign-LSH bucket balance; run
+    this before `similarity_*` index builds, alongside
+    `embedding_covariance_block` which reports the raw block).
+
+    The 100 TB shape is the kmeans/centroid discipline taken to its
+    logical end: ONE corpus scan computes the 64 co-moment cells
+    (single-pass covar_samp aggregate), and the 8 power-iteration
+    steps run on that 8×8 METADATA — driver-side here, each step an
+    ascending-index left fold with 6-dp portable rounding of the
+    normalized vector, so the oracle's init-less list_reduce replays
+    it term-for-term. Corpus cost is independent of the step count."""
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    cols = [
+        F.covar_samp(
+            F.element_at("embedding", i).cast("double"),
+            F.element_at("embedding", j).cast("double"),
+        ).alias(f"c_{i}_{j}")
+        for i in range(1, _PI_D + 1)
+        for j in range(1, _PI_D + 1)
+    ]
+    row = e.agg(*cols).collect()[0]
+    c = {
+        (i, j): _round6(float(row[f"c_{i}_{j}"]))
+        for i in range(1, _PI_D + 1)
+        for j in range(1, _PI_D + 1)
+    }
+    v = [1.0] + [0.0] * (_PI_D - 1)
+    for _step in range(_PI_STEPS):
+        w = [
+            _pi_fold([c[(i, j)] * v[j - 1] for j in range(1, _PI_D + 1)])
+            for i in range(1, _PI_D + 1)
+        ]
+        nrm = math.sqrt(_pi_fold([x * x for x in w]))
+        v = [_round6(x / nrm) for x in w]
+    wr = [
+        _pi_fold([c[(i, j)] * v[j - 1] for j in range(1, _PI_D + 1)])
+        for i in range(1, _PI_D + 1)
+    ]
+    lam = _pi_fold([v[i] * wr[i] for i in range(_PI_D)])
+    trace = _pi_fold([c[(i, i)] for i in range(1, _PI_D + 1)])
+    top = max(range(_PI_D), key=lambda i: (abs(v[i]), -i))
+    out = spark.createDataFrame(
+        [(lam, top + 1, v[top], lam / trace)],
+        "lam double, top_dim int, top_loading double, aniso double",
+    )
+    return out.select(
+        stable_render(F.col("lam"), 6).alias("eigenvalue"),
+        "top_dim",
+        stable_render(F.col("top_loading"), 6).alias("top_loading"),
+        stable_render(F.col("aniso"), 6).alias("anisotropy"),
+    )

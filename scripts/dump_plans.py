@@ -157,6 +157,7 @@ EXTRA = [
     "ndcg_lexical_vs_dense",
     "packing_strategy_advisor",
     "event_trigram_patterns",
+    "embedding_power_iteration_pca",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -414,3 +414,35 @@ def test_event_trigrams_support_bounded_by_occurrences(spark):
         if prev is not None:
             assert r["n_occurrences"] <= prev
         prev = r["n_occurrences"]
+
+
+def test_power_iteration_eigen_bounds(spark):
+    """The dominant eigenvalue of a covariance matrix is positive,
+    bounded by the trace (so anisotropy in (0, 1]); the loading is a
+    unit-vector component; and lambda must dominate every diagonal
+    entry of the block (Rayleigh quotient optimality over e_i)."""
+    import heapdumpstardiver_spark as hds
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    (row,) = _rows(spark, "embedding_power_iteration_pca")
+    lam = float(row["eigenvalue"])
+    aniso = float(row["anisotropy"])
+    loading = float(row["top_loading"])
+    assert lam > 0
+    assert 0.0 < aniso <= 1.0 + 1e-9
+    assert abs(loading) <= 1.0 + 1e-6
+    assert 1 <= row["top_dim"] <= 8
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    diag = [
+        float(
+            e.agg(
+                F.covar_samp(
+                    F.element_at("embedding", i).cast("double"),
+                    F.element_at("embedding", i).cast("double"),
+                )
+            ).collect()[0][0]
+        )
+        for i in range(1, 9)
+    ]
+    assert lam >= max(diag) - 1e-6
