@@ -61,6 +61,7 @@ _CHECK_PRIORITY = [
     "ivf_index_lifecycle_probe", "simhash_hamming_near_dup",
     "ndcg_lexical_vs_dense", "packing_strategy_advisor",
     "event_trigram_patterns", "embedding_power_iteration_pca",
+    "leakage_free_feature_matrix", "percolate_with_exclusions",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",

@@ -5551,3 +5551,120 @@ def ndcg_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_render(idcg, 6).alias("idcg"),
         stable_render(dcg / idcg, 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percolation with exclusion clauses (r11 batch 6)
+# ---------------------------------------------------------------------------
+
+# (rule_id, must-have terms, must-NOT-have terms)
+_PERCOLATE_NEG_RULES = [
+    (1, ("join", "scan"), ("error",)),
+    (2, ("merge",), ("sort", "window")),
+    (3, ("table", "row"), ()),
+    (4, ("agg",), ("batch",)),
+]
+
+
+@query(
+    "percolate_with_exclusions",
+    oracle=f"""
+    WITH pos(rule_id, term) AS (VALUES {", ".join(
+        f"({rid}, '{t}')"
+        for rid, terms, _neg in _PERCOLATE_NEG_RULES for t in terms
+    )}),
+    neg(rule_id, term) AS (VALUES {", ".join(
+        f"({rid}, '{t}')"
+        for rid, _terms, negs in _PERCOLATE_NEG_RULES for t in negs
+    )}),
+    pos_size AS (SELECT rule_id, count(*) AS k FROM pos GROUP BY rule_id),
+    doc_terms AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+    ),
+    pos_hits AS (
+        SELECT d.doc_id, r.rule_id, count(*) AS matched
+        FROM doc_terms d JOIN pos r ON d.token = r.term
+        GROUP BY d.doc_id, r.rule_id
+    ),
+    neg_hits AS (
+        SELECT DISTINCT d.doc_id, r.rule_id
+        FROM doc_terms d JOIN neg r ON d.token = r.term
+    ),
+    sat AS (
+        SELECT h.doc_id, h.rule_id
+        FROM pos_hits h
+        JOIN pos_size s ON h.rule_id = s.rule_id
+        LEFT JOIN neg_hits n
+          ON n.doc_id = h.doc_id AND n.rule_id = h.rule_id
+        WHERE h.matched = s.k AND n.rule_id IS NULL
+    )
+    SELECT CAST(rule_id AS BIGINT) AS rule_id,
+           count(*) AS n_matching_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM sat GROUP BY rule_id ORDER BY rule_id
+    """,
+)
+def percolate_with_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with must-NOT clauses — real alerting/routing rules
+    are conjunctions with exclusions ('mentions merge but not in an
+    error context'): a rule fires when ALL its positive terms appear
+    and NONE of its negative terms do. Extends
+    `reverse_search_percolate`'s counting formulation with one
+    anti-join leg: positives count up to the rule size, negatives
+    knock out via a left-anti match on (doc, rule).
+
+    Scale shape unchanged: both rule tables are tiny broadcasts that
+    prune the token stream BEFORE any shuffle, so work is docs ×
+    matching terms; the exclusion leg adds one more broadcast join,
+    never a second corpus scan of raw text."""
+    pos = spark.createDataFrame(
+        [
+            (rid, t)
+            for rid, terms, _neg in _PERCOLATE_NEG_RULES
+            for t in terms
+        ],
+        ["rule_id", "term"],
+    )
+    neg = spark.createDataFrame(
+        [
+            (rid, t)
+            for rid, _terms, negs in _PERCOLATE_NEG_RULES
+            for t in negs
+        ],
+        ["rule_id", "term"],
+    )
+    d = _t(spark, sf_dir, "documents")
+    pos_size = pos.groupBy("rule_id").agg(F.count(F.lit(1)).alias("k"))
+    doc_terms = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    pos_hits = (
+        doc_terms.join(F.broadcast(pos), F.col("token") == F.col("term"))
+        .groupBy("doc_id", "rule_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    neg_hits = (
+        doc_terms.join(F.broadcast(neg), F.col("token") == F.col("term"))
+        .select("doc_id", "rule_id")
+        .distinct()
+    )
+    sat = (
+        pos_hits.join(F.broadcast(pos_size), "rule_id")
+        .filter(F.col("matched") == F.col("k"))
+        .join(neg_hits, ["doc_id", "rule_id"], "left_anti")
+    )
+    return (
+        sat.groupBy("rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matching_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(F.col("rule_id").cast("long").alias("rule_id"),
+                "n_matching_docs", "first_doc")
+        .orderBy("rule_id")
+    )

@@ -5689,3 +5689,94 @@ def event_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pattern")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free training-feature matrix (r11 batch 6)
+# ---------------------------------------------------------------------------
+
+_FM_CUTOFF = "2024-01-22 00:00:00"
+_FM_LABEL_END = "2024-01-29 00:00:00"
+
+
+@query(
+    "leakage_free_feature_matrix",
+    oracle=f"""
+    WITH feats AS (
+        SELECT user_id,
+               count(*) AS n_events_hist,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases_hist,
+               {round_sql("sum(value)")} AS value_hist,
+               CAST(date_diff('second', max(ts),
+                    TIMESTAMP '{_FM_CUTOFF}') AS BIGINT) AS recency_s
+        FROM events WHERE ts < TIMESTAMP '{_FM_CUTOFF}'
+        GROUP BY user_id
+    ),
+    labels AS (
+        SELECT DISTINCT user_id, 1 AS label
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_FM_CUTOFF}'
+          AND ts < TIMESTAMP '{_FM_LABEL_END}'
+    )
+    SELECT f.user_id, f.n_events_hist, f.n_purchases_hist, f.value_hist,
+           f.recency_s, coalesce(l.label, 0) AS label
+    FROM feats f LEFT JOIN labels l USING (user_id)
+    ORDER BY f.user_id
+    """,
+)
+def leakage_free_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training matrix: features aggregate ONLY
+    events strictly BEFORE the cutoff (activity counts, purchase
+    count, monetary sum, seconds-since-last-event recency) and the
+    label comes ONLY from the disjoint post-cutoff window (purchase
+    within 7 days) — the feature-store discipline that prevents
+    temporal leakage, the most common silent corruption in production
+    training sets (`scd2_point_in_time_join` is the dimension-join
+    face of the same rule; this is the aggregate-feature face).
+
+    Scale shape: the cutoff predicate pushes to the scan on both
+    branches (disjoint time slices — at 100 TB with date-partitioned
+    events each branch reads only its partitions), one groupBy per
+    branch on user_id, one left join. Extending the feature set is
+    adding aggregate columns, never new scans."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit(_FM_CUTOFF).cast("timestamp")
+    label_end = F.lit(_FM_LABEL_END).cast("timestamp")
+    feats = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_hist"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases_hist"),
+            round_col(F.sum("value")).alias("value_hist"),
+            (cutoff.cast("long") - F.max("ts").cast("long"))
+            .cast("long")
+            .alias("recency_s"),
+        )
+    )
+    labels = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= cutoff)
+            & (F.col("ts") < label_end)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return (
+        feats.join(labels, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_hist",
+            "n_purchases_hist",
+            "value_hist",
+            "recency_s",
+            F.coalesce("label", F.lit(0)).alias("label"),
+        )
+        .orderBy("user_id")
+    )

@@ -158,6 +158,8 @@ EXTRA = [
     "packing_strategy_advisor",
     "event_trigram_patterns",
     "embedding_power_iteration_pca",
+    "leakage_free_feature_matrix",
+    "percolate_with_exclusions",
 ]
 
 PLAN_SET = HEADLINE + EXTRA
