@@ -40,12 +40,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (2) staleness rotation, oldest vintage first: after r10 the record
 #     holds 27 r4-vintage greens (the explode_tokens…dominator_
 #     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. With 25 new-query head slots, 25 + 27 =
-#     52 slightly overfill the ~50 cap — if the driver cuts at 50,
-#     the last ~2 r4 rows (single_retainer_bytes, dominator_retained)
-#     plus the full r5 block (33 rows, from window_sliding_15m) lead
-#     the r12 rotation. Done-bar: zero rows older than r5 after r11
-#     modulo that cap spill; r5 clears in r12 as scheduled.
+#     33 r5-vintage greens. The r11 build added 28 new queries, so
+#     28 + 27 = 55 overfills the ~50 cap: if the driver cuts at 50,
+#     the last ~5 r4 rows (quality_percentile_gate onward) spill and
+#     lead the r12 rotation together with the full r5 block (33 rows,
+#     from window_sliding_15m). Done-bar: zero rows older than r5
+#     after r11 modulo that ≤5-row cap spill (every spilled row was
+#     re-verified exact by this round's local 330-query registry gate
+#     at BOTH sf0.01 and sf0.1); r4+r5 clear fully in r12.
 _CHECK_PRIORITY = [
     # 1: new in r11 — need first driver rows
     "image_phash_near_dup", "unigram_train_stats",
