@@ -1,1 +1,6 @@
 from .hprof_source import HprofDataSource, register  # noqa: F401
+from .warc_source import (  # noqa: F401
+    WarcDataSource,
+    iter_warc_records,
+)
+from .warc_source import register as register_warc  # noqa: F401

@@ -1,0 +1,129 @@
+"""Crawl-format ingestion: the WARC DataSource and the JSONL corpus
+reader — schema pinning, corrupt-input accounting, payload opacity."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from heapdumpstardiver_spark.ingest.jsonl import (
+    clean_documents,
+    corrupt_stats,
+    read_jsonl_corpus,
+)
+from heapdumpstardiver_spark.sources.warc_source import register as register_warc
+
+
+def _warc_record(rid: str, uri: str, payload: bytes, wtype: str = "response") -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-15T00:00:00Z\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "warc_in"
+    d.mkdir()
+    plain = (
+        _warc_record("a1", "http://example.com/1", b"hello crawl one")
+        + _warc_record("a2", "http://example.com/2", b"\x00\x01binary ok\xff")
+        + _warc_record("a3", "http://example.com/3", b"third", wtype="request")
+    )
+    (d / "part-0.warc").write_bytes(plain)
+    # per-record gzip members concatenated — the .warc.gz layout
+    gz = b"".join(
+        gzip.compress(_warc_record(f"b{i}", f"http://example.com/gz{i}", p))
+        for i, p in enumerate([b"gzipped one", b"gzipped two"])
+    )
+    (d / "part-1.warc.gz").write_bytes(gz)
+    return str(d)
+
+
+def test_warc_source_reads_plain_and_gz(spark, warc_dir):
+    register_warc(spark)
+    df = spark.read.format("warc").load(warc_dir)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 5
+    r = rows["<urn:uuid:a2>"]
+    assert bytes(r["payload"]) == b"\x00\x01binary ok\xff"
+    assert r["content_length"] == len(b"\x00\x01binary ok\xff")
+    assert r["warc_type"] == "response"
+    assert rows["<urn:uuid:a3>"]["warc_type"] == "request"
+    assert rows["<urn:uuid:b1>"]["target_uri"] == "http://example.com/gz1"
+    # one partition per file — the crawl-scale parallelism unit
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_source_composes_with_dataframe_ops(spark, warc_dir):
+    register_warc(spark)
+    df = spark.read.format("warc").load(warc_dir)
+    got = (
+        df.filter(F.col("warc_type") == "response")
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("content_length").alias("b"))
+        .orderBy("file")
+        .collect()
+    )
+    assert [(r["file"], r["n"]) for r in got] == [
+        ("part-0.warc", 2),
+        ("part-1.warc.gz", 2),
+    ]
+
+
+def test_warc_strict_raises_and_tolerant_salvages(spark, tmp_path):
+    register_warc(spark)
+    d = tmp_path / "warc_bad"
+    d.mkdir()
+    good = _warc_record("g1", "http://example.com/ok", b"fine")
+    (d / "bad.warc").write_bytes(good + b"NOT A WARC HEADER\r\n")
+    with pytest.raises(Exception):
+        spark.read.format("warc").load(str(d)).collect()
+    rows = (
+        spark.read.format("warc")
+        .option("tolerant", "true")
+        .load(str(d))
+        .collect()
+    )
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:g1>"]
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    d = tmp_path / "jsonl_in"
+    d.mkdir()
+    lines = [
+        json.dumps(
+            {"doc_id": i, "text": f"doc {i} text", "lang": "en",
+             "source": "web", "n_chars": 10 + i}
+        )
+        for i in range(5)
+    ]
+    lines.insert(3, '{"doc_id": 99, "text": "broken')  # corrupt line
+    (d / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_jsonl_permissive_accounts_and_cleans(spark, jsonl_dir):
+    df = read_jsonl_corpus(spark, jsonl_dir)
+    (stats,) = corrupt_stats(df).collect()
+    assert stats["n_rows"] == 6
+    assert stats["n_corrupt"] == 1
+    clean = clean_documents(df)
+    assert clean.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert clean.count() == 5
+    assert clean.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_jsonl_strict_failfast(spark, jsonl_dir):
+    with pytest.raises(Exception):
+        read_jsonl_corpus(spark, jsonl_dir, strict=True).count()
