@@ -40,9 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (2) staleness rotation, oldest vintage first: after r10 the record
 #     holds 27 r4-vintage greens (the explode_tokens…dominator_
 #     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. The r11 build added 28 new queries, so
-#     28 + 27 = 55 overfills the ~50 cap: if the driver cuts at 50,
-#     the last ~5 r4 rows (quality_percentile_gate onward) spill and
+#     33 r5-vintage greens. The r11 build added 29 new queries, so
+#     29 + 27 = 56 overfills the ~50 cap: if the driver cuts at 50,
+#     the last ~6 r4 rows (token_budget_select onward) spill and
 #     lead the r12 rotation together with the full r5 block (33 rows,
 #     from window_sliding_15m). Done-bar: zero rows older than r5
 #     after r11 modulo that ≤5-row cap spill (every spilled row was
@@ -64,6 +64,7 @@ _CHECK_PRIORITY = [
     "ndcg_lexical_vs_dense", "packing_strategy_advisor",
     "event_trigram_patterns", "embedding_power_iteration_pca",
     "leakage_free_feature_matrix", "percolate_with_exclusions",
+    "warc_record_tally",
     # 2: staleness rotation — r4-vintage remainder (27), oldest first
     "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
     "text_quality", "token_count_regex", "lang_id_confusion",

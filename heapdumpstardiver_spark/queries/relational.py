@@ -3803,3 +3803,130 @@ def zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC source tally (r11 batch 7) — drives format("warc") end-to-end
+# ---------------------------------------------------------------------------
+
+# Deterministic fixture spec: (file, gzipped, [(type, uri, payload)]).
+# The oracle is the constant tally of this spec; change BOTH together.
+_WARC_FIXTURE_SPEC = [
+    (
+        "crawl-0.warc",
+        False,
+        [
+            ("response", "http://example.com/0", b"alpha beta " * 6),   # 66 B
+            ("response", "http://example.com/1", b"x" * 100),           # 100 B
+            ("request", "http://example.com/2", b"GET /2 HTTP/1.1\r\n"),  # 17 B
+        ],
+    ),
+    (
+        "crawl-1.warc.gz",
+        True,
+        [
+            ("response", "http://example.com/3", b"gzip payload one!"),  # 17 B
+            ("response", "http://example.com/4", b"gz" * 20),            # 40 B
+            ("metadata", "http://example.com/4", b"fetch-ms: 12\r\n"),   # 14 B
+        ],
+    ),
+]
+
+
+def warc_fixture_dir() -> str:
+    """Build (once per content hash) the deterministic WARC fixture
+    directory — the staging + atomic-rename caching discipline of the
+    HPROF fixtures."""
+    import gzip as _gzip
+    import hashlib
+    import tempfile
+
+    def record(wtype: str, uri: str, payload: bytes, rid: int) -> bytes:
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:fixture-{rid}>\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-15T00:00:00Z\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    digest = hashlib.md5(repr(_WARC_FIXTURE_SPEC).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"hds_warc_fixture.{digest}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        staging = f"{out}.build.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        rid = 0
+        for fname, gzipped, records in _WARC_FIXTURE_SPEC:
+            blobs = []
+            for wtype, uri, payload in records:
+                raw = record(wtype, uri, payload, rid)
+                rid += 1
+                blobs.append(
+                    _gzip.compress(raw, mtime=0) if gzipped else raw
+                )
+            with open(os.path.join(staging, fname), "wb") as f:
+                f.write(b"".join(blobs))
+        with open(os.path.join(staging, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _warc_tally_oracle() -> str:
+    agg: dict[str, list[int]] = {}
+    for fname, _gz, records in _WARC_FIXTURE_SPEC:
+        for wtype, _uri, payload in records:
+            n, b, files = agg.setdefault(wtype, [0, 0, 0])
+            agg[wtype][0] = n + 1
+            agg[wtype][1] = b + len(payload)
+    for fname, _gz, records in _WARC_FIXTURE_SPEC:
+        for wtype in {t for t, _u, _p in records}:
+            agg[wtype][2] += 1
+    values = ", ".join(
+        f"('{t}', CAST({n} AS BIGINT), CAST({b} AS BIGINT), CAST({f} AS BIGINT))"
+        for t, (n, b, f) in sorted(agg.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES {values})
+        AS t(warc_type, n_records, total_bytes, n_files)
+    ORDER BY warc_type
+    """
+
+
+@query("warc_record_tally", oracle=_warc_tally_oracle())
+def warc_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type record tally THROUGH the lazy ``format("warc")``
+    DataSource — drives the crawl-archive source end-to-end under the
+    driver's oracle gate: per-file partitions, streamed stdlib record
+    framing (plain AND per-record-gzip members), typed headers, then
+    a plain groupBy. The input is the deterministic fixture built at
+    call time (the HPROF constant-oracle pattern), so the oracle is
+    its known tally; parquet fixtures play no role by design — this
+    verifies the non-parquet crawl ingestion path.
+
+    Scale shape: one task per WARC file streaming its own bytes (the
+    Common-Crawl posture — thousands of ~1 GB files, zero
+    coordination); payloads reduce to length() executor-side, so only
+    the kilobyte-sized (type, count, bytes) tally ever shuffles."""
+    from ..sources import register_warc
+
+    path = warc_fixture_dir()
+    register_warc(spark)
+    df = spark.read.format("warc").load(path)
+    return (
+        df.groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+            F.count_distinct("file").alias("n_files"),
+        )
+        .orderBy("warc_type")
+    )

@@ -160,6 +160,7 @@ EXTRA = [
     "embedding_power_iteration_pca",
     "leakage_free_feature_matrix",
     "percolate_with_exclusions",
+    "warc_record_tally",
 ]
 
 PLAN_SET = HEADLINE + EXTRA
