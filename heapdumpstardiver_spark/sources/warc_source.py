@@ -153,3 +153,35 @@ class WarcDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(WarcDataSource)
+
+
+def warc_responses_to_documents(warc_df):
+    """Bridge a ``format("warc")`` DataFrame into the engine's
+    `documents` contract: response records only, payload decoded
+    UTF-8 (lossy replace — crawl bytes are dirty by definition),
+    doc_id = first 60 bits of the payload xxhash (deterministic,
+    collision-safe at crawl scale and positive in signed space),
+    source = archive file. From here the full curation surface
+    (dedup, quality, language-ID, tokenizers, mix weights) applies
+    unchanged — this is the glue that makes WARC a first-class
+    corpus input rather than a side format.
+
+    One narrow projection, no shuffle: payload bytes decode in the
+    same stage that read them and are immediately reduced to the
+    text column."""
+    from pyspark.sql import functions as F
+
+    # binary -> string is an unvalidated UTF-8 reinterpretation;
+    # make_valid_utf8 then substitutes U+FFFD for broken sequences
+    # (ANSI decode() would THROW on dirty crawl bytes)
+    text = F.expr("make_valid_utf8(CAST(payload AS STRING))")
+    return (
+        warc_df.filter(F.col("warc_type") == "response")
+        .select(
+            F.shiftrightunsigned(F.xxhash64("payload"), 4).alias("doc_id"),
+            text.alias("text"),
+            F.lit("und").alias("lang"),
+            F.col("file").alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+    )

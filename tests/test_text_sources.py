@@ -127,3 +127,24 @@ def test_jsonl_permissive_accounts_and_cleans(spark, jsonl_dir):
 def test_jsonl_strict_failfast(spark, jsonl_dir):
     with pytest.raises(Exception):
         read_jsonl_corpus(spark, jsonl_dir, strict=True).count()
+
+
+def test_warc_to_documents_bridge(spark, warc_dir):
+    from heapdumpstardiver_spark.sources.warc_source import (
+        warc_responses_to_documents,
+    )
+
+    register_warc(spark)
+    docs = warc_responses_to_documents(
+        spark.read.format("warc").load(warc_dir)
+    )
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = docs.collect()
+    assert len(rows) == 4  # responses only; the request record is dropped
+    assert all(r["doc_id"] >= 0 for r in rows)
+    assert len({r["doc_id"] for r in rows}) == 4
+    by_text = {r["text"]: r for r in rows}
+    assert by_text["hello crawl one"]["n_chars"] == len("hello crawl one")
+    assert by_text["hello crawl one"]["source"] == "part-0.warc"
+    # dirty bytes decode lossily instead of failing the task
+    assert any("�" in t or "binary ok" in t for t in by_text)
