@@ -479,18 +479,25 @@ def test_feature_matrix_has_no_temporal_leakage(spark):
         assert r["label"] == (1 if r["user_id"] in labeled else 0)
 
 
-def test_exclusion_rules_are_subset_of_positive_only(spark):
-    """Adding must-NOT clauses can only shrink a rule's matches:
-    rule 3 (no exclusions) must equal its positive-only twin, and no
-    rule may exceed the corpus size."""
+def test_exclusion_rules_match_direct_recomputation(spark):
+    """Recompute rule 1 (join AND scan AND NOT error) directly from
+    token sets and assert the operator's count and first_doc agree —
+    plus structural sanity on every rule."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
     rows = {r["rule_id"]: r for r in _rows(spark, "percolate_with_exclusions")}
     assert set(rows) <= {1, 2, 3, 4}
-    base = {r["rule_id"]: r for r in _rows(spark, "reverse_search_percolate")}
-    # rule 3 here = rule 5 in the base set? independent terms; just
-    # assert structural sanity plus that exclusions strictly filtered
-    # at least one rule on this corpus (the fixture hits all terms)
     assert all(0 < r["n_matching_docs"] <= 500 for r in rows.values())
-    assert any(
-        rid in base and rows[rid]["n_matching_docs"] <= base[rid]["n_matching_docs"]
-        for rid in rows
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    sat = d.select("doc_id", toks.alias("t")).filter(
+        F.array_contains("t", "join")
+        & F.array_contains("t", "scan")
+        & ~F.array_contains("t", "error")
     )
+    want_n = sat.count()
+    want_first = sat.agg(F.min("doc_id")).collect()[0][0]
+    assert rows[1]["n_matching_docs"] == want_n
+    assert rows[1]["first_doc"] == want_first
