@@ -148,3 +148,69 @@ def test_warc_to_documents_bridge(spark, warc_dir):
     assert by_text["hello crawl one"]["source"] == "part-0.warc"
     # dirty bytes decode lossily instead of failing the task
     assert any("�" in t or "binary ok" in t for t in by_text)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python framing fuzz (no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata"]),
+            st.binary(min_size=0, max_size=300),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_framing_roundtrip_fuzz(records, use_gzip):
+    """Any payload bytes (including CRLFs, fake 'WARC/' lines, and
+    nulls inside payloads) must round-trip through the writer/parser
+    pair exactly — Content-Length framing means payload CONTENT can
+    never confuse record boundaries. Gzip multi-member layout must
+    parse identically."""
+    import io
+
+    from heapdumpstardiver_spark.sources.warc_source import iter_warc_records
+
+    blobs = []
+    for i, (wtype, payload) in enumerate(records):
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:f{i}>\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        raw = head + payload + b"\r\n\r\n"
+        blobs.append(gzip.compress(raw) if use_gzip else raw)
+    stream = io.BytesIO(b"".join(blobs))
+    if use_gzip:
+        stream = gzip.GzipFile(fileobj=stream)
+    got = list(iter_warc_records(stream))
+    assert len(got) == len(records)
+    for (wtype, payload), (headers, got_payload) in zip(records, got):
+        assert headers["warc-type"] == wtype
+        assert got_payload == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=1, max_size=200))
+def test_warc_parser_rejects_garbage_loudly(junk):
+    """A stream that does not start with a WARC version line must
+    raise ValueError (loud-failure policy), never return wrong
+    records or hang."""
+    import io
+
+    from heapdumpstardiver_spark.sources.warc_source import iter_warc_records
+
+    if junk.strip().startswith(b"WARC/") or junk.strip() == b"":
+        return  # generated a plausible prefix — not this test's target
+    with pytest.raises(ValueError):
+        list(iter_warc_records(io.BytesIO(junk)))
