@@ -104,8 +104,14 @@ def train_centroids(
         by: dict[int, dict[int, float]] = {}
         for r in rows:
             by.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        # a cluster that empties during a round is absent from the
+        # aggregate: carry its previous centroid forward so k is
+        # invariant across rounds (the index always has exactly k
+        # inverted lists, matching probe_ivf_index's nprobe contract)
+        prev = dict(cents)
         cents = sorted(
-            (cid, [dims[p] for p in range(len(dims))]) for cid, dims in by.items()
+            (cid, [dims[p] for p in range(len(dims))] if dims else prev[cid])
+            for cid, dims in ((cid, by.get(cid, {})) for cid, _ in cents)
         )
     return cents
 

@@ -6027,7 +6027,14 @@ def _wp_fold_sql(vocab: set) -> str:
     length(word) steps either consumes the longest vocabulary match at
     the current position (lengths tried 4..1, '##' prefix when not
     word-initial) or emits [UNK] and advances one char."""
-    arr = "array(" + ", ".join(f"'{p}'" for p in sorted(vocab)) + ")"
+    # escape single quotes: vocabulary pieces are corpus-derived, and
+    # apostrophes are common in crawl text — an unescaped quote would
+    # splice an unparseable array literal
+    arr = (
+        "array("
+        + ", ".join("'" + p.replace("'", "\\'") + "'" for p in sorted(vocab))
+        + ")"
+    )
     branches = []
     for l in range(WP_MAXP, 0, -1):
         key = (

@@ -67,18 +67,30 @@ def iter_warc_records(stream):
         if not line.startswith(b"WARC/"):
             raise ValueError(f"not a WARC version line: {line[:40]!r}")
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while True:
             h = stream.readline()
             if not h:
                 raise ValueError("EOF inside WARC header block")
             if h.strip() == b"":
                 break
+            if h[:1] in (b" ", b"\t"):
+                # spec-permitted folded continuation line (long values
+                # like WARC-Target-URI wrap onto SP/TAB-prefixed lines
+                # carrying no colon): extend the previous header value
+                if last_key is None:
+                    raise ValueError(
+                        f"continuation line before any header: {h[:40]!r}"
+                    )
+                headers[last_key] = (
+                    headers[last_key] + " " + h.strip().decode("utf-8", "replace")
+                ).strip()
+                continue
             if b":" not in h:
                 raise ValueError(f"malformed WARC header line: {h[:40]!r}")
             k, v = h.split(b":", 1)
-            headers[k.strip().lower().decode("ascii", "replace")] = (
-                v.strip().decode("utf-8", "replace")
-            )
+            last_key = k.strip().lower().decode("ascii", "replace")
+            headers[last_key] = v.strip().decode("utf-8", "replace")
         try:
             n = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
@@ -119,7 +131,11 @@ class WarcReader(DataSourceReader):
                         len(payload),
                         payload,
                     )
-        except ValueError:
+        except (ValueError, EOFError, OSError):
+            # EOFError/OSError (incl. gzip.BadGzipFile) cover the most
+            # common real crawl-archive corruption: a truncated or
+            # garbage .warc.gz member breaking mid-decompress, which
+            # raises from gzip rather than from our framing checks.
             if not self.tolerant:
                 raise
             # tolerant mode: a file whose framing breaks mid-stream

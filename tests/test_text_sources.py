@@ -97,6 +97,58 @@ def test_warc_strict_raises_and_tolerant_salvages(spark, tmp_path):
     assert [r["record_id"] for r in rows] == ["<urn:uuid:g1>"]
 
 
+def test_warc_tolerant_salvages_truncated_gzip(spark, tmp_path):
+    """A truncated/corrupt .warc.gz member raises from gzip
+    (EOFError/BadGzipFile), not from our framing checks — tolerant
+    mode must salvage the records decoded before the break instead of
+    failing the task (the most common real crawl-archive corruption)."""
+    register_warc(spark)
+    d = tmp_path / "warc_gz_bad"
+    d.mkdir()
+    good = gzip.compress(_warc_record("g1", "http://example.com/ok", b"fine"))
+    truncated = gzip.compress(
+        _warc_record("g2", "http://example.com/cut", b"never finishes")
+    )[:20]
+    (d / "cut.warc.gz").write_bytes(good + truncated)
+    with pytest.raises(Exception):
+        spark.read.format("warc").load(str(d)).collect()
+    rows = (
+        spark.read.format("warc")
+        .option("tolerant", "true")
+        .load(str(d))
+        .collect()
+    )
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:g1>"]
+
+
+def test_warc_folded_header_continuation(spark, tmp_path):
+    """Spec-permitted folded header lines (continuations starting with
+    SP/TAB, no colon) must extend the previous header's value — one
+    long wrapped WARC-Target-URI must not fail the file in strict
+    mode."""
+    register_warc(spark)
+    payload = b"folded ok"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:f1>\r\n"
+        b"WARC-Target-URI: http://example.com/very\r\n"
+        b"\tlong/wrapped/path\r\n"
+        b"WARC-Date: 2024-01-15T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+    d = tmp_path / "warc_folded"
+    d.mkdir()
+    (d / "folded.warc").write_bytes(rec)
+    rows = spark.read.format("warc").load(str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["target_uri"] == "http://example.com/very long/wrapped/path"
+    assert bytes(rows[0]["payload"]) == payload
+
+
 @pytest.fixture()
 def jsonl_dir(tmp_path):
     d = tmp_path / "jsonl_in"
