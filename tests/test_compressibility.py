@@ -1,7 +1,7 @@
-"""Validation for the rows-only compressibility quality signal: the
-deflate ratio must order repetitive < natural < noise, and the
-registered per-source rollup must run end-to-end on the fixture
-warehouse with sane integer micro-ratios."""
+"""Validation for the compressibility quality signal (oracle-gated
+audit since r12): the deflate ratio must order repetitive < natural <
+noise, and the registered per-source rollup must run end-to-end on
+the fixture warehouse with its audit bounds holding."""
 
 from __future__ import annotations
 
@@ -34,17 +34,17 @@ def test_compressibility_rollup_end_to_end(spark):
     rows = out.collect()
     assert rows, "per-source rollup must be non-empty"
     for r in rows:
-        assert 0 < r["min_ratio_micro"] <= r["mean_ratio_micro"] <= r[
-            "max_ratio_micro"
-        ] <= 2_000_000
         assert r["n_docs"] > 0
+        assert r["total_bytes"] > 0
+        assert r["ratios_in_range"], r
+        assert r["mean_compresses"], r
     # deterministic: a second run yields byte-identical results
     again = compressibility_quality_score(spark, "/root/testdata/sf0.001")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
 
 
 def test_compressibility_self_concatenation_monotone():
-    """Second self-validation invariant for the rows-only query: a
+    """Second self-validation invariant for the audit query: a
     text concatenated with itself must compress strictly better
     (lower deflate ratio) than the original — the redundancy signal
     the quality score is built on. Holds for natural-ish, repetitive,
