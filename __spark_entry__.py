@@ -29,57 +29,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # FRESHNESS POLICY (r10, restated with the cadence math kept generic
 # so the text survives registry growth): every registered query's
 # canonical driver row is re-sampled within ceil(registry_size / ~50)
-# rounds — six at the current 310-query registry (new-query head
-# slots are paid first each round). The per-round compensating gate
-# is the local registry-wide `scripts/verify_contract.py` pass at
-# sf0.01 + sf0.1, which re-checks EVERY oracle-paired query each
-# round regardless of what the driver samples.
+# rounds (new-query head slots are paid first each round). The
+# per-round compensating gate is the local registry-wide
+# `scripts/verify_contract.py` pass at sf0.01 + sf0.1, which
+# re-checks EVERY oracle-paired query each round regardless of what
+# the driver samples.
 #
-# r11 front:
-# (1) the queries NEW in r11 — first canonical rows.
-# (2) staleness rotation, oldest vintage first: after r10 the record
-#     holds 27 r4-vintage greens (the explode_tokens…dominator_
-#     retained block below — r10 sampled the first 15 r4 rows) and
-#     33 r5-vintage greens. The r11 build added 29 new queries, so
-#     29 + 27 = 56 overfills the ~50 cap: if the driver cuts at 50,
-#     the last ~6 r4 rows (token_budget_select onward) spill and
-#     lead the r12 rotation together with the full r5 block (33 rows,
-#     from window_sliding_15m). Done-bar: zero rows older than r5
-#     after r11 modulo that ≤5-row cap spill (every spilled row was
-#     re-verified exact by this round's local 330-query registry gate
-#     at BOTH sf0.01 and sf0.1); r4+r5 clear fully in r12.
+# r12 front (composition validated by `scripts/update_counts.py`
+# --check-head, which derives every count from the registry and the
+# CORRECTNESS_r*.json record instead of prose arithmetic):
+# (1) the staleness rotation FIRST this round (r11 verdict item 1):
+#     the r4-vintage cap-spill rows, then the full r5-vintage block.
+#     Done-bar: the post-r12 vintage histogram shows zero rows older
+#     than r6.
+# (2) the queries whose output contract changed in r12 (the sketch
+#     family's rows-only → oracle-gated-audit promotion) — their old
+#     greens pinned a different schema, so they need fresh canonical
+#     rows.
+# (3) the queries NEW in r12 — first canonical rows.
 _CHECK_PRIORITY = [
-    # 1: new in r11 — need first driver rows
-    "image_phash_near_dup", "unigram_train_stats",
-    "tokenizer_apply_unigram", "incremental_dedup_lsh_multiday",
-    "video_phash_near_dup", "audio_fingerprint_near_dup",
-    "tokenizer_fertility_compare", "cross_modal_consistency_audit",
-    "hybrid_search_rrf", "mutual_knn_near_dup",
-    "zorder_clustering_audit", "event_sequence_pattern",
-    "ccnet_perplexity_buckets", "tokenizer_apply_wordpiece",
-    "kcenter_coreset_selection", "rank_biased_overlap",
-    "filtered_ann_pre_vs_post", "embedding_mean_shift_drift",
-    "ngram_coverage_curve", "lsh_multiprobe_gain",
-    "ivf_index_lifecycle_probe", "simhash_hamming_near_dup",
-    "ndcg_lexical_vs_dense", "packing_strategy_advisor",
-    "event_trigram_patterns", "embedding_power_iteration_pca",
-    "leakage_free_feature_matrix", "percolate_with_exclusions",
-    "warc_record_tally",
-    # 2: staleness rotation — r4-vintage remainder (27), oldest first
-    "explode_tokens", "similarity_lsh_bucketed", "embedding_norms",
-    "text_quality", "token_count_regex", "lang_id_confusion",
-    "doc_fingerprint", "minhash_lsh_candidates", "simhash_fingerprint",
-    "similarity_ivf_probe", "jaccard_pairs", "vocab_topk",
-    "dedup_connected_components", "dedup_cluster_representatives",
-    "decontaminate_ngram_overlap", "data_mix_weighted_sample",
-    "train_test_split_hash", "quality_filter_chain",
-    "stratified_sample_per_source", "repetition_filter_gopher",
-    "minhash_verify_jaccard", "token_budget_select",
-    "quality_percentile_gate", "reachability_live_census",
-    "semantic_dedup_centroid", "single_retainer_bytes",
-    "dominator_retained",
-    # 3: r5-vintage greens (33) — ~15 fit under the ~50 cap this
-    # round; the tail leads the r12 rotation.
+    # 1a: r4-vintage cap-spill rows (oldest in the record)
+    "token_budget_select", "quality_percentile_gate",
+    "reachability_live_census", "semantic_dedup_centroid",
+    "single_retainer_bytes", "dominator_retained",
+    # 1b: r5-vintage block
     "window_sliding_15m", "session_window_native",
     "decile_binning_broadcast_cuts", "attribution_last_touch",
     "bootstrap_mean_ci", "cohens_kappa_langid",
@@ -96,6 +69,11 @@ _CHECK_PRIORITY = [
     "rfm_segmentation", "scd2_merge_batch", "shipping_priority_topk",
     "table_diff_audit", "trimmed_robust_stats",
     "tukey_outlier_fences", "user_acquisition_curve",
+    # 2: re-contracted in r12 (sketch audits — new output schema)
+    "approx_distinct_sketch", "approx_quantile_sketch",
+    "freq_items_sketch", "sketch_union_cascade",
+    "compressibility_quality_score",
+    # 3: new in r12 — need first driver rows
 ]
 
 
