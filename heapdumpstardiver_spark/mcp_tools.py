@@ -372,9 +372,194 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
     }
 
 
+#: uri -> (name, description, markdown body). The reference server
+#: publishes three onboarding guides as ``@mcp.resource`` markdown
+#: (mcp_server/server.py:70-236); these are their Spark-engine
+#: adaptations, kept SDK-optional like the tools so the content is
+#: testable (and servable in-process) without the ``mcp`` package.
+GUIDE_RESOURCES: dict[str, tuple[str, str, str]] = {
+    "heapdump://guides/setup": (
+        "Setup Guide",
+        "How to set up the Spark engine and connect the MCP server",
+        """\
+# Setup Guide
+
+## Requirements
+
+The engine is pure PySpark — no native binary to build. You need:
+
+- Python with `pyspark` (4.x), `pyarrow`, and `pandas` installed
+- Java 17+ on the PATH or `JAVA_HOME`
+- the optional `mcp` package only for the stdio transport
+  (`python -m heapdumpstardiver_spark.mcp_tools`); every tool is a
+  plain callable without it
+
+## Start the MCP server
+
+```bash
+python -m heapdumpstardiver_spark.mcp_tools
+```
+
+This creates one shared SparkSession (local mode by default; set
+`SPARK_GRAFT_CPUS` to size `local[N]`) and serves the tools over
+stdio.
+
+## Typical flow
+
+1. `convert_heap_dump` — ingest an HPROF heap dump; writes a Parquet
+   warehouse to `<hprof_parent>/<session_id>/parquet/` and opens a
+   session over it.
+2. or `open_session` — attach to an existing Parquet warehouse
+   (this engine's layout or the reference converter's layout; both
+   column modes are auto-detected).
+3. `list_parquet_files` / `profile_table` — inspect what's there.
+4. `query_heap` — Spark SQL over the session's temp views.
+5. `analyze_heap` — the 13-check waste analysis (tiers 1-3).
+6. `list_sessions` shows everything open; `close_session` when done;
+   `cleanup_session(confirm=true)` also deletes the session's files.
+
+See `heapdump://guides/sql-examples` for query patterns and
+`heapdump://guides/waste-checks` for what each check detects.
+""",
+    ),
+    "heapdump://guides/sql-examples": (
+        "SQL Examples",
+        "Example Spark SQL for common heap-dump analysis over session views",
+        """\
+# SQL Examples for query_heap
+
+Queries use Spark SQL. Each session registers every warehouse table
+as a temp view named `<session_id>_<table>`, with dots/brackets
+sanitized to underscores (`java.lang.String` →
+`<sid>_java_lang_String`). `list_parquet_files` shows the exact view
+names. Results paginate with the `limit`/`offset` tool parameters —
+add an ORDER BY when paging, Spark result order is otherwise
+non-deterministic.
+
+## Top types by object count
+```sql
+SELECT type_name, COUNT(*) AS cnt
+FROM mysess__object_index
+GROUP BY type_name ORDER BY cnt DESC LIMIT 20
+```
+
+## Look up what type an object ID belongs to
+```sql
+SELECT * FROM mysess__object_index WHERE obj_id = 12345678
+```
+
+## Thread stack hot frames
+```sql
+SELECT sf.class_name, sf.method_name, COUNT(*) AS appearances
+FROM mysess__stack_traces st
+LATERAL VIEW explode(st.frame_ids) t AS fid
+JOIN mysess__stack_frames sf ON sf.frame_id = t.fid
+GROUP BY sf.class_name, sf.method_name
+ORDER BY appearances DESC LIMIT 10
+```
+
+## Duplicate strings with waste estimate
+```sql
+WITH str_bytes AS (
+    SELECT s.obj_id, md5(CAST(b.values AS STRING)) AS hash,
+           size(b.values) AS len
+    FROM mysess_java_lang_String s
+    JOIN mysess__primitive_arrays_byte b ON s.value = b.obj_id
+)
+SELECT hash, COUNT(*) AS dups, MIN(len) AS str_len
+FROM str_bytes GROUP BY hash HAVING COUNT(*) > 1
+ORDER BY dups * str_len DESC LIMIT 20
+```
+
+## GC roots by type
+```sql
+SELECT root_type, COUNT(*) AS cnt
+FROM mysess__gc_roots GROUP BY root_type ORDER BY cnt DESC
+```
+
+## Class hierarchy (find subclasses)
+```sql
+SELECT * FROM mysess__class_hierarchy
+WHERE super_class_name = 'java.util.AbstractMap'
+```
+
+## Join instance fields to the object index for type resolution
+```sql
+SELECT i.*, idx.type_name AS ref_type
+FROM mysess_com_example_MyClass i
+JOIN mysess__object_index idx ON i.some_ref_field = idx.obj_id
+LIMIT 20
+```
+
+Prefer `explain_query` before heavy ad-hoc SQL: it returns the
+Catalyst plan so you can confirm filters pushed down to the Parquet
+scan.
+""",
+    ),
+    "heapdump://guides/waste-checks": (
+        "Waste Checks Reference",
+        "What each waste-analysis tier checks and what it detects",
+        """\
+# Waste Analysis Checks
+
+The `analyze_heap` tool runs waste checks controlled by the
+`waste_tier` parameter. Higher tiers include all lower-tier checks
+plus additional ones. Each check is an independent Spark DataFrame
+pipeline with per-check fault isolation (one failing check reports
+its error without aborting the rest).
+
+| Tier | Check | What It Detects |
+|------|-------|-----------------|
+| 1 | Duplicate Strings | Strings with identical byte[] content |
+| 1 | Bad Collections (empty/single-element) | Empty/single-element HashMap, ArrayList, LinkedList, TreeMap, ConcurrentHashMap |
+| 1 | Bad Object Arrays | Zero-length, all-null, single-element, sparse (>70% null) |
+| 1 | Bad Primitive Arrays | Zero-length, all-zero, single-element across all 8 primitive types |
+| 1 | Boxed Primitives | Integer, Long, Double, etc. wrapper overhead |
+| 2 | Collection Sizing Issues | Sparse HashMaps (<33% utilized), oversized ArrayList backing arrays |
+| 2 | Duplicate byte[] Arrays | Identical byte arrays (MD5 hash, arrays <=10KB) |
+| 2 | Class Count / Leak Detection | >20K classes suggests a classloader leak |
+| 2 | GC Roots Breakdown | Root type breakdown (thread bloat, JNI leaks) |
+| 2 | DirectByteBuffer Off-Heap | Off-heap capacity, empty buffers |
+| 2 | Thread Stacks | Thread count and stack depth analysis |
+| 3 | Duplicate Object Arrays | Same elements in same order |
+| 3 | Estimated Shallow Size (top 50 types) | Approximate heap usage by type |
+
+## Severity levels
+
+Severity is based on estimated waste bytes:
+- **CRITICAL**: >100 MB
+- **HIGH**: >10 MB
+- **MEDIUM**: >1 MB
+- **LOW**: >100 KB
+- **INFO**: <=100 KB
+
+## Recommendations
+
+- Start with `waste_tier=1` for a fast scan (5 checks)
+- Use `waste_tier=2` (default) for a thorough analysis (11 checks)
+- Use `waste_tier=3` only when you need the expensive checks
+  (13 checks, slower on large heaps)
+- On very large warehouses the checks auto-engage Bernoulli sampling
+  with scale-up for the duplicate scans; findings report the sampled
+  fraction
+
+Deeper follow-ups when a check fires: `analyze_liveness`
+(reachability census), `retained_by_single_referrer`, and
+`retained_sizes_dominator` (dominator-tree retained sizes).
+""",
+    ),
+}
+
+
+def build_resources() -> dict[str, tuple[str, str, str]]:
+    """The resource registry: uri → (name, description, markdown)."""
+    return dict(GUIDE_RESOURCES)
+
+
 def build_server(manager: SessionManager):
-    """Register the tools on a FastMCP server (requires the ``mcp``
-    SDK; raises ImportError with a clear message when absent)."""
+    """Register the tools and guide resources on a FastMCP server
+    (requires the ``mcp`` SDK; raises ImportError with a clear message
+    when absent)."""
     try:
         from mcp.server.fastmcp import FastMCP
     except ImportError as e:  # pragma: no cover - SDK not in this container
@@ -385,6 +570,10 @@ def build_server(manager: SessionManager):
     server = FastMCP("heapdumpstardiver-spark")
     for name, fn in build_tools(manager).items():
         server.tool(name=name)(fn)
+    for uri, (name, description, body) in build_resources().items():
+        server.resource(
+            uri, name=name, description=description, mime_type="text/markdown"
+        )(lambda _body=body: _body)
     return server
 
 

@@ -173,3 +173,64 @@ def test_profile_table_tool(tools):
     assert cols["type_name"]["distinct_exact"] is True
     assert cols["obj_id"]["min"] is not None
     assert "error" in json.loads(t["profile_table"](table="nope"))
+
+
+def test_guide_resources_mirror_reference_surface():
+    """The reference server registers three @mcp.resource markdown
+    guides (mcp_server/server.py:70-236); our server must publish the
+    same three URIs with Spark-engine content. SDK-free check: the
+    registry is plain data, exactly like build_tools."""
+    from heapdumpstardiver_spark.mcp_tools import build_resources
+
+    res = build_resources()
+    assert set(res) == {
+        "heapdump://guides/setup",
+        "heapdump://guides/sql-examples",
+        "heapdump://guides/waste-checks",
+    }
+    for uri, (name, description, body) in res.items():
+        assert name and description
+        assert body.startswith("#"), f"{uri} must be markdown"
+        assert len(body) > 400, f"{uri} guide is too thin to onboard anyone"
+
+
+def test_guide_resources_mention_every_tool(tools):
+    """Onboarding parity: every registered tool name appears in at
+    least one guide, and each guide names the tools it teaches."""
+    from heapdumpstardiver_spark.mcp_tools import build_resources
+
+    t, _hprof, _mgr = tools
+    bodies = "\n".join(b for _n, _d, b in build_resources().values())
+    missing = [name for name in t if name not in bodies]
+    assert not missing, f"tools undocumented in guides: {missing}"
+    res = build_resources()
+    assert "convert_heap_dump" in res["heapdump://guides/setup"][2]
+    assert "query_heap" in res["heapdump://guides/sql-examples"][2]
+    assert "analyze_heap" in res["heapdump://guides/waste-checks"][2]
+
+
+def test_waste_guide_matches_check_inventory():
+    """The waste-checks guide's table must name the real checks and
+    severity thresholds from analytics.findings/waste — not a stale
+    hand-written copy."""
+    from heapdumpstardiver_spark.mcp_tools import build_resources
+
+    body = build_resources()["heapdump://guides/waste-checks"][2]
+    for check in (
+        "Duplicate Strings",
+        "Bad Collections (empty/single-element)",
+        "Bad Object Arrays",
+        "Bad Primitive Arrays",
+        "Boxed Primitives",
+        "Collection Sizing Issues",
+        "Duplicate byte[] Arrays",
+        "Class Count / Leak Detection",
+        "GC Roots Breakdown",
+        "DirectByteBuffer Off-Heap",
+        "Thread Stacks",
+        "Duplicate Object Arrays",
+        "Estimated Shallow Size (top 50 types)",
+    ):
+        assert check in body, f"guide missing check {check!r}"
+    for sev in ("CRITICAL", "HIGH", "MEDIUM", "LOW", "INFO"):
+        assert sev in body
