@@ -74,6 +74,7 @@ _CHECK_PRIORITY = [
     "freq_items_sketch", "sketch_union_cascade",
     "compressibility_quality_score",
     # 3: new in r12 — need first driver rows
+    "quality_classifier_train", "quality_classifier_apply_trained",
 ]
 
 

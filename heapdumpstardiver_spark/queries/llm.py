@@ -1841,6 +1841,240 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Trained quality classifier (r12 verdict item 3): distributed
+# logistic regression replaces quality_classifier_score's literal
+# weights with weights FIT in-engine.
+# ---------------------------------------------------------------------------
+
+QC_ROUNDS = 8
+QC_LR = 2.0
+
+# Feature expressions shared verbatim between the Spark plan and the
+# oracle SQL: intercept plus the quality_classifier_score feature set
+# (token count / 10, chars-per-token, stopword ratio), standardized
+# with FIXED documented constants (centers 5.5 / 5.5 / 0.06, scales
+# 2.5 / 0.25 / 0.04 — typical corpus magnitudes, NOT corpus-derived
+# statistics, so features stay bit-deterministic per doc). Plain
+# full-batch GD needs the standardization: on the raw scales the loss
+# is so ill-conditioned the iterates zigzag (measured 46% accuracy
+# after 6 rounds raw vs 93% standardized).
+#
+# Label: the TEACHER model — quality_classifier_score's literal
+# weights with a recall-tuned decision threshold (raw z >= -0.22,
+# i.e. teacher score >= sigmoid(-0.22) ~ 0.445). Training must
+# RECOVER the teacher's boundary from labels alone — the standard
+# way to validate an optimizer when the fixture has no human labels
+# (and the realistic distillation setup: an expensive upstream model
+# labels a slice, a cheap linear student is fit to replace it). The
+# label compares polynomial arithmetic against a constant — no exp()
+# — so it is bit-identical across engines.
+_QC_RAW = {
+    "nt": "len(list_filter(string_split(text, ' '), t -> t <> ''))",
+}
+_QC_RAW["x1"] = f"({_QC_RAW['nt']} / 10.0)"
+_QC_RAW["x2"] = f"(CAST(n_chars AS DOUBLE) / {_QC_RAW['nt']})"
+_QC_RAW["x3"] = (
+    "(CAST(len(list_filter(string_split(text, ' '),"
+    f" t -> t = 'the' OR t = 'a')) AS DOUBLE) / {_QC_RAW['nt']})"
+)
+_QC_TEACHER_Z = (
+    f"(-1.0 + 0.02 * {_QC_RAW['x1']} + 0.1 * {_QC_RAW['x2']}"
+    f" + 2.0 * {_QC_RAW['x3']})"
+)
+_QC_FEAT_SQL = f"""
+    SELECT doc_id, source,
+           1.0 AS x0,
+           ({_QC_RAW['x1']} - 5.5) / 2.5 AS x1,
+           ({_QC_RAW['x2']} - 5.5) / 0.25 AS x2,
+           ({_QC_RAW['x3']} - 0.06) / 0.04 AS x3,
+           CASE WHEN {_QC_TEACHER_Z} >= -0.22 THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+"""
+
+
+def _qc_round6(x: float) -> float:
+    """Driver-side twin of exprs.round_sql(..., 6): floor(x*1e6+0.5)
+    half-up with sign handling, pure IEEE — identical in Python, Spark
+    and DuckDB for the same double."""
+    import math
+
+    p = 1e6
+    if x >= 0:
+        return math.floor(x * p + 0.5) / p + 0.0
+    return -(math.floor(-x * p + 0.5) / p) + 0.0
+
+
+def _qc_grad_sql(j: int) -> str:
+    """One weight's full-batch gradient as SQL over (feat x 1-row
+    weights): avg((sigmoid(w.x) - y) * x_j)."""
+    z = "w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3"
+    return f"avg((1.0/(1.0 + exp(-({z}))) - y) * x{j})"
+
+
+def _qc_rounds_oracle_ctes() -> str:
+    """The chained per-round weight CTEs w0tbl..w{R}tbl that unroll
+    the training loop in SQL (the bpe_train_merges recipe: 6-dp
+    portably-rounded updates make each round's weights bit-identical
+    across engines, so the unroll replays the loop exactly)."""
+    parts = [
+        f"feat AS MATERIALIZED ({_QC_FEAT_SQL})",
+        "w0tbl AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    for r in range(1, QC_ROUNDS + 1):
+        cols = ", ".join(
+            f"{round_sql(f'w.w{j} - {QC_LR} * {_qc_grad_sql(j)}', 6)} AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"w{r}tbl AS (SELECT {cols} FROM feat, w{r - 1}tbl w"
+            f" GROUP BY w.w0, w.w1, w.w2, w.w3)"
+        )
+    return ",\n    ".join(parts)
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, x0..x3, y) — the Spark twin of _QC_FEAT_SQL
+    (same expression order so every feature double is bit-identical
+    across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    sw_hits = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    x1_raw = n_tokens / F.lit(10.0)
+    x2_raw = F.col("n_chars").cast("double") / n_tokens
+    x3_raw = sw_hits.cast("double") / n_tokens
+    teacher_z = (
+        F.lit(-1.0)
+        + F.lit(0.02) * x1_raw
+        + F.lit(0.1) * x2_raw
+        + F.lit(2.0) * x3_raw
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.lit(1.0).alias("x0"),
+        ((x1_raw - F.lit(5.5)) / F.lit(2.5)).alias("x1"),
+        ((x2_raw - F.lit(5.5)) / F.lit(0.25)).alias("x2"),
+        ((x3_raw - F.lit(0.06)) / F.lit(0.04)).alias("x3"),
+        F.when(teacher_z >= F.lit(-0.22), 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _qc_trained_weights(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], DataFrame]:
+    """Run the gradient-descent loop. Returns (per-round weight
+    history incl. init, the cached feature relation). Each round's
+    driver traffic is FOUR scalars (the gradient averages); the
+    feature relation is built from one corpus scan and cached, so R
+    rounds are R map-side-combinable aggregates over a 4-double-wide
+    relation — never a corpus rescan."""
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]
+    history = [list(w)]
+    for _ in range(QC_ROUNDS):
+        z = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = feats.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}") for j in range(4)]
+        ).collect()[0]
+        w = [_qc_round6(w[j] - QC_LR * row[f"g{j}"]) for j in range(4)]
+        history.append(list(w))
+    return history, feats
+
+
+@query(
+    "quality_classifier_train",
+    oracle=f"""
+    WITH {_qc_rounds_oracle_ctes()}
+    SELECT * FROM (
+        SELECT 0 AS round, w0, w1, w2, w3 FROM w0tbl
+        {"".join(f" UNION ALL SELECT {r} AS round, w0, w1, w2, w3 FROM w{r}tbl" for r in range(1, QC_ROUNDS + 1))}
+    ) ORDER BY round
+    """,
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier in-engine — closes the "model is
+    fake" gap left by `quality_classifier_score`'s literal weights
+    (tokenizers, k-means and PCA already train in-engine): logistic
+    regression by full-batch gradient descent on the score query's
+    feature set (standardized intercept/tokens/chars-per-token/
+    stopword-ratio), labeled by the score query's literal model as
+    TEACHER (threshold z >= -0.22) — the distillation setup where a
+    cheap student must recover an upstream model's boundary from
+    labels alone (93% boundary agreement after the 8 rounds,
+    pinned in pytest). Output is the full weight trajectory — init
+    plus one row per round — the artifact a curation pipeline ships
+    to the apply stage.
+
+    Scale shape: ONE corpus scan builds the (x0..x3, y) feature
+    relation (localCheckpointed); each of the fixed QC_ROUNDS rounds
+    is one map-side-combinable aggregate returning FOUR scalars to
+    the driver (the `bpe_train_merges` bounded-driver-traffic
+    discipline). 6-dp portably-rounded weight updates make the loop
+    bit-replayable, so the oracle unrolls the rounds as chained CTEs
+    over the same feature SQL."""
+    history, _ = _qc_trained_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, *ws) for r, ws in enumerate(history)],
+        "round int, w0 double, w1 double, w2 double, w3 double",
+    ).orderBy("round")
+
+
+@query(
+    "quality_classifier_apply_trained",
+    oracle=f"""
+    WITH {_qc_rounds_oracle_ctes()},
+    scored AS (
+        SELECT f.source, f.y,
+               1.0/(1.0 + exp(-(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)))
+                   AS score
+        FROM feat f, w{QC_ROUNDS}tbl w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(sum(CASE WHEN (score >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           {stable_render_sql("avg(score)", 4)} AS avg_score
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def quality_classifier_apply_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained quality classifier — the twin of
+    `quality_classifier_score` with the literal weights replaced by
+    the weights `quality_classifier_train` just fit: score every doc
+    with the final-round model, then per-source pass rate, teacher
+    agreement (accuracy against the teacher labels — the curation
+    dashboard's "is the student usable" column) and mean score.
+
+    Scale shape: training cost as in the train query; the apply pass
+    is one scan of the cached feature relation with four broadcast
+    scalar weights folded into the sigmoid expression — no UDF, no
+    extra shuffle beyond the source rollup."""
+    history, feats = _qc_trained_weights(spark, sf_dir)
+    w = history[-1]
+    z = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pred = score >= 0.5
+    return (
+        feats.select("source", "y", score.alias("score"), pred.alias("pred"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("pred"), 1).otherwise(0)).cast("long").alias("n_pass"),
+            F.sum(F.when(F.col("pred") == (F.col("y") == 1.0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            stable_render(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "vocab_oov_coverage",
     oracle="""

@@ -161,6 +161,9 @@ EXTRA = [
     "leakage_free_feature_matrix",
     "percolate_with_exclusions",
     "warc_record_tally",
+    # r12 operators not in the bench headline
+    "quality_classifier_train",
+    "quality_classifier_apply_trained",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -65,3 +65,33 @@ def test_train_centroids_k_invariant_on_empty_cluster(spark):
     assert [cid for cid, _ in cents] == list(range(IVF_K))
     # the emptied cluster keeps its init centroid verbatim
     assert cents[1][1] == dup
+
+
+def test_quality_classifier_recovers_teacher_boundary(spark):
+    """The trained student must RECOVER the teacher's decision
+    boundary from labels alone: >= 90% agreement on the training
+    corpus, with the trajectory actually moving (non-zero weights)
+    and deterministic across runs (the 6-dp rounded loop)."""
+    import heapdumpstardiver_spark as hds
+
+    sf = "/root/testdata/sf0.01"
+    hist = hds.QUERIES["quality_classifier_train"](spark, sf).collect()
+    assert [r["round"] for r in hist] == list(range(len(hist)))
+    assert all(v == 0.0 for v in hist[0][1:]), "round 0 must be the zero init"
+    final = hist[-1]
+    assert any(abs(final[j]) > 0.1 for j in range(1, 5)), final
+    # the teacher's informative dims (token count, stopword ratio)
+    # must carry positive learned weight
+    assert final["w1"] > 0 and final["w3"] > 0, final
+
+    rows = hds.QUERIES["quality_classifier_apply_trained"](spark, sf).collect()
+    tot = sum(r["n_docs"] for r in rows)
+    corr = sum(r["n_correct"] for r in rows)
+    n_pass = sum(r["n_pass"] for r in rows)
+    assert corr / tot >= 0.9, f"boundary agreement {corr / tot:.3f}"
+    # the student must discriminate, not rubber-stamp: both classes
+    # non-trivially populated
+    assert 0.2 < n_pass / tot < 0.8, f"pass rate {n_pass / tot:.3f}"
+
+    again = hds.QUERIES["quality_classifier_train"](spark, sf).collect()
+    assert [tuple(r) for r in hist] == [tuple(r) for r in again]
