@@ -45,3 +45,8 @@ from .phash_dedup import (  # noqa: F401
     flag_batch_images,
     streaming_phash_dedup,
 )
+from .ivf_probe import (  # noqa: F401
+    QUERY_SCHEMA,
+    probe_ivf_index_batch,
+    streaming_ivf_probe,
+)
