@@ -75,6 +75,7 @@ _CHECK_PRIORITY = [
     "compressibility_quality_score",
     # 3: new in r12 — need first driver rows
     "quality_classifier_train", "quality_classifier_apply_trained",
+    "matryoshka_truncation_recall", "loo_source_ablation",
 ]
 
 

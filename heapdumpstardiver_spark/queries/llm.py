@@ -5913,3 +5913,251 @@ def percolate_with_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_matching_docs", "first_doc")
         .orderBy("rule_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 additions: Matryoshka truncation audit + leave-one-source-out
+# data valuation.
+# ---------------------------------------------------------------------------
+
+_MRL_MS = (4, 8, 16, 32, 64)
+_MRL_COS_SQL = (
+    "list_dot_product(v[1:m], qv[1:m]) / "
+    "(sqrt(list_dot_product(v[1:m], v[1:m]))"
+    " * sqrt(list_dot_product(qv[1:m], qv[1:m])))"
+)
+
+
+@query(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+    ms AS (SELECT unnest({list(_MRL_MS)}) AS m),
+    tr AS (
+        SELECT m, qid, vec_id, row_number() OVER (
+            PARTITION BY m, qid
+            ORDER BY {round_sql(_MRL_COS_SQL, 6)} DESC, vec_id
+        ) AS rk
+        FROM c, q, ms WHERE vec_id <> qid
+    ),
+    topk AS (SELECT m, qid, vec_id FROM tr WHERE rk <= 10),
+    gt AS (SELECT qid, vec_id FROM topk WHERE m = {_MRL_MS[-1]}),
+    per AS (
+        SELECT t.m, t.qid, count(g.vec_id) AS hits
+        FROM topk t LEFT JOIN gt g
+          ON g.qid = t.qid AND g.vec_id = t.vec_id
+        GROUP BY t.m, t.qid
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           {round_sql("avg(hits / 10.0)", 4)} AS avg_recall_at_10,
+           {round_sql("min(hits / 10.0)", 4)} AS min_recall_at_10
+    FROM per GROUP BY m ORDER BY m
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147): how much exact-cosine retrieval quality
+    survives keeping only the first m of d embedding dimensions —
+    the storage/latency question every 100 TB vector store asks
+    before quantizing or truncating (complements
+    `embedding_quantization_error`, which audits PQ codes, and
+    `similarity_pq_adc`). Per truncation level m in {4,8,16,32,64}:
+    recall@10 of the m-dim prefix ranking against full-dim ground
+    truth, averaged over a fixed query panel (vec_ids 0-9), plus the
+    worst query's recall. The d=64 row is the built-in sanity anchor
+    (recall 1.0 by construction).
+
+    Shape: the query panel broadcasts; ONE corpus-parallel pass
+    scores every (corpus row x query x m) triple — the explode
+    multiplies by |m-levels| (a constant 5), ranks are per-(m, qid)
+    windows over candidate-bounded groups, and recall reduces to
+    small-integer hit counts. Ranking orders by the 6-dp ROUNDED
+    cosine with vec_id tie-break so the top-10 cut agrees across
+    engines (the ann_recall_at_k recipe). At 100 TB the panel is a
+    held-out sample: the audit needs truth for Q queries, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = c.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in _MRL_MS])).alias("m")
+    tv = F.expr("slice(v, 1, m)")
+    tq = F.expr("slice(qv, 1, m)")
+    sim_r = round_col(cosine(tv, tq), 6)
+    w = Window.partitionBy("m", "qid").orderBy(F.desc("sim_r"), "vec_id")
+    topk = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "v", "qv", ms)
+        .select("m", "qid", "vec_id", sim_r.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("m", "qid", "vec_id")
+    )
+    topk = topk.localCheckpoint()  # gt leg + per-m legs share one ranking pass
+    gt = topk.filter(F.col("m") == _MRL_MS[-1]).select(
+        F.col("qid").alias("g_qid"), F.col("vec_id").alias("g_vec")
+    )
+    per = (
+        topk.join(
+            gt,
+            (topk.qid == gt.g_qid) & (topk.vec_id == gt.g_vec),
+            "left",
+        )
+        .groupBy("m", "qid")
+        .agg(F.count("g_vec").alias("hits"))
+    )
+    return (
+        per.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            round_col(F.avg(F.col("hits") / F.lit(10.0)), 4).alias(
+                "avg_recall_at_10"
+            ),
+            round_col(F.min(F.col("hits") / F.lit(10.0)), 4).alias(
+                "min_recall_at_10"
+            ),
+        )
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "n_queries",
+            "avg_recall_at_10",
+            "min_recall_at_10",
+        )
+        .orderBy("m")
+    )
+
+
+@query(
+    "loo_source_ablation",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, {_QC_RAW['nt']} AS nt, {_QC_TEACHER_Z} AS z
+        FROM documents
+    ),
+    per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS toks, sum(z) AS sumz
+        FROM f GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+               CAST(sum(toks) AS BIGINT) AS tt,
+               sum(sumz) AS sz
+        FROM per
+    ),
+    vocab AS (
+        SELECT source AS only_src,
+               CAST(count(*) AS BIGINT) AS vocab_unique_owned
+        FROM (
+            SELECT token, min(source) AS source
+            FROM (
+                SELECT DISTINCT source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token HAVING count(DISTINCT source) = 1
+        )
+        GROUP BY source
+    )
+    SELECT p.source, p.n_docs,
+           {round_sql(
+               "(t.sz - p.sumz) / CAST(t.nn - p.n_docs AS DOUBLE)", 6)}
+               AS loo_mean_quality,
+           {round_sql(
+               "(t.sz - p.sumz) / CAST(t.nn - p.n_docs AS DOUBLE)"
+               " - t.sz / CAST(t.nn AS DOUBLE)", 6)} AS quality_delta,
+           {round_sql(
+               "CAST(p.toks AS DOUBLE) / CAST(t.tt AS DOUBLE)", 6)}
+               AS token_share,
+           coalesce(v.vocab_unique_owned, 0) AS vocab_unique_owned
+    FROM per p CROSS JOIN tot t
+    LEFT JOIN vocab v ON v.only_src = p.source
+    ORDER BY p.source
+    """,
+)
+def loo_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation — "which source moves the
+    needle": for every source, the corpus mean quality (the teacher
+    model's z score) AFTER removing that source, its delta vs the
+    full-corpus mean (positive delta = removing the source RAISES
+    corpus quality, i.e. the source is a drag), the source's token
+    share (what the ablation costs in volume), and its unique
+    vocabulary ownership (distinct tokens that vanish entirely with
+    it — the coverage the ablation destroys). The first-order data-
+    attribution readout a curation team consults before dropping or
+    reweighting a source; the closed-form sibling of retraining-based
+    valuation (Data Shapley's trivial linear-statistic case).
+
+    Shape: everything is closed-form from ONE corpus pass — per-source
+    (count, token-sum, quality-sum) aggregates plus a broadcast 1-row
+    grand total turn each leave-one-out mean into arithmetic on
+    already-reduced scalars (never K corpus rescans); the vocabulary
+    leg is one distinct (token, source) projection with a
+    single-owner filter. All doubles 6-dp portably rounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    nt = F.size(toks)
+    sw_hits = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    x1_raw = nt / F.lit(10.0)
+    x2_raw = F.col("n_chars").cast("double") / nt
+    x3_raw = sw_hits.cast("double") / nt
+    z = (
+        F.lit(-1.0)
+        + F.lit(0.02) * x1_raw
+        + F.lit(0.1) * x2_raw
+        + F.lit(2.0) * x3_raw
+    )
+    f = d.select("source", nt.alias("nt"), z.alias("z"))
+    per = f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("toks"),
+        F.sum("z").alias("sumz"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("nn"),
+        F.sum("toks").alias("tt"),
+        F.sum("sumz").alias("sz"),
+    )
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.countDistinct("source").alias("n_src"),
+            F.min("source").alias("only_src"),
+        )
+        .filter(F.col("n_src") == 1)
+        .groupBy("only_src")
+        .agg(F.count(F.lit(1)).alias("vocab_unique_owned"))
+    )
+    loo = (F.col("sz") - F.col("sumz")) / (
+        (F.col("nn") - F.col("n_docs")).cast("double")
+    )
+    full = F.col("sz") / F.col("nn").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(vocab, per.source == vocab.only_src, "left")
+        .select(
+            "source",
+            "n_docs",
+            round_col(loo, 6).alias("loo_mean_quality"),
+            round_col(loo - full, 6).alias("quality_delta"),
+            round_col(
+                F.col("toks").cast("double") / F.col("tt").cast("double"), 6
+            ).alias("token_share"),
+            F.coalesce("vocab_unique_owned", F.lit(0)).alias(
+                "vocab_unique_owned"
+            ),
+        )
+        .orderBy("source")
+    )

