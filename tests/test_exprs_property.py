@@ -88,3 +88,22 @@ def test_round_sql_and_spark_round_col_agree(spark, n):
         for v in values
     ]
     assert spark_out == duck_out
+
+
+@settings(max_examples=300, deadline=None)
+@given(x=finite)
+def test_qc_round6_matches_round_sql(x):
+    """The driver-side rounding twin the trained classifier uses
+    between GD rounds (`llm._qc_round6`) must agree bit-exactly with
+    the SQL rounding the oracle unrolls — a disagreement on ANY
+    double would silently diverge the weight trajectories."""
+    from heapdumpstardiver_spark.queries.llm import _qc_round6
+
+    con = duckdb.connect()
+    got = con.execute(f"SELECT {round_sql('($1 + 0.0)', 6)}", [x]).fetchone()[0]
+    want = _qc_round6(x)
+    # round_sql normalizes -0.0 via + CAST(0 AS DOUBLE); _qc_round6
+    # does the same with + 0.0 — compare bit patterns, not just ==
+    import struct
+
+    assert struct.pack("d", got) == struct.pack("d", want), (x, got, want)
