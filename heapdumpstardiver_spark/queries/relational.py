@@ -3930,3 +3930,118 @@ def warc_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("warc_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC source gate (r12): drive format("arrowipc") end-to-end
+# under the driver's oracle, the warc_record_tally pattern.
+# ---------------------------------------------------------------------------
+
+# (file name, container format, rows) — rows are (category, v).
+# Two batches in the FILE container prove multi-batch iteration; the
+# STREAM container proves the magic-sniffing path.
+_ARROW_FIXTURE_SPEC = (
+    (
+        "feature_export.arrow",
+        "file",
+        (
+            (("img", 3), ("txt", 5), ("img", 7), ("aud", 2)),
+            (("txt", 11), ("img", 1), ("txt", 6)),
+        ),
+    ),
+    (
+        "feed_tail.arrows",
+        "stream",
+        ((("aud", 9), ("txt", 4), ("img", 8), ("vid", 10)),),
+    ),
+)
+
+
+def arrow_fixture_dir() -> str:
+    """Build (once per content hash) the deterministic Arrow IPC
+    fixture directory — staging + atomic rename, the WARC/HPROF
+    fixture discipline."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    digest = hashlib.md5(repr(_ARROW_FIXTURE_SPEC).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"hds_arrow_fixture.{digest}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        staging = f"{out}.build.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        schema = pa.schema(
+            [pa.field("category", pa.string()), pa.field("v", pa.int64())]
+        )
+        for fname, fmt, batches in _ARROW_FIXTURE_SPEC:
+            path = os.path.join(staging, fname)
+            opener = ipc.new_file if fmt == "file" else ipc.new_stream
+            with opener(path, schema) as w:
+                for rows in batches:
+                    w.write_batch(
+                        pa.record_batch(
+                            [
+                                pa.array([c for c, _v in rows], pa.string()),
+                                pa.array([v for _c, v in rows], pa.int64()),
+                            ],
+                            schema=schema,
+                        )
+                    )
+        with open(os.path.join(staging, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _arrow_tally_oracle() -> str:
+    agg: dict[str, list[int]] = {}
+    for _fname, _fmt, batches in _ARROW_FIXTURE_SPEC:
+        for rows in batches:
+            for c, v in rows:
+                n_s = agg.setdefault(c, [0, 0])
+                n_s[0] += 1
+                n_s[1] += v
+    values = ", ".join(
+        f"('{c}', CAST({n} AS BIGINT), CAST({s} AS BIGINT))"
+        for c, (n, s) in sorted(agg.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES {values}) AS t(category, n_rows, total_v)
+    ORDER BY category
+    """
+
+
+@query("arrow_ipc_record_tally", oracle=_arrow_tally_oracle())
+def arrow_ipc_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category tally THROUGH the ``format("arrowipc")``
+    DataSource — drives the Arrow IPC ingestion path end-to-end under
+    the driver's oracle gate: per-file partitions, pyarrow decode,
+    RecordBatches forwarded to the JVM as Arrow buffers (no per-row
+    Python), BOTH container layouts (FILE with multiple batches and
+    STREAM sniffed by magic), then a plain groupBy. Input is the
+    deterministic fixture built at call time (the warc_record_tally
+    constant-oracle pattern); parquet fixtures play no role by design.
+
+    Scale shape: one task per Arrow file streaming its own batches —
+    feature-store exports ship as many moderate files, so file count
+    is the parallelism unit; only the kilobyte tally shuffles."""
+    from ..sources import register_arrow_ipc
+
+    path = arrow_fixture_dir()
+    register_arrow_ipc(spark)
+    df = spark.read.format("arrowipc").load(path)
+    return (
+        df.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("total_v"),
+        )
+        .orderBy("category")
+    )

@@ -4,3 +4,5 @@ from .warc_source import (  # noqa: F401
     iter_warc_records,
 )
 from .warc_source import register as register_warc  # noqa: F401
+from .arrow_ipc_source import ArrowIpcDataSource  # noqa: F401
+from .arrow_ipc_source import register as register_arrow_ipc  # noqa: F401

@@ -166,6 +166,7 @@ EXTRA = [
     "quality_classifier_apply_trained",
     "matryoshka_truncation_recall",
     "loo_source_ablation",
+    "arrow_ipc_record_tally",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -266,3 +266,85 @@ def test_warc_parser_rejects_garbage_loudly(junk):
         return  # generated a plausible prefix — not this test's target
     with pytest.raises(ValueError):
         list(iter_warc_records(io.BytesIO(junk)))
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC source (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_ipc_reads_both_container_formats(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    d = tmp_path / "arrow_in"
+    d.mkdir()
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string())])
+    with ipc.new_file(str(d / "a.arrow"), schema) as w:
+        # two batches in one FILE container — iteration must cover both
+        w.write_batch(pa.record_batch([pa.array([1, 2]), pa.array(["a", "b"])], schema=schema))
+        w.write_batch(pa.record_batch([pa.array([3]), pa.array(["c"])], schema=schema))
+    with ipc.new_stream(str(d / "b.arrows"), schema) as w:
+        w.write_batch(pa.record_batch([pa.array([4, 5]), pa.array(["d", "e"])], schema=schema))
+
+    df = spark.read.format("arrowipc").load(str(d))
+    rows = sorted((r["id"], r["name"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    # one partition per file — the export-scale parallelism unit
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_arrow_ipc_schema_fidelity_rich_types(spark, tmp_path):
+    """Temporal, boolean and nested list columns must land as the
+    exact Spark types createDataFrame would produce (the
+    from_arrow_schema mapping), with values intact through the
+    RecordBatch fast path."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    d = tmp_path / "arrow_rich"
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("ts", pa.timestamp("us")),
+            ("flag", pa.bool_()),
+            ("emb", pa.list_(pa.float64())),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 15, 12, 0, 0)
+    with ipc.new_file(str(d / "rich.arrow"), schema) as w:
+        w.write_batch(
+            pa.record_batch(
+                [
+                    pa.array([t0, None], pa.timestamp("us")),
+                    pa.array([True, False]),
+                    pa.array([[1.0, 2.0], []], pa.list_(pa.float64())),
+                ],
+                schema=schema,
+            )
+        )
+    df = spark.read.format("arrowipc").load(str(d))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "timestamp",
+        "boolean",
+        "array<double>",
+    ]
+    rows = df.orderBy("flag", ascending=False).collect()
+    assert rows[0]["flag"] is True and list(rows[0]["emb"]) == [1.0, 2.0]
+    assert rows[1]["ts"] is None and list(rows[1]["emb"]) == []
+
+
+def test_arrow_ipc_missing_path_fails_loudly(spark, tmp_path):
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    with pytest.raises(Exception):
+        spark.read.format("arrowipc").load(str(tmp_path / "nope_dir")).collect()
