@@ -76,7 +76,7 @@ _CHECK_PRIORITY = [
     # 3: new in r12 — need first driver rows
     "quality_classifier_train", "quality_classifier_apply_trained",
     "matryoshka_truncation_recall", "loo_source_ablation",
-    "arrow_ipc_record_tally",
+    "arrow_ipc_record_tally", "arrow_ipc_roundtrip_tally",
 ]
 
 

@@ -4045,3 +4045,49 @@ def arrow_ipc_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@query(
+    "arrow_ipc_roundtrip_tally",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER gate for the Arrow IPC sink: export the documents
+    table's (lang, n_chars) projection with
+    ``df.write.format("arrowipc")`` (staged-rename commit, one IPC
+    FILE container per partition), read the export back through the
+    same source, and tally — the oracle computes the identical tally
+    from the parquet directly, so any row lost, duplicated or
+    corrupted by the write/read cycle fails the value hash. Exercises
+    the export path a training pipeline uses to hand curated data to
+    Arrow-native dataloaders.
+
+    Scale shape: the export is one narrow projection written
+    partition-parallel (no shuffle), the read-back is one partition
+    per exported file; only the per-lang tally shuffles."""
+    import hashlib
+    import tempfile
+
+    from ..sources import register_arrow_ipc
+
+    register_arrow_ipc(spark)
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hds_arrow_roundtrip.{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    d.write.format("arrowipc").mode("overwrite").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -33,7 +33,13 @@ import glob as _glob
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _EXTS = (".arrow", ".feather", ".arrows", ".ipc")
 
@@ -83,11 +89,14 @@ def resolve_files(path: str) -> list[str]:
 
 class ArrowIpcReader(DataSourceReader):
     def __init__(self, path: str):
+        self.path = path
         self.files = resolve_files(path)
-        if not self.files:
-            raise ValueError(f"no Arrow IPC files under {path!r}")
 
     def partitions(self):
+        # loud failure lives here, not __init__: the WRITE command also
+        # instantiates the reader against the (possibly empty) target
+        if not self.files or not os.path.exists(self.files[0]):
+            raise ValueError(f"no Arrow IPC files under {self.path!r}")
         return [_ArrowFile(f) for f in self.files]
 
     def read(self, partition: _ArrowFile):
@@ -96,11 +105,85 @@ class ArrowIpcReader(DataSourceReader):
         yield from _iter_batches(partition.path)
 
 
+@dataclass
+class _ArrowCommit(WriterCommitMessage):
+    staged: str | None = None
+    rows: int = 0
+
+
+class ArrowIpcWriter(DataSourceArrowWriter):
+    """Executor-side Arrow IPC sink with a staged-commit protocol:
+    each task streams its RecordBatches into a ``.staging-*`` file
+    (unique name — safe under task retries), the driver's ``commit``
+    promotes every staged file to ``part-NNNNN.arrow`` with one rename
+    each (and, for overwrite mode, deletes the files that predated the
+    job only AFTER all stages landed), and ``abort`` removes staged
+    files — readers of the directory never observe a torn write (the
+    `test_commit_protocol` discipline of the parquet pointer swaps).
+    """
+
+    def __init__(self, path: str, overwrite: bool, preexisting: list[str]):
+        self.path = path
+        self.overwrite = overwrite
+        self.preexisting = preexisting
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.ipc as ipc
+
+        it = iter(iterator)
+        first = next(it, None)
+        if first is None:
+            return _ArrowCommit()  # empty partition: no file
+        staged = os.path.join(
+            self.path, f".staging-{uuid.uuid4().hex}.arrow"
+        )
+        rows = 0
+        with ipc.new_file(staged, first.schema) as w:
+            w.write_batch(first)
+            rows += first.num_rows
+            for batch in it:
+                w.write_batch(batch)
+                rows += batch.num_rows
+        return _ArrowCommit(staged=staged, rows=rows)
+
+    def commit(self, messages):
+        import uuid
+
+        # job-unique part names: an overwrite's new files can never
+        # collide with the preexisting set it is about to delete
+        # (same-name collision would delete the fresh data)
+        job = uuid.uuid4().hex[:8]
+        staged = [m.staged for m in messages if m and m.staged]
+        for i, s in enumerate(sorted(staged)):
+            os.rename(
+                s, os.path.join(self.path, f"part-{i:05d}-{job}.arrow")
+            )
+        if self.overwrite:
+            for old in self.preexisting:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m and getattr(m, "staged", None):
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 class ArrowIpcDataSource(DataSource):
     """``format("arrowipc")``: Arrow IPC file/stream containers, one
     partition per file, batches forwarded as Arrow buffers. Schema is
     read from the first file's IPC metadata; heterogeneous files are
-    the caller's error (the strict posture of `catalog.load_table`)."""
+    the caller's error (the strict posture of `catalog.load_table`).
+    Writable: ``df.write.format("arrowipc").mode(...).save(path)``
+    streams each partition's batches into one IPC FILE container via
+    the staged-commit protocol of :class:`ArrowIpcWriter`."""
 
     @classmethod
     def name(cls):
@@ -112,12 +195,36 @@ class ArrowIpcDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("format('arrowipc') requires .load(path)")
-        first = resolve_files(path)[0]
-        with _open_reader(first) as r:
+        files = resolve_files(path)
+        if not files or not os.path.exists(files[0]):
+            # the WRITE path instantiates the source against a not-yet-
+            # populated target and still asks for a schema — return a
+            # placeholder (writes take their schema from the DataFrame;
+            # reads of an empty path still fail loudly in the reader)
+            return "placeholder string"
+        with _open_reader(files[0]) as r:
             return from_arrow_schema(r.schema)
 
     def reader(self, schema):
         return ArrowIpcReader(self.options["path"])
+
+    def writer(self, schema, overwrite: bool):
+        path = os.path.abspath(self.options.get("path") or "")
+        if not path:
+            raise ValueError("format('arrowipc') write requires .save(path)")
+        os.makedirs(path, exist_ok=True)
+        preexisting = [
+            f
+            for ext in _EXTS
+            for f in _glob.glob(os.path.join(path, f"*{ext}"))
+        ]
+        if preexisting and not overwrite:
+            raise ValueError(
+                f"path {path!r} already holds Arrow files; use "
+                "mode('overwrite') (append is not supported — exports "
+                "are immutable snapshots)"
+            )
+        return ArrowIpcWriter(path, overwrite, preexisting)
 
 
 def register(spark) -> None:

@@ -167,6 +167,7 @@ EXTRA = [
     "matryoshka_truncation_recall",
     "loo_source_ablation",
     "arrow_ipc_record_tally",
+    "arrow_ipc_roundtrip_tally",
 ]
 
 PLAN_SET = HEADLINE + EXTRA

@@ -348,3 +348,46 @@ def test_arrow_ipc_missing_path_fails_loudly(spark, tmp_path):
     register(spark)
     with pytest.raises(Exception):
         spark.read.format("arrowipc").load(str(tmp_path / "nope_dir")).collect()
+
+
+def test_arrow_ipc_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """df.write.format('arrowipc') must commit one IPC FILE container
+    per non-empty partition via the staged-rename protocol (no
+    .staging leftovers), read back exactly, and a second overwrite
+    must REPLACE the snapshot — including the name-collision case a
+    fixed part-numbering scheme would get wrong."""
+    import os
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    out = str(tmp_path / "export")
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2.5).alias("x"))
+    df.repartition(3).write.format("arrowipc").mode("overwrite").save(out)
+    names = sorted(os.listdir(out))
+    assert len(names) == 3 and all(n.endswith(".arrow") for n in names)
+    assert not any(n.startswith(".staging") for n in names)
+    back = spark.read.format("arrowipc").load(out)
+    assert sorted((r["id"], r["x"]) for r in back.collect()) == sorted(
+        (r["id"], r["x"]) for r in df.collect()
+    )
+    # overwrite replaces the snapshot, never merges with it
+    spark.range(3).select(
+        F.col("id"), F.lit(1.0).alias("x")
+    ).coalesce(1).write.format("arrowipc").mode("overwrite").save(out)
+    again = spark.read.format("arrowipc").load(out)
+    assert again.count() == 3
+    assert {r["x"] for r in again.collect()} == {1.0}
+
+
+def test_arrow_ipc_writer_rejects_append_to_existing(spark, tmp_path):
+    """Exports are immutable snapshots: appending onto a non-empty
+    target is rejected loudly instead of silently mixing snapshots."""
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    out = str(tmp_path / "export")
+    df = spark.range(4).select(F.col("id"), F.lit(0.5).alias("x"))
+    df.write.format("arrowipc").mode("append").save(out)  # empty dir: fine
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("arrowipc").mode("append").save(out)
