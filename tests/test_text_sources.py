@@ -391,3 +391,78 @@ def test_arrow_ipc_writer_rejects_append_to_existing(spark, tmp_path):
     df.write.format("arrowipc").mode("append").save(out)  # empty dir: fine
     with pytest.raises(Exception, match="overwrite"):
         df.write.format("arrowipc").mode("append").save(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.one_of(st.none(), st.text(max_size=40)),
+                st.one_of(
+                    st.none(),
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              width=64),
+                ),
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+def test_arrow_ipc_framing_roundtrip_fuzz(batches, use_stream):
+    """Arbitrary batch layouts (including EMPTY batches and null-laden
+    columns) must round-trip bit-exactly through the writer's
+    container choice and the reader's magic-sniffing `_iter_batches`
+    path — for BOTH the FILE and STREAM layouts, regardless of file
+    extension (the sniffer must never trust names)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import (
+        _is_file_format,
+        _iter_batches,
+    )
+
+    schema = pa.schema(
+        [("i", pa.int64()), ("s", pa.string()), ("x", pa.float64())]
+    )
+    # deliberately mismatched extension: stream bytes in ".arrow" etc.
+    suffix = ".arrow" if use_stream else ".arrows"
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+        path = f.name
+    opener = ipc.new_stream if use_stream else ipc.new_file
+    with opener(path, schema) as w:
+        for rows in batches:
+            w.write_batch(
+                pa.record_batch(
+                    [
+                        pa.array([r[0] for r in rows], pa.int64()),
+                        pa.array([r[1] for r in rows], pa.string()),
+                        pa.array([r[2] for r in rows], pa.float64()),
+                    ],
+                    schema=schema,
+                )
+            )
+    assert _is_file_format(path) == (not use_stream)
+    got = [b for b in _iter_batches(path)]
+    flat = [tuple(r) for rows in batches for r in rows]
+    got_flat = [
+        (i, s, x)
+        for b in got
+        for i, s, x in zip(
+            b.column("i").to_pylist(),
+            b.column("s").to_pylist(),
+            b.column("x").to_pylist(),
+        )
+    ]
+    assert got_flat == flat
+    import os as _os
+
+    _os.unlink(path)
