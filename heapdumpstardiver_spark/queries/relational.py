@@ -4077,9 +4077,14 @@ def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_arrow_ipc(spark)
     d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    # keyed by (sf, pid): stable across re-runs within one process
+    # (the read-back plan stays valid), disjoint across concurrent
+    # processes (a driver pass and a local gate can never interleave
+    # their overwrite commits on the same directory)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"hds_arrow_roundtrip.{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        f"hds_arrow_roundtrip.{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+        f".{os.getpid()}",
     )
     d.write.format("arrowipc").mode("overwrite").save(out)
     back = spark.read.format("arrowipc").load(out)
