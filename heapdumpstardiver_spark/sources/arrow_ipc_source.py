@@ -213,6 +213,14 @@ class ArrowIpcDataSource(DataSource):
         if not path:
             raise ValueError("format('arrowipc') write requires .save(path)")
         os.makedirs(path, exist_ok=True)
+        # sweep staging leftovers from a previously crashed job: their
+        # leading dot keeps them invisible to readers (glob's '*' skips
+        # dot-files), but they'd otherwise accumulate forever
+        for stale in _glob.glob(os.path.join(path, ".staging-*")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         preexisting = [
             f
             for ext in _EXTS

@@ -466,3 +466,37 @@ def test_arrow_ipc_framing_roundtrip_fuzz(batches, use_stream):
     import os as _os
 
     _os.unlink(path)
+
+
+def test_arrow_ipc_writer_abort_leaves_no_committed_parts(spark, tmp_path):
+    """A failing write job must commit NOTHING a reader can see:
+    no part-*.arrow files, and any crashed-task staging leftovers are
+    dot-files the reader's glob skips (and the next successful write
+    sweeps). Also proves a later overwrite of the same target works."""
+    import os
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    out = str(tmp_path / "export")
+    bad = spark.range(8).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("v"),
+    ).select(
+        "id", F.assert_true(F.col("v").isNotNull()).alias("chk"), "v"
+    )
+    with pytest.raises(Exception):
+        bad.write.format("arrowipc").mode("overwrite").save(out)
+    committed = [f for f in os.listdir(out) if not f.startswith(".")]
+    assert committed == [], committed
+    # the directory is still a healthy write target afterwards
+    spark.range(3).select(F.col("id"), F.lit(1.0).alias("x")).write.format(
+        "arrowipc"
+    ).mode("overwrite").save(out)
+    assert spark.read.format("arrowipc").load(out).count() == 3
+    assert not [
+        f for f in os.listdir(out) if f.startswith(".staging")
+    ], "successful write must sweep stale staging files"
