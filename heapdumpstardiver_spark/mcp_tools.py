@@ -33,7 +33,7 @@ from .service import query_heap as _svc_query_heap
 
 
 def _json(obj: Any) -> str:
-    return json.dumps(obj, indent=2, default=str)
+    return json.dumps(obj, default=str, indent=2)
 
 
 def _fmt_bytes(n: int) -> str:
@@ -57,15 +57,15 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
         <hprof_parent>/<session_id>/parquet/ — the reference's layout."""
         from .ingest import ingest_hprof
 
-        hprof = Path(hprof_path).resolve()
-        if not hprof.is_file():
-            return _json({"error": f"File not found: {hprof}"})
-        sid = session_id or hprof.stem
-        parquet_dir = hprof.parent / sid / "parquet"
+        dump = Path(hprof_path).resolve()
+        if not dump.is_file():
+            return _json({"error": f"no such HPROF file: {dump}"})
+        sid = session_id if session_id else dump.stem
+        parquet_dir = dump.parent / sid / "parquet"
         try:
             summary = ingest_hprof(
                 manager.spark,
-                str(hprof),
+                str(dump),
                 str(parquet_dir),
                 target_split_bytes=split_mb * 1024 * 1024,
                 overwrite=True,
@@ -88,12 +88,12 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
     def open_session(parquet_dir: str, session_id: str = "") -> str:
         """Open a session on an existing warehouse — native layout or a
         directory written by the reference binary (auto-detected)."""
-        pdir = Path(parquet_dir).resolve()
-        if not pdir.is_dir():
-            return _json({"error": f"Directory not found: {pdir}"})
-        if not any(pdir.rglob("*.parquet")):
-            return _json({"error": f"No .parquet files found in {pdir}"})
-        sess = manager.create_session(pdir, session_id=session_id or None)
+        target = Path(parquet_dir).resolve()
+        if not target.is_dir():
+            return _json({"error": f"no such warehouse directory: {target}"})
+        if not any(target.rglob("*.parquet")):
+            return _json({"error": f"nothing .parquet under {target}"})
+        sess = manager.create_session(target, session_id=session_id or None)
         return _json(
             {
                 "status": "ok",
@@ -222,18 +222,16 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
             if waste:
                 findings = run_waste_analysis(wh, max_tier=waste_tier)
                 total = sum(f.estimated_waste_bytes for f in findings)
+                # serialized field set = the reference tool's JSON contract
+                fields = (
+                    "check_name tier severity affected_count "
+                    "estimated_waste_bytes details recommendation sub_findings"
+                ).split()
                 result["waste_findings"] = [
-                    {
-                        "check_name": f.check_name,
-                        "tier": f.tier,
-                        "severity": f.severity,
-                        "affected_count": f.affected_count,
-                        "estimated_waste_bytes": f.estimated_waste_bytes,
-                        "estimated_waste_human": _fmt_bytes(f.estimated_waste_bytes),
-                        "details": f.details,
-                        "recommendation": f.recommendation,
-                        "sub_findings": f.sub_findings,
-                    }
+                    dict(
+                        {k: getattr(f, k) for k in fields},
+                        estimated_waste_human=_fmt_bytes(f.estimated_waste_bytes),
+                    )
                     for f in findings
                 ]
                 result["total_estimated_waste"] = _fmt_bytes(total)
@@ -373,179 +371,255 @@ def build_tools(manager: SessionManager) -> dict[str, Callable[..., str]]:
 
 
 #: uri -> (name, description, markdown body). The reference server
-#: publishes three onboarding guides as ``@mcp.resource`` markdown
-#: (mcp_server/server.py:70-236); these are their Spark-engine
-#: adaptations, kept SDK-optional like the tools so the content is
-#: testable (and servable in-process) without the ``mcp`` package.
+#: publishes three onboarding guides under the same URIs
+#: (mcp_server/server.py:70-236); the URIs and resource names are the
+#: mirrored contract, but the bodies below are written from scratch
+#: against THIS engine — Spark SQL over session temp views, the
+#: DataFrame waste pipelines in ``analytics/waste.py``, and the pure
+#: PySpark ingest — not adapted from the reference prose. Kept
+#: SDK-optional like the tools so the content is testable (and
+#: servable in-process) without the ``mcp`` package.
 GUIDE_RESOURCES: dict[str, tuple[str, str, str]] = {
     "heapdump://guides/setup": (
         "Setup Guide",
         "How to set up the Spark engine and connect the MCP server",
         """\
-# Setup Guide
+# Running the Spark heap engine
 
-## Requirements
+There is nothing to compile: ingest, analysis, and the MCP tools are
+all pure PySpark. A working install is
 
-The engine is pure PySpark — no native binary to build. You need:
+- `pyspark` 4.x plus `pyarrow` and `pandas` (Arrow is the ingest
+  write path and the UDF transport),
+- a JVM for Spark itself — Java 17 or newer, found via `JAVA_HOME`,
+- optionally the `mcp` package, needed only by the stdio transport.
+  Without it every tool still works as a plain Python callable
+  (`build_tools(manager)` returns the full registry).
 
-- Python with `pyspark` (4.x), `pyarrow`, and `pandas` installed
-- Java 17+ on the PATH or `JAVA_HOME`
-- the optional `mcp` package only for the stdio transport
-  (`python -m heapdumpstardiver_spark.mcp_tools`); every tool is a
-  plain callable without it
-
-## Start the MCP server
+Launch the stdio server with
 
 ```bash
 python -m heapdumpstardiver_spark.mcp_tools
 ```
 
-This creates one shared SparkSession (local mode by default; set
-`SPARK_GRAFT_CPUS` to size `local[N]`) and serves the tools over
-stdio.
+One SparkSession is created lazily and shared by all sessions and
+tools. It defaults to local mode; `SPARK_GRAFT_CPUS` controls the
+`local[N]` thread count. Against a real cluster, configure the
+session's master/deploy settings before importing the module — the
+engine never assumes local mode.
 
-## Typical flow
+## Session lifecycle
 
-1. `convert_heap_dump` — ingest an HPROF heap dump; writes a Parquet
-   warehouse to `<hprof_parent>/<session_id>/parquet/` and opens a
-   session over it.
-2. or `open_session` — attach to an existing Parquet warehouse
-   (this engine's layout or the reference converter's layout; both
-   column modes are auto-detected).
-3. `list_parquet_files` / `profile_table` — inspect what's there.
-4. `query_heap` — Spark SQL over the session's temp views.
-5. `analyze_heap` — the 13-check waste analysis (tiers 1-3).
-6. `list_sessions` shows everything open; `close_session` when done;
-   `cleanup_session(confirm=true)` also deletes the session's files.
+A *session* is a handle over one Parquet warehouse. You get one by
+either
 
-See `heapdump://guides/sql-examples` for query patterns and
-`heapdump://guides/waste-checks` for what each check detects.
+- `convert_heap_dump(hprof_path)` — runs the two-pass HPROF ingest
+  (index pass, then parallel typed extraction over byte-range
+  splits) and writes the warehouse next to the dump under
+  `<session_id>/parquet/`, or
+- `open_session(parquet_dir)` — attaches to a warehouse that already
+  exists. Both this engine's layout and the reference converter's
+  chunked layout are recognized, and reference-style ID columns are
+  normalized transparently.
+
+Once open: `list_parquet_files` enumerates the tables and their
+registered view names, `profile_table` summarizes one table,
+`query_heap` runs arbitrary Spark SQL (see
+`heapdump://guides/sql-examples`), `explain_query` shows the
+Catalyst plan without executing, and `analyze_heap` runs the tiered
+waste checks (see `heapdump://guides/waste-checks`). For retained-
+size questions there are three deeper tools: `analyze_liveness`,
+`retained_by_single_referrer`, and `retained_sizes_dominator`.
+
+`list_sessions` audits what is open. `close_session` drops the temp
+views; `cleanup_session` additionally deletes the session's files on
+disk and therefore refuses to run unless called with
+`confirm=true`.
 """,
     ),
     "heapdump://guides/sql-examples": (
         "SQL Examples",
         "Example Spark SQL for common heap-dump analysis over session views",
         """\
-# SQL Examples for query_heap
+# Querying a session with query_heap
 
-Queries use Spark SQL. Each session registers every warehouse table
-as a temp view named `<session_id>_<table>`, with dots/brackets
-sanitized to underscores (`java.lang.String` →
-`<sid>_java_lang_String`). `list_parquet_files` shows the exact view
-names. Results paginate with the `limit`/`offset` tool parameters —
-add an ORDER BY when paging, Spark result order is otherwise
-non-deterministic.
+`query_heap` executes Spark SQL. Every warehouse table is registered
+as the temp view `<session_id>__<table>` (double-underscore
+separator) with dots and brackets folded to underscores, so the
+instance table for `java.util.HashMap` in session `s1` is the view
+`s1__java_util_HashMap`, and auxiliary tables — which already start
+with `_` — end up with three underscores:
+`s1___primitive_arrays_byte`. When unsure, call
+`list_parquet_files`: it prints each table next to its exact view
+name. Results come back as JSON pages driven by the tool's
+`limit`/`offset` arguments; always ORDER BY something when paging,
+because Spark gives no stable row order on its own.
 
-## Top types by object count
+A few worked patterns, all against session id `s1`:
+
+**Package-level census.** `_object_index` maps every object id to
+its resolved type name, so package rollups are one aggregate:
+
 ```sql
-SELECT type_name, COUNT(*) AS cnt
-FROM mysess__object_index
-GROUP BY type_name ORDER BY cnt DESC LIMIT 20
+SELECT substring_index(type_name, '.', 3) AS package3,
+       COUNT(*) AS objects
+FROM s1___object_index
+WHERE type_name LIKE '%.%'
+GROUP BY package3
+ORDER BY objects DESC
+LIMIT 15
 ```
 
-## Look up what type an object ID belongs to
+**Shadowed superclass fields.** The ingest flattens inherited fields
+into each instance table; when a subclass redeclares a field the
+inherited copy is renamed `Superclass@field`. Backquote such columns:
+
 ```sql
-SELECT * FROM mysess__object_index WHERE obj_id = 12345678
+SELECT obj_id, `count`, `java.util.AbstractList@modCount`
+FROM s1__java_util_ArrayList
+LIMIT 5
 ```
 
-## Thread stack hot frames
+**Static constants.** `_static_fields` is the per-class static
+layout: primitive values arrive as strings in `primitive_value`,
+object references in `ref_id`.
+
 ```sql
-SELECT sf.class_name, sf.method_name, COUNT(*) AS appearances
-FROM mysess__stack_traces st
-LATERAL VIEW explode(st.frame_ids) t AS fid
-JOIN mysess__stack_frames sf ON sf.frame_id = t.fid
-GROUP BY sf.class_name, sf.method_name
-ORDER BY appearances DESC LIMIT 10
+SELECT class_name, field_name, field_type, primitive_value
+FROM s1___static_fields
+WHERE field_type <> 'Object' AND primitive_value <> '0'
+ORDER BY class_name, field_name
 ```
 
-## Duplicate strings with waste estimate
+**Heaviest primitive arrays.** Each of the eight
+`_primitive_arrays_<type>` tables stores `(obj_id, values)` with
+`values` a list column, so payload sizing is `size(values)` times
+the element width:
+
 ```sql
-WITH str_bytes AS (
-    SELECT s.obj_id, md5(CAST(b.values AS STRING)) AS hash,
-           size(b.values) AS len
-    FROM mysess_java_lang_String s
-    JOIN mysess__primitive_arrays_byte b ON s.value = b.obj_id
-)
-SELECT hash, COUNT(*) AS dups, MIN(len) AS str_len
-FROM str_bytes GROUP BY hash HAVING COUNT(*) > 1
-ORDER BY dups * str_len DESC LIMIT 20
+SELECT obj_id, size(values) AS elems, size(values) * 8 AS approx_bytes
+FROM s1___primitive_arrays_long
+ORDER BY elems DESC
+LIMIT 10
 ```
 
-## GC roots by type
+**Where a stack is deepest.** `_stack_traces.frame_ids` keeps frame
+order, so `posexplode` preserves depth while joining frame metadata:
+
 ```sql
-SELECT root_type, COUNT(*) AS cnt
-FROM mysess__gc_roots GROUP BY root_type ORDER BY cnt DESC
+SELECT t.thread_serial, p.pos AS depth,
+       f.class_name, f.method_name, f.source_file, f.line_num
+FROM s1___stack_traces t
+LATERAL VIEW posexplode(t.frame_ids) p AS pos, fid
+JOIN s1___stack_frames f ON f.frame_id = p.fid
+WHERE t.thread_serial = 1
+ORDER BY depth
 ```
 
-## Class hierarchy (find subclasses)
+**Two-hop subclass walk.** `_class_hierarchy` links each class to
+its direct superclass; chain self-joins for deeper levels (or use
+the `hierarchy_transitive_closure` query shape from the analytics
+layer):
+
 ```sql
-SELECT * FROM mysess__class_hierarchy
-WHERE super_class_name = 'java.util.AbstractMap'
+SELECT g.class_name AS grandchild, c.class_name AS child
+FROM s1___class_hierarchy c
+JOIN s1___class_hierarchy g ON g.super_class_name = c.class_name
+WHERE c.super_class_name = 'java.io.InputStream'
 ```
 
-## Join instance fields to the object index for type resolution
+**Reverse references.** To ask "which X points at object N", filter
+the referrer table's field column directly — reference fields hold
+the target's `obj_id`:
+
 ```sql
-SELECT i.*, idx.type_name AS ref_type
-FROM mysess_com_example_MyClass i
-JOIN mysess__object_index idx ON i.some_ref_field = idx.obj_id
-LIMIT 20
+SELECT e.obj_id AS entry_id, idx.type_name AS value_type
+FROM s1_java_util_HashMap_Node e
+JOIN s1___object_index idx ON idx.obj_id = e.value
+WHERE e.key = 140021433
 ```
 
-Prefer `explain_query` before heavy ad-hoc SQL: it returns the
-Catalyst plan so you can confirm filters pushed down to the Parquet
-scan.
+Before running anything expensive, feed the same SQL to
+`explain_query` and check the formatted plan: filters should appear
+under `PushedFilters` on the Parquet scan, and the scan's
+`ReadSchema` should list only the columns you touch.
 """,
     ),
     "heapdump://guides/waste-checks": (
         "Waste Checks Reference",
         "What each waste-analysis tier checks and what it detects",
         """\
-# Waste Analysis Checks
+# What analyze_heap actually runs
 
-The `analyze_heap` tool runs waste checks controlled by the
-`waste_tier` parameter. Higher tiers include all lower-tier checks
-plus additional ones. Each check is an independent Spark DataFrame
-pipeline with per-check fault isolation (one failing check reports
-its error without aborting the rest).
+`analyze_heap(waste_tier=N)` executes the checks of tier ≤ N, each
+an independent DataFrame pipeline in `analytics/waste.py`. A check
+that throws is reported as its own error finding and the remaining
+checks still run. Findings come back as JSON objects with the fields
+`check_name`, `tier`, `severity`, `affected_count`,
+`estimated_waste_bytes`, `details`, `recommendation`, and
+`sub_findings`.
 
-| Tier | Check | What It Detects |
-|------|-------|-----------------|
-| 1 | Duplicate Strings | Strings with identical byte[] content |
-| 1 | Bad Collections (empty/single-element) | Empty/single-element HashMap, ArrayList, LinkedList, TreeMap, ConcurrentHashMap |
-| 1 | Bad Object Arrays | Zero-length, all-null, single-element, sparse (>70% null) |
-| 1 | Bad Primitive Arrays | Zero-length, all-zero, single-element across all 8 primitive types |
-| 1 | Boxed Primitives | Integer, Long, Double, etc. wrapper overhead |
-| 2 | Collection Sizing Issues | Sparse HashMaps (<33% utilized), oversized ArrayList backing arrays |
-| 2 | Duplicate byte[] Arrays | Identical byte arrays (MD5 hash, arrays <=10KB) |
-| 2 | Class Count / Leak Detection | >20K classes suggests a classloader leak |
-| 2 | GC Roots Breakdown | Root type breakdown (thread bloat, JNI leaks) |
-| 2 | DirectByteBuffer Off-Heap | Off-heap capacity, empty buffers |
-| 2 | Thread Stacks | Thread count and stack depth analysis |
-| 3 | Duplicate Object Arrays | Same elements in same order |
-| 3 | Estimated Shallow Size (top 50 types) | Approximate heap usage by type |
+## Tier 1 — cheap single-table scans (5 checks)
 
-## Severity levels
+- **Duplicate Strings** groups `java.lang.String` backing arrays by
+  content hash; waste is (copies − 1) × payload per group.
+- **Bad Collections (empty/single-element)** flags HashMap,
+  ArrayList, LinkedList, TreeMap, and ConcurrentHashMap instances
+  holding zero or one element — pure header/table overhead.
+- **Bad Object Arrays** finds zero-length, all-null,
+  single-element, and sparse (more than 70% null slots) object
+  arrays.
+- **Bad Primitive Arrays** does the same over all eight primitive
+  array tables, including all-zero payloads.
+- **Boxed Primitives** totals the wrapper-object overhead of
+  Integer/Long/Double/etc. instances.
 
-Severity is based on estimated waste bytes:
-- **CRITICAL**: >100 MB
-- **HIGH**: >10 MB
-- **MEDIUM**: >1 MB
-- **LOW**: >100 KB
-- **INFO**: <=100 KB
+## Tier 2 — cross-table and census checks (6 more)
 
-## Recommendations
+- **Collection Sizing Issues** measures utilization: HashMaps below
+  one-third occupancy and ArrayLists whose backing array is far
+  larger than `size`.
+- **Duplicate byte[] Arrays** hashes byte arrays up to 10 KB and
+  counts identical payloads.
+- **Class Count / Leak Detection** fires only above 10,000 distinct
+  loaded classes, then grades INFO, MEDIUM past 20,000, HIGH past
+  50,000 — the classic classloader-leak curve.
+- **GC Roots Breakdown** tallies roots by `root_type`; LOW past
+  50,000 total roots, MEDIUM past 100,000.
+- **DirectByteBuffer Off-Heap** sums off-heap capacity and counts
+  empty buffers; it stays INFO unless total capacity exceeds 10 MB.
+- **Thread Stacks** counts alive threads (MEDIUM above 1,000, HIGH
+  above 2,000, CRITICAL above 5,000, ~512 KB stack each) and lists
+  the hottest thread-pool-looking frame classes as sub-findings.
 
-- Start with `waste_tier=1` for a fast scan (5 checks)
-- Use `waste_tier=2` (default) for a thorough analysis (11 checks)
-- Use `waste_tier=3` only when you need the expensive checks
-  (13 checks, slower on large heaps)
-- On very large warehouses the checks auto-engage Bernoulli sampling
-  with scale-up for the duplicate scans; findings report the sampled
-  fraction
+## Tier 3 — the expensive ones (2 more)
 
-Deeper follow-ups when a check fires: `analyze_liveness`
-(reachability census), `retained_by_single_referrer`, and
-`retained_sizes_dominator` (dominator-tree retained sizes).
+- **Duplicate Object Arrays** compares element sequences, not just
+  lengths, so it shuffles the full arrays.
+- **Estimated Shallow Size (top 50 types)** approximates per-type
+  heap bytes from field layouts; always INFO, meant for orientation.
+
+## Severity grading
+
+Unless a check overrides it (the four thresholds called out above),
+severity comes from estimated waste bytes via one ladder:
+
+```text
+> 100 MB  CRITICAL      > 1 MB   MEDIUM      otherwise  INFO
+>  10 MB  HIGH          > 100 KB LOW
+```
+
+## Practical notes
+
+- Tier 2 is the default and the right everyday setting; drop to
+  tier 1 when you only want the fast scans, go to tier 3 only when
+  you can afford full-array comparison on a big heap.
+- On very large warehouses the duplicate scans switch to Bernoulli
+  sampling and scale the estimates back up; such findings say so in
+  `details` along with the sampled fraction.
+- A firing check tells you *what kind* of waste exists; to learn
+  *what keeps it alive*, follow up with `analyze_liveness`,
+  `retained_by_single_referrer`, or `retained_sizes_dominator`.
 """,
     ),
 }
@@ -570,10 +644,20 @@ def build_server(manager: SessionManager):
     server = FastMCP("heapdumpstardiver-spark")
     for name, fn in build_tools(manager).items():
         server.tool(name=name)(fn)
+    # FastMCP validates the reader's signature against the URI template:
+    # a parameter-free URI requires a ZERO-argument function (even a
+    # defaulted `lambda _body=body:` fails its params check), hence the
+    # closure factory.
+    def _make_reader(body: str) -> Callable[[], str]:
+        def _read() -> str:
+            return body
+
+        return _read
+
     for uri, (name, description, body) in build_resources().items():
         server.resource(
             uri, name=name, description=description, mime_type="text/markdown"
-        )(lambda _body=body: _body)
+        )(_make_reader(body))
     return server
 
 
