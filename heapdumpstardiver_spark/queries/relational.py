@@ -4071,6 +4071,7 @@ def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel (no shuffle), the read-back is one partition
     per exported file; only the per-lang tally shuffles."""
     import hashlib
+    import shutil
     import tempfile
 
     from ..sources import register_arrow_ipc
@@ -4081,11 +4082,32 @@ def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the read-back plan stays valid), disjoint across concurrent
     # processes (a driver pass and a local gate can never interleave
     # their overwrite commits on the same directory)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"hds_arrow_roundtrip.{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-        f".{os.getpid()}",
-    )
+    family = "hds_arrow_roundtrip."
+    prefix = family + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = tempfile.gettempdir()
+    # reap exports leaked by finished processes: the dir must outlive
+    # this function (the returned plan reads it lazily), so each run
+    # instead deletes every family sibling — any sf — whose pid no
+    # longer runs; the steady state is one export per LIVE process,
+    # not one per run
+    for name in os.listdir(tmp):
+        if not name.startswith(family):
+            continue
+        try:
+            owner = int(name.rsplit(".", 1)[1])
+        except ValueError:
+            # pre-pid-keyed layout: no live process can own it
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)  # liveness probe only, no signal sent
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM: pid exists but isn't ours — leave it
+    out = os.path.join(tmp, f"{prefix}.{os.getpid()}")
     d.write.format("arrowipc").mode("overwrite").save(out)
     back = spark.read.format("arrowipc").load(out)
     return (

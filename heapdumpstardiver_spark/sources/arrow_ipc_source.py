@@ -43,6 +43,11 @@ from pyspark.sql.datasource import (
 
 _EXTS = (".arrow", ".feather", ".arrows", ".ipc")
 
+#: staging files older than this are presumed orphans of a hard-crashed
+#: job and swept by the next writer; younger ones may belong to a
+#: concurrent job mid-write on the same target and are left alone
+_STAGING_TTL_S = 3600.0
+
 
 @dataclass
 class _ArrowFile(InputPartition):
@@ -113,19 +118,32 @@ class _ArrowCommit(WriterCommitMessage):
 
 class ArrowIpcWriter(DataSourceArrowWriter):
     """Executor-side Arrow IPC sink with a staged-commit protocol:
-    each task streams its RecordBatches into a ``.staging-*`` file
-    (unique name — safe under task retries), the driver's ``commit``
-    promotes every staged file to ``part-NNNNN.arrow`` with one rename
-    each (and, for overwrite mode, deletes the files that predated the
-    job only AFTER all stages landed), and ``abort`` removes staged
-    files — readers of the directory never observe a torn write (the
-    `test_commit_protocol` discipline of the parquet pointer swaps).
-    """
+    each task streams its RecordBatches into a
+    ``.staging-<job>-*`` file (job id assigned once, driver-side, and
+    carried to every task and the commit worker by pickling; the
+    per-task uuid keeps retries collision-free), the driver's
+    ``commit`` promotes every staged file to
+    ``part-NNNNN-<job>.arrow`` with one rename each (and, for
+    overwrite mode, deletes the files that predated the job only
+    AFTER all stages landed), and ``abort`` removes every staging
+    file bearing its own job id — readers of the directory never
+    observe a torn write (the `test_commit_protocol` discipline of
+    the parquet pointer swaps).
+
+    The job-scoped abort glob is load-bearing: on job failure Spark
+    hands ``abort`` a None message for EVERY task — including tasks
+    that completed before the stage was cancelled — so the staged
+    paths cannot be recovered from the messages; and an unscoped
+    sweep would delete a concurrent job's in-flight staging on the
+    same target, breaking its commit renames."""
 
     def __init__(self, path: str, overwrite: bool, preexisting: list[str]):
+        import uuid
+
         self.path = path
         self.overwrite = overwrite
         self.preexisting = preexisting
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import uuid
@@ -137,28 +155,38 @@ class ArrowIpcWriter(DataSourceArrowWriter):
         if first is None:
             return _ArrowCommit()  # empty partition: no file
         staged = os.path.join(
-            self.path, f".staging-{uuid.uuid4().hex}.arrow"
+            self.path,
+            f".staging-{self.job_id}-{uuid.uuid4().hex}.arrow",
         )
         rows = 0
-        with ipc.new_file(staged, first.schema) as w:
-            w.write_batch(first)
-            rows += first.num_rows
-            for batch in it:
-                w.write_batch(batch)
-                rows += batch.num_rows
+        # a task that fails mid-stream removes its own staging file
+        # eagerly (cheaper than waiting for the job-level abort glob,
+        # and also covers retried attempts of a task whose job
+        # ultimately succeeds)
+        try:
+            with ipc.new_file(staged, first.schema) as w:
+                w.write_batch(first)
+                rows += first.num_rows
+                for batch in it:
+                    w.write_batch(batch)
+                    rows += batch.num_rows
+        except BaseException:
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
         return _ArrowCommit(staged=staged, rows=rows)
 
     def commit(self, messages):
-        import uuid
-
         # job-unique part names: an overwrite's new files can never
         # collide with the preexisting set it is about to delete
         # (same-name collision would delete the fresh data)
-        job = uuid.uuid4().hex[:8]
         staged = [m.staged for m in messages if m and m.staged]
         for i, s in enumerate(sorted(staged)):
             os.rename(
-                s, os.path.join(self.path, f"part-{i:05d}-{job}.arrow")
+                s,
+                os.path.join(self.path, f"part-{i:05d}-{self.job_id}.arrow"),
             )
         if self.overwrite:
             for old in self.preexisting:
@@ -168,12 +196,16 @@ class ArrowIpcWriter(DataSourceArrowWriter):
                     pass
 
     def abort(self, messages):
-        for m in messages:
-            if m and getattr(m, "staged", None):
-                try:
-                    os.remove(m.staged)
-                except OSError:
-                    pass
+        # messages are all None on job failure (even for completed
+        # tasks) — sweep by job id instead, touching nothing staged
+        # by a concurrent job on the same target
+        for staged in _glob.glob(
+            os.path.join(self.path, f".staging-{self.job_id}-*")
+        ):
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
 
 
 class ArrowIpcDataSource(DataSource):
@@ -215,10 +247,19 @@ class ArrowIpcDataSource(DataSource):
         os.makedirs(path, exist_ok=True)
         # sweep staging leftovers from a previously crashed job: their
         # leading dot keeps them invisible to readers (glob's '*' skips
-        # dot-files), but they'd otherwise accumulate forever
+        # dot-files), but they'd otherwise accumulate forever. Age-
+        # scoped: a CONCURRENT job writing the same directory has
+        # seconds-old staging files, and removing those would break
+        # its commit renames — only leftovers past the TTL can belong
+        # to a job that is truly gone (normal failures are cleaned by
+        # abort() immediately; this is the hard-crash backstop).
+        import time
+
+        now = time.time()
         for stale in _glob.glob(os.path.join(path, ".staging-*")):
             try:
-                os.remove(stale)
+                if now - os.path.getmtime(stale) > _STAGING_TTL_S:
+                    os.remove(stale)
             except OSError:
                 pass
         preexisting = [

@@ -470,9 +470,12 @@ def test_arrow_ipc_framing_roundtrip_fuzz(batches, use_stream):
 
 def test_arrow_ipc_writer_abort_leaves_no_committed_parts(spark, tmp_path):
     """A failing write job must commit NOTHING a reader can see:
-    no part-*.arrow files, and any crashed-task staging leftovers are
-    dot-files the reader's glob skips (and the next successful write
-    sweeps). Also proves a later overwrite of the same target works."""
+    no part-*.arrow files, and no staging leftovers either — a failing
+    task removes its own staging file (abort() never learns of files
+    from tasks that died before returning a commit message), and the
+    writer's TTL sweep only backstops hard process crashes, so it must
+    not be needed here. Also proves a later overwrite of the same
+    target works."""
     import os
 
     from heapdumpstardiver_spark.sources.arrow_ipc_source import register
