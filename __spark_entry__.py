@@ -35,48 +35,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-checks EVERY oracle-paired query each round regardless of what
 # the driver samples.
 #
-# r12 front (composition validated by `scripts/update_counts.py`
+# r13 front (composition validated by `scripts/update_counts.py`
 # --check-head, which derives every count from the registry and the
 # CORRECTNESS_r*.json record instead of prose arithmetic):
-# (1) the staleness rotation FIRST this round (r11 verdict item 1):
-#     the r4-vintage cap-spill rows, then the full r5-vintage block.
-#     Done-bar: the post-r12 vintage histogram shows zero rows older
-#     than r6.
-# (2) the queries whose output contract changed in r12 (the sketch
-#     family's rows-only → oracle-gated-audit promotion) — their old
-#     greens pinned a different schema, so they need fresh canonical
-#     rows.
-# (3) the queries NEW in r12 — first canonical rows.
+# (1) the query NEW in r13 — first canonical row.
+# (2) the full 48-row r6-vintage block (r12 verdict item 1) — the
+#     oldest rows in the record. Done-bar: the post-r13 vintage
+#     histogram shows zero rows older than r7 and --check-head
+#     reports "stale rows NOT in head: 0".
+# (3) one spare slot: the alphabetically-first r7-vintage row, giving
+#     the r14 rotation a head start.
 _CHECK_PRIORITY = [
-    # 1a: r4-vintage cap-spill rows (oldest in the record)
-    "token_budget_select", "quality_percentile_gate",
-    "reachability_live_census", "semantic_dedup_centroid",
-    "single_retainer_bytes", "dominator_retained",
-    # 1b: r5-vintage block
-    "window_sliding_15m", "session_window_native",
-    "decile_binning_broadcast_cuts", "attribution_last_touch",
-    "bootstrap_mean_ci", "cohens_kappa_langid",
-    "concurrent_sessions_peak", "copurchase_triangle_count",
-    "daily_acf", "dormant_rich_customers",
-    "embedding_covariance_block", "greedy_source_coverage",
-    "hard_negative_mining", "incremental_view_merge",
-    "ips_offpolicy_value", "ks_test_two_sample",
-    "label_coherence_audit", "large_volume_orders",
-    "late_supplier_blame", "markov_transition_matrix",
-    "pareto_frontier_per_group", "quantile_normalize_by_source",
-    "relational_division", "returned_item_revenue",
-    "revenue_mom_change", "reverse_search_percolate",
-    "rfm_segmentation", "scd2_merge_batch", "shipping_priority_topk",
-    "table_diff_audit", "trimmed_robust_stats",
-    "tukey_outlier_fences", "user_acquisition_curve",
-    # 2: re-contracted in r12 (sketch audits — new output schema)
-    "approx_distinct_sketch", "approx_quantile_sketch",
-    "freq_items_sketch", "sketch_union_cascade",
-    "compressibility_quality_score",
-    # 3: new in r12 — need first driver rows
-    "quality_classifier_train", "quality_classifier_apply_trained",
-    "matryoshka_truncation_recall", "loo_source_ablation",
-    "arrow_ipc_record_tally", "arrow_ipc_roundtrip_tally",
+    # 1: new in r13
+    "ivfpq_adc_probe",
+    # 2: the r6-vintage block
+    "ab_power_analysis", "ann_recall_at_k", "anomaly_zscore_daily",
+    "asof_join_tolerance", "bigram_logprob_score", "bigram_pmi_topk",
+    "bm25_keyword_search", "bpe_pair_merge_candidates",
+    "chunk_documents_overlap", "cross_source_duplication",
+    "curation_funnel_accounting", "decile_feature_binning",
+    "eb_shrunk_rates", "exact_substring_runs", "funnel_conversion",
+    "fuzzy_join_levenshtein", "gap_fill_interpolate", "gc_root_path",
+    "gini_revenue_concentration", "heaps_law_fit",
+    "importance_resample_dsir", "importance_weight_ess",
+    "join_key_skew_profile", "k_anonymity_audit",
+    "latest_event_per_user", "locf_forward_fill", "lsh_tuning_curve",
+    "mix_rate_decomposition", "multimodal_jpeg_decode",
+    "partition_key_advisor", "percentile_cont_groups",
+    "price_trend_regression", "quality_classifier_score",
+    "retention_cohort", "retention_decay_fit",
+    "rolling_1h_range_frame", "seasonal_naive_error",
+    "seasonality_index_dow", "similarity_pq_adc",
+    "star_join_supplier_volume", "table_profile", "textrank_keywords",
+    "tfidf_top_terms", "time_weighted_avg_user",
+    "trending_leaderboard_decayed", "unigram_logprob_score",
+    "vocab_oov_coverage", "zipf_alpha_fit",
+    # 3: spare slot — stalest-next (r7) row
+    "anomaly_mad_robust",
 ]
 
 

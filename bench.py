@@ -131,6 +131,64 @@ ITERATIVE = {
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+#: pinned references for the host-calibration probes below, measured
+#: on this container on 2026-08-16 (r13; the r12 adjudication's
+#: "1.93 s" probe was an ad-hoc loop that was never committed, so the
+#: pins are re-established for THESE exact probes). The absolute pin
+#: matters less than the protocol: every BENCH_r{N}.json carries its
+#: own before/after factors, so a round-over-round wall comparison
+#: divides by factor_now/factor_then instead of trusting prose.
+#: host_factor_* ≈ 1.0 means walls are comparable to the r13 pin; a
+#: factor well above ~1.2 means the host was degraded during capture.
+HOST_PROBE_REF_S = 0.80  # single-core loop, min-of-3
+HOST_PROBE_MC_REF_S = 0.89  # 8-way all-core loop, max wall, min-of-3
+
+
+def _probe_loop(_arg=None) -> float:
+    """Fixed 20M-iteration pure-CPU loop (no allocation, no I/O): its
+    wall moves only with host speed, never with engine code."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    assert x == 199999990000000
+    return time.perf_counter() - t0
+
+
+def host_probe() -> float:
+    """Single-core speed: min-of-3 of the fixed loop (single runs
+    swing ~1.4x with scheduler placement/turbo; the min is stable)."""
+    return min(_probe_loop() for _ in range(3))
+
+
+def host_probe_mc(nproc: int = 8) -> float:
+    """All-core speed: the fixed loop in ``nproc`` simultaneous
+    processes, max wall, min-of-3 (the all-core probe is noisier
+    than the single-core one — contention with unrelated host load
+    shows up here first, which is also what makes it useful). This is
+    the probe that catches the
+    r12 failure mode — all-core frequency throttling moved engine
+    walls 2.5x while the SINGLE-core probe moved only 1.3x."""
+    from multiprocessing import Pool
+
+    walls = []
+    for _ in range(3):
+        with Pool(nproc) as p:
+            walls.append(max(p.map(_probe_loop, range(nproc))))
+    return min(walls)
+
+
+def spark_probe(spark) -> float:
+    """Fixed tiny Spark job — data-independent (spark.range), one
+    stage, no shuffle I/O. Calibrates the JVM/scheduler side the
+    Python loop can't see (GC pressure, codegen, task dispatch)."""
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 8).selectExpr(
+        "sum(id % 7) AS s"
+    ).collect()
+    return time.perf_counter() - t0
+
+
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -376,6 +434,16 @@ def main() -> None:
         1000
     ).write.format("noop").mode("overwrite").save()
 
+    # Host calibration, leg 1 (r12 lesson: BENCH_r12.json was captured
+    # inside a host-throttle window and the correction lived only in
+    # prose — now every artifact carries its own host factor). The
+    # spark probe warms up once untimed so its first timed run doesn't
+    # carry plan-compilation cost.
+    spark_probe(spark)
+    probe_py_before = round(host_probe(), 3)
+    probe_mc_before = round(host_probe_mc(), 3)
+    probe_spark_before = round(min(spark_probe(spark), spark_probe(spark)), 3)
+
     # The sf0.1 headline loop runs FIRST, before the sf1 build / ingest
     # / waste blocks, so the recorded core13 is never contention- or
     # page-cache-inflated by the heavy blocks (r4: 4.903 recorded vs
@@ -388,6 +456,13 @@ def main() -> None:
         second_rep_below=1.0, second_rep_above=2.0,
     )
     total = round(sum(timings.values()), 3)
+
+    # Host calibration, leg 2: re-probe AFTER the headline loop so an
+    # oscillation that began mid-loop is visible as before/after skew.
+    probe_py_after = round(host_probe(), 3)
+    probe_mc_after = round(host_probe_mc(), 3)
+    probe_spark_after = round(min(spark_probe(spark), spark_probe(spark)), 3)
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -395,6 +470,18 @@ def main() -> None:
         "queries": timings,
         "core13_total": round(sum(timings[q] for q in CORE), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_probe_s_before": probe_py_before,
+        "host_probe_s_after": probe_py_after,
+        "host_probe_ref_s": HOST_PROBE_REF_S,
+        "host_factor_before": round(probe_py_before / HOST_PROBE_REF_S, 3),
+        "host_factor_after": round(probe_py_after / HOST_PROBE_REF_S, 3),
+        "host_probe_mc_s_before": probe_mc_before,
+        "host_probe_mc_s_after": probe_mc_after,
+        "host_probe_mc_ref_s": HOST_PROBE_MC_REF_S,
+        "host_factor_mc_before": round(probe_mc_before / HOST_PROBE_MC_REF_S, 3),
+        "host_factor_mc_after": round(probe_mc_after / HOST_PROBE_MC_REF_S, 3),
+        "spark_probe_s_before": probe_spark_before,
+        "spark_probe_s_after": probe_spark_after,
     }
 
     # Heavy detail blocks go to BENCH_DETAIL.json (and their own

@@ -1505,6 +1505,12 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the BOUND only (TRUE literal); the engine-specific sketch
     estimate stays internal, so a sketch drifting out of its
     advertised error flips `within_bound` and fails the value hash.
+    
+    AUDIT vs PRODUCTION: the exact leg here exists only to gate the
+    sketch under the oracle — a production pipeline runs the sketch
+    side alone (that is the point of the sketch); copying this query
+    verbatim at 100 TB would reintroduce the exact expansion it is
+    designed to avoid.
     """
     e = _t(spark, sf_dir, "events")
     per_type = (
@@ -2400,16 +2406,18 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             qsub = qv[16 * s : 16 * s + dsub]
             qq = fold_dot(qsub, qsub)
             # lut[cid] = ||q_s - cv||^2 with the oracle's exact
-            # expression shape: qq - 2*qc + cc (left-assoc IEEE)
-            lut = [
-                qq - 2 * fold_dot(qsub, cv) + fold_dot(cv, cv)
-                for _cid, cv in codebooks[s]
-            ]
-            ds.append(
-                F.element_at(
-                    F.array(*[F.lit(float(x)) for x in lut]), F.col(f"c{s}") + 1
-                )
-            )
+            # expression shape: qq - 2*qc + cc (left-assoc IEEE).
+            # Keyed CASE rather than element_at(array, code+1): a
+            # codebook that lost an empty cluster would shift array
+            # positions off the cid values (the ivfpq_adc_probe
+            # hardening, applied here too).
+            expr = F.lit(None).cast("double")
+            for cid, cv in codebooks[s]:
+                d = qq - 2 * fold_dot(qsub, cv) + fold_dot(cv, cv)
+                expr = F.when(
+                    F.col(f"c{s}") == int(cid), F.lit(float(d))
+                ).otherwise(expr)
+            ds.append(expr)
         adist = ((ds[0] + ds[1]) + ds[2]) + ds[3]
         per_query.append(
             enc.select(
@@ -5482,6 +5490,164 @@ def ivf_index_lifecycle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["vec_id"], r["cid"], r["cos_sim"]) for r in out],
         "vec_id long, cid int, cos_sim double",
+    ).orderBy(F.desc("cos_sim"), "vec_id")
+
+
+def _ivfpq_oracle() -> str:
+    """Replays BOTH stages of the composed index: the IVF side is the
+    `_ivfl_oracle` training core on the FULL table (2 Lloyd rounds,
+    deterministic init vec_id < 4, 6-dp means, frozen assignment),
+    the PQ side is the `_pq_oracle` codebook core (per 16-dim
+    subspace: one Lloyd update from vec_id < 4, 6-dp means, argmin
+    encode), then the probe: nprobe=2 centroid selection for vec_id
+    0's vector, ADC distance summed left-assoc over the 4 subspace
+    lookup terms for candidates IN the chosen lists only, a
+    shortlist-20 cut on (adist, vec_id), and the exact cosine top-10
+    re-rank of the shortlist."""
+    dist = (
+        "(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)"
+        " + list_dot_product(c.cv, c.cv))"
+    )
+    pq = []
+    for s in range(4):
+        a, b = 16 * s + 1, 16 * s + 16
+        pq.append(f"""
+    vs{s} AS (SELECT vec_id, v[{a}:{b}] AS v FROM v),
+    c0s{s} AS (SELECT vec_id AS cid, v AS cv FROM vs{s} WHERE vec_id < 4),
+    a1s{s} AS (SELECT a.vec_id, a.v, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist} ASC, c.cid) AS rn
+        FROM vs{s} a CROSS JOIN c0s{s} c),
+    ms{s} AS (SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+              FROM a1s{s} WHERE rn = 1),
+    cs{s} AS (SELECT cid, list(val ORDER BY pos) AS cv FROM (
+                SELECT cid, pos, {round_sql("avg(val)", 6)} AS val
+                FROM ms{s} GROUP BY cid, pos) GROUP BY cid),
+    enc{s} AS (SELECT a.vec_id, c.cid, c.cv,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {dist} ASC, c.cid) AS rn
+        FROM vs{s} a CROSS JOIN cs{s} c),
+    ds{s} AS (SELECT e.vec_id,
+                (list_dot_product(qs.v, qs.v)
+                 - 2 * list_dot_product(qs.v, e.cv)
+                 + list_dot_product(e.cv, e.cv)) AS d
+        FROM (SELECT vec_id, cv FROM enc{s} WHERE rn = 1) e,
+             (SELECT v FROM vs{s} WHERE vec_id = 0) qs(v))""")
+    pq_body = ",".join(pq)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM v WHERE vec_id < 4),
+    a1 AS (SELECT a.vec_id, a.v, c.cid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+           FROM v a CROSS JOIN c0 c),
+    {_ivfl_update("a1", "1")},
+    a2 AS (SELECT a.vec_id, a.v, c.cid,
+                  row_number() OVER (PARTITION BY a.vec_id
+                                     ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+           FROM v a CROSS JOIN c1 c),
+    {_ivfl_update("a2", "2")},
+    af AS MATERIALIZED (
+        SELECT a.vec_id, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_IVFL_DIST} ASC, c.cid) rn
+        FROM v a CROSS JOIN c2 c
+    ),
+    {pq_body},
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    qsel AS (
+        SELECT c.cid FROM c2 c, q a(v)
+        ORDER BY (list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv)
+                  + list_dot_product(c.cv, c.cv)) ASC, c.cid
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cid
+        FROM (SELECT vec_id, cid FROM af WHERE rn = 1) a
+        JOIN qsel s ON a.cid = s.cid
+        WHERE a.vec_id <> 0
+    ),
+    tot AS (
+        SELECT c.vec_id, c.cid,
+               ((d0.d + d1.d) + d2.d) + d3.d AS adist
+        FROM cand c
+        JOIN ds0 d0 ON d0.vec_id = c.vec_id
+        JOIN ds1 d1 ON d1.vec_id = c.vec_id
+        JOIN ds2 d2 ON d2.vec_id = c.vec_id
+        JOIN ds3 d3 ON d3.vec_id = c.vec_id
+    ),
+    short AS (
+        SELECT vec_id, cid, adist FROM tot
+        ORDER BY adist, vec_id LIMIT 20
+    )
+    SELECT s.vec_id, CAST(s.cid AS INT) AS cid,
+           {round_sql("s.adist", 4)} AS adist,
+           {round_sql(
+               "list_dot_product(t.v, qv)"
+               " / (sqrt(list_dot_product(t.v, t.v))"
+               " * sqrt(list_dot_product(qv, qv)))", 4)} AS cos_sim
+    FROM short s JOIN v t ON t.vec_id = s.vec_id, q
+    ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+    """
+
+
+@query("ivfpq_adc_probe", oracle=_ivfpq_oracle())
+def ivfpq_adc_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed probe — the FAISS IVFPQ architecture (Jégou et
+    al. 2011) assembled from this engine's two existing halves: the
+    persisted partition-pruned IVF store (`ann_index.py`, the
+    `ivf_index_lifecycle_probe` layout) now carries each row's PQ
+    codes IN the inverted list, and probing is (1) driver-side coarse
+    ranking of k centroid metadata rows → ``cid IN (...)`` partition
+    pruning, (2) ADC scoring of the pruned candidates via per-subspace
+    lookup terms on the stored codes (the `similarity_pq_adc` LUT
+    discipline — no per-row vector math), (3) shortlist-20 by ADC
+    distance, (4) exact cosine re-rank of the shortlist from the same
+    pruned rows. Completes the vector-store ladder: brute → sign-LSH
+    → IVF → PQ → IVF+PQ.
+
+    Scale shape: training collects k·d + m·k·dsub INDEX METADATA
+    (identical to its two parents); the probe reads ONLY the nprobe
+    chosen partitions (PartitionFilters plan-pinned in
+    `tests/test_ivfpq.py`) and scores them with constant-time code
+    lookups; the re-rank touches `shortlist` rows. At 100 TB the scan
+    payload is the codes column (m bytes/vector after parquet column
+    pruning); raw v/nrm columns are late-materialized only for the
+    shortlist — no corpus-wide raw-vector pass exists anywhere in the
+    probe. The oracle replays coarse training, codebooks, encoding,
+    list selection, ADC ranking and the re-rank entirely in SQL on
+    6-dp portably-rounded centroids with IEEE-matched fold shapes."""
+    import shutil
+    import tempfile
+
+    from ..ann_index import build_ivfpq_index, probe_ivfpq_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()[0]["v"]
+    ]
+    index_dir = tempfile.mkdtemp(prefix="hds_ivfpq_")
+    try:
+        build_ivfpq_index(spark, e, index_dir)
+        out = probe_ivfpq_index(
+            spark,
+            index_dir,
+            qv,
+            nprobe=2,
+            shortlist=20,
+            topk=10,
+            exclude_vec_id=0,
+        ).collect()
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["vec_id"], r["cid"], r["adist"], r["cos_sim"]) for r in out],
+        "vec_id long, cid int, adist double, cos_sim double",
     ).orderBy(F.desc("cos_sim"), "vec_id")
 
 

@@ -571,7 +571,13 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly by the oracle) plus a `within_bound` flag requiring
     both GK estimates inside 1% of the group's value spread. The
     engine-specific sketch estimates stay internal; an estimate
-    escaping the bound flips the flag and fails the value hash."""
+    escaping the bound flips the flag and fails the value hash.
+    AUDIT vs PRODUCTION: the exact leg here exists only to gate the
+    sketch under the oracle — a production pipeline runs the sketch
+    side alone (that is the point of the sketch); copying this query
+    verbatim at 100 TB would reintroduce the exact expansion it is
+    designed to avoid.
+    """
     e = _t(spark, sf_dir, "events")
     acc = 10_000  # 1/acc relative rank error
     per_type = e.groupBy("event_type").agg(
@@ -677,7 +683,13 @@ def freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the guarantee (TRUE literal). The engine-specific
     candidate SET stays internal — a missed heavy hitter flips
     `all_found` and fails the value hash. The overapproximation-size
-    invariant (|candidates| >= |true|) stays in pytest."""
+    invariant (|candidates| >= |true|) stays in pytest.
+    AUDIT vs PRODUCTION: the exact leg here exists only to gate the
+    sketch under the oracle — a production pipeline runs the sketch
+    side alone (that is the point of the sketch); copying this query
+    verbatim at 100 TB would reintroduce the exact expansion it is
+    designed to avoid.
+    """
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -1198,7 +1210,13 @@ def sketch_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts overlap across days, so the union is not a plain sum),
     and `within_bound` requiring the merged estimate inside 5% of
     exact. The oracle computes both exact sides and asserts the bound
-    (TRUE literal); the engine-specific estimate stays internal."""
+    (TRUE literal); the engine-specific estimate stays internal.
+    AUDIT vs PRODUCTION: the exact leg here exists only to gate the
+    sketch under the oracle — a production pipeline runs the sketch
+    side alone (that is the point of the sketch); copying this query
+    verbatim at 100 TB would reintroduce the exact expansion it is
+    designed to avoid.
+    """
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")

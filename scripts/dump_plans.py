@@ -168,6 +168,8 @@ EXTRA = [
     "loo_source_ablation",
     "arrow_ipc_record_tally",
     "arrow_ipc_roundtrip_tally",
+    # r13 operator not in the bench headline
+    "ivfpq_adc_probe",
 ]
 
 PLAN_SET = HEADLINE + EXTRA
