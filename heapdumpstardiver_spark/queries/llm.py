@@ -6327,3 +6327,90 @@ def loo_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 additions: embedding-space benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+_SDE_COS_SQL = (
+    "list_dot_product(v, pv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv)))"
+)
+
+
+@query(
+    "semantic_decontaminate_embed",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (SELECT vec_id AS eid, v AS pv FROM c WHERE vec_id < 64),
+    sims AS (
+        SELECT c.vec_id, p.eid,
+               {round_sql(_SDE_COS_SQL, 6)} AS cos_r
+        FROM c, p WHERE c.vec_id >= 64
+    ),
+    best AS (
+        SELECT vec_id,
+               min({{'nc': -cos_r, 'eid': eid}}) AS b
+        FROM sims GROUP BY vec_id
+    ),
+    flat AS (
+        SELECT vec_id, -(b).nc AS max_cos_r, (b).eid AS nearest_eval_id
+        FROM best
+    )
+    SELECT vec_id, CAST(nearest_eval_id AS BIGINT) AS nearest_eval_id,
+           {stable_render_sql("max_cos_r", 6)} AS max_cos
+    FROM flat
+    ORDER BY max_cos_r DESC, vec_id
+    LIMIT 50
+    """,
+)
+def semantic_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: rank corpus vectors
+    by their maximum cosine similarity to a FIXED held-out eval panel
+    (vec_id < 64, standing in for an embedded benchmark suite) — the
+    semantic complement of `decontaminate_ngram_overlap`, which only
+    catches verbatim n-gram carryover; paraphrased or re-templated
+    eval leakage survives lexical checks but not this one. Top-50
+    closest corpus/eval pairs, each with its nearest panel member.
+
+    Shape: the panel is a fixed-size broadcast (|panel| is a property
+    of the benchmark suite, NOT of the corpus), so the scan is one
+    corpus-parallel pass costing O(N * |panel|) with NO corpus-sized
+    shuffle: the per-vector argmax folds into a map-side-combinable
+    min(struct(-cos, eid)) aggregate — only (vec_id, best) pairs
+    shuffle, and the TakeOrdered top-50 cut merges per-partition
+    heaps. Ranking orders by the 6-dp ROUNDED cosine with vec_id
+    tie-break so the cut agrees across engines. At 100 TB the panel
+    grows to the full eval registry (thousands of vectors), still
+    broadcastable; docs flagged here are dropped or routed to the
+    n-gram verifier before training."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    panel = c.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("eid"), F.col("v").alias("pv")
+    )
+    cos_r = round_col(cosine(F.col("v"), F.col("pv")), 6)
+    best = (
+        c.filter(F.col("vec_id") >= 64)
+        .crossJoin(F.broadcast(panel))
+        .select("vec_id", F.col("eid"), (-cos_r).alias("neg_cos"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("neg_cos", "eid")).alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.neg_cos")).alias("max_cos_r"),
+            F.col("b.eid").cast("long").alias("nearest_eval_id"),
+        )
+    )
+    return (
+        best.orderBy(F.desc("max_cos_r"), "vec_id")
+        .limit(50)
+        .select(
+            "vec_id",
+            "nearest_eval_id",
+            stable_render(F.col("max_cos_r"), 6).alias("max_cos"),
+        )
+    )

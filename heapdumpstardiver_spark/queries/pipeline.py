@@ -6574,3 +6574,74 @@ def embedding_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame
         stable_render(F.col("top_loading"), 6).alias("top_loading"),
         stable_render(F.col("aniso"), 6).alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 addition: fixed-size weighted reservoir sampling (A-Res).
+# ---------------------------------------------------------------------------
+
+_WRS_K = 40
+#: u in (0,1]: first 8 md5 hex chars of the salted doc key, +1 so the
+#: all-zero hash cannot produce u=0 (ln(0) = -inf), over 2^32.
+_WRS_U_SQL = (
+    "(CAST(('0x' || substr(md5('res:' || doc_id), 1, 8)) AS BIGINT) + 1)"
+    " / 4294967296.0"
+)
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               {round_sql(f"ln({_WRS_U_SQL}) / GREATEST(n_chars, 1)", 9)}
+                   AS res_key_r
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           {stable_render_sql("res_key_r", 9)} AS res_key
+    FROM keyed
+    ORDER BY res_key_r DESC, doc_id
+    LIMIT {_WRS_K}
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis A-Res reservoir (Inf. Proc. Letters 2006):
+    each row draws a deterministic uniform u from the salted md5 of
+    its key and keeps score u^(1/w) (compared as ln(u)/w, the same
+    ordering with no tiny-exponent underflow); the global top-k by
+    score IS a k-reservoir weighted by w — here w = n_chars, so
+    inclusion probability tracks document length, the usual proxy for
+    per-doc token cost. Unlike `data_mix_weighted_sample` (Bernoulli:
+    rate fixed, size random) this returns an EXACTLY-k sample, the
+    shape needed for fixed-budget eval panels and annotation batches.
+
+    Shape: one projection pass (no RNG state — reruns and both
+    engines agree bit-for-bit), then a TakeOrdered top-k: every
+    partition keeps a local k-heap and only k rows per partition ever
+    move, so there is NO corpus shuffle and the reservoir semantics
+    distribute for free. Keys are rounded to 9 dp with doc_id
+    tie-break so the cut agrees across engines; at 100 TB, k-heap
+    merge traffic is k * n_partitions rows — independent of corpus
+    size."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("res:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    res_key = round_col(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 9
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", res_key.alias("res_key"))
+        .orderBy(F.desc("res_key"), "doc_id")
+        .limit(_WRS_K)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            stable_render(F.col("res_key"), 9).alias("res_key"),
+        )
+    )

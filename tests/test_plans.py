@@ -1358,3 +1358,27 @@ def test_mutual_knn_joins_on_bucket_never_all_pairs(spark):
     assert re.search(
         r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[bucket", plan
     ), "expected the pair join keyed on the LSH bucket"
+
+
+def test_semantic_decontaminate_panel_broadcast_argmax_partial(spark):
+    """The eval panel must broadcast (never shuffle the corpus to the
+    panel) and the per-vector argmax must be a hash aggregate with a
+    map-side partial (partial_min of the struct) — no window over the
+    N x panel relation, no corpus self-join."""
+    plan = plan_of(spark, "semantic_decontaminate_embed")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # Top-50 cut merges per-partition heaps, no global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_is_takeordered_projection(spark):
+    """A-Res must execute as projection + TakeOrderedAndProject:
+    no shuffle other than the k-heap merge, no Python, no join."""
+    plan = plan_of(spark, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
