@@ -259,22 +259,28 @@ def time_queries(
         if second_rep_below is not None and best < second_rep_below:
             best = min(best, run_once())
         elif second_rep_above is not None and best > second_rep_above:
-            # Up to THREE extra reps, continuing only while each rep
-            # still improves >20%: an r9 isolated probe of
-            # jaccard_pairs at sf1 measured 17.8 → 12.6 → 6.7 s
-            # run-over-run in a FRESH session — multi-second samples
-            # shed inherited JIT/GC state slowly, and one extra rep
-            # (min-of-2) still recorded 32 s in the loop while the
-            # isolated steady state is ~6.7 s. Reps stop as soon as
-            # the curve flattens, so well-behaved queries pay one.
-            # Each extra rep is preceded by a GC settle (see
-            # _gc_settle): r10 measured the reps plateauing at ~3.6x
-            # the isolated number without it — the contention the
-            # reps are meant to shed is GC debt, so shed it directly.
+            # Up to THREE extra reps, continuing while each rep still
+            # improves >10%: an r9 isolated probe of jaccard_pairs at
+            # sf1 measured 17.8 → 12.6 → 6.7 s run-over-run in a
+            # FRESH session — multi-second samples shed inherited
+            # JIT/GC state slowly, and one extra rep (min-of-2) still
+            # recorded 32 s in the loop while the isolated steady
+            # state is ~6.7 s. The gate was >20% until r13, when the
+            # same query's convergence curve (11.4 → 8.3 → 6.9 s
+            # isolated min-of-3, improvements of 27% then 16%)
+            # straddled it — the loop stopped one rep early and
+            # recorded a 13.5x scale ratio on a plan whose isolated
+            # ratio is ~3-5x. 10% keeps reps flowing down a curve
+            # that is still clearly shedding state while well-behaved
+            # queries still stop after one. Each extra rep is
+            # preceded by a GC settle (see _gc_settle): r10 measured
+            # the reps plateauing at ~3.6x the isolated number
+            # without it — the contention the reps are meant to shed
+            # is GC debt, so shed it directly.
             for _ in range(3):
                 _gc_settle(spark)
                 nxt = run_once()
-                improved = nxt < best * 0.8
+                improved = nxt < best * 0.9
                 best = min(best, nxt)
                 if not improved:
                     break
