@@ -1382,3 +1382,15 @@ def test_weighted_reservoir_is_takeordered_projection(spark):
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_estimate_error_joins_candidates_only(spark):
+    """The estimator audit must score LSH candidate pairs only: the
+    pair relation comes from the band-bucket equi-join (no cartesian
+    product anywhere) and the 16 audit min-hashes ride the same
+    per-doc shingle aggregate as the exact-Jaccard sets (partial_min
+    present; no Python)."""
+    plan = plan_of(spark, "minhash_estimate_error")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
