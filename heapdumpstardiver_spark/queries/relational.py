@@ -4018,6 +4018,47 @@ def _arrow_tally_oracle() -> str:
     """
 
 
+
+
+def _pid_keyed_export_dir(family: str, sf_dir: str) -> str:
+    """Export directory for a write-then-read-back query, keyed by
+    (sf, pid): stable across re-runs within one process (the
+    read-back plan stays valid), disjoint across concurrent processes
+    (a driver pass and a local gate can never interleave their
+    overwrite commits on the same directory). Each call also reaps
+    every *family* sibling — any sf — whose owning pid no longer
+    runs: the dir must outlive the calling function (the returned
+    plan reads it lazily), so the steady state is one export per LIVE
+    process, not one per run."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    prefix = family + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = tempfile.gettempdir()
+    for name in os.listdir(tmp):
+        if not name.startswith(family):
+            continue
+        try:
+            owner = int(name.rsplit(".", 1)[1])
+        except ValueError:
+            # pre-pid-keyed layout: no live process can own it
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            continue
+        if owner == os.getpid():
+            continue
+        try:
+            os.kill(owner, 0)  # liveness probe only, no signal sent
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM: pid exists but isn't ours — leave it
+    return os.path.join(tmp, f"{prefix}.{os.getpid()}")
+
+
+
+
+
 @query("arrow_ipc_record_tally", oracle=_arrow_tally_oracle())
 def arrow_ipc_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-category tally THROUGH the ``format("arrowipc")``
@@ -4070,44 +4111,11 @@ def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the export is one narrow projection written
     partition-parallel (no shuffle), the read-back is one partition
     per exported file; only the per-lang tally shuffles."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from ..sources import register_arrow_ipc
 
     register_arrow_ipc(spark)
     d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
-    # keyed by (sf, pid): stable across re-runs within one process
-    # (the read-back plan stays valid), disjoint across concurrent
-    # processes (a driver pass and a local gate can never interleave
-    # their overwrite commits on the same directory)
-    family = "hds_arrow_roundtrip."
-    prefix = family + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = tempfile.gettempdir()
-    # reap exports leaked by finished processes: the dir must outlive
-    # this function (the returned plan reads it lazily), so each run
-    # instead deletes every family sibling — any sf — whose pid no
-    # longer runs; the steady state is one export per LIVE process,
-    # not one per run
-    for name in os.listdir(tmp):
-        if not name.startswith(family):
-            continue
-        try:
-            owner = int(name.rsplit(".", 1)[1])
-        except ValueError:
-            # pre-pid-keyed layout: no live process can own it
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-            continue
-        if owner == os.getpid():
-            continue
-        try:
-            os.kill(owner, 0)  # liveness probe only, no signal sent
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-        except OSError:
-            pass  # e.g. EPERM: pid exists but isn't ours — leave it
-    out = os.path.join(tmp, f"{prefix}.{os.getpid()}")
+    out = _pid_keyed_export_dir("hds_arrow_roundtrip.", sf_dir)
     d.write.format("arrowipc").mode("overwrite").save(out)
     back = spark.read.format("arrowipc").load(out)
     return (
@@ -4115,6 +4123,192 @@ def arrow_ipc_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord source gates (r13): framing/CRC tally + writer round-trip.
+# ---------------------------------------------------------------------------
+
+#: (file name, records) where each record is (category, payload body
+#: length, crc_good). Payload text is f"{category}:{'x' * body_len}".
+#: One record per fixture carries a deliberately corrupted payload CRC
+#: so the crc_ok=false path is under the oracle gate too.
+_TFR_FIXTURE_SPEC = (
+    (
+        "shard-00000.tfrecord",
+        (
+            ("img", 7, True),
+            ("txt", 3, True),
+            ("img", 19, True),
+            ("aud", 0, True),
+            ("txt", 64, False),
+        ),
+    ),
+    (
+        "shard-00001.tfrecord",
+        (
+            ("vid", 11, True),
+            ("txt", 5, True),
+            ("img", 2, True),
+        ),
+    ),
+)
+
+
+def _tfr_payload(cat: str, body_len: int) -> bytes:
+    return f"{cat}:{'x' * body_len}".encode()
+
+
+def tfrecord_fixture_dir() -> str:
+    """Build (once per content hash) the deterministic TFRecord
+    fixture directory — staging + atomic rename, the WARC/Arrow
+    fixture discipline."""
+    import hashlib
+    import struct
+    import tempfile
+
+    from ..sources.tfrecord_source import masked_crc, write_record
+
+    digest = hashlib.md5(repr(_TFR_FIXTURE_SPEC).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"hds_tfr_fixture.{digest}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        staging = f"{out}.build.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        for fname, records in _TFR_FIXTURE_SPEC:
+            with open(os.path.join(staging, fname), "wb") as f:
+                for cat, body_len, good in records:
+                    payload = _tfr_payload(cat, body_len)
+                    if good:
+                        write_record(f, payload)
+                    else:
+                        header = struct.pack("<Q", len(payload))
+                        f.write(header)
+                        f.write(struct.pack("<I", masked_crc(header)))
+                        f.write(payload)
+                        f.write(
+                            struct.pack(
+                                "<I", masked_crc(payload) ^ 0x1
+                            )
+                        )
+        with open(os.path.join(staging, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _tfr_tally_oracle() -> str:
+    agg: dict[str, list[int]] = {}
+    for _fname, records in _TFR_FIXTURE_SPEC:
+        for cat, body_len, good in records:
+            row = agg.setdefault(cat, [0, 0, 0])
+            row[0] += 1
+            row[1] += len(_tfr_payload(cat, body_len))
+            row[2] += int(good)
+    values = ", ".join(
+        f"('{c}', CAST({n} AS BIGINT), CAST({b} AS BIGINT), "
+        f"CAST({ok} AS BIGINT))"
+        for c, (n, b, ok) in sorted(agg.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES {values})
+        AS t(category, n_records, total_payload_bytes, n_crc_ok)
+    ORDER BY category
+    """
+
+
+@query("tfrecord_record_tally", oracle=_tfr_tally_oracle())
+def tfrecord_record_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category tally THROUGH the ``format("tfrecord")``
+    DataSource — drives TFRecord ingestion end-to-end under the
+    driver's oracle gate: per-file partitions, length-delimited
+    framing, masked-CRC32C validation (one fixture record carries a
+    deliberately corrupted payload CRC, so the crc_ok=false leg is
+    asserted too, not just the happy path), Arrow-batched rows to the
+    JVM, then a plain groupBy over the category parsed from the
+    payload. Input is the deterministic fixture built at call time
+    (the warc/arrow constant-oracle pattern).
+
+    Scale shape: one task per shard streaming its own records —
+    TFRecord datasets ship as many uniform shards, so file count is
+    the parallelism unit; only the per-category tally shuffles. CRC
+    validation is the pure-Python slow path and is OFF by option at
+    100 TB (structural framing still enforced)."""
+    from ..sources import register_tfrecord
+
+    path = tfrecord_fixture_dir()
+    register_tfrecord(spark)
+    df = spark.read.format("tfrecord").load(path)
+    cat = F.substring_index(F.decode("payload", "utf-8"), ":", 1)
+    return (
+        df.select(cat.alias("category"), "length", "crc_ok")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("length").alias("total_payload_bytes"),
+            F.sum(F.col("crc_ok").cast("long")).alias("n_crc_ok"),
+        )
+        .orderBy("category")
+    )
+
+
+@query(
+    "tfrecord_roundtrip_tally",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_text_bytes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def tfrecord_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER gate for the TFRecord sink: export the documents table
+    as ``lang\\ttext`` payloads with ``df.write.format("tfrecord")``
+    (staged-rename commit, one shard per partition, masked-CRC32C
+    framing), read the export back through the same source, and tally
+    per-lang doc counts and text BYTE totals — the oracle computes
+    the identical tally from the parquet directly (strlen = bytes in
+    DuckDB, octet_length in Spark), so any record lost, duplicated,
+    re-framed wrong or CRC-corrupted by the write/read cycle fails
+    the value hash. Exercises the export path that hands curated
+    text to ``tf.data`` consumers.
+
+    Scale shape: partition-parallel export (no shuffle), one task per
+    shard on read-back; only the per-lang tally shuffles."""
+    from ..sources import register_tfrecord
+
+    register_tfrecord(spark)
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(F.col("lang"), F.lit("\t"), F.col("text")), "utf-8"
+    )
+    out = _pid_keyed_export_dir("hds_tfr_roundtrip.", sf_dir)
+    d.select(payload.alias("payload")).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("tfrecord").load(out)
+    decoded = F.decode("payload", "utf-8")
+    lang = F.substring_index(decoded, "\t", 1)
+    return (
+        back.select(
+            lang.alias("lang"),
+            (
+                F.col("length") - F.octet_length(lang) - F.lit(1)
+            ).alias("text_bytes"),
+            "crc_ok",
+        )
+        .filter(F.col("crc_ok"))  # corrupt records must not tally
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_bytes").alias("total_text_bytes"),
         )
         .orderBy("lang")
     )

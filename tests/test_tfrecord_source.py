@@ -1,0 +1,178 @@
+"""TFRecord DataSource: framing, CRC32C, reader options, and the
+staged-commit writer protocol (the Arrow IPC sink's discipline under
+TFRecord framing)."""
+
+import glob
+import os
+import struct
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from heapdumpstardiver_spark.sources import register_tfrecord
+from heapdumpstardiver_spark.sources.tfrecord_source import (
+    crc32c,
+    iter_records,
+    masked_crc,
+    write_record,
+)
+
+
+# ---------------------------------------------------------------------------
+# CRC + framing (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_known_vectors():
+    # The canonical Castagnoli check vector plus degenerate inputs.
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 B.4 test vector
+
+
+def test_mask_is_tf_rotation_plus_delta():
+    crc = crc32c(b"abc")
+    expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+    assert masked_crc(b"abc") == expect
+
+
+def test_framing_roundtrip_and_corruption(tmp_path):
+    p = tmp_path / "x.tfrecord"
+    payloads = [b"abc", b"", bytes(range(256))]
+    with open(p, "wb") as f:
+        for pl in payloads:
+            write_record(f, pl)
+    recs = list(iter_records(str(p)))
+    assert [(i, pl) for i, pl, _ in recs] == list(enumerate(payloads))
+    assert all(ok for _, _, ok in recs)
+    # flip one payload byte of record 0 (offset 12 = 8 len + 4 crc)
+    data = bytearray(p.read_bytes())
+    data[12] ^= 0xFF
+    p.write_bytes(bytes(data))
+    recs = list(iter_records(str(p)))
+    assert recs[0][2] is False and recs[1][2] and recs[2][2]
+    # validation off: framing still parses, crc_ok is None
+    assert [ok for _, _, ok in iter_records(str(p), validate=False)] == [
+        None,
+        None,
+        None,
+    ]
+
+
+def test_truncated_record_raises(tmp_path):
+    p = tmp_path / "torn.tfrecord"
+    with open(p, "wb") as f:
+        write_record(f, b"whole")
+        f.write(struct.pack("<Q", 100))  # length of a record that never came
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_records(str(p)))
+
+
+# ---------------------------------------------------------------------------
+# Spark reader
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tfr_shards")
+    for shard, n in [("a", 3), ("b", 2)]:
+        with open(d / f"{shard}.tfrecord", "wb") as f:
+            for i in range(n):
+                write_record(f, f"{shard}:{i}".encode())
+    return str(d)
+
+
+def test_reader_one_partition_per_file(spark, shard_dir):
+    register_tfrecord(spark)
+    df = spark.read.format("tfrecord").load(shard_dir)
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.select("record_index", "length", "crc_ok").collect()
+    assert len(rows) == 5
+    assert all(r.crc_ok for r in rows)
+    # record_index restarts per file
+    assert sorted(r.record_index for r in rows) == [0, 0, 1, 1, 2]
+
+
+def test_reader_validate_off_yields_null_crc(spark, shard_dir):
+    register_tfrecord(spark)
+    df = (
+        spark.read.format("tfrecord")
+        .option("validate", "false")
+        .load(shard_dir)
+    )
+    assert [r[0] for r in df.select("crc_ok").distinct().collect()] == [None]
+
+
+def test_reader_missing_path_fails_loudly(spark, tmp_path):
+    register_tfrecord(spark)
+    with pytest.raises(Exception, match="no TFRecord files"):
+        spark.read.format("tfrecord").load(str(tmp_path / "nope")).count()
+
+
+# ---------------------------------------------------------------------------
+# Spark writer: staged-commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _payload_df(spark, n=100, parts=4):
+    return spark.range(0, n, 1, parts).select(
+        F.encode(F.concat(F.lit("p:"), F.col("id")), "utf-8").alias("payload")
+    )
+
+
+def test_writer_roundtrip_and_part_naming(spark, tmp_path):
+    register_tfrecord(spark)
+    out = str(tmp_path / "export")
+    _payload_df(spark).write.format("tfrecord").mode("append").save(out)
+    shards = sorted(os.listdir(out))
+    assert len(shards) == 4
+    assert all(s.startswith("part-") and s.endswith(".tfrecord") for s in shards)
+    assert not glob.glob(os.path.join(out, ".staging-*"))
+    back = spark.read.format("tfrecord").load(out)
+    assert back.count() == 100
+    assert back.agg(F.min("crc_ok")).first()[0] is True
+
+
+def test_writer_overwrite_replaces_prior_snapshot(spark, tmp_path):
+    register_tfrecord(spark)
+    out = str(tmp_path / "export")
+    _payload_df(spark, n=10, parts=1).write.format("tfrecord").mode(
+        "append"
+    ).save(out)
+    first = set(os.listdir(out))
+    _payload_df(spark, n=7, parts=1).write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    second = set(os.listdir(out))
+    assert first.isdisjoint(second)  # job-unique names, old snapshot gone
+    assert spark.read.format("tfrecord").load(out).count() == 7
+
+
+def test_writer_refuses_append_semantics(spark, tmp_path):
+    register_tfrecord(spark)
+    out = str(tmp_path / "export")
+    _payload_df(spark, n=5, parts=1).write.format("tfrecord").mode(
+        "append"
+    ).save(out)
+    with pytest.raises(Exception, match="already holds TFRecord"):
+        _payload_df(spark, n=5, parts=1).write.format("tfrecord").mode(
+            "append"
+        ).save(out)
+
+
+def test_writer_rejects_non_binary_schema(spark, tmp_path):
+    register_tfrecord(spark)
+    out = str(tmp_path / "export")
+    with pytest.raises(Exception, match="single binary column"):
+        spark.range(3).write.format("tfrecord").mode("append").save(out)
+
+
+def test_writer_empty_partitions_produce_no_shards(spark, tmp_path):
+    register_tfrecord(spark)
+    out = str(tmp_path / "export")
+    df = _payload_df(spark, n=2, parts=8)  # 6 of 8 partitions empty
+    df.write.format("tfrecord").mode("append").save(out)
+    assert len(os.listdir(out)) <= 2
+    assert spark.read.format("tfrecord").load(out).count() == 2
