@@ -4312,3 +4312,192 @@ def tfrecord_roundtrip_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# tf.train.Example decode gate (r13): wire-format codec, no protobuf.
+# ---------------------------------------------------------------------------
+
+#: (file, records); each record = (category, ids, scores, encoding)
+#: where encoding is "packed" (our encoder), "unpacked" (the legacy
+#: per-element repeated encoding some writers emit), or
+#: "unknown_field" (packed + an unknown top-level field the decoder
+#: must skip). Scores are exact in float32 so cross-engine sums carry
+#: zero rounding drift.
+_TFEX_FIXTURE_SPEC = (
+    (
+        "examples-00000.tfrecord",
+        (
+            ("img", (1, 2, 3), (0.5, 1.25), "packed"),
+            ("txt", (10, -4), (2.0,), "packed"),
+            ("img", (7,), (0.75, 0.25, 1.5), "unpacked"),
+            ("aud", (2**40, -(2**40)), (4.5,), "unknown_field"),
+        ),
+    ),
+    (
+        "examples-00001.tfrecord",
+        (
+            ("txt", (5, 5, 5), (0.125,), "packed"),
+            ("img", (0,), (3.25, 0.5), "unpacked"),
+        ),
+    ),
+)
+
+
+def _tfex_payload(cat: str, ids, scores, encoding: str) -> bytes:
+    from ..sources.tf_example import (
+        _I32,
+        _LEN,
+        _VARINT,
+        _tag,
+        _write_len_field,
+        _write_varint,
+        encode_example,
+    )
+
+    if encoding in ("packed", "unknown_field"):
+        buf = encode_example(
+            {"cat": [cat.encode()], "ids": list(ids), "score": list(scores)}
+        )
+        if encoding == "unknown_field":
+            extra = bytearray()
+            _write_varint(extra, _tag(99, _VARINT))
+            _write_varint(extra, 12345)
+            buf += bytes(extra)
+        return buf
+    # unpacked: per-element repeated encodings (legacy writers)
+    import struct as _struct
+
+    def feature(kind_field: int, body: bytes) -> bytes:
+        f = bytearray()
+        _write_len_field(f, kind_field, body)
+        return bytes(f)
+
+    ids_body = bytearray()
+    for v in ids:
+        _write_varint(ids_body, _tag(1, _VARINT))
+        _write_varint(ids_body, v)
+    sc_body = bytearray()
+    for s in scores:
+        _write_varint(sc_body, _tag(1, _I32))
+        sc_body.extend(_struct.pack("<f", s))
+    cat_body = bytearray()
+    _write_len_field(cat_body, 1, cat.encode())
+    feats = bytearray()
+    for name, feat in (
+        ("cat", feature(1, bytes(cat_body))),
+        ("ids", feature(3, bytes(ids_body))),
+        ("score", feature(2, bytes(sc_body))),
+    ):
+        entry = bytearray()
+        _write_len_field(entry, 1, name.encode())
+        _write_len_field(entry, 2, feat)
+        _write_len_field(feats, 1, bytes(entry))
+    out = bytearray()
+    _write_len_field(out, 1, bytes(feats))
+    return bytes(out)
+
+
+def tfexample_fixture_dir() -> str:
+    """Build (once per content hash) the Example-payload TFRecord
+    fixture — staging + atomic rename."""
+    import hashlib
+    import tempfile
+
+    from ..sources.tfrecord_source import write_record
+
+    digest = hashlib.md5(repr(_TFEX_FIXTURE_SPEC).encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"hds_tfex_fixture.{digest}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        staging = f"{out}.build.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        for fname, records in _TFEX_FIXTURE_SPEC:
+            with open(os.path.join(staging, fname), "wb") as f:
+                for cat, ids, scores, encoding in records:
+                    write_record(f, _tfex_payload(cat, ids, scores, encoding))
+        with open(os.path.join(staging, "_DONE"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(staging, out)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def _tfex_oracle() -> str:
+    agg: dict[str, list] = {}
+    for _fname, records in _TFEX_FIXTURE_SPEC:
+        for cat, ids, scores, _enc in records:
+            row = agg.setdefault(cat, [0, 0, 0, 0.0])
+            row[0] += 1
+            row[1] += len(ids)
+            row[2] += sum(ids)
+            row[3] += sum(scores)  # float32-exact values: no drift
+    values = ", ".join(
+        f"('{c}', CAST({n} AS BIGINT), CAST({ni} AS BIGINT), "
+        f"CAST({si} AS BIGINT), CAST({ss!r} AS DOUBLE))"
+        for c, (n, ni, si, ss) in sorted(agg.items())
+    )
+    return f"""
+    SELECT * FROM (VALUES {values})
+        AS t(category, n_examples, n_ids, sum_ids, sum_score)
+    ORDER BY category
+    """
+
+
+@query("tfrecord_example_decode_stats", oracle=_tfex_oracle())
+def tfrecord_example_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.train.Example DECODE gate: read Example-proto payloads
+    through ``format("tfrecord")`` and decode them with the engine's
+    own protobuf WIRE-format codec (`sources/tf_example.py` — no
+    protobuf runtime; the wire encoding is the published spec), then
+    aggregate typed feature stats per category. The fixture pins the
+    three tolerance contracts a real decoder needs: PACKED repeated
+    scalars (modern writers), UNPACKED per-element encodings (legacy
+    writers), and unknown-field skipping (forward compatibility) —
+    all three encodings must tally identically or the constant oracle
+    fails. Scores are float32-exact values so sums carry no rounding.
+
+    Scale shape: decode runs inside ONE Arrow-batched mapInPandas
+    stage over the payload column (per-record Python is the price of
+    a Python wire codec — batched transfer keeps it off the row-at-a-
+    time path), one task per shard; only the per-category tally
+    shuffles."""
+    import pandas as pd
+
+    from ..sources import register_tfrecord
+    from ..sources.tf_example import decode_example
+
+    register_tfrecord(spark)
+    path = tfexample_fixture_dir()
+    raw = spark.read.format("tfrecord").load(path).select("payload")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                ex = decode_example(bytes(payload))
+                cat = ex["cat"][1][0].decode()
+                ids = ex["ids"][1]
+                scores = ex["score"][1]
+                rows.append((cat, len(ids), sum(ids), float(sum(scores))))
+            yield pd.DataFrame(
+                rows, columns=["category", "n_ids", "sum_ids", "sum_score"]
+            )
+
+    decoded = raw.mapInPandas(
+        decode,
+        "category string, n_ids long, sum_ids long, sum_score double",
+    )
+    return (
+        decoded.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("n_ids").alias("n_ids"),
+            F.sum("sum_ids").alias("sum_ids"),
+            F.sum("sum_score").alias("sum_score"),
+        )
+        .orderBy("category")
+    )

@@ -176,3 +176,117 @@ def test_writer_empty_partitions_produce_no_shards(spark, tmp_path):
     df.write.format("tfrecord").mode("append").save(out)
     assert len(os.listdir(out)) <= 2
     assert spark.read.format("tfrecord").load(out).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# tf.train.Example wire codec (no Spark)
+# ---------------------------------------------------------------------------
+
+from heapdumpstardiver_spark.sources.tf_example import (  # noqa: E402
+    decode_example,
+    encode_example,
+)
+
+
+def test_example_known_wire_vector():
+    # Example{features{feature{key:"a" value{int64_list{value:[1]}}}}}
+    # hand-assembled from the published protobuf wire spec.
+    known = bytes.fromhex("0a0c0a0a0a01611205" + "1a030a0101")
+    assert encode_example({"a": [1]}) == known
+    assert decode_example(known) == {"a": ("int64", [1])}
+
+
+def test_example_roundtrip_all_kinds_and_negatives():
+    ex = {
+        "cat": [b"img", b""],
+        "ids": [1, 0, -3, 2**62, -(2**62)],
+        "score": [0.5, 1.25, -2.75],
+    }
+    dec = decode_example(encode_example(ex))
+    assert dec["cat"] == ("bytes", [b"img", b""])
+    assert dec["ids"] == ("int64", [1, 0, -3, 2**62, -(2**62)])
+    assert dec["score"] == ("float", [0.5, 1.25, -2.75])
+
+
+def test_example_encoder_is_deterministic():
+    ex = {"b": [2], "a": [b"x"], "c": [1.5]}
+    assert encode_example(ex) == encode_example(dict(reversed(ex.items())))
+
+
+def test_example_decoder_skips_unknown_fields():
+    from heapdumpstardiver_spark.sources.tf_example import (
+        _VARINT,
+        _tag,
+        _write_varint,
+    )
+
+    buf = bytearray(encode_example({"a": [7]}))
+    _write_varint(buf, _tag(99, _VARINT))
+    _write_varint(buf, 424242)
+    assert decode_example(bytes(buf)) == {"a": ("int64", [7])}
+
+
+def test_example_decoder_accepts_unpacked_encodings():
+    # legacy per-element repeated encoding for int64 and float lists
+    import struct as _struct
+
+    from heapdumpstardiver_spark.sources.tf_example import (
+        _I32,
+        _VARINT,
+        _tag,
+        _write_len_field,
+        _write_varint,
+    )
+
+    ids_body = bytearray()
+    for v in (3, -1):
+        _write_varint(ids_body, _tag(1, _VARINT))
+        _write_varint(ids_body, v)
+    sc_body = bytearray()
+    for s in (0.5,):
+        _write_varint(sc_body, _tag(1, _I32))
+        sc_body.extend(_struct.pack("<f", s))
+    feats = bytearray()
+    for name, kind_field, body in (
+        ("ids", 3, bytes(ids_body)),
+        ("score", 2, bytes(sc_body)),
+    ):
+        feat = bytearray()
+        _write_len_field(feat, kind_field, body)
+        entry = bytearray()
+        _write_len_field(entry, 1, name.encode())
+        _write_len_field(entry, 2, bytes(feat))
+        _write_len_field(feats, 1, bytes(entry))
+    msg = bytearray()
+    _write_len_field(msg, 1, bytes(feats))
+    dec = decode_example(bytes(msg))
+    assert dec["ids"] == ("int64", [3, -1])
+    assert dec["score"] == ("float", [0.5])
+
+
+def test_example_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=1,
+        max_size=8,
+    )
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    values = st.one_of(
+        st.lists(st.binary(max_size=16), min_size=1, max_size=4),
+        st.lists(i64, min_size=1, max_size=6),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.dictionaries(names, values, min_size=1, max_size=4))
+    def check(ex):
+        dec = decode_example(encode_example(ex))
+        assert set(dec) == set(ex)
+        for name, vals in ex.items():
+            kind, got = dec[name]
+            assert got == vals
+            assert kind == ("bytes" if isinstance(vals[0], bytes) else "int64")
+
+    check()
