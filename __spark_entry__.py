@@ -45,6 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     reports "stale rows NOT in head: 0".
 # (3) one spare slot: the alphabetically-first r7-vintage row, giving
 #     the r14 rotation a head start.
+# The SIX queries added later in r13 (after this head was composed per
+# the r12 verdict's "48-row block first, at most 2 new slots") are
+# never-green and take the r14 head FIRST per the standing policy:
+# 6 new + the 44 remaining r7-vintage rows = exactly 50 slots.
+# --check-head reports them under "never-green", distinct from stale.
 _CHECK_PRIORITY = [
     # 1: new in r13
     "ivfpq_adc_probe",

@@ -82,16 +82,29 @@ def check_head() -> int:
     # rows with vintage <= newest+1-cadence are overdue
     cadence = -(-len(hds.QUERIES) // DRIVER_CAP)
     stale_cut = newest + 1 - cadence
+    # never-green rows (vintage 0) are NEW queries waiting for their
+    # FIRST canonical row, not aging ones — report them separately so
+    # "stale" means exactly what the freshness policy means by it
+    # (green before, overdue for a re-sample). New rows take the next
+    # round's head first per the policy in __spark_entry__.py.
+    never = sorted(n for n in hds.QUERIES if vintage.get(n, 0) == 0)
     stale = sorted(
-        n for n in hds.QUERIES if vintage.get(n, 0) <= stale_cut
+        n
+        for n in hds.QUERIES
+        if 0 < vintage.get(n, 0) <= stale_cut
     )
     uncovered = [n for n in stale if n not in head]
+    new_uncovered = [n for n in never if n not in head]
     print(
         f"head: {len(head)}/{DRIVER_CAP} slots; stale (<= r{stale_cut}): "
-        f"{len(stale)}; stale rows NOT in head: {len(uncovered)}"
+        f"{len(stale)}; stale rows NOT in head: {len(uncovered)}; "
+        f"never-green: {len(never)} ({len(new_uncovered)} awaiting a "
+        f"next-round head slot)"
     )
     if uncovered:
         print(f"  uncovered stale rows: {uncovered}")
+    if new_uncovered:
+        print(f"  never-green rows not in head: {new_uncovered}")
     for e in errs:
         print(f"ERROR: {e}")
     return 1 if errs else 0
