@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -172,36 +173,112 @@ class TfRecordReader(DataSourceReader):
         return [_TfrFile(f, self.validate) for f in self.files]
 
     def read(self, partition: _TfrFile):
-        import pyarrow as pa
+        yield from _file_record_batches(partition.path, partition.validate)
 
-        idxs: list[int] = []
-        lens: list[int] = []
-        pays: list[bytes] = []
-        oks: list[bool | None] = []
 
-        def flush():
-            return pa.record_batch(
-                [
-                    pa.array(idxs, pa.int64()),
-                    pa.array(lens, pa.int64()),
-                    pa.array(pays, pa.binary()),
-                    pa.array(oks, pa.bool_()),
-                ],
-                names=["record_index", "length", "payload", "crc_ok"],
-            )
+def _file_record_batches(path: str, validate: bool):
+    """Arrow RecordBatches for one shard — shared by the batch reader
+    and the stream reader so both surfaces decode identically."""
+    import pyarrow as pa
 
-        for idx, payload, ok in iter_records(
-            partition.path, partition.validate
-        ):
-            idxs.append(idx)
-            lens.append(len(payload))
-            pays.append(payload)
-            oks.append(ok)
-            if len(idxs) >= _BATCH_ROWS:
-                yield flush()
-                idxs, lens, pays, oks = [], [], [], []
-        if idxs:
+    idxs: list[int] = []
+    lens: list[int] = []
+    pays: list[bytes] = []
+    oks: list[bool | None] = []
+
+    def flush():
+        return pa.record_batch(
+            [
+                pa.array(idxs, pa.int64()),
+                pa.array(lens, pa.int64()),
+                pa.array(pays, pa.binary()),
+                pa.array(oks, pa.bool_()),
+            ],
+            names=["record_index", "length", "payload", "crc_ok"],
+        )
+
+    for idx, payload, ok in iter_records(path, validate):
+        idxs.append(idx)
+        lens.append(len(payload))
+        pays.append(payload)
+        oks.append(ok)
+        if len(idxs) >= _BATCH_ROWS:
             yield flush()
+            idxs, lens, pays, oks = [], [], [], []
+    if idxs:
+        yield flush()
+
+
+# ---------------------------------------------------------------------------
+# Stream reader — tail a shard directory as a Structured Streaming source.
+# ---------------------------------------------------------------------------
+
+
+class TfRecordStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("tfrecord").load(dir)`` tails a
+    directory of TFRecord shards: each micro-batch reads exactly the
+    files that APPEARED since the last committed offset, one input
+    partition per new file, records decoded executor-side by the same
+    Arrow-batch generator as the batch reader.
+
+    Offsets are the sorted snapshot of shard names seen so far —
+    discovery is rename-atomic because exporters (including this
+    source's own writer) stage shards as ``.staging-*`` and promote
+    them with a rename, so a name either matches ``*.tfrecord``
+    completely written or is invisible. Records inside a shard are
+    immutable once the shard is visible, which makes replay
+    (``partitions(start, end)`` re-planned from the checkpoint after a
+    crash) exact with no per-record bookkeeping. At fleet scale the
+    seen-set lives in the streaming checkpoint; for directories that
+    accumulate millions of shards, compact retired names into a
+    manifest the way Spark's FileStreamSource ages out entries —
+    the offset format here keeps the explicit list because shard
+    counts are the parallelism unit, not the row count.
+    """
+
+    def __init__(self, path: str, validate: bool):
+        self.path = path
+        self.validate = validate
+
+    def _snapshot(self) -> list[str]:
+        # Names, not mtimes: rename-visibility is the only signal that
+        # survives clock skew between writers.
+        return sorted(os.path.basename(f) for f in resolve_files_quiet(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._snapshot()}
+
+    def partitions(self, start: dict, end: dict):
+        prior = set(start.get("seen", []))
+        base = os.path.abspath(self.path)
+        return [
+            _TfrFile(os.path.join(base, name), self.validate)
+            for name in end.get("seen", [])
+            if name not in prior
+        ]
+
+    def read(self, partition: _TfrFile):
+        yield from _file_record_batches(partition.path, partition.validate)
+
+    def commit(self, end: dict) -> None:
+        # The checkpoint log is the durable seen-set; nothing to do.
+        pass
+
+
+def resolve_files_quiet(path: str) -> list[str]:
+    """``resolve_files`` minus the loud not-found failure: a stream
+    source tailing a directory that does not hold shards YET is a
+    normal state (the exporter has not committed its first file), not
+    an error."""
+    p = os.path.abspath(path)
+    if os.path.isdir(p):
+        return sorted(
+            f for ext in _EXTS for f in _glob.glob(os.path.join(p, f"*{ext}"))
+        )
+    return sorted(f for f in _glob.glob(p) if os.path.exists(f))
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +368,9 @@ class TfRecordDataSource(DataSource):
     """``format("tfrecord")``: TFRecord shards, one partition per
     file, records surfaced as (record_index, length, payload, crc_ok)
     with payloads opaque binary. ``option("validate", "false")``
-    skips the CRC pass (framing is still enforced)."""
+    skips the CRC pass (framing is still enforced). Also readable as
+    a stream (``spark.readStream`` tails the directory for newly
+    committed shards — see TfRecordStreamReader)."""
 
     @classmethod
     def name(cls):
@@ -303,11 +382,18 @@ class TfRecordDataSource(DataSource):
             "crc_ok boolean"
         )
 
+    def _validate_opt(self) -> bool:
+        return str(self.options.get("validate", "true")).lower() not in (
+            "false",
+            "0",
+            "no",
+        )
+
     def reader(self, schema):
-        validate = str(
-            self.options.get("validate", "true")
-        ).lower() not in ("false", "0", "no")
-        return TfRecordReader(self.options["path"], validate)
+        return TfRecordReader(self.options["path"], self._validate_opt())
+
+    def streamReader(self, schema):
+        return TfRecordStreamReader(self.options["path"], self._validate_opt())
 
     def writer(self, schema, overwrite: bool):
         import time

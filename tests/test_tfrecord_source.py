@@ -290,3 +290,110 @@ def test_example_roundtrip_property():
             assert kind == ("bytes" if isinstance(vals[0], bytes) else "int64")
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Stream reader: tail a shard directory
+# ---------------------------------------------------------------------------
+
+from heapdumpstardiver_spark.sources.tfrecord_source import (  # noqa: E402
+    TfRecordStreamReader,
+    _TfrFile,
+)
+
+
+def test_stream_offset_planning_is_set_difference(tmp_path):
+    d = tmp_path / "tail"
+    d.mkdir()
+    for name in ("a.tfrecord", "b.tfrecord"):
+        with open(d / name, "wb") as f:
+            write_record(f, name.encode())
+    r = TfRecordStreamReader(str(d), validate=True)
+    assert r.initialOffset() == {"seen": []}
+    first = r.latestOffset()
+    assert first == {"seen": ["a.tfrecord", "b.tfrecord"]}
+    parts = r.partitions(r.initialOffset(), first)
+    assert sorted(os.path.basename(p.path) for p in parts) == [
+        "a.tfrecord",
+        "b.tfrecord",
+    ]
+    # no new files -> empty plan; new file -> exactly that file
+    assert r.partitions(first, r.latestOffset()) == []
+    with open(d / "c.tfrecord", "wb") as f:
+        write_record(f, b"c")
+    parts2 = r.partitions(first, r.latestOffset())
+    assert [os.path.basename(p.path) for p in parts2] == ["c.tfrecord"]
+
+
+def test_stream_discovery_ignores_staging_and_empty_dir(tmp_path):
+    d = tmp_path / "tail"
+    d.mkdir()
+    r = TfRecordStreamReader(str(d), validate=True)
+    # a directory the exporter has not committed to yet is NOT an error
+    assert r.latestOffset() == {"seen": []}
+    (d / ".staging-deadbeef-0").write_bytes(b"half a shard")
+    assert r.latestOffset() == {"seen": []}
+    os.rename(d / ".staging-deadbeef-0", d / "done.tfrecord")
+    assert r.latestOffset() == {"seen": ["done.tfrecord"]}
+
+
+def test_stream_reads_only_new_shards_per_drain(spark, tmp_path):
+    """Two availableNow drains over one checkpoint: drain 1 reads the
+    initial shards, a shard committed between drains is read by drain
+    2 ALONE (no re-read of drain 1's files), and stream rows ==
+    batch rows over the final directory."""
+    register_tfrecord(spark)
+    src = tmp_path / "tail"
+    src.mkdir()
+    for shard, n in [("a", 3), ("b", 2)]:
+        with open(src / f"{shard}.tfrecord", "wb") as f:
+            for i in range(n):
+                write_record(f, f"{shard}:{i}".encode())
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("tfrecord")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 5
+    with open(src / "late.tfrecord", "wb") as f:
+        write_record(f, b"late:0")
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 6  # 5 + 1, NOT 11: old shards were not re-read
+    batch = spark.read.format("tfrecord").load(str(src))
+    assert sorted(
+        bytes(r.payload) for r in got.select("payload").collect()
+    ) == sorted(bytes(r.payload) for r in batch.select("payload").collect())
+    assert [r.crc_ok for r in got.collect()] == [True] * 6
+
+
+def test_stream_validate_option_flows_to_tasks(spark, tmp_path):
+    register_tfrecord(spark)
+    src = tmp_path / "tail"
+    src.mkdir()
+    with open(src / "x.tfrecord", "wb") as f:
+        write_record(f, b"p")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("tfrecord")
+        .option("validate", "false")
+        .load(str(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r.crc_ok for r in spark.read.parquet(out).collect()] == [None]
