@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -108,6 +109,60 @@ class ArrowIpcReader(DataSourceReader):
         # Arrow-batch fast path: the runner ships RecordBatches to the
         # JVM as Arrow buffers — zero per-row Python cost.
         yield from _iter_batches(partition.path)
+
+
+class ArrowIpcStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("arrowipc").load(dir)`` tails an
+    export directory: offsets are the sorted snapshot of committed
+    file names, each micro-batch plans exactly the files that
+    appeared since the last committed offset (one input partition per
+    new file, batches forwarded as Arrow buffers by the same
+    ``_iter_batches`` the batch reader uses). Discovery is
+    rename-atomic — this source's own writer stages as dot-files and
+    promotes by rename, so a visible ``*.arrow`` name is always a
+    complete container — which makes checkpoint replay exact with no
+    per-record bookkeeping. The schema is pinned by the FIRST file at
+    stream start (see :meth:`ArrowIpcDataSource.streamReader`); files
+    arriving later with a different schema are the caller's error,
+    the same strict posture as the batch reader.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _snapshot(self) -> list[str]:
+        p = os.path.abspath(self.path)
+        if os.path.isdir(p):
+            names = [
+                f
+                for ext in _EXTS
+                for f in _glob.glob(os.path.join(p, f"*{ext}"))
+            ]
+        else:
+            names = [f for f in _glob.glob(p) if os.path.exists(f)]
+        return sorted(os.path.basename(f) for f in names)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._snapshot()}
+
+    def partitions(self, start: dict, end: dict):
+        prior = set(start.get("seen", []))
+        base = os.path.abspath(self.path)
+        return [
+            _ArrowFile(os.path.join(base, name))
+            for name in end.get("seen", [])
+            if name not in prior
+        ]
+
+    def read(self, partition: _ArrowFile):
+        yield from _iter_batches(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # the streaming checkpoint is the durable seen-set
+        pass
 
 
 @dataclass
@@ -239,6 +294,21 @@ class ArrowIpcDataSource(DataSource):
 
     def reader(self, schema):
         return ArrowIpcReader(self.options["path"])
+
+    def streamReader(self, schema):
+        # unlike the fixed-schema TFRecord stream, this source INFERS
+        # its schema, so the tail needs at least one committed file at
+        # stream start to pin it — starting on an empty directory
+        # would silently bind the write-path placeholder schema and
+        # poison the checkpoint
+        files = resolve_files(self.options["path"])
+        if not files or not os.path.exists(files[0]):
+            raise ValueError(
+                "format('arrowipc') streaming needs at least one "
+                f"committed file under {self.options['path']!r} to pin "
+                "the schema before the tail starts"
+            )
+        return ArrowIpcStreamReader(self.options["path"])
 
     def writer(self, schema, overwrite: bool):
         path = os.path.abspath(self.options.get("path") or "")

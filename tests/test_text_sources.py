@@ -513,3 +513,93 @@ def test_arrow_ipc_writer_abort_leaves_no_committed_parts(spark, tmp_path):
         for f in os.listdir(out)
         if f.startswith(f".staging-{second_job}-")
     ], "successful write must leave none of its own staging files"
+
+
+def test_arrow_ipc_stream_tails_new_files_only(spark, tmp_path):
+    """availableNow drains over one checkpoint: a file committed
+    between drains is read by the second drain alone, and stream rows
+    over both drains == a batch read of the final directory."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    src = tmp_path / "tail"
+    src.mkdir()
+
+    def shard(name, ids):
+        t = pa.table({"id": pa.array(ids, pa.int64())})
+        with ipc.new_file(str(src / name), t.schema) as w:
+            w.write_table(t)
+
+    shard("a.arrow", [1, 2, 3])
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("arrowipc")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    shard("b.arrow", [4, 5])
+    drain()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]  # not [1,2,3,1,2,3,4,5]: no re-read
+    batch = spark.read.format("arrowipc").load(str(src))
+    assert sorted(r.id for r in batch.collect()) == got
+
+
+def test_arrow_ipc_stream_refuses_empty_start(spark, tmp_path):
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    empty = tmp_path / "nothing_yet"
+    empty.mkdir()
+    with pytest.raises(Exception, match="at least one.*committed file"):
+        q = (
+            spark.readStream.format("arrowipc")
+            .load(str(empty))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+
+def test_arrow_ipc_stream_offset_planning(tmp_path):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import (
+        ArrowIpcStreamReader,
+    )
+
+    d = tmp_path / "tail"
+    d.mkdir()
+    t = pa.table({"x": [1]})
+    with ipc.new_file(str(d / "a.arrow"), t.schema) as w:
+        w.write_table(t)
+    # in-flight staging is invisible to discovery
+    (d / ".staging-cafe-1.arrow").write_bytes(b"torn")
+    r = ArrowIpcStreamReader(str(d))
+    first = r.latestOffset()
+    assert first == {"seen": ["a.arrow"]}
+    assert r.partitions(first, r.latestOffset()) == []
+    with ipc.new_file(str(d / "b.arrow"), t.schema) as w:
+        w.write_table(t)
+    import os as _os
+
+    assert [
+        _os.path.basename(p.path) for p in r.partitions(first, r.latestOffset())
+    ] == ["b.arrow"]
