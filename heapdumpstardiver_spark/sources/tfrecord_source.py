@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -364,6 +365,91 @@ class TfRecordWriter(DataSourceArrowWriter):
                 pass
 
 
+class TfRecordStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("tfrecord")`` — continuous export of
+    trainer-ready shards. Each micro-batch's tasks stage their
+    payloads exactly like the batch sink; the driver's per-batch
+    ``commit`` promotes them to names keyed by the BATCH id alone
+    (``part-b<batchId>-<seq>.tfrecord``, ``os.replace``), so a batch
+    replayed after a crash rewrites the same names instead of
+    duplicating records, and any leftover shard of a wider earlier
+    attempt of the SAME batch is deleted before the commit returns —
+    the directory converges to exactly one shard set per batch id.
+    Composed with the stream reader this makes a curation hop
+    (tail upstream exports → filter/transform → commit downstream
+    shards) restart-safe end-to-end: downstream tails see only
+    rename-committed shards.
+    """
+
+    def __init__(self, path: str):
+        import uuid
+
+        self.path = path
+        # staging scope only — committed names must NOT carry this id,
+        # or a post-restart replay of a half-committed batch would
+        # duplicate instead of replace
+        self.stream_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import uuid
+
+        it = iter(iterator)
+        first = next(it, None)
+        if first is None:
+            return _TfrCommit()
+        staged = os.path.join(
+            self.path, f".staging-{self.stream_id}-{uuid.uuid4().hex}"
+        )
+        rows = 0
+        try:
+            with open(staged, "wb") as f:
+                for batch in [first, *it]:
+                    if batch.num_columns != 1:
+                        raise ValueError(
+                            "format('tfrecord') writes exactly one binary "
+                            f"column, got {batch.num_columns}"
+                        )
+                    for payload in batch.column(0):
+                        write_record(f, payload.as_py())
+                        rows += 1
+        except BaseException:
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+            raise
+        return _TfrCommit(staged=staged, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = sorted(m.staged for m in messages if m and m.staged)
+        prefix = f"part-b{batchId:08d}-"
+        final = []
+        for i, s in enumerate(staged):
+            dest = os.path.join(self.path, f"{prefix}{i:05d}.tfrecord")
+            os.replace(s, dest)  # idempotent under batch replay
+            final.append(dest)
+        # a wider earlier attempt of this batch may have committed more
+        # shards than this one staged — reap them or the replay leaks
+        # their records into the total
+        for old in _glob.glob(os.path.join(self.path, f"{prefix}*.tfrecord")):
+            if old not in final:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+
+    def abort(self, messages, batchId: int) -> None:
+        # same incident contract as the batch sink: messages are all
+        # None on failure, sweep by own scope only
+        for staged in _glob.glob(
+            os.path.join(self.path, f".staging-{self.stream_id}-*")
+        ):
+            try:
+                os.remove(staged)
+            except OSError:
+                pass
+
+
 class TfRecordDataSource(DataSource):
     """``format("tfrecord")``: TFRecord shards, one partition per
     file, records surfaced as (record_index, length, payload, crc_ok)
@@ -395,13 +481,19 @@ class TfRecordDataSource(DataSource):
     def streamReader(self, schema):
         return TfRecordStreamReader(self.options["path"], self._validate_opt())
 
-    def writer(self, schema, overwrite: bool):
+    def _prep_write_target(self, schema) -> str:
+        """Shared batch/stream sink preamble: resolve the target,
+        enforce the single-binary-column contract, sweep TTL-expired
+        staging orphans of hard-crashed jobs."""
         import time
 
         path = os.path.abspath(self.options.get("path") or "")
         if not path:
             raise ValueError("format('tfrecord') write requires .save(path)")
-        if len(schema.fields) != 1 or schema.fields[0].dataType.simpleString() != "binary":
+        if (
+            len(schema.fields) != 1
+            or schema.fields[0].dataType.simpleString() != "binary"
+        ):
             raise ValueError(
                 "format('tfrecord') writes a single binary column; got "
                 f"schema {schema.simpleString()}"
@@ -414,6 +506,16 @@ class TfRecordDataSource(DataSource):
                     os.remove(stale)
             except OSError:
                 pass
+        return path
+
+    def streamWriter(self, schema, overwrite: bool):
+        # appending one shard set per micro-batch IS the streaming
+        # semantics — the immutable-snapshot refusal below is a
+        # batch-sink posture only
+        return TfRecordStreamWriter(self._prep_write_target(schema))
+
+    def writer(self, schema, overwrite: bool):
+        path = self._prep_write_target(schema)
         preexisting = [
             f for ext in _EXTS for f in _glob.glob(os.path.join(path, f"*{ext}"))
         ]

@@ -397,3 +397,115 @@ def test_stream_validate_option_flows_to_tasks(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r.crc_ok for r in spark.read.parquet(out).collect()] == [None]
+
+
+# ---------------------------------------------------------------------------
+# Stream writer: continuous shard export
+# ---------------------------------------------------------------------------
+
+from heapdumpstardiver_spark.sources.tfrecord_source import (  # noqa: E402
+    TfRecordStreamWriter,
+)
+
+
+def test_stream_writer_commit_is_batch_replayable(tmp_path):
+    """Replaying a batch id must converge the directory to ONE shard
+    set for that batch — including when the replay stages fewer
+    shards than a wider earlier attempt."""
+    d = tmp_path / "sink"
+    d.mkdir()
+    w = TfRecordStreamWriter(str(d))
+
+    def stage(payloads):
+        p = str(d / f".staging-{w.stream_id}-{len(payloads)}{payloads[0].hex()}")
+        with open(p, "wb") as f:
+            for pl in payloads:
+                write_record(f, pl)
+        return _TfrCommit(staged=p, rows=len(payloads))
+
+    from heapdumpstardiver_spark.sources.tfrecord_source import _TfrCommit
+
+    # attempt 1 of batch 7: two shards
+    w.commit([stage([b"a"]), stage([b"b"])], batchId=7)
+    assert sorted(os.listdir(d)) == [
+        "part-b00000007-00000.tfrecord",
+        "part-b00000007-00001.tfrecord",
+    ]
+    # replay of batch 7 stages ONE shard (e.g. different partitioning
+    # after restart): the stale second shard must be reaped
+    w2 = TfRecordStreamWriter(str(d))
+    p = str(d / f".staging-{w2.stream_id}-x")
+    with open(p, "wb") as f:
+        write_record(f, b"a2")
+    w2.commit([_TfrCommit(staged=p, rows=1)], batchId=7)
+    assert sorted(os.listdir(d)) == ["part-b00000007-00000.tfrecord"]
+    recs = list(iter_records(str(d / "part-b00000007-00000.tfrecord")))
+    assert [pl for _, pl, _ in recs] == [b"a2"]
+
+
+def test_stream_writer_hop_end_to_end(spark, tmp_path):
+    """The curation hop: tail upstream TFRecord exports, transform,
+    commit downstream shards. Two availableNow drains — the second
+    must add exactly the new upstream payloads downstream (no
+    duplicates of drain 1's batch)."""
+    register_tfrecord(spark)
+    up = tmp_path / "up"
+    up.mkdir()
+    down = str(tmp_path / "down")
+    ck = str(tmp_path / "ck")
+
+    def export(name, payloads):
+        with open(up / name, "wb") as f:
+            for pl in payloads:
+                write_record(f, pl)
+
+    export("a.tfrecord", [b"doc:1", b"doc:2"])
+
+    def drain():
+        q = (
+            spark.readStream.format("tfrecord")
+            .load(str(up))
+            .select(F.col("payload"))
+            .writeStream.format("tfrecord")
+            .option("path", down)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.format("tfrecord").load(down)
+    assert sorted(
+        bytes(r.payload) for r in first.select("payload").collect()
+    ) == [b"doc:1", b"doc:2"]
+    export("b.tfrecord", [b"doc:3"])
+    drain()
+    final = spark.read.format("tfrecord").load(down)
+    assert sorted(
+        bytes(r.payload) for r in final.select("payload").collect()
+    ) == [b"doc:1", b"doc:2", b"doc:3"]
+    # every committed shard is batch-keyed and CRC-clean
+    names = sorted(os.listdir(down))
+    assert all(n.startswith("part-b") and n.endswith(".tfrecord") for n in names)
+    assert final.filter(~F.col("crc_ok")).count() == 0
+
+
+def test_stream_writer_rejects_non_binary_schema(spark, tmp_path):
+    register_tfrecord(spark)
+    up = tmp_path / "up"
+    up.mkdir()
+    with open(up / "a.tfrecord", "wb") as f:
+        write_record(f, b"x")
+    with pytest.raises(Exception, match="single binary column"):
+        q = (
+            spark.readStream.format("tfrecord")
+            .load(str(up))
+            .select("record_index", "payload")
+            .writeStream.format("tfrecord")
+            .option("path", str(tmp_path / "down"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
