@@ -37,10 +37,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
+
+from heapdumpstardiver_spark.sources.dir_tail import DirectoryTailStreamReader
 
 _EXTS = (".arrow", ".feather", ".arrows", ".ipc")
 
@@ -111,58 +112,26 @@ class ArrowIpcReader(DataSourceReader):
         yield from _iter_batches(partition.path)
 
 
-class ArrowIpcStreamReader(DataSourceStreamReader):
+class ArrowIpcStreamReader(DirectoryTailStreamReader):
     """``spark.readStream.format("arrowipc").load(dir)`` tails an
-    export directory: offsets are the sorted snapshot of committed
-    file names, each micro-batch plans exactly the files that
-    appeared since the last committed offset (one input partition per
-    new file, batches forwarded as Arrow buffers by the same
-    ``_iter_batches`` the batch reader uses). Discovery is
-    rename-atomic — this source's own writer stages as dot-files and
-    promotes by rename, so a visible ``*.arrow`` name is always a
-    complete container — which makes checkpoint replay exact with no
-    per-record bookkeeping. The schema is pinned by the FIRST file at
-    stream start (see :meth:`ArrowIpcDataSource.streamReader`); files
-    arriving later with a different schema are the caller's error,
-    the same strict posture as the batch reader.
-    """
+    export directory: each micro-batch plans exactly the files that
+    appeared since the last committed offset, batches forwarded as
+    Arrow buffers by the same ``_iter_batches`` the batch reader
+    uses. Offset semantics and the rename-atomic discovery contract
+    live in :class:`DirectoryTailStreamReader`. The schema is pinned
+    by the FIRST file at stream start (see
+    :meth:`ArrowIpcDataSource.streamReader`); files arriving later
+    with a different schema are the caller's error, the same strict
+    posture as the batch reader."""
 
     def __init__(self, path: str):
-        self.path = path
+        super().__init__(path, tuple(f"*{e}" for e in _EXTS))
 
-    def _snapshot(self) -> list[str]:
-        p = os.path.abspath(self.path)
-        if os.path.isdir(p):
-            names = [
-                f
-                for ext in _EXTS
-                for f in _glob.glob(os.path.join(p, f"*{ext}"))
-            ]
-        else:
-            names = [f for f in _glob.glob(p) if os.path.exists(f)]
-        return sorted(os.path.basename(f) for f in names)
-
-    def initialOffset(self) -> dict:
-        return {"seen": []}
-
-    def latestOffset(self) -> dict:
-        return {"seen": self._snapshot()}
-
-    def partitions(self, start: dict, end: dict):
-        prior = set(start.get("seen", []))
-        base = os.path.abspath(self.path)
-        return [
-            _ArrowFile(os.path.join(base, name))
-            for name in end.get("seen", [])
-            if name not in prior
-        ]
+    def _partition(self, path: str):
+        return _ArrowFile(path)
 
     def read(self, partition: _ArrowFile):
         yield from _iter_batches(partition.path)
-
-    def commit(self, end: dict) -> None:
-        # the streaming checkpoint is the durable seen-set
-        pass
 
 
 @dataclass

@@ -52,10 +52,11 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
-    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
+
+from heapdumpstardiver_spark.sources.dir_tail import DirectoryTailStreamReader
 
 _EXTS = (".tfrecord", ".tfrecords")
 _STAGING_TTL_S = 3600.0  # same orphan-sweep policy as the Arrow sink
@@ -215,71 +216,25 @@ def _file_record_batches(path: str, validate: bool):
 # ---------------------------------------------------------------------------
 
 
-class TfRecordStreamReader(DataSourceStreamReader):
+class TfRecordStreamReader(DirectoryTailStreamReader):
     """``spark.readStream.format("tfrecord").load(dir)`` tails a
     directory of TFRecord shards: each micro-batch reads exactly the
     files that APPEARED since the last committed offset, one input
     partition per new file, records decoded executor-side by the same
-    Arrow-batch generator as the batch reader.
-
-    Offsets are the sorted snapshot of shard names seen so far —
-    discovery is rename-atomic because exporters (including this
-    source's own writer) stage shards as ``.staging-*`` and promote
-    them with a rename, so a name either matches ``*.tfrecord``
-    completely written or is invisible. Records inside a shard are
-    immutable once the shard is visible, which makes replay
-    (``partitions(start, end)`` re-planned from the checkpoint after a
-    crash) exact with no per-record bookkeeping. At fleet scale the
-    seen-set lives in the streaming checkpoint; for directories that
-    accumulate millions of shards, compact retired names into a
-    manifest the way Spark's FileStreamSource ages out entries —
-    the offset format here keeps the explicit list because shard
-    counts are the parallelism unit, not the row count.
-    """
+    Arrow-batch generator as the batch reader. Offset semantics and
+    the rename-atomic discovery contract live in
+    :class:`DirectoryTailStreamReader`; an empty directory is a
+    normal pre-export state here because the schema is fixed."""
 
     def __init__(self, path: str, validate: bool):
-        self.path = path
+        super().__init__(path, tuple(f"*{e}" for e in _EXTS))
         self.validate = validate
 
-    def _snapshot(self) -> list[str]:
-        # Names, not mtimes: rename-visibility is the only signal that
-        # survives clock skew between writers.
-        return sorted(os.path.basename(f) for f in resolve_files_quiet(self.path))
-
-    def initialOffset(self) -> dict:
-        return {"seen": []}
-
-    def latestOffset(self) -> dict:
-        return {"seen": self._snapshot()}
-
-    def partitions(self, start: dict, end: dict):
-        prior = set(start.get("seen", []))
-        base = os.path.abspath(self.path)
-        return [
-            _TfrFile(os.path.join(base, name), self.validate)
-            for name in end.get("seen", [])
-            if name not in prior
-        ]
+    def _partition(self, path: str):
+        return _TfrFile(path, self.validate)
 
     def read(self, partition: _TfrFile):
         yield from _file_record_batches(partition.path, partition.validate)
-
-    def commit(self, end: dict) -> None:
-        # The checkpoint log is the durable seen-set; nothing to do.
-        pass
-
-
-def resolve_files_quiet(path: str) -> list[str]:
-    """``resolve_files`` minus the loud not-found failure: a stream
-    source tailing a directory that does not hold shards YET is a
-    normal state (the exporter has not committed its first file), not
-    an error."""
-    p = os.path.abspath(path)
-    if os.path.isdir(p):
-        return sorted(
-            f for ext in _EXTS for f in _glob.glob(os.path.join(p, f"*{ext}"))
-        )
-    return sorted(f for f in _glob.glob(p) if os.path.exists(f))
 
 
 # ---------------------------------------------------------------------------

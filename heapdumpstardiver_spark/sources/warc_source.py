@@ -30,6 +30,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from heapdumpstardiver_spark.sources.dir_tail import DirectoryTailStreamReader
+
 WARC_SCHEMA = (
     "file STRING, record_id STRING, warc_type STRING, target_uri STRING,"
     " warc_date STRING, content_type STRING, content_length BIGINT,"
@@ -101,6 +103,35 @@ def iter_warc_records(stream):
         yield headers, payload
 
 
+def _iter_file_rows(path: str, tolerant: bool):
+    """Engine rows for one archive — shared by the batch reader and
+    the stream tail so both surfaces decode identically."""
+    try:
+        with _open_stream(path) as stream:
+            for headers, payload in iter_warc_records(stream):
+                yield (
+                    os.path.basename(path),
+                    headers.get("warc-record-id", ""),
+                    headers.get("warc-type", ""),
+                    headers.get("warc-target-uri", ""),
+                    headers.get("warc-date", ""),
+                    headers.get("content-type", ""),
+                    len(payload),
+                    payload,
+                )
+    except (ValueError, EOFError, OSError):
+        # EOFError/OSError (incl. gzip.BadGzipFile) cover the most
+        # common real crawl-archive corruption: a truncated or
+        # garbage .warc.gz member breaking mid-decompress, which
+        # raises from gzip rather than from our framing checks.
+        if not tolerant:
+            raise
+        # tolerant mode: a file whose framing breaks mid-stream
+        # contributes the records parsed before the break (the
+        # ignoreCorruptFiles posture, per file)
+        return
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, path: str, tolerant: bool):
         p = os.path.abspath(path)
@@ -117,31 +148,30 @@ class WarcReader(DataSourceReader):
         return [_WarcFile(f) for f in self.files]
 
     def read(self, partition: _WarcFile):
-        path = partition.path
-        try:
-            with _open_stream(path) as stream:
-                for headers, payload in iter_warc_records(stream):
-                    yield (
-                        os.path.basename(path),
-                        headers.get("warc-record-id", ""),
-                        headers.get("warc-type", ""),
-                        headers.get("warc-target-uri", ""),
-                        headers.get("warc-date", ""),
-                        headers.get("content-type", ""),
-                        len(payload),
-                        payload,
-                    )
-        except (ValueError, EOFError, OSError):
-            # EOFError/OSError (incl. gzip.BadGzipFile) cover the most
-            # common real crawl-archive corruption: a truncated or
-            # garbage .warc.gz member breaking mid-decompress, which
-            # raises from gzip rather than from our framing checks.
-            if not self.tolerant:
-                raise
-            # tolerant mode: a file whose framing breaks mid-stream
-            # contributes the records parsed before the break (the
-            # ignoreCorruptFiles posture, per file)
-            return
+        yield from _iter_file_rows(partition.path, self.tolerant)
+
+
+class WarcStreamReader(DirectoryTailStreamReader):
+    """``spark.readStream.format("warc").load(dir)`` tails a crawl
+    directory: each micro-batch plans exactly the archives that
+    appeared since the last committed offset, decoded executor-side
+    by the same per-file generator as the batch reader. The tail
+    assumes the standard crawl-delivery contract — archives are
+    downloaded/written elsewhere and MOVED in when complete (rename-
+    atomic visibility); a pipeline that writes ``.warc.gz`` in place
+    under the tailed directory can surface torn members, which
+    ``option("tolerant", "true")`` degrades to partial files instead
+    of failed tasks."""
+
+    def __init__(self, path: str, tolerant: bool):
+        super().__init__(path, ("*.warc", "*.warc.gz"))
+        self.tolerant = tolerant
+
+    def _partition(self, path: str):
+        return _WarcFile(path)
+
+    def read(self, partition: _WarcFile):
+        yield from _iter_file_rows(partition.path, self.tolerant)
 
 
 class WarcDataSource(DataSource):
@@ -158,12 +188,18 @@ class WarcDataSource(DataSource):
     def schema(self):
         return WARC_SCHEMA
 
-    def reader(self, schema):
+    def _opts(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("format('warc') requires .load(path)")
         tolerant = str(self.options.get("tolerant", "false")).lower() == "true"
-        return WarcReader(path, tolerant)
+        return path, tolerant
+
+    def reader(self, schema):
+        return WarcReader(*self._opts())
+
+    def streamReader(self, schema):
+        return WarcStreamReader(*self._opts())
 
 
 def register(spark) -> None:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -603,3 +604,39 @@ def test_arrow_ipc_stream_offset_planning(tmp_path):
     assert [
         _os.path.basename(p.path) for p in r.partitions(first, r.latestOffset())
     ] == ["b.arrow"]
+
+
+def test_warc_stream_tails_new_archives_only(spark, warc_dir, tmp_path):
+    """The crawl tail: two availableNow drains over one checkpoint —
+    an archive moved in between drains is read by drain 2 alone, and
+    stream rows over both drains == a batch read of the final
+    directory (same per-file decode path)."""
+    register_warc(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .load(warc_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 5
+    # a new archive is MOVED in (rename-atomic, the delivery contract)
+    staged = tmp_path / "late.warc"
+    staged.write_bytes(_warc_record("c1", "http://example.com/late", b"late doc"))
+    os.rename(staged, os.path.join(warc_dir, "late.warc"))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    batch = spark.read.format("warc").load(warc_dir)
+    assert sorted(r.record_id for r in got.collect()) == sorted(
+        r.record_id for r in batch.collect()
+    )
