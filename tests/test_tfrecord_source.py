@@ -509,3 +509,40 @@ def test_stream_writer_rejects_non_binary_schema(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
+
+
+def test_tail_planning_reads_each_file_exactly_once_property():
+    """Model any monotone growth of the export directory: across an
+    arbitrary sequence of drains, the union of planned partitions
+    covers every committed file EXACTLY once — the tail can neither
+    skip nor re-read a shard, regardless of drain timing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.lists(
+        st.integers(0, 30).map(lambda i: f"s{i:02d}.tfrecord"),
+        max_size=8,
+        unique=True,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(names, min_size=1, max_size=6))
+    def check(additions):
+        r = TfRecordStreamReader("/exports", validate=True)
+        seen: list[str] = []
+        offset = r.initialOffset()
+        planned: list[str] = []
+        committed: set[str] = set()
+        for batch in additions:
+            committed |= {n for n in batch}
+            seen = sorted(committed)
+            # latestOffset is a directory snapshot; model it directly
+            nxt = {"seen": seen}
+            parts = r.partitions(offset, nxt)
+            planned.extend(os.path.basename(p.path) for p in parts)
+            assert all(p.validate for p in parts)
+            offset = nxt
+        assert sorted(planned) == sorted(committed)  # exactly once
+        assert len(planned) == len(set(planned))
+
+    check()
