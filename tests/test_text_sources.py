@@ -640,3 +640,37 @@ def test_warc_stream_tails_new_archives_only(spark, warc_dir, tmp_path):
     assert sorted(r.record_id for r in got.collect()) == sorted(
         r.record_id for r in batch.collect()
     )
+
+
+def test_warc_stream_composes_with_documents_bridge(spark, warc_dir, tmp_path):
+    """The crawl-to-curation streaming path: tail WARC archives →
+    `warc_responses_to_documents` → downstream sink, producing the
+    same documents relation as the batch bridge over the final
+    directory (the bridge is one stateless projection, so it applies
+    to a streaming frame unchanged)."""
+    from heapdumpstardiver_spark.sources.warc_source import (
+        warc_responses_to_documents,
+    )
+
+    register_warc(spark)
+    out = str(tmp_path / "docs")
+    q = (
+        warc_responses_to_documents(
+            spark.readStream.format("warc").load(warc_dir)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = warc_responses_to_documents(
+        spark.read.format("warc").load(warc_dir)
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # response-only filter held on the stream too
+    assert streamed.count() == 4  # 5 records in the fixture, 1 request
