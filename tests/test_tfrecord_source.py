@@ -546,3 +546,33 @@ def test_tail_planning_reads_each_file_exactly_once_property():
         assert len(planned) == len(set(planned))
 
     check()
+
+
+def test_stream_drain_with_no_new_files_is_a_noop(spark, tmp_path):
+    """A trigger that finds nothing new must complete cleanly with an
+    empty plan — the steady state of a production tail between
+    exporter commits."""
+    register_tfrecord(spark)
+    src = tmp_path / "tail"
+    src.mkdir()
+    with open(src / "a.tfrecord", "wb") as f:
+        write_record(f, b"x")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("tfrecord")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 1
+    drain()  # nothing new committed between drains
+    assert spark.read.parquet(out).count() == 1
