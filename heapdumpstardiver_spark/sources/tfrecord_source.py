@@ -334,6 +334,11 @@ class TfRecordStreamWriter(DataSourceStreamArrowWriter):
     (tail upstream exports → filter/transform → commit downstream
     shards) restart-safe end-to-end: downstream tails see only
     rename-committed shards.
+
+    One stream per target directory: batch-id-keyed names are what
+    make replays idempotent, so two different streams sharing a
+    target would collide on them (the same single-writer contract as
+    Spark's own file sink, which pins it via its metadata log).
     """
 
     def __init__(self, path: str):
