@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
 )
 
 from heapdumpstardiver_spark.sources.dir_tail import DirectoryTailStreamReader
+from heapdumpstardiver_spark.sources.stream_sink import BatchReplayStreamWriter
 
 _EXTS = (".arrow", ".feather", ".arrows", ".ipc")
 
@@ -232,6 +233,35 @@ class ArrowIpcWriter(DataSourceArrowWriter):
                 pass
 
 
+class ArrowIpcStreamWriter(BatchReplayStreamWriter):
+    """``df.writeStream.format("arrowipc")`` — continuous export of
+    Arrow IPC FILE containers (one shard per non-empty task per
+    micro-batch), e.g. a feature-store hop whose consumers mmap
+    Feather directly. The batch-id-keyed replay-convergent commit
+    protocol lives in :class:`BatchReplayStreamWriter`; this subclass
+    only streams the task's RecordBatches into the IPC container.
+    Any schema is writable (unlike the single-binary-column TFRecord
+    framing) — the shard carries its own schema footer."""
+
+    ext = ".arrow"
+
+    def write_shard(self, staged_path: str, batches) -> int:
+        import pyarrow.ipc as ipc
+
+        rows = 0
+        writer = None
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = ipc.new_file(staged_path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return rows
+
+
 class ArrowIpcDataSource(DataSource):
     """``format("arrowipc")``: Arrow IPC file/stream containers, one
     partition per file, batches forwarded as Arrow buffers. Schema is
@@ -239,7 +269,9 @@ class ArrowIpcDataSource(DataSource):
     the caller's error (the strict posture of `catalog.load_table`).
     Writable: ``df.write.format("arrowipc").mode(...).save(path)``
     streams each partition's batches into one IPC FILE container via
-    the staged-commit protocol of :class:`ArrowIpcWriter`."""
+    the staged-commit protocol of :class:`ArrowIpcWriter`; also a
+    streaming sink (``df.writeStream`` commits one replay-convergent
+    shard set per micro-batch — see :class:`ArrowIpcStreamWriter`)."""
 
     @classmethod
     def name(cls):
@@ -279,21 +311,22 @@ class ArrowIpcDataSource(DataSource):
             )
         return ArrowIpcStreamReader(self.options["path"])
 
-    def writer(self, schema, overwrite: bool):
+    def _prep_write_target(self) -> str:
+        """Shared batch/stream sink preamble: resolve the target and
+        sweep staging leftovers from a previously crashed job. Their
+        leading dot keeps them invisible to readers (glob's '*' skips
+        dot-files), but they'd otherwise accumulate forever. Age-
+        scoped: a CONCURRENT job writing the same directory has
+        seconds-old staging files, and removing those would break
+        its commit renames — only leftovers past the TTL can belong
+        to a job that is truly gone (normal failures are cleaned by
+        abort() immediately; this is the hard-crash backstop)."""
+        import time
+
         path = os.path.abspath(self.options.get("path") or "")
         if not path:
             raise ValueError("format('arrowipc') write requires .save(path)")
         os.makedirs(path, exist_ok=True)
-        # sweep staging leftovers from a previously crashed job: their
-        # leading dot keeps them invisible to readers (glob's '*' skips
-        # dot-files), but they'd otherwise accumulate forever. Age-
-        # scoped: a CONCURRENT job writing the same directory has
-        # seconds-old staging files, and removing those would break
-        # its commit renames — only leftovers past the TTL can belong
-        # to a job that is truly gone (normal failures are cleaned by
-        # abort() immediately; this is the hard-crash backstop).
-        import time
-
         now = time.time()
         for stale in _glob.glob(os.path.join(path, ".staging-*")):
             try:
@@ -301,6 +334,16 @@ class ArrowIpcDataSource(DataSource):
                     os.remove(stale)
             except OSError:
                 pass
+        return path
+
+    def streamWriter(self, schema, overwrite: bool):
+        # appending one shard set per micro-batch IS the streaming
+        # semantics — the immutable-snapshot refusal below is a
+        # batch-sink posture only
+        return ArrowIpcStreamWriter(self._prep_write_target())
+
+    def writer(self, schema, overwrite: bool):
+        path = self._prep_write_target()
         preexisting = [
             f
             for ext in _EXTS

@@ -51,12 +51,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
 
 from heapdumpstardiver_spark.sources.dir_tail import DirectoryTailStreamReader
+from heapdumpstardiver_spark.sources.stream_sink import BatchReplayStreamWriter
 
 _EXTS = (".tfrecord", ".tfrecords")
 _STAGING_TTL_S = 3600.0  # same orphan-sweep policy as the Arrow sink
@@ -320,94 +320,27 @@ class TfRecordWriter(DataSourceArrowWriter):
                 pass
 
 
-class TfRecordStreamWriter(DataSourceStreamArrowWriter):
+class TfRecordStreamWriter(BatchReplayStreamWriter):
     """``df.writeStream.format("tfrecord")`` — continuous export of
-    trainer-ready shards. Each micro-batch's tasks stage their
-    payloads exactly like the batch sink; the driver's per-batch
-    ``commit`` promotes them to names keyed by the BATCH id alone
-    (``part-b<batchId>-<seq>.tfrecord``, ``os.replace``), so a batch
-    replayed after a crash rewrites the same names instead of
-    duplicating records, and any leftover shard of a wider earlier
-    attempt of the SAME batch is deleted before the commit returns —
-    the directory converges to exactly one shard set per batch id.
-    Composed with the stream reader this makes a curation hop
-    (tail upstream exports → filter/transform → commit downstream
-    shards) restart-safe end-to-end: downstream tails see only
-    rename-committed shards.
+    trainer-ready shards. The batch-id-keyed replay-convergent commit
+    protocol lives in :class:`BatchReplayStreamWriter`; this subclass
+    only frames the payload column per shard."""
 
-    One stream per target directory: batch-id-keyed names are what
-    make replays idempotent, so two different streams sharing a
-    target would collide on them (the same single-writer contract as
-    Spark's own file sink, which pins it via its metadata log).
-    """
+    ext = ".tfrecord"
 
-    def __init__(self, path: str):
-        import uuid
-
-        self.path = path
-        # staging scope only — committed names must NOT carry this id,
-        # or a post-restart replay of a half-committed batch would
-        # duplicate instead of replace
-        self.stream_id = uuid.uuid4().hex[:12]
-
-    def write(self, iterator):
-        import uuid
-
-        it = iter(iterator)
-        first = next(it, None)
-        if first is None:
-            return _TfrCommit()
-        staged = os.path.join(
-            self.path, f".staging-{self.stream_id}-{uuid.uuid4().hex}"
-        )
+    def write_shard(self, staged_path: str, batches) -> int:
         rows = 0
-        try:
-            with open(staged, "wb") as f:
-                for batch in [first, *it]:
-                    if batch.num_columns != 1:
-                        raise ValueError(
-                            "format('tfrecord') writes exactly one binary "
-                            f"column, got {batch.num_columns}"
-                        )
-                    for payload in batch.column(0):
-                        write_record(f, payload.as_py())
-                        rows += 1
-        except BaseException:
-            try:
-                os.remove(staged)
-            except OSError:
-                pass
-            raise
-        return _TfrCommit(staged=staged, rows=rows)
-
-    def commit(self, messages, batchId: int) -> None:
-        staged = sorted(m.staged for m in messages if m and m.staged)
-        prefix = f"part-b{batchId:08d}-"
-        final = []
-        for i, s in enumerate(staged):
-            dest = os.path.join(self.path, f"{prefix}{i:05d}.tfrecord")
-            os.replace(s, dest)  # idempotent under batch replay
-            final.append(dest)
-        # a wider earlier attempt of this batch may have committed more
-        # shards than this one staged — reap them or the replay leaks
-        # their records into the total
-        for old in _glob.glob(os.path.join(self.path, f"{prefix}*.tfrecord")):
-            if old not in final:
-                try:
-                    os.remove(old)
-                except OSError:
-                    pass
-
-    def abort(self, messages, batchId: int) -> None:
-        # same incident contract as the batch sink: messages are all
-        # None on failure, sweep by own scope only
-        for staged in _glob.glob(
-            os.path.join(self.path, f".staging-{self.stream_id}-*")
-        ):
-            try:
-                os.remove(staged)
-            except OSError:
-                pass
+        with open(staged_path, "wb") as f:
+            for batch in batches:
+                if batch.num_columns != 1:
+                    raise ValueError(
+                        "format('tfrecord') writes exactly one binary "
+                        f"column, got {batch.num_columns}"
+                    )
+                for payload in batch.column(0):
+                    write_record(f, payload.as_py())
+                    rows += 1
+        return rows
 
 
 class TfRecordDataSource(DataSource):

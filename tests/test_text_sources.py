@@ -674,3 +674,100 @@ def test_warc_stream_composes_with_documents_bridge(spark, warc_dir, tmp_path):
     )
     # response-only filter held on the stream too
     assert streamed.count() == 4  # 5 records in the fixture, 1 request
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC streaming sink: continuous shard export
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_ipc_stream_writer_commit_is_batch_replayable(tmp_path):
+    """Replaying a batch id converges the directory to ONE shard set
+    for that batch — including when the replay stages fewer shards
+    than a wider earlier attempt (same contract as the TFRecord sink;
+    the protocol is shared in BatchReplayStreamWriter)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import (
+        ArrowIpcStreamWriter,
+    )
+    from heapdumpstardiver_spark.sources.stream_sink import StagedCommit
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    w = ArrowIpcStreamWriter(str(d))
+
+    def stage(writer, ids):
+        p = str(d / f".staging-{writer.stream_id}-{len(ids)}x{ids[0]}")
+        t = pa.table({"id": pa.array(ids, pa.int64())})
+        with ipc.new_file(p, t.schema) as fw:
+            fw.write_table(t)
+        return StagedCommit(staged=p, rows=len(ids))
+
+    w.commit([stage(w, [1]), stage(w, [2])], batchId=7)
+    assert sorted(os.listdir(d)) == [
+        "part-b00000007-00000.arrow",
+        "part-b00000007-00001.arrow",
+    ]
+    w2 = ArrowIpcStreamWriter(str(d))
+    w2.commit([stage(w2, [9])], batchId=7)
+    assert sorted(os.listdir(d)) == ["part-b00000007-00000.arrow"]
+    with ipc.open_file(str(d / "part-b00000007-00000.arrow")) as r:
+        assert r.read_all().column("id").to_pylist() == [9]
+
+
+def test_arrow_ipc_stream_hop_end_to_end(spark, tmp_path):
+    """Feature-store hop: tail upstream Arrow exports, transform,
+    commit downstream Arrow shards. The second drain must add exactly
+    the new upstream rows downstream — no duplicates of drain 1's
+    batch — and downstream shards stay batch-readable."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from heapdumpstardiver_spark.sources.arrow_ipc_source import register
+
+    register(spark)
+    up = tmp_path / "up"
+    up.mkdir()
+    down = str(tmp_path / "down")
+    ck = str(tmp_path / "ck")
+
+    def shard(name, ids):
+        t = pa.table({"id": pa.array(ids, pa.int64())})
+        with ipc.new_file(str(up / name), t.schema) as w:
+            w.write_table(t)
+
+    shard("a.arrow", [1, 2, 3])
+
+    def drain():
+        q = (
+            spark.readStream.format("arrowipc")
+            .load(str(up))
+            .withColumn("doubled", F.col("id") * 2)
+            .writeStream.format("arrowipc")
+            .option("path", down)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.format("arrowipc").load(down)
+    assert sorted((r.id, r.doubled) for r in first.collect()) == [
+        (1, 2),
+        (2, 4),
+        (3, 6),
+    ]
+    shard("b.arrow", [4])
+    drain()
+    final = spark.read.format("arrowipc").load(down)
+    assert sorted((r.id, r.doubled) for r in final.collect()) == [
+        (1, 2),
+        (2, 4),
+        (3, 6),
+        (4, 8),
+    ]
+    names = sorted(os.listdir(down))
+    assert all(n.startswith("part-b") and n.endswith(".arrow") for n in names)
