@@ -125,8 +125,8 @@ class ArrowIpcStreamReader(DirectoryTailStreamReader):
     with a different schema are the caller's error, the same strict
     posture as the batch reader."""
 
-    def __init__(self, path: str):
-        super().__init__(path, tuple(f"*{e}" for e in _EXTS))
+    def __init__(self, path: str, keep: int = 0):
+        super().__init__(path, tuple(f"*{e}" for e in _EXTS), keep)
 
     def _partition(self, path: str):
         return _ArrowFile(path)
@@ -309,7 +309,9 @@ class ArrowIpcDataSource(DataSource):
                 f"committed file under {self.options['path']!r} to pin "
                 "the schema before the tail starts"
             )
-        return ArrowIpcStreamReader(self.options["path"])
+        return ArrowIpcStreamReader(
+            self.options["path"], int(self.options.get("offset_keep", 0))
+        )
 
     def _prep_write_target(self) -> str:
         """Shared batch/stream sink preamble: resolve the target and

@@ -216,18 +216,15 @@ class HprofTailStreamReader(DirectoryTailStreamReader):
     aggregation keyed on it yields the per-dump census as each dump
     arrives."""
 
-    def __init__(self, path: str, split_bytes: int, view: str):
-        super().__init__(path, ("*.hprof",))
+    def __init__(self, path: str, split_bytes: int, view: str, keep: int = 0):
+        super().__init__(path, ("*.hprof",), keep)
         self.split_bytes = split_bytes
         self.view = view
 
     def partitions(self, start: dict, end: dict):
-        prior = set(start.get("seen", []))
         base = os.path.abspath(self.path)
         parts: list[_RecordRange] = []
-        for name in end.get("seen", []):
-            if name in prior:
-                continue
+        for name in self._new_names(start, end):
             f = os.path.join(base, name)
             id_size, ranges = _plan_ranges(f, self.split_bytes)
             for s, e in ranges:
@@ -292,7 +289,10 @@ class HprofDataSource(DataSource):
                 f"got {path!r}"
             )
         return HprofTailStreamReader(
-            path, self._split_bytes(), self.options.get("view", "records")
+            path,
+            self._split_bytes(),
+            self.options.get("view", "records"),
+            int(self.options.get("offset_keep", 0)),
         )
 
 

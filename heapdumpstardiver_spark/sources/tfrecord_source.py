@@ -226,8 +226,8 @@ class TfRecordStreamReader(DirectoryTailStreamReader):
     :class:`DirectoryTailStreamReader`; an empty directory is a
     normal pre-export state here because the schema is fixed."""
 
-    def __init__(self, path: str, validate: bool):
-        super().__init__(path, tuple(f"*{e}" for e in _EXTS))
+    def __init__(self, path: str, validate: bool, keep: int = 0):
+        super().__init__(path, tuple(f"*{e}" for e in _EXTS), keep)
         self.validate = validate
 
     def _partition(self, path: str):
@@ -372,7 +372,11 @@ class TfRecordDataSource(DataSource):
         return TfRecordReader(self.options["path"], self._validate_opt())
 
     def streamReader(self, schema):
-        return TfRecordStreamReader(self.options["path"], self._validate_opt())
+        return TfRecordStreamReader(
+            self.options["path"],
+            self._validate_opt(),
+            int(self.options.get("offset_keep", 0)),
+        )
 
     def _prep_write_target(self, schema) -> str:
         """Shared batch/stream sink preamble: resolve the target,

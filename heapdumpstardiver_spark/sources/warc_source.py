@@ -163,8 +163,8 @@ class WarcStreamReader(DirectoryTailStreamReader):
     ``option("tolerant", "true")`` degrades to partial files instead
     of failed tasks."""
 
-    def __init__(self, path: str, tolerant: bool):
-        super().__init__(path, ("*.warc", "*.warc.gz"))
+    def __init__(self, path: str, tolerant: bool, keep: int = 0):
+        super().__init__(path, ("*.warc", "*.warc.gz"), keep)
         self.tolerant = tolerant
 
     def _partition(self, path: str):
@@ -199,7 +199,9 @@ class WarcDataSource(DataSource):
         return WarcReader(*self._opts())
 
     def streamReader(self, schema):
-        return WarcStreamReader(*self._opts())
+        return WarcStreamReader(
+            *self._opts(), int(self.options.get("offset_keep", 0))
+        )
 
 
 def register(spark) -> None:

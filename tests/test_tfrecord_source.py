@@ -579,3 +579,147 @@ def test_stream_drain_with_no_new_files_is_a_noop(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1
     drain()  # nothing new committed between drains
     assert spark.read.parquet(out).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Bounded offsets (offset_keep): fleet-scale tails
+# ---------------------------------------------------------------------------
+
+
+def _mk_shards(d, names):
+    for n in names:
+        with open(d / n, "wb") as f:
+            write_record(f, n.encode())
+
+
+def test_offset_compaction_bounds_and_covers(tmp_path):
+    """With keep=3 the offset lists at most 3 names plus a floor, yet
+    across monotone growth every file is planned exactly once."""
+    d = tmp_path / "tail"
+    d.mkdir()
+    r = TfRecordStreamReader(str(d), validate=True, keep=3)
+    offset = r.initialOffset()
+    planned = []
+    for wave in range(4):
+        _mk_shards(d, [f"s{wave}{i}.tfrecord" for i in range(3)])
+        nxt = r.latestOffset()
+        assert len(nxt.get("seen", [])) <= 3
+        planned += [os.path.basename(p.path) for p in r.partitions(offset, nxt)]
+        offset = nxt
+    want = sorted(f"s{w}{i}.tfrecord" for w in range(4) for i in range(3))
+    assert sorted(planned) == want and len(planned) == len(set(planned))
+    assert "floor" in offset  # 12 files, keep=3: compaction engaged
+
+
+def test_offset_compaction_bootstrap_over_floor(tmp_path):
+    """A fresh checkpoint facing a compacted end offset recovers the
+    floor region from the directory: every file on disk is planned."""
+    d = tmp_path / "tail"
+    d.mkdir()
+    names = [f"s{i:02d}.tfrecord" for i in range(8)]
+    _mk_shards(d, names)
+    r = TfRecordStreamReader(str(d), validate=True, keep=2)
+    end = r.latestOffset()
+    assert len(end["seen"]) == 2 and end["floor"] == names[-3]
+    parts = r.partitions(r.initialOffset(), end)
+    assert sorted(os.path.basename(p.path) for p in parts) == names
+
+
+def test_offset_compaction_straggler_below_floor_is_skipped(tmp_path):
+    """The documented horizon semantics (FileStreamSource maxFileAge,
+    name-ordered): a file committed late with a name sorting below an
+    already-committed floor is not replanned once the floor stands
+    still — monotone naming is the contract that avoids this."""
+    d = tmp_path / "tail"
+    d.mkdir()
+    _mk_shards(d, [f"s{i}.tfrecord" for i in range(6)])
+    r = TfRecordStreamReader(str(d), validate=True, keep=2)
+    committed = r.latestOffset()
+    r.partitions(r.initialOffset(), committed)
+    # straggler sorting below the committed floor, no other new files
+    _mk_shards(d, ["a0.tfrecord"])
+    nxt = r.latestOffset()
+    assert nxt["floor"] == committed["floor"]  # floor stands still
+    assert r.partitions(committed, nxt) == []
+    # a straggler INSIDE the keep window is still caught exactly once
+    _mk_shards(d, ["s4a.tfrecord"])
+    nxt2 = r.latestOffset()
+    got = [os.path.basename(p.path) for p in r.partitions(nxt, nxt2)]
+    assert got == ["s4a.tfrecord"]
+
+
+def test_offset_compaction_exactly_once_property():
+    """Monotone commit order (each wave's names sort after all prior
+    names — the batch-keyed sink layout), any keep in 0..4: the union
+    of planned files across drains covers every commit exactly once."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.integers(1, 3), min_size=1, max_size=6),
+        st.integers(0, 4),
+    )
+    def check(wave_sizes, keep):
+        r = TfRecordStreamReader("/exports", validate=True, keep=keep)
+        committed: list[str] = []
+        offset = r.initialOffset()
+        planned: list[str] = []
+        snap: list[str] = []
+        # model the directory via the snapshot hook
+        r._snapshot = lambda: sorted(snap)  # type: ignore[method-assign]
+        seq = 0
+        for size in wave_sizes:
+            for _ in range(size):
+                snap.append(f"s{seq:03d}.tfrecord")
+                committed.append(f"s{seq:03d}.tfrecord")
+                seq += 1
+            nxt = r.latestOffset()
+            if keep:
+                assert len(nxt.get("seen", [])) <= keep
+            planned.extend(
+                os.path.basename(p.path) for p in r.partitions(offset, nxt)
+            )
+            offset = nxt
+        assert sorted(planned) == sorted(committed)
+        assert len(planned) == len(set(planned))
+
+    check()
+
+
+def test_stream_offset_keep_option_end_to_end(spark, tmp_path):
+    """offset_keep flows from the reader option to the tail: three
+    drains over growing shards, rows == batch read, no re-reads."""
+    register_tfrecord(spark)
+    src = tmp_path / "tail"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("tfrecord")
+            .option("offset_keep", "2")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _mk_shards(src, ["s00.tfrecord", "s01.tfrecord", "s02.tfrecord"])
+    drain()
+    _mk_shards(src, ["s03.tfrecord", "s04.tfrecord"])
+    drain()
+    _mk_shards(src, ["s05.tfrecord"])
+    drain()
+    got = sorted(
+        bytes(r.payload) for r in spark.read.parquet(out).select("payload").collect()
+    )
+    batch = spark.read.format("tfrecord").load(str(src))
+    assert got == sorted(
+        bytes(r.payload) for r in batch.select("payload").collect()
+    )
+    assert len(got) == 6
