@@ -65,6 +65,39 @@ def hprof_fixture_path() -> str:
     return hprof_fixture()[0]
 
 
+_FLEET_DIR = None
+
+
+def hprof_fleet_dir() -> str:
+    """Two-dump spool for the fleet-scan queries: ``t0.hprof`` is the
+    standard test heap, ``t1.hprof`` the grown heap (3 extra Strings
+    held by a fresh Object[] held by a rooted Child —
+    hprof_writer's ``hold_extras`` leak shape). Built once per
+    process at a fixed scratch path with the same tmp-name +
+    os.replace visibility discipline as ``hprof_fixture`` (the tmp
+    suffix keeps staged files outside the ``*.hprof`` glob, so a
+    concurrent directory scan never sees a torn dump)."""
+    global _FLEET_DIR
+    if _FLEET_DIR is None:
+        import tempfile
+
+        from ..ingest.hprof_writer import build_test_dump
+
+        d = os.path.join(tempfile.gettempdir(), "hds_hprof_fleet")
+        os.makedirs(d, exist_ok=True)
+        for name, kw in (
+            ("t0.hprof", {}),
+            ("t1.hprof", {"extra_strings": 3, "hold_extras": True}),
+        ):
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                tmp = f"{p}.tmp.{os.getpid()}"
+                build_test_dump(tmp, **kw)
+                os.replace(tmp, p)
+        _FLEET_DIR = d
+    return _FLEET_DIR
+
+
 def _fixture_warehouse(spark: SparkSession):
     """The test dump ingested once into a cached warehouse beside the
     fixture (keyed by the ingest _SUCCESS marker) — lets graph queries
@@ -1238,6 +1271,56 @@ def hprof_object_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("total_n"),
         )
         .orderBy("kind")
+    )
+
+
+@query(
+    "hprof_fleet_census",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('t0.hprof', 'class', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        ('t0.hprof', 'instance', CAST(8 AS BIGINT), CAST(114 AS BIGINT)),
+        ('t0.hprof', 'object_array', CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        ('t0.hprof', 'primitive_array', CAST(8 AS BIGINT), CAST(25 AS BIGINT)),
+        ('t1.hprof', 'class', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+        ('t1.hprof', 'instance', CAST(12 AS BIGINT), CAST(177 AS BIGINT)),
+        ('t1.hprof', 'object_array', CAST(3 AS BIGINT), CAST(6 AS BIGINT)),
+        ('t1.hprof', 'primitive_array', CAST(8 AS BIGINT), CAST(25 AS BIGINT))
+    ) AS t(dump, kind, n_objects, total_n)
+    ORDER BY dump, kind
+    """,
+)
+def hprof_fleet_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fleet heap census THROUGH the directory-addressed
+    ``format("hprof")`` source (r13): one scan over a spool of dumps,
+    rows prefixed with their dump of origin, grouped to the per-dump
+    per-kind object census — the batch face of the continuous
+    monitoring loop (`streaming/heap_monitor.py` commits the same
+    census per micro-batch from the spool tail). The input is the
+    deterministic two-dump fleet fixture (base heap + the grown heap
+    with `hold_extras`' planted leak: +4 instances, +1 object array
+    of 3 elements), so the oracle is its known constant tally — the
+    t1-minus-t0 deltas ARE the planted growth, which is what
+    `census_growth` attributes in the streaming twin.
+
+    Scale shape: planning touches only record headers per dump; each
+    task scans a disjoint byte range of one dump; the shuffle carries
+    (dump, kind) rows — bounded by fleet size x 4, never heap size."""
+    from ..sources import register
+
+    d = hprof_fleet_dir()
+    register(spark)
+    return (
+        spark.read.format("hprof")
+        .option("view", "instances")
+        .option("split_bytes", "256")
+        .load(d)
+        .groupBy("dump", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("n").alias("total_n"),
+        )
+        .orderBy("dump", "kind")
     )
 
 
