@@ -26,6 +26,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame, spark: SparkSession, *keys: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for map-heavy stages (r13,
+    guide §2.5/§6): the shingle/fingerprint pipelines front-load their
+    cost into per-row md5 + higher-order array transforms, so their
+    wall tracks the SCAN's task count. Locally a small table is one
+    parquet file = one split, serializing the whole hash stage on one
+    core; at warehouse scale the scan has >= default-parallelism
+    splits and this helper is a no-op. When (and only when) the scan
+    yields fewer partitions than the session's parallelism, the
+    NARROW pre-explode projection is hash-repartitioned (deterministic
+    keys — not round-robin, which pays a local sort and re-rolls
+    row placement on task retry, SPARK-38388) so the expensive
+    per-row work uses every core. The added exchange moves only
+    (doc_id, tokens) rows — bytes that were about to be exploded
+    ~tokens-fold anyway."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 # Document-frequency cap for exact shingle-bucket pipelines
 # (ngram_shingle_overlap, jaccard_pairs): a shingle shared by more
 # documents than this is a stop phrase — pairing inside such a bucket is
@@ -655,16 +676,23 @@ def ngram_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is defined identically in both engines. A shingle shared
     by >cap documents is a stop phrase, not a dedup signal."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
+    )
     n = 4
     # positions 1 .. len-n+1 (1-based), matching DuckDB's range unnest
     idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
     )
+    # r13 optimization (guide §2.3 — shuffle fewer bytes): a doc's
+    # repeated shingles are deduplicated row-locally (array_distinct)
+    # BEFORE the explode, so duplicate (doc, shingle) rows never reach
+    # the bucket Exchange; collect_set previously absorbed them after
+    # the shuffle, so results are unchanged by construction.
     buckets = (
         toks.filter(F.size("tokens") >= n)
-        .select("doc_id", F.explode(hashes).alias("shingle"))
+        .select("doc_id", F.explode(F.array_distinct(hashes)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
         .filter(
@@ -949,20 +977,36 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst does not share subplans across union branches), so the
     corpus is scanned once per self-join side, the minimum."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
-        F.size("tokens") >= 3
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+            F.size("tokens") >= 3
+        ),
+        spark,
+        "doc_id",
     )
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-            "tokens",
+    # r13 optimization (guide §2.4 — remove shuffles outright): the
+    # per-doc distinct-shingle set and the per-doc min-hashes are
+    # row-local (every shingle of a doc lives in its own tokens row),
+    # so array_distinct + array_min over transformed arrays replace
+    # the old explode→.distinct() Exchange AND the groupBy(doc_id)
+    # signature Exchange — the whole signature pipeline is now a
+    # projection; the band self-join's (band, bucket) exchanges are
+    # the only shuffles left in the plan.
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 2),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
         )
-        .select("doc_id", F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"))
-        .distinct()
     )
-    sig = shingles.groupBy("doc_id").agg(
-        *[F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}") for k in range(4)]
+    sets = toks.select("doc_id", sh_arr.alias("shs"))
+    sig = sets.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform("shs", lambda s: F.md5(F.concat(s, F.lit(f":{k}"))))
+            ).alias(f"h{k}")
+            for k in range(4)
+        ],
     )
     bands = sig.select(
         "doc_id",
@@ -1254,25 +1298,51 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets. Same single-shuffle bucket shape as
     ngram_shingle_overlap for the intersection — including the
     SHINGLE_DF_CAP hot-bucket guard, mirrored in the oracle. Per-doc
-    set sizes ride ALONG the pipeline (window count over the shingle
-    rows, then carried inside the bucket structs into each emitted
-    pair), so there is no join-back onto a second aggregation branch
+    set sizes ride ALONG the pipeline (computed row-locally on the
+    shingle array, then carried inside the bucket structs into each
+    emitted pair), so there is no join-back onto a second aggregation branch
     and the corpus is scanned exactly once. The division is a ratio of
     exact integers — bit-identical across engines."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
+    )
     n = 3
     idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
     )
+    # r13 optimization (guide §2.4 — remove shuffles outright): a
+    # document's shingles all live in its own row, so the per-doc
+    # distinct and set size are row-local — array_distinct + size on
+    # the hash array replace the old explode→.distinct() Exchange and
+    # the count().over(doc_id) Window+Sort+Exchange. The bucket
+    # groupBy and the pair groupBy remain as the only key-changing
+    # shuffles.
+    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
+    # array ATTRIBUTE runs ~4x slower than explode of an inline
+    # generator expression, so n_sh rides inside a struct built by
+    # transform() INSIDE the generator instead of as a retained column.
     shingles = (
         toks.filter(F.size("tokens") >= n)
-        .select("doc_id", F.explode(hashes).alias("shingle"))
-        .distinct()
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", F.array_distinct(hashes).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "hs",
+                    lambda s: F.struct(
+                        F.size("hs").cast("long").alias("n_sh"),
+                        s.alias("shingle"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z.n_sh").alias("n_sh"),
+            F.col("z.shingle").alias("shingle"),
+        )
     )
     buckets = (
         shingles.groupBy("shingle")
@@ -1686,20 +1756,50 @@ def incremental_dedup_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
-        F.size("tokens") >= 3
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+            F.size("tokens") >= 3
+        ),
+        spark,
+        "doc_id",
     )
     idx = F.sequence(F.lit(1), F.size("tokens") - 2)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
     )
-    sh = toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sig = sh.groupBy("doc_id").agg(
+    # r13 optimization (guide §2.4): per-doc distinct set, size and
+    # 8 salted min-hashes are row-local — array_distinct / size /
+    # array_min replace the explode→.distinct() Exchange and both
+    # groupBy(doc_id) Exchanges (sizes + sig); n_sh rides along the
+    # exploded shingle rows so the verify stage needs no join-back
+    # onto a separate sizes relation.
+    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
+    # array ATTRIBUTE runs ~4x slower than explode of an inline
+    # generator expression (the bare-attribute Generate forces a
+    # row-format boundary around the interpreted higher-order
+    # projection), so n_sh rides inside a struct built by transform()
+    # INSIDE the generator instead of as a retained column.
+    sets = toks.select("doc_id", F.array_distinct(hashes).alias("hs"))
+    sh = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                "hs",
+                lambda s: F.struct(
+                    F.size("hs").cast("long").alias("n_sh"),
+                    s.alias("shingle"),
+                ),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.n_sh").alias("n_sh"), F.col("z.shingle").alias("shingle"))
+    sig = sets.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+            F.array_min(
+                F.transform("hs", lambda s: F.md5(F.concat(s, F.lit(f":{k}"))))
+            ).alias(f"h{k}")
             for k in range(8)
-        ]
+        ],
     )
     bands_all = sig.select(
         "doc_id",
@@ -1744,16 +1844,20 @@ def incremental_dedup_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_doc") == F.col("sc.doc_id"))
             & (F.col("sb.shingle") == F.col("sc.shingle")),
         )
-        .groupBy("b_doc", "c_doc")
+        # n_sh is constant per doc, so grouping by it alongside the
+        # doc ids yields the same groups while letting the dup filter
+        # read both sizes straight off the aggregated row.
+        .groupBy(
+            "b_doc",
+            "c_doc",
+            F.col("sb.n_sh").alias("nb"),
+            F.col("sc.n_sh").alias("nc"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    zb, zc = sizes.alias("zb"), sizes.alias("zc")
     dup = (
-        inter.join(zb, F.col("b_doc") == F.col("zb.doc_id"))
-        .join(zc, F.col("c_doc") == F.col("zc.doc_id"))
-        .filter(
-            2 * F.col("inter")
-            >= F.col("zb.n_sh") + F.col("zc.n_sh") - F.col("inter")
+        inter.filter(
+            2 * F.col("inter") >= F.col("nb") + F.col("nc") - F.col("inter")
         )
         .select("b_doc")
         .distinct()
@@ -2796,20 +2900,46 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.8 gate differ, which is the point: the dedup family shares one
     scalable candidate pipeline, and each similarity semantics is a
     final-expression swap."""
-    from pyspark.sql import Window
-
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
+    )
     n = 3
     idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
     )
+    # r13 optimization (guide §2.4 — remove shuffles outright): a
+    # document's shingles all live in its own row, so the per-doc
+    # distinct and set size are row-local — array_distinct + size on
+    # the hash array replace the old explode→.distinct() Exchange and
+    # the count().over(doc_id) Window+Sort+Exchange. The bucket
+    # groupBy and the pair groupBy remain as the only key-changing
+    # shuffles.
+    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
+    # array ATTRIBUTE runs ~4x slower than explode of an inline
+    # generator expression, so n_sh rides inside a struct built by
+    # transform() INSIDE the generator instead of as a retained column.
     shingles = (
         toks.filter(F.size("tokens") >= n)
-        .select("doc_id", F.explode(hashes).alias("shingle"))
-        .distinct()
-        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", F.array_distinct(hashes).alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "hs",
+                    lambda s: F.struct(
+                        F.size("hs").cast("long").alias("n_sh"),
+                        s.alias("shingle"),
+                    ),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z.n_sh").alias("n_sh"),
+            F.col("z.shingle").alias("shingle"),
+        )
     )
     buckets = (
         shingles.groupBy("shingle")
@@ -3962,20 +4092,50 @@ def minhash_prefilter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     min over salted md5 hex (engine-portable), so the oracle
     reproduces the candidate set exactly."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
-        F.size("tokens") >= 3
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+            F.size("tokens") >= 3
+        ),
+        spark,
+        "doc_id",
     )
     idx = F.sequence(F.lit(1), F.size("tokens") - 2)
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
     )
-    sh = toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sig = sh.groupBy("doc_id").agg(
+    # r13 optimization (guide §2.4): per-doc distinct set, size and
+    # 8 salted min-hashes are row-local — array_distinct / size /
+    # array_min replace the explode→.distinct() Exchange and both
+    # groupBy(doc_id) Exchanges (sizes + sig); n_sh rides along the
+    # exploded shingle rows so the final Jaccard needs no join-back
+    # onto a separate sizes relation (two joins gone).
+    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
+    # array ATTRIBUTE runs ~4x slower than explode of an inline
+    # generator expression (the bare-attribute Generate forces a
+    # row-format boundary around the interpreted higher-order
+    # projection), so n_sh rides inside a struct built by transform()
+    # INSIDE the generator instead of as a retained column.
+    sets = toks.select("doc_id", F.array_distinct(hashes).alias("hs"))
+    sh = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                "hs",
+                lambda s: F.struct(
+                    F.size("hs").cast("long").alias("n_sh"),
+                    s.alias("shingle"),
+                ),
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.n_sh").alias("n_sh"), F.col("z.shingle").alias("shingle"))
+    sig = sets.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+            F.array_min(
+                F.transform("hs", lambda s: F.md5(F.concat(s, F.lit(f":{k}"))))
+            ).alias(f"h{k}")
             for k in range(8)
-        ]
+        ],
     )
     bands = sig.select(
         "doc_id",
@@ -4025,17 +4185,22 @@ def minhash_prefilter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
-        .groupBy("doc_a", "doc_b")
+        # n_sh is constant per doc: grouping by it alongside the doc
+        # ids yields the same groups and puts both set sizes on the
+        # aggregated row directly.
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n_sh").alias("na"),
+            F.col("sb.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
     jac = F.col("inter").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
-        .select("doc_a", "doc_b", "inter", round_col(jac, 4).alias("jaccard"))
+        inter.select("doc_a", "doc_b", "inter", round_col(jac, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(10)
     )
@@ -4229,40 +4394,56 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     million docs is excluded as a stop-fingerprint instead of
     exploding quadratically; TakeOrdered bounds the output."""
     d = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
-        F.size("tokens") >= 3
+    # r13 optimization (guide §2.4 — remove shuffles outright): the
+    # w=4 sliding-window minimum runs over ONE document's ordered
+    # gram-hash sequence, which lives entirely in that document's own
+    # row — so the old Window(partitionBy doc_id) + its Exchange+Sort
+    # and the explode→.distinct() Exchange are replaced by row-local
+    # array ops: transform over window starts taking array_min of
+    # each 4-slice, then array_distinct. The per-doc fingerprint
+    # count (nfp) is size() of that array and rides along the
+    # exploded fingerprint rows, so the old join-back onto a separate
+    # doc_fp relation (two joins) is gone too. A doc needs ≥ 4 grams
+    # (≥ 6 tokens) to emit any window, exactly as the old
+    # `i + 3 <= m` filter enforced; the filter moves before the
+    # explode. Shuffles left: the df-cap groupBy(fp), the capped
+    # join, the pair self-join, and the pair groupBy — all keyed on
+    # the fingerprint or the pair, none on per-doc state.
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+            F.size("tokens") >= 6
+        ),
+        spark,
+        "doc_id",
     )
     idx = F.sequence(F.lit(1), F.size("tokens") - 2)
-    grams = toks.select(
+    hs = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
+    )
+    # window starts i = 1 .. m-3 over the m = tokens-2 gram hashes
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - 3),
+            lambda i: F.array_min(F.slice("hs", i, 4)),
+        )
+    )
+    docs = toks.select("doc_id", hs.alias("hs")).select(
+        "doc_id", fps_arr.alias("fpa")
+    )
+    # struct-explode (see the jaccard_pairs NOTE): explode of a bare
+    # array attribute is ~4x slower than an inline generator
+    # expression on this Spark build, so nfp rides inside the struct.
+    fps = docs.select(
         "doc_id",
-        (F.size("tokens") - 2).alias("m"),
         F.explode(
             F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.md5(F.concat_ws(" ", F.slice("tokens", i, 3))).alias(
-                        "h"
-                    ),
+                "fpa",
+                lambda s: F.struct(
+                    F.size("fpa").cast("long").alias("nfp"), s.alias("fp")
                 ),
             )
-        ).alias("g"),
-    ).select("doc_id", "m", "g.i", "g.h")
-    wwin = (
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
-    )
-    winmin = grams.select(
-        "doc_id",
-        "i",
-        "m",
-        F.min("h").over(wwin).alias("fp"),
-    ).filter(F.col("i") + 3 <= F.col("m"))
-    fps = winmin.select("doc_id", "fp").distinct()
-    doc_fp = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("nfp")
-    )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.nfp").alias("nfp"), F.col("z.fp").alias("fp"))
     eligible = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -4278,16 +4459,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nfp").alias("nfp_a"),
+            F.col("b.nfp").alias("nfp_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
     )
-    fa = doc_fp.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a"))
-    fb = doc_fp.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b"))
     return (
-        shared.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select(
+        shared.select(
             "doc_a",
             "doc_b",
             "shared_fp",

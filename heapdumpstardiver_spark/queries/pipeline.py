@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..exprs import round_col, round_sql, stable_render, stable_render_sql
 from ..registry import query
-from .llm import minhash_lsh_candidates
+from .llm import _spread, minhash_lsh_candidates
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -137,11 +137,19 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the edge list once: every propagation round joins
     # against it, and without this checkpoint each round would re-run
     # the whole MinHash shingle/band pipeline upstream of `pairs`.
+    # The keyed repartition before the checkpoint is load-bearing
+    # (r13): the union's branch shuffles otherwise checkpoint at
+    # their full map-side partition count (64 near-empty partitions
+    # at bench scale — measured +0.8 s of empty scheduling across the
+    # rounds), while a repartition on the round-join key lets AQE
+    # size the materialized edge list by DATA (1 partition locally,
+    # size-proportional at warehouse scale).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .repartition("src")
         .localCheckpoint()
     )
     labels = (
@@ -3983,26 +3991,35 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparisons anywhere (contrast jaccard_pairs: novelty is
     the linear-cost screen you run BEFORE pairwise verification)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.split("text", " ").alias("tokens")
-    ).filter(F.size("tokens") >= 3)
-    grams = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-            "tokens",
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("gram"),
-        )
-        .distinct()
+    toks = _spread(
+        d.select(
+            "doc_id", "source", F.split("text", " ").alias("tokens")
+        ).filter(F.size("tokens") >= 3),
+        spark,
+        "doc_id",
     )
-    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    # r13 optimization (guide §2.4): the per-doc gram distinct is
+    # row-local (array_distinct before the explode — the old
+    # explode→.distinct() Exchange is gone), and each gram's first
+    # owner comes from min(doc_id) OVER (PARTITION BY gram) on the
+    # same rows instead of a groupBy + join-back — one Exchange on
+    # the gram replaces the old aggregate Exchange PLUS the join.
+    # Plan: 4 Exchanges → 2 (gram window, per-doc rollup).
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
     per_doc = (
-        grams.join(owner, "gram")
+        grams.withColumn("first_doc", first_doc)
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
