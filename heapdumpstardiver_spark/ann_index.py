@@ -42,7 +42,8 @@ IVF_ROUNDS = 2
 
 
 def _lit_vec(xs: list[float]):
-    return F.array(*[F.lit(float(x)) for x in xs])
+    # single Literal node — see exprs.lit_vec (r13)
+    return F.lit([float(x) for x in xs])
 
 
 def _self_dot(xs: list[float]) -> float:

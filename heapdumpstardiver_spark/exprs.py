@@ -34,6 +34,17 @@ def round_col(col: Column, n: int = 2) -> Column:
     return F.when(col >= 0, pos).otherwise(neg) + F.lit(0.0)
 
 
+def lit_vec(xs) -> Column:
+    """One array<double> literal as a SINGLE Literal node.
+
+    ``F.array(*[F.lit(float(x)) for x in xs])`` builds O(d) expression
+    nodes per use; at d=64 the per-round re-analysis/codegen of those
+    trees measured ~25% of a k-means round's wall (r13). A plain
+    ``F.lit(list)`` carries the same doubles as one node — values are
+    bit-identical, only plan size changes."""
+    return F.lit([float(x) for x in xs])
+
+
 def round_sql(expr: str, n: int = 2) -> str:
     """The same rounding as :func:`round_col`, as a SQL fragment valid
     in BOTH dialects (DuckDB oracles, and Spark SQL for passthrough

@@ -1221,7 +1221,8 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents.sort()
 
     def lit_vec(xs):
-        return F.array(*[F.lit(float(x)) for x in xs])
+        # single Literal node — see exprs.lit_vec (r13)
+        return F.lit([float(x) for x in xs])
 
     # argmax over the codebook as greatest() of (affinity, -cid, cid)
     # structs — max affinity, ties to the smallest cid, matching the
@@ -2459,7 +2460,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     -(
                         dot(sv, sv)
-                        - 2 * dot(sv, F.array(*[F.lit(float(x)) for x in cv]))
+                        - 2 * dot(sv, F.lit([float(x) for x in cv]))
                         + F.lit(fold_dot(cv, cv))
                     )
                 ).alias("negd"),
@@ -3297,7 +3298,7 @@ def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     proj = F.array(
         *[
-            (dot(F.col("v"), F.array(*[F.lit(float(s)) for s in signs[j]])) / 4)
+            (dot(F.col("v"), F.lit([float(s) for s in signs[j]])) / 4)
             for j in range(_RP_OUT_DIM)
         ]
     )

@@ -1299,7 +1299,8 @@ def _lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = 4,
     )
 
     def lit_vec(xs):
-        return F.array(*[F.lit(float(x)) for x in xs])
+        # single Literal node — see exprs.lit_vec (r13)
+        return F.lit([float(x) for x in xs])
 
     def self_dot(xs):
         # Left-to-right Python fold == DuckDB list_dot_product(cv, cv)
@@ -1329,6 +1330,13 @@ def _lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = 4,
             "dist", -best.getField("negd")
         )
 
+    # r13 optimization round A/B (guide §1.1 measure-first): a
+    # per-dimension agg (groupBy(cid).agg(avg(element_at(v, i)) x d),
+    # no explode, no n x d shuffle) measured SLOWER than this
+    # posexplode shape at BOTH sf0.1 (0.57 vs 0.42 s/round) and sf1
+    # (0.83 vs 0.43) — the 64-slot aggregate buffer loses to the
+    # narrow exploded hash agg — so the explode shape is kept
+    # deliberately.
     for _ in range(rounds):
         rows = (
             assign(cents)
@@ -1580,7 +1588,7 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .collect()
     )
-    cv = F.array(*[F.lit(float(r["c"])) for r in cent_rows])
+    cv = F.lit([float(r["c"]) for r in cent_rows])
     rel = base.withColumn(
         "rel",
         dot(F.col("v"), cv) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(cv, cv))),
@@ -1605,7 +1613,7 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = cand.orderBy(F.desc("mmr"), "vec_id").limit(1).collect()[0]
         picks.append((t, row["vec_id"], row["rel"], row["mmr"]))
         sel_ids.append(row["vec_id"])
-        sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["v"]]))
+        sel_vecs.append(F.lit([float(x) for x in row["v"]]))
     out = spark.createDataFrame(
         picks, "pick_idx int, vec_id long, rel_raw double, mmr_raw double"
     )
@@ -6308,7 +6316,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = base.filter(F.col("vec_id") == 0).collect()[0]
     picks = [(1, int(seed["vec_id"]), 0.0)]
     sel_ids = [int(seed["vec_id"])]
-    sel_vecs = [F.array(*[F.lit(float(x)) for x in seed["v"]])]
+    sel_vecs = [F.lit([float(x) for x in seed["v"]])]
     for t in range(2, KCENTER_K + 1):
         dists = [
             dot(F.col("v"), F.col("v"))
@@ -6326,7 +6334,7 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picks.append((t, int(row["vec_id"]), float(row["mind"])))
         sel_ids.append(int(row["vec_id"]))
-        sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["v"]]))
+        sel_vecs.append(F.lit([float(x) for x in row["v"]]))
     out = spark.createDataFrame(picks, "pick_idx int, vec_id long, mind double")
     return out.select(
         "pick_idx", "vec_id", stable_render(F.col("mind"), 6).alias("min_dist_sq")

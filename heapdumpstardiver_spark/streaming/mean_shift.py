@@ -67,7 +67,7 @@ def mean_shift_from_sums(
     the identical arithmetic as the batch query (rounded current
     means, ordered Σd² fold, top-dimension by |shift| with dim
     tie-break), runnable on the drained sink table or in foreachBatch."""
-    base = F.array(*[F.lit(float(m)) for m in baseline])
+    base = F.lit([float(m) for m in baseline])
     cur = dim_sums.select(
         "i",
         round_col(F.col("s") / F.col("n"), 6).alias("m"),
