@@ -1797,24 +1797,34 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar row (broadcast crossJoin), the per-doc rollup shuffles
     doc×bucket counts, never tokens. At 100 TB the hashed-feature
     reduction is the point of DSIR: model fitting touches only
-    fixed-width count vectors."""
-    from pyspark.sql import Window
-
+    fixed-width count vectors. (r13, guide §2.4: unigram+bigram
+    features are built IN-ROW — bigrams as a zip_with over the
+    shifted token array — replacing the old posexplode → per-doc lag
+    window, which shuffled and sorted every corpus token, and the
+    two-branch union that recomputed it; doc metadata rides the
+    bucket groupBy instead of a join back onto the scan.)"""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    ).filter(F.col("token") != "")
-    seq = toks.withColumn(
-        "prev", F.lag("token").over(Window.partitionBy("doc_id").orderBy("pos"))
+    arr = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    base = _spread(
+        d.select("doc_id", "lang", "source", arr.alias("toks")), spark, "doc_id"
     )
-    uni = seq.select("doc_id", "lang", F.col("token").alias("f"))
-    bi = seq.filter(F.col("prev").isNotNull()).select(
-        "doc_id", "lang", F.concat_ws(" ", "prev", "token").alias("f")
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n1),
+        F.slice("toks", 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    feats = uni.unionByName(bi)
-    db = feats.groupBy(
-        "doc_id", "lang", F.substring(F.md5("f"), 1, 2).alias("b")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    feats = F.concat(F.col("toks"), bigrams)
+    db = (
+        base.select(
+            "doc_id", "lang", "source", F.explode(feats).alias("f")
+        )
+        .groupBy(
+            "doc_id", "lang", "source",
+            F.substring(F.md5("f"), 1, 2).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     bstat = db.groupBy("b").agg(
         F.sum("cnt").alias("s_cnt"),
         F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)).alias(
@@ -1832,15 +1842,14 @@ def importance_resample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         db.join(F.broadcast(bstat), "b")
         .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang", "source")
         .agg(
             F.sum(lw_term).alias("lw"),
             F.sum("cnt").cast("long").alias("n_feats"),
         )
     )
     return (
-        w.join(d.select("doc_id", "lang", "source"), "doc_id")
-        .select(
+        w.select(
             "doc_id", "lang", "source", "n_feats",
             round_col(F.col("lw"), 6).alias("lw_r"),
         )
@@ -2506,48 +2515,73 @@ def curation_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     one lazy plan (four 1-row aggregates broadcast-joined, stages
     unpivoted from struct literals — no driver-side counting loop).
 
-    Scale: the expensive relations (token frequencies, gram sets) are
-    each built once; stage counts are scalar aggregates over
-    progressively smaller survivors. The benchmark gram set stays the
-    only broadcast of data size."""
+    Scale (r13 rewrite, guide §1.1/§2.4): the quality gate is pure
+    in-row arithmetic — max term frequency is the longest run in the
+    sorted token array, identical in value to the old
+    explode→groupBy(doc_id,t)→max chain but with ZERO exchanges — so
+    every stage count is a conditional aggregate over ONE shared
+    corpus projection instead of re-deriving its full lineage
+    (before: 22 scans / 54 exchanges; after: the corpus is scanned
+    once — the spread exchange below is reused by all three
+    subtrees — plus one benchmark-docs pass). Dedup survivors are
+    min(doc_id) per text hash (the same keep-first rows as the old
+    per-hash row_number window, as a narrow partial-aggregating
+    groupBy); decontamination explodes the in-row-distinct gram
+    arrays of QPASS docs only, drops non-benchmark grams against the
+    broadcast gram set first, and only then shuffles the surviving
+    doc_ids. The benchmark gram set stays the only broadcast of data
+    size."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("tokens")
     )
-    corpus = d.filter(F.col("doc_id") % 50 != 0)
 
-    tf = (
-        corpus.select("doc_id", F.explode("tokens").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Longest run in the sorted token array == max per-token count.
+    max_tf = F.aggregate(
+        F.sort_array(F.col("tokens")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    max_tf = tf.groupBy("doc_id").agg(F.max("c").alias("max_tf"))
-    q = corpus.select(
+    qpass_cond = ~(
+        (F.col("n_tok") < 20)
+        | (F.col("n_stop") * 1.0 / F.col("n_tok") > 0.25)
+        | (F.col("max_tf") * 1.0 / F.col("n_tok") > 0.12)
+    )
+    corpus = _spread(
+        d.filter(F.col("doc_id") % 50 != 0), spark, "doc_id"
+    ).select(
         "doc_id",
         "text",
+        "tokens",
         F.size("tokens").alias("n_tok"),
         F.size(
             F.expr("filter(tokens, t -> t = 'the' OR t = 'a')")
         ).alias("n_stop"),
-    ).join(max_tf, "doc_id")
-    qpass = q.filter(
-        ~(
-            (F.col("n_tok") < 20)
-            | (F.col("n_stop") * 1.0 / F.col("n_tok") > 0.25)
-            | (F.col("max_tf") * 1.0 / F.col("n_tok") > 0.12)
-        )
-    ).select("doc_id", "text")
+        max_tf.alias("max_tf"),
+    )
+    qpass = corpus.filter(qpass_cond)
 
-    from pyspark.sql import Window
-
-    dd = (
-        qpass.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(F.md5("text")).orderBy("doc_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "text")
+    # Keep-first per exact text: min(doc_id) per md5 — the same
+    # survivor set as a per-hash row_number()=1 window, without
+    # shuffling text bodies.
+    kept = (
+        qpass.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
 
     n = 5
@@ -2555,30 +2589,33 @@ def curation_funnel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("tokens") - n + 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n))),
     )
-    grams = (
-        d.filter(F.size("tokens") >= n)
-        .select("doc_id", F.explode(gram_hashes).alias("g"))
+    bench_g = (
+        d.filter((F.col("doc_id") % 50 == 0) & (F.size("tokens") >= n))
+        .select(F.explode(F.array_distinct(gram_hashes)).alias("g"))
         .distinct()
     )
-    bench_g = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
-    )
+    # Grams of benchmark docs contaminate any KEPT doc sharing one;
+    # generating from qpass (⊇ kept) then semi-joining kept gives the
+    # identical contaminated set as the old full-corpus gram relation.
     contaminated = (
-        grams.join(dd.select("doc_id"), "doc_id", "left_semi")
+        qpass.filter(F.size("tokens") >= n)
+        .select("doc_id", F.explode(F.array_distinct(gram_hashes)).alias("g"))
         .join(F.broadcast(bench_g), "g", "left_semi")
         .select("doc_id")
         .distinct()
+        .join(kept, "doc_id", "left_semi")
     )
-    clean = dd.join(contaminated, "doc_id", "left_anti")
 
-    n0 = corpus.agg(F.count(F.lit(1)).alias("n0"))
-    n1 = qpass.agg(F.count(F.lit(1)).alias("n1"))
-    n2 = dd.agg(F.count(F.lit(1)).alias("n2"))
-    n3 = clean.agg(F.count(F.lit(1)).alias("n3"))
+    n0 = corpus.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(qpass_cond, F.lit(1))).alias("n1"),
+    )
+    n2 = kept.agg(F.count(F.lit(1)).alias("n2"))
+    nc = contaminated.agg(F.count(F.lit(1)).alias("nc"))
     s = (
-        n0.crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
-        .crossJoin(F.broadcast(n3))
+        n0.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(nc))
+        .withColumn("n3", F.col("n2") - F.col("nc"))
     )
     stages = F.array(
         F.struct(
