@@ -90,18 +90,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Strings check generalized (analyze_heap_parquet.py:255-342). The
     md5 group key makes the shuffle key fixed-width regardless of
     document size; at 100 TB use xxhash64 and keep the text out of the
-    shuffle entirely."""
+    shuffle entirely. (r13, guide §2.4: keep-first needs no per-hash
+    ranking when only the census is emitted — kept == number of hash
+    groups, dropped == multiplicity minus one per group — so the
+    row_number window's sort and the separate countDistinct branch
+    collapse into one partial-aggregating groupBy.)"""
     d = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("h").orderBy("doc_id")
-    ranked = d.select("doc_id", F.md5("text").alias("h")).withColumn(
-        "rn", F.row_number().over(w)
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    return ranked.agg(
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("kept"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("dropped"),
-        F.countDistinct("h").alias("distinct_texts"),
+    return g.agg(
+        F.count(F.lit(1)).alias("kept"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("dropped"),
+        F.count(F.lit(1)).alias("distinct_texts"),
     )
 
 
@@ -2680,38 +2681,58 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-bounded broadcast scalars; the final score is one partial-
     aggregated shuffle on doc_id and a TakeOrdered(20). An inverted
     index materializes nothing here because the term list prunes the
-    token stream before it ever moves."""
+    token stream before it ever moves. (r13, guide §2.4: per-term tf
+    is a k-bounded in-row `size(filter(...))` per query term, so the
+    token explode, the (doc, term) aggregation exchange and the
+    tf⋈dlen join all disappear — one corpus scan feeds one scalar
+    aggregate (N, avgdl, per-term df) and one scored projection,
+    ending in the same TakeOrdered(20).)"""
     d = _t(spark, sf_dir, "documents")
     terms = ["join", "scan", "merge"]
     base = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
     )
-    dl = base.select("doc_id", F.size("toks").alias("dlen"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    def _tf(term: str):
+        # Single-arg lambda: a 2-arg filter lambda would bind the
+        # second parameter to the element INDEX, shadowing the term.
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    wide = base.select(
+        "doc_id",
+        F.size("toks").alias("dlen"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     )
-    tf = (
-        base.select("doc_id", F.explode("toks").alias("token"))
-        .filter(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = wide.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(1.2) * (
-        F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
-    )
+
+    def part(i: int):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        denom = F.col(f"tf_{i}") + F.lit(1.2) * (
+            F.lit(0.25) + F.lit(0.75) * F.col("dlen") / F.col("avgdl")
+        )
+        return F.when(
+            F.col(f"tf_{i}") > 0,
+            idf * (F.col(f"tf_{i}") * F.lit(2.2)) / denom,
+        ).otherwise(F.lit(0.0))
+
+    score = part(0) + part(1) + part(2)
     return (
-        tf.join(F.broadcast(df), "token")
-        .join(dl, "doc_id")
+        wide.filter(
+            (F.col("tf_0") > 0) | (F.col("tf_1") > 0) | (F.col("tf_2") > 0)
+        )
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * (F.col("tf") * F.lit(2.2)) / denom).alias("part"))
-        .groupBy("doc_id")
-        .agg(round_col(F.sum("part"), 4).alias("score_r"))
+        .select("doc_id", round_col(score, 4).alias("score_r"))
         .orderBy(F.desc("score_r"), "doc_id")
         .limit(20)
         .select(

@@ -3485,24 +3485,29 @@ def boilerplate_passage_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — document-frequency aggregate, then a per-source rollup
     joined to a source-sized doc-count relation. No pair joins, no
     skew beyond source cardinality (salt the rollup if one source
-    dominates a real crawl)."""
+    dominates a real crawl). (r13, guide §2.3/§2.4: the within-doc
+    chunk dedup is `array_distinct` IN-ROW before the explode — with
+    doc_id unique, the exploded rows are then already distinct, so
+    the corpus-sized DISTINCT exchange disappears and doc_id never
+    enters the shuffle at all. No `_spread` here: interleaved A/B at
+    sf0.1 AND sf1 measured the token-array repartition costing more
+    than the split-starved map stage it fixes — the md5 work per row
+    is light enough that the scan's own splits win.)"""
     d = _t(spark, sf_dir, "documents")
     n, stride = 2, 2
     toks = d.select(
         "doc_id", "source", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= n)
-    chunks = (
-        toks.select(
-            "doc_id",
-            "source",
-            F.explode(
+    chunks = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("t") - n + 1, F.lit(stride)),
                     lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
                 )
-            ).alias("h"),
-        )
-        .distinct()
+            )
+        ).alias("h"),
     )
     df_rel = chunks.groupBy("source", "h").agg(F.count(F.lit(1)).alias("d"))
     # Every doc that passes the size filter contributes >=1 chunk, so
