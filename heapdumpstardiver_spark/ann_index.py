@@ -94,13 +94,12 @@ def train_centroids_on_v(
     """`train_centroids` on an already cast-and-checkpointed
     (vec_id, v) relation — lets composed builds (IVF+PQ) reuse one
     checkpoint for coarse and codebook training."""
-    init_ids = [
-        r["vec_id"]
-        for r in v.select("vec_id").orderBy("vec_id").limit(k).collect()
-    ]
+    # ONE TakeOrdered pass fetches the k init rows with their vectors
+    # (r13: the previous ids-then-isin shape cost a second corpus
+    # pass per build for data the first pass already ranked).
     cents = sorted(
         (int(r["vec_id"]), list(r["v"]))
-        for r in v.filter(F.col("vec_id").isin(init_ids)).collect()
+        for r in v.orderBy("vec_id").limit(k).collect()
     )
     cents = [(i, cv) for i, (_vid, cv) in enumerate(cents)]
     for _ in range(rounds):

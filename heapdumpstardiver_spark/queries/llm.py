@@ -1436,19 +1436,27 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with a keep-best policy: per content-hash group,
     retain the longest document (ties → lowest id) instead of
     keep-first — the quality-aware variant every training pipeline
-    runs. Same single-shuffle shape as dedup_exact: both window
-    functions share one hash-partitioned sort."""
-    from pyspark.sql import Window
-
+    runs. (r13, guide §2.3: keep-best is a per-group ARGMAX, so a
+    partial-aggregating `max(struct(n_chars, -doc_id, doc_id))` rides
+    the map side — only one best-struct + count per (partition, hash)
+    reaches the exchange, where the row_number window shuffled and
+    SORTED every row of every duplicate group.)"""
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("h")
-    rn = F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id"))
+    best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("doc_id").alias("doc_id"),
+        )
+    )
     return (
         d.select("doc_id", F.md5("text").alias("h"), "n_chars")
-        .withColumn("rn", rn)
-        .withColumn("group_n", F.count(F.lit(1)).over(w).cast("long"))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "h", "group_n")
+        .groupBy("h")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).cast("long").alias("group_n"),
+        )
+        .select(F.col("best.doc_id").alias("doc_id"), "h", "group_n")
     )
 
 
