@@ -1460,6 +1460,43 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inrow_tf(docs: DataFrame) -> DataFrame:
+    """Per-document term frequencies WITHOUT a (doc_id, term)
+    aggregation exchange (r13, guide §2.4): doc_id is unique per
+    input row, so the global (doc, term) count is row-local — run-
+    length encode the SORTED token array and explode (term, tf) pairs
+    straight off the map side. `starts` holds the 1-based position of
+    each run's first token; a run's tf is the gap to the next start
+    (sentinel size+1 closes the last run). The pair generator is an
+    inline transform — the bare-attribute Generate boundary measured
+    ~4x slower (see the shingle-family note). No `_spread`: a 3-way
+    interleaved A/B at sf0.1 AND sf1 measured the text repartition a
+    consistent loss here (sf1 tfidf 5.6 vs 4.6 s min) — run-length
+    over one pre-sorted array is ~an order lighter than the shingle
+    family's per-row md5 work that _spread pays for."""
+    st = F.array_sort(F.filter(F.split("text", " "), lambda t: t != ""))
+    starts = F.expr(
+        """CASE WHEN size(st) = 0 THEN array()
+           ELSE filter(sequence(1, size(st)),
+                       i -> i = 1 OR element_at(st, i) != element_at(st, i - 1))
+           END"""
+    )
+    pairs = F.expr(
+        """transform(starts, (s, j) -> struct(
+               element_at(st, s) AS term,
+               CAST(element_at(concat(starts, array(size(st) + 1)), j + 2) - s
+                    AS BIGINT) AS tf))"""
+    )
+    return (
+        docs.select("doc_id", st.alias("st"))
+        .select("doc_id", "st", starts.alias("starts"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+        )
+    )
+
+
 @query(
     "tfidf_top_terms",
     oracle=f"""
@@ -1483,22 +1520,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring: term frequency per (doc, term), document
-    frequency per term, idf = ln(N/df), global top-25. Document
-    frequency is a window count over the tf partials (tf already has
-    exactly one row per (doc, term)) — deriving it from the raw token
-    explode as a second aggregation branch would duplicate the scan
-    and the explode, which dwarf the tf-sized shuffle the window
-    costs. N is a count-only scan crossJoined by broadcast. ln on the
-    same exact-integer-derived doubles is bit-identical across
-    engines; the rounded score is also the sort key so the LIMIT
-    boundary agrees."""
+    frequency per term, idf = ln(N/df), global top-25. Term
+    frequencies are computed IN-ROW (`_inrow_tf` — doc_id is unique
+    per row, so no (doc, term) exchange exists at all). Document
+    frequency is a window count over the tf rows (tf has exactly one
+    row per (doc, term)) — deriving it from a second aggregation
+    branch would duplicate the scan and the tokenization, which dwarf
+    the tf-sized shuffle the window costs. N is a count-only scan
+    crossJoined by broadcast. ln on the same exact-integer-derived
+    doubles is bit-identical across engines; the rounded score is
+    also the sort key so the LIMIT boundary agrees."""
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _inrow_tf(d)
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     score = round_col(
@@ -4016,7 +4051,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself — at 100 TB, shard postings by (term, doc-range) segments
     exactly as Lucene does, or cap list length per segment; the
     ordered string_agg/array_join renders each shard
-    deterministically either way. TakeOrdered bounds the output."""
+    deterministically either way. TakeOrdered bounds the output.
+    (r13: the `_inrow_tf` substitution was adjudicated OUT here — a
+    3-way interleaved A/B measured a wash at sf1 (1.50 vs 1.53 s min)
+    and a slight loss at sf0.1: the removed (term, doc) exchange is
+    already partial-aggregated map-side, so the in-row run-length
+    work only offsets it, unlike tfidf where the window consumer
+    keeps the saving.)"""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")

@@ -3672,13 +3672,17 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`quality_percentile_gate`) flatten away. All-integer objectives,
     so the dominance comparisons are engine-exact.
 
-    Scale shape: the corpus first reduces to DISTINCT objective pairs
-    with multiplicities (value-grid-bounded, corpus-independent), the
-    dominance sweep runs as two windows over that reduced relation —
-    min cost over strictly-better quality via a value-RANGE frame,
-    min cost within the quality tie group — and survivors join back
-    hash-partitioned. The global-order window only ever sees the
-    reduced pair grid, never the corpus."""
+    Scale shape (r13, guide §1.1/§2.4): the corpus reduces in ONE
+    scan to DISTINCT objective pairs carrying their doc lists
+    (`collect_list` rides the cell groupBy), localCheckpointed so the
+    dominance branch and the survivor join-back share the single
+    tokenize pass — the previous two-branch shape re-scanned and
+    re-tokenized the corpus for the join-back (interleaved A/B:
+    sf0.1 1.00→0.78 s min, sf1 1.08→0.95). The dominance sweep runs
+    as two windows over the SKINNY pair projection — min cost over
+    strictly-better quality via a value-RANGE frame, min cost within
+    the quality tie group — so the global-order window never carries
+    doc lists; surviving cells join back broadcast and explode."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     scored = d.select(
@@ -3686,9 +3690,12 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
-    pairs = scored.groupBy("n_types", "n_chars").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    cells = (
+        scored.groupBy("n_types", "n_chars")
+        .agg(F.collect_list("doc_id").alias("doc_ids"))
+        .localCheckpoint()
     )
+    pairs = cells.select("n_types", "n_chars")
     w_higher = Window.orderBy("n_types").rangeBetween(
         1, Window.unboundedFollowing
     )
@@ -3704,8 +3711,8 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("best_same") >= F.col("n_chars"))
     ).select("n_types", "n_chars")
     return (
-        scored.join(frontier, ["n_types", "n_chars"])
-        .select("doc_id", "n_types", "n_chars")
+        cells.join(F.broadcast(frontier), ["n_types", "n_chars"])
+        .select(F.explode("doc_ids").alias("doc_id"), "n_types", "n_chars")
         .orderBy(F.desc("n_types"), "n_chars", "doc_id")
     )
 
