@@ -30,10 +30,9 @@ N_HASHES = 8
 N_BANDS = 4
 
 
-def doc_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(shingles, band rows) for a (doc_id, text) relation — the same
-    8-hash/4-band construction as the batch operator (trigram md5
-    shingles, lexicographic min over salted md5 hex)."""
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) rows for a (doc_id, text) relation
+    (trigram md5 shingles)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
@@ -41,14 +40,23 @@ def doc_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     hashes = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, 3)))
     )
-    sh = toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
+    return toks.select("doc_id", F.explode(hashes).alias("shingle")).distinct()
+
+
+def bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """Band rows from a (doc_id, shingle) relation — the same
+    8-hash/4-band construction as the batch operator (lexicographic
+    min over salted md5 hex). Split from `doc_shingles` so a
+    materialized (localCheckpointed) shingle relation feeds BOTH
+    artifacts without re-deriving the shingle pipeline (r13: each
+    extra lineage paid tokenize+explode+distinct again)."""
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
             for k in range(N_HASHES)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -64,24 +72,33 @@ def doc_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    return sh, bands
+
+
+def doc_signatures(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(shingles, band rows) for a (doc_id, text) relation."""
+    sh = doc_shingles(docs)
+    return sh, bands_from_shingles(sh)
 
 
 def build_corpus_index(spark: SparkSession, corpus: DataFrame, index_dir: str) -> None:
     """Persist the probe-side artifacts: capped band index, shingle
     sets, and shingle-set sizes. In production this is the corpus
     pipeline's side output, bucketed by (band, bucket) / doc_id."""
-    from pyspark.sql import Window
-
-    sh, bands = doc_signatures(corpus)
-    wcap = Window.partitionBy("band", "bucket").orderBy("doc_id")
-    capped = (
-        bands.withColumn("rnb", F.row_number().over(wcap))
-        .filter(F.col("rnb") <= BAND_BUCKET_CAP)
-        .drop("rnb")
+    # r13 (guide §1.1): the shingles table is written ANYWAY, so write
+    # it FIRST and derive bands + sizes from reading it back — one
+    # shingle pipeline pass instead of three (each write is its own
+    # job, so the tokenize+explode+distinct lineage re-ran per
+    # artifact). Reading the compressed parquet back costs far less
+    # than either the recompute or a block-manager localCheckpoint of
+    # the exploded rows (the checkpoint variant measured 31.4 s vs
+    # 28.4 baseline at sf1 — memory pressure; this shape wins).
+    doc_shingles(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "shingles")
     )
-    capped.write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
-    sh.write.mode("overwrite").parquet(os.path.join(index_dir, "shingles"))
+    sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    _capped_bands(bands_from_shingles(sh)).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "bands")
+    )
     sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "sizes"))
@@ -101,7 +118,14 @@ def flag_batch(
     idx = spark.read.parquet(os.path.join(index_dir, "bands"))
     corpus_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
     corpus_sizes = spark.read.parquet(os.path.join(index_dir, "sizes"))
-    sh, bands = signatures if signatures else doc_signatures(batch_docs)
+    if signatures:
+        sh, bands = signatures
+    else:
+        # Materialize once: sh feeds the verify join AND sizes, bands
+        # the probe — without the checkpoint each consumer re-ran the
+        # batch shingle pipeline (r13).
+        sh = doc_shingles(batch_docs).localCheckpoint()
+        bands = bands_from_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     b, c = bands.alias("b"), idx.alias("c")
     cand = (
@@ -215,7 +239,11 @@ def append_to_corpus_index(
     dropped here ranks > CAP among its own batch's bucket members, so
     it ranks > CAP in any union containing that batch — the global
     re-cap at compaction could never have kept it."""
-    sh, bands = signatures if signatures else doc_signatures(docs)
+    if signatures:
+        sh, bands = signatures
+    else:
+        sh = doc_shingles(docs).localCheckpoint()
+        bands = bands_from_shingles(sh)
     _capped_bands(bands).write.mode("append").parquet(
         os.path.join(index_dir, "bands")
     )
@@ -269,13 +297,15 @@ def dedup_and_append_batch(
     for the complete pipeline)."""
     # One signature pass serves BOTH the probe and the append
     # (localCheckpoint materializes the batch-sized relations so the
-    # second use does not recompute shingling). Verdicts materialize
-    # BEFORE the index mutates: the flags plan lazily scans the index
-    # directories, so a post-append re-execution would race its own
-    # appended rows. All relations stay distributed (never a driver
-    # collect).
-    sh, bands = doc_signatures(batch_docs)
-    sh, bands = sh.localCheckpoint(), bands.localCheckpoint()
+    # second use does not recompute shingling); bands derive FROM the
+    # checkpointed shingles, so their own checkpoint materializes only
+    # the groupBy+explode, not a second shingle pipeline (r13).
+    # Verdicts materialize BEFORE the index mutates: the flags plan
+    # lazily scans the index directories, so a post-append
+    # re-execution would race its own appended rows. All relations
+    # stay distributed (never a driver collect).
+    sh = doc_shingles(batch_docs).localCheckpoint()
+    bands = bands_from_shingles(sh).localCheckpoint()
     flags = flag_batch(
         spark, batch_docs, index_dir, signatures=(sh, bands)
     ).localCheckpoint()
