@@ -81,8 +81,11 @@ def _make_table() -> list[int]:
 _CRC_TABLE = _make_table()
 
 
-def crc32c(data: bytes) -> int:
-    """CRC32C over *data* (test vector: b'123456789' -> 0xE3069283)."""
+def _crc32c_bytewise(data: bytes) -> int:
+    """Reference per-byte CRC32C (test vector: b'123456789' ->
+    0xE3069283). Kept for short inputs (record headers) where numpy
+    call overhead exceeds the loop, and as the parity oracle for the
+    vectorized path in tests."""
     crc = 0xFFFFFFFF
     tab = _CRC_TABLE
     for b in data:
@@ -90,10 +93,137 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+# Vectorized CRC32C (r13, optimization guide §4 — the per-byte Python
+# loop ran at ~8 MB/s and dominated every validating TFRecord scan and
+# every sink write). CRC update is affine over GF(2): one byte-step
+# from state c is c' = (c >> 8) ^ TAB[(c ^ b) & 0xFF]
+#                    = advance_zero(c) ^ TAB[b]        (TAB is linear),
+# so the state after a chunk is the zero-advanced initial state XORed
+# with each byte's contribution advanced by its TRAILING distance:
+# TD[d][b] = TAB[b] advanced d zero-steps. TD is precomputed once per
+# process for distances < _CRC_CHUNK and evaluated as one numpy gather
+# + xor-reduce; chunks longer than the table chain through
+# advance_L(state) = TD[L-1][s0]^TD[L-2][s1]^TD[L-3][s2]^TD[L-4][s3]
+# (the state bytes are just contributions at trailing distances
+# L..L-3). ~100x the per-byte throughput, bit-identical output.
+_CRC_CHUNK = 8192
+_CRC_SMALL = 64  # below this the per-byte loop wins
+_CRC_TD = None  # lazy: (_CRC_CHUNK, 256) uint32 contribution table
+_CRC_TAB_NP = None
+_CRC_FLAT = None
+_CRC_IDX = None
+
+
+def _crc_tables():
+    global _CRC_TD, _CRC_TAB_NP, _CRC_FLAT, _CRC_IDX
+    if _CRC_TD is None:
+        import numpy as np
+
+        tab = np.array(_CRC_TABLE, dtype=np.uint32)
+        td = np.empty((_CRC_CHUNK + 4, 256), dtype=np.uint32)
+        td[0] = tab
+        for d in range(1, _CRC_CHUNK + 4):
+            prev = td[d - 1]
+            td[d] = (prev >> np.uint32(8)) ^ tab[prev & np.uint32(0xFF)]
+        _CRC_TD, _CRC_TAB_NP = td, tab
+        # flat-gather accelerators: row offsets for trailing distances
+        # m-1..0 are the tail of this precomputed descending ramp
+        _CRC_FLAT = td.reshape(-1)
+        _CRC_IDX = (
+            np.arange(_CRC_CHUNK - 1, -1, -1, dtype=np.int64) * 256
+        )
+    return _CRC_TD, _CRC_TAB_NP
+
+
+def crc32c(data: bytes) -> int:
+    """CRC32C over *data* (test vector: b'123456789' -> 0xE3069283)."""
+    n = len(data)
+    if n < _CRC_SMALL:
+        return _crc32c_bytewise(data)
+    import numpy as np
+
+    td, _tab = _crc_tables()
+    flat, idx = _CRC_FLAT, _CRC_IDX
+    arr = np.frombuffer(data, dtype=np.uint8)
+    state = 0xFFFFFFFF
+    off = 0
+    while n - off >= 4:
+        m = min(_CRC_CHUNK, n - off)
+        chunk = arr[off : off + m]
+        lin = int(
+            np.bitwise_xor.reduce(
+                flat.take(idx[_CRC_CHUNK - m :] + chunk)
+            )
+        )
+        state = (
+            int(td[m - 1][state & 0xFF])
+            ^ int(td[m - 2][(state >> 8) & 0xFF])
+            ^ int(td[m - 3][(state >> 16) & 0xFF])
+            ^ int(td[m - 4][(state >> 24) & 0xFF])
+            ^ lin
+        )
+        off += m
+    tab = _CRC_TABLE
+    for b in data[off:]:  # <4-byte tail: plain byte-steps
+        state = tab[(state ^ b) & 0xFF] ^ (state >> 8)
+    return state ^ 0xFFFFFFFF
+
+
 def masked_crc(data: bytes) -> int:
     """TFRecord's masked CRC: rotate right 15 and add the mask delta."""
     crc = crc32c(data)
     return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def crc32c_many(items: list[bytes]) -> list[int]:
+    """CRC32C of many byte strings in ONE vectorized pass — the
+    per-record reader/writer hot path (r13, guide §4): a single
+    gather + ``xor.reduceat`` over the concatenated payloads
+    amortizes the numpy call overhead that dominates per-record
+    calls at typical (~hundreds of bytes) record sizes. Bit-identical
+    to ``crc32c`` per item; items outside the vector window (< 4
+    bytes or >= _CRC_CHUNK) fall back to the scalar path."""
+    import numpy as np
+
+    td, _tab = _crc_tables()
+    out = [0] * len(items)
+    vec_i: list[int] = []
+    vec_p: list[bytes] = []
+    for i, p in enumerate(items):
+        if 4 <= len(p) < _CRC_CHUNK:
+            vec_i.append(i)
+            vec_p.append(p)
+        else:
+            out[i] = crc32c(p)
+    if vec_p:
+        lens = np.fromiter(
+            (len(p) for p in vec_p), dtype=np.int64, count=len(vec_p)
+        )
+        arr = np.frombuffer(b"".join(vec_p), dtype=np.uint8)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        d = np.repeat(ends, lens) - 1 - np.arange(arr.shape[0])
+        contrib = _CRC_FLAT.take(d * 256 + arr)
+        lin = np.bitwise_xor.reduceat(contrib, starts)
+        # advance of the 0xFFFFFFFF init over n zero-steps: all four
+        # state bytes are 0xFF at trailing distances n-1 .. n-4
+        init = (
+            td[lens - 1, 0xFF]
+            ^ td[lens - 2, 0xFF]
+            ^ td[lens - 3, 0xFF]
+            ^ td[lens - 4, 0xFF]
+        )
+        crcs = (init ^ lin) ^ np.uint32(0xFFFFFFFF)
+        for i, c in zip(vec_i, crcs):
+            out[i] = int(c)
+    return out
+
+
+def masked_crc_many(items: list[bytes]) -> list[int]:
+    return [
+        (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        for c in crc32c_many(items)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -109,9 +239,25 @@ def write_record(f, payload: bytes) -> None:
     f.write(struct.pack("<I", masked_crc(payload)))
 
 
-def iter_records(path: str, validate: bool = True):
-    """Yield ``(index, payload, crc_ok)`` tuples; ``crc_ok`` is None
-    when validation is off. Truncated framing raises — a half-written
+def write_records(f, payloads: list[bytes]) -> None:
+    """Frame *payloads* with ONE vectorized CRC pass over all headers
+    + payloads and one buffered write (r13, guide §4) — byte-identical
+    to per-record `write_record` calls."""
+    headers = [struct.pack("<Q", len(p)) for p in payloads]
+    crcs = masked_crc_many(headers + payloads)
+    n = len(payloads)
+    parts: list[bytes] = []
+    for i in range(n):
+        parts.append(headers[i])
+        parts.append(struct.pack("<I", crcs[i]))
+        parts.append(payloads[i])
+        parts.append(struct.pack("<I", crcs[n + i]))
+    f.write(b"".join(parts))
+
+
+def _iter_frames(path: str):
+    """Raw frames: (index, header_bytes, stored_header_crc, payload,
+    stored_payload_crc). Truncated framing raises — a half-written
     record means the shard is torn, and silently dropping the tail
     would under-count without a trace."""
     with open(path, "rb") as f:
@@ -132,13 +278,24 @@ def iter_records(path: str, validate: bool = True):
             pcrc = f.read(4)
             if len(pcrc) < 4:
                 raise ValueError(f"{path}: truncated payload CRC at record {idx}")
-            ok = None
-            if validate:
-                ok = struct.unpack("<I", footer)[0] == masked_crc(header) and (
-                    struct.unpack("<I", pcrc)[0] == masked_crc(payload)
-                )
-            yield idx, payload, ok
+            yield (
+                idx,
+                header,
+                struct.unpack("<I", footer)[0],
+                payload,
+                struct.unpack("<I", pcrc)[0],
+            )
             idx += 1
+
+
+def iter_records(path: str, validate: bool = True):
+    """Yield ``(index, payload, crc_ok)`` tuples; ``crc_ok`` is None
+    when validation is off."""
+    for idx, header, hcrc, payload, pcrc in _iter_frames(path):
+        ok = None
+        if validate:
+            ok = hcrc == masked_crc(header) and pcrc == masked_crc(payload)
+        yield idx, payload, ok
 
 
 def resolve_files(path: str) -> list[str]:
@@ -184,29 +341,41 @@ def _file_record_batches(path: str, validate: bool):
     import pyarrow as pa
 
     idxs: list[int] = []
-    lens: list[int] = []
+    heads: list[bytes] = []
+    stored: list[tuple[int, int]] = []
     pays: list[bytes] = []
-    oks: list[bool | None] = []
 
     def flush():
+        if validate:
+            # ONE vectorized CRC pass over the batch's headers +
+            # payloads (r13, guide §4 — the per-record scalar calls
+            # dominated every validating scan)
+            crcs = masked_crc_many(heads + pays)
+            n = len(pays)
+            oks: list[bool | None] = [
+                stored[i][0] == crcs[i] and stored[i][1] == crcs[n + i]
+                for i in range(n)
+            ]
+        else:
+            oks = [None] * len(pays)
         return pa.record_batch(
             [
                 pa.array(idxs, pa.int64()),
-                pa.array(lens, pa.int64()),
+                pa.array([len(p) for p in pays], pa.int64()),
                 pa.array(pays, pa.binary()),
                 pa.array(oks, pa.bool_()),
             ],
             names=["record_index", "length", "payload", "crc_ok"],
         )
 
-    for idx, payload, ok in iter_records(path, validate):
+    for idx, header, hcrc, payload, pcrc in _iter_frames(path):
         idxs.append(idx)
-        lens.append(len(payload))
+        heads.append(header)
+        stored.append((hcrc, pcrc))
         pays.append(payload)
-        oks.append(ok)
         if len(idxs) >= _BATCH_ROWS:
             yield flush()
-            idxs, lens, pays, oks = [], [], [], []
+            idxs, heads, stored, pays = [], [], [], []
     if idxs:
         yield flush()
 
@@ -283,9 +452,9 @@ class TfRecordWriter(DataSourceArrowWriter):
                             "format('tfrecord') writes exactly one binary "
                             f"column, got {batch.num_columns}"
                         )
-                    for payload in batch.column(0):
-                        write_record(f, payload.as_py())
-                        rows += 1
+                    payloads = [p.as_py() for p in batch.column(0)]
+                    write_records(f, payloads)
+                    rows += len(payloads)
         except BaseException:
             try:
                 os.remove(staged)  # failing tasks self-clean eagerly
@@ -337,9 +506,9 @@ class TfRecordStreamWriter(BatchReplayStreamWriter):
                         "format('tfrecord') writes exactly one binary "
                         f"column, got {batch.num_columns}"
                     )
-                for payload in batch.column(0):
-                    write_record(f, payload.as_py())
-                    rows += 1
+                payloads = [p.as_py() for p in batch.column(0)]
+                write_records(f, payloads)
+                rows += len(payloads)
         return rows
 
 

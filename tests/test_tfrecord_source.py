@@ -12,10 +12,14 @@ from pyspark.sql import functions as F
 
 from heapdumpstardiver_spark.sources import register_tfrecord
 from heapdumpstardiver_spark.sources.tfrecord_source import (
+    _CRC_CHUNK,
+    _crc32c_bytewise,
     crc32c,
+    crc32c_many,
     iter_records,
     masked_crc,
     write_record,
+    write_records,
 )
 
 
@@ -29,6 +33,40 @@ def test_crc32c_known_vectors():
     assert crc32c(b"123456789") == 0xE3069283
     assert crc32c(b"") == 0
     assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 B.4 test vector
+
+
+def test_vectorized_crc_matches_bytewise_across_boundaries():
+    # r13: crc32c is numpy-vectorized (linear-contribution gather +
+    # xor reduce); the per-byte loop is the parity oracle. Lengths
+    # straddle the small-input cutoff, the chunk boundary, and the
+    # <4-byte chunk tail.
+    import random
+
+    rnd = random.Random(42)
+    lengths = [
+        0, 1, 3, 4, 5, 63, 64, 65, 300,
+        _CRC_CHUNK - 1, _CRC_CHUNK, _CRC_CHUNK + 1,
+        _CRC_CHUNK + 3, 2 * _CRC_CHUNK + 2,
+    ]
+    data = [bytes(rnd.getrandbits(8) for _ in range(n)) for n in lengths]
+    for d in data:
+        assert crc32c(d) == _crc32c_bytewise(d)
+    # batched path: same answers, any mix of sizes, in one call
+    assert crc32c_many(data) == [_crc32c_bytewise(d) for d in data]
+
+
+def test_write_records_byte_identical_to_write_record(tmp_path):
+    # r13: the batched writer (one vectorized CRC pass + one buffered
+    # write per Arrow batch) must frame byte-for-byte like the
+    # per-record reference path.
+    import io
+
+    payloads = [b"", b"a", b"abc", bytes(range(256)), b"x" * 9000]
+    a, b = io.BytesIO(), io.BytesIO()
+    for p in payloads:
+        write_record(a, p)
+    write_records(b, payloads)
+    assert a.getvalue() == b.getvalue()
 
 
 def test_mask_is_tf_rotation_plus_delta():
