@@ -323,9 +323,11 @@ def check_bad_primitive_arrays(wh: Warehouse) -> Optional[WasteFinding]:
         if t is None:
             continue
         n = F.size("values")
-        # boolean arrays: all-zero means all-false
+        # boolean arrays: all-zero means all-false. exists()
+        # short-circuits at the first non-zero element (r13) — the
+        # filter-then-size form scanned every element of every array.
         zero_val = F.lit(False) if ptype == "boolean" else F.lit(0)
-        all_zero = (n > 1) & (F.size(F.filter("values", lambda x: x == zero_val)) == n)
+        all_zero = (n > 1) & ~F.exists("values", lambda x: x != zero_val)
         pattern = (
             F.when(n == 0, "zero_length").when(n == 1, "single").when(all_zero, "all_zero")
         )
@@ -543,8 +545,14 @@ def check_duplicate_byte_arrays(wh: Warehouse) -> Optional[WasteFinding]:
     if b is None:
         return None
     n = F.size("values")
+    # r13 (guide §2.3): group by xxhash64 over the array VALUE — the
+    # md5-over-decimal-rendering canonical form materialized ~3.7
+    # bytes of string per element before hashing and dominated this
+    # check's wall. Only group membership matters here (sub_findings
+    # are empty; the DuckDB parity test compares counts), and the
+    # 64-bit hash is collision-free at any plausible fixture scale.
     hashed = b.filter((n > 0) & (n <= 10240)).select(
-        _content_hash("values").alias("hash"), n.alias("arr_len")
+        F.xxhash64("values").alias("hash"), n.alias("arr_len")
     )
     r = _dup_rollup(hashed, F.col("arr_len"), 1)
     if r is None:
