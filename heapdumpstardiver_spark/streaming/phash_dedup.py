@@ -47,13 +47,17 @@ def build_phash_index(
     spark: SparkSession, corpus: DataFrame, index_dir: str
 ) -> None:
     """Persist the probe-side artifacts for a media corpus: capped
-    band index + per-image hashes."""
-    hashes = phash_hashes(corpus)
-    bands = phash_bands(hashes)
-    _capped_phash_bands(bands).write.mode("overwrite").parquet(
+    band index + per-image hashes. The hashes table is written FIRST
+    and the band index derives from reading it back (r13, the
+    lsh_dedup build discipline): the write is the materialization, so
+    the decode+DCT pass runs once instead of once per artifact."""
+    phash_hashes(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "hashes")
+    )
+    hashes = spark.read.parquet(os.path.join(index_dir, "hashes"))
+    _capped_phash_bands(phash_bands(hashes)).write.mode("overwrite").parquet(
         os.path.join(index_dir, "bands")
     )
-    hashes.write.mode("overwrite").parquet(os.path.join(index_dir, "hashes"))
 
 
 def append_to_phash_index(
@@ -65,7 +69,9 @@ def append_to_phash_index(
     """Segment-capped append (see lsh_dedup.append_to_corpus_index —
     the same lossless-cap argument). Pass ``hashes`` to reuse a
     precomputed decode+hash pass."""
-    h = hashes if hashes is not None else phash_hashes(docs)
+    # checkpoint the fallback so the two appends share one decode+DCT
+    # pass (append mode cannot use the build's write-then-read-back)
+    h = hashes if hashes is not None else phash_hashes(docs).localCheckpoint()
     _capped_phash_bands(phash_bands(h)).write.mode("append").parquet(
         os.path.join(index_dir, "bands")
     )
@@ -101,7 +107,13 @@ def flag_batch_images(
     bounded verify regardless of corpus size."""
     idx = spark.read.parquet(os.path.join(index_dir, "bands"))
     corpus_h = spark.read.parquet(os.path.join(index_dir, "hashes"))
-    h = hashes if hashes is not None else phash_hashes(batch_media)
+    # fallback checkpoint: h feeds the band probe AND the verify join —
+    # uncheckpointed, each consumer re-ran the decode+DCT pass (r13)
+    h = (
+        hashes
+        if hashes is not None
+        else phash_hashes(batch_media).localCheckpoint()
+    )
     bands = phash_bands(h)
     b, c = bands.alias("b"), idx.alias("c")
     cand = (
