@@ -126,6 +126,12 @@ ITERATIVE = {
     "copurchase_triangle_count",
     "dominator_retained",
     "assortativity_degree",
+    # r13: these materialize their shingle/band fingerprints once with
+    # localCheckpoint (one corpus hash pass instead of 3-4), which runs
+    # jobs at construction time — construct+execute is the honest wall
+    "minhash_lsh_candidates",
+    "minhash_prefilter_jaccard",
+    "incremental_dedup_lsh_batch",
 }
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -152,11 +152,15 @@ def test_tfidf_and_entropy_stay_linear(spark):
 
 
 def test_minhash_bands_from_one_explode(spark):
-    """Band rows come from one explode over the signature subtree; a
-    per-band union would scan the corpus four times instead of the
-    self-join minimum of two."""
+    """Band rows come from one explode over the signature subtree, and
+    since the r13 second pass the band relation is materialized once
+    (localCheckpoint): the candidate self-join reads the flat
+    checkpointed rows on BOTH sides, so the returned plan carries no
+    corpus scan at all — the corpus is tokenized and hashed exactly
+    once per run, at materialization."""
     plan = plan_of(spark, "minhash_lsh_candidates")
-    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
 
 
 def test_single_scan_curation_queries(spark):
@@ -889,13 +893,27 @@ def test_mad_anomaly_broadcast_cut_tables(spark):
 
 def test_pareto_windows_run_over_reduced_pairs(spark):
     """pareto_frontier_docs: the dominance windows must consume the
-    DISTINCT objective-pair relation, never the corpus — the pair
-    HashAggregate sits BELOW the first Window in the plan (plan text
-    prints top-down), and survivors join back as a hash join."""
+    DISTINCT objective-pair relation, never the corpus. Since the r13
+    one-scan rewrite the cell relation is localCheckpointed, so the
+    final plan reads the checkpointed cells (Scan ExistingRDD) — the
+    corpus tokenize pass happened exactly once, at materialization —
+    and the global-order window sees only the skinny (n_types,
+    n_chars) projection, never the doc lists."""
     plan = plan_of(spark, "pareto_frontier_docs")
-    first_window = plan.index("Window")
-    assert "HashAggregate" in plan[first_window:], plan
+    assert "Window" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan
+    # no Window operator's input carries the doc_ids payload
+    block = None
+    for line in plan.splitlines():
+        if ") Window" in line:
+            block = []
+        elif block is not None:
+            if not line.strip():
+                block = None
+            else:
+                assert "doc_ids" not in line, line
 
 
 def test_geo_grid_join_is_equi_never_cartesian(spark):
