@@ -132,6 +132,8 @@ ITERATIVE = {
     "minhash_lsh_candidates",
     "minhash_prefilter_jaccard",
     "incremental_dedup_lsh_batch",
+    "jaccard_pairs",
+    "containment_pairs",
 }
 
 _REPO = os.path.dirname(os.path.abspath(__file__))

@@ -1345,6 +1345,68 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _shingle_pair_counts(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Shared exact shingle-pair counting core of `jaccard_pairs` and
+    `containment_pairs`: per-doc distinct n-gram md5 sets → capped
+    shingle buckets → in-row ordered pairs → (doc_a, doc_b) count,
+    with per-doc set sizes joined back broadcast.
+
+    r13 second pass (guide §2.3/§5): the fused shape — bucket
+    collect_set + pair explode + pair aggregate in ONE stage chain —
+    measured 11–21 s warm at sf1 with 26.6 M pair rows, and its
+    single-shot cold runs blew past 40 s (the bucket ObjectHashAggregate
+    and the pair HashAggregate contend for execution memory in the
+    same stage chain). Materializing the per-doc shingle arrays once
+    (`_fp_materialize`) decouples the stages; the bucket state and the
+    26.6 M exploded pair rows then carry BARE doc ids (16 bytes of key
+    instead of 32 — guide §2.3 «shuffle fewer bytes»), and the two set
+    sizes join back from the flat per-doc relation (one row per doc,
+    broadcast twice) AFTER the count — the pair aggregate's key is
+    half as wide and the heavy explode never carries payload it does
+    not group on. Group sets are unchanged: n_sh is functionally
+    dependent on the doc id, so grouping with or without it yields the
+    same groups, and both join sides are exactly the old rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _spread(
+        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
+    )
+    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
+    )
+    sets = _fp_materialize(
+        toks.filter(F.size("tokens") >= n).select(
+            "doc_id", F.array_distinct(hashes).alias("hs")
+        ),
+        sf_dir,
+    )
+    shingles = sets.select("doc_id", F.explode("hs").alias("shingle"))
+    buckets = (
+        shingles.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sets.select("doc_id", F.size("hs").cast("long").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
 @query(
     "jaccard_pairs",
     oracle=f"""
@@ -1379,89 +1441,13 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity: |A∩B| / |A∪B| over 3-token
-    shingle sets. Same single-shuffle bucket shape as
-    ngram_shingle_overlap for the intersection — including the
-    SHINGLE_DF_CAP hot-bucket guard, mirrored in the oracle. Per-doc
-    set sizes ride ALONG the pipeline (computed row-locally on the
-    shingle array, then carried inside the bucket structs into each
-    emitted pair), so there is no join-back onto a second aggregation branch
-    and the corpus is scanned exactly once. The division is a ratio of
-    exact integers — bit-identical across engines."""
-    d = _t(spark, sf_dir, "documents")
-    toks = _spread(
-        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
-    )
-    n = 3
-    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
-    )
-    # r13 optimization (guide §2.4 — remove shuffles outright): a
-    # document's shingles all live in its own row, so the per-doc
-    # distinct and set size are row-local — array_distinct + size on
-    # the hash array replace the old explode→.distinct() Exchange and
-    # the count().over(doc_id) Window+Sort+Exchange. The bucket
-    # groupBy and the pair groupBy remain as the only key-changing
-    # shuffles.
-    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
-    # array ATTRIBUTE runs ~4x slower than explode of an inline
-    # generator expression, so n_sh rides inside a struct built by
-    # transform() INSIDE the generator instead of as a retained column.
-    shingles = (
-        toks.filter(F.size("tokens") >= n)
-        .select("doc_id", F.array_distinct(hashes).alias("hs"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    "hs",
-                    lambda s: F.struct(
-                        F.size("hs").cast("long").alias("n_sh"),
-                        s.alias("shingle"),
-                    ),
-                )
-            ).alias("z"),
-        )
-        .select(
-            "doc_id",
-            F.col("z.n_sh").alias("n_sh"),
-            F.col("z.shingle").alias("shingle"),
-        )
-    )
-    buckets = (
-        shingles.groupBy("shingle")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
-            ).alias("docs")
-        )
-        .filter((F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP))
-    )
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("na"),
-                    y["n_sh"].alias("nb"),
-                ),
-            ),
-        )
-    )
-    shared = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.na").alias("na"),
-            F.col("p.nb").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .filter(F.col("inter") >= 3)
-    )
+    shingle sets. Shares `_shingle_pair_counts` with
+    `containment_pairs` — per-doc distinct shingle sets materialized
+    once, SHINGLE_DF_CAP hot-bucket guard (mirrored in the oracle),
+    skinny in-bucket ordered pairs, set sizes joined back broadcast
+    after the count. The division is a ratio of exact integers —
+    bit-identical across engines."""
+    shared = _shingle_pair_counts(spark, sf_dir, 3).filter(F.col("inter") >= 3)
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         shared.select(
@@ -3052,87 +3038,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawls, boilerplate wrapping) is the dominant contamination mode
     Lee et al. 2022 found in web corpora.
 
-    Identical single-shuffle bucket machinery as `jaccard_pairs`
-    (same SHINGLE_DF_CAP hot-bucket guard, sizes riding in the bucket
-    structs, integer-exact division) — only the denominator and the
-    ≥0.8 gate differ, which is the point: the dedup family shares one
-    scalable candidate pipeline, and each similarity semantics is a
+    Shares `_shingle_pair_counts` with `jaccard_pairs` (same
+    SHINGLE_DF_CAP hot-bucket guard, same materialized per-doc sets,
+    integer-exact division) — only the denominator and the ≥0.8 gate
+    differ, which is the point: the dedup family shares one scalable
+    candidate pipeline, and each similarity semantics is a
     final-expression swap."""
-    d = _t(spark, sf_dir, "documents")
-    toks = _spread(
-        d.select("doc_id", F.split("text", " ").alias("tokens")), spark, "doc_id"
-    )
-    n = 3
-    idx = F.sequence(F.lit(1), F.size("tokens") - n + 1)
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i, n)))
-    )
-    # r13 optimization (guide §2.4 — remove shuffles outright): a
-    # document's shingles all live in its own row, so the per-doc
-    # distinct and set size are row-local — array_distinct + size on
-    # the hash array replace the old explode→.distinct() Exchange and
-    # the count().over(doc_id) Window+Sort+Exchange. The bucket
-    # groupBy and the pair groupBy remain as the only key-changing
-    # shuffles.
-    # NOTE measured on Spark 4.1 (r13): explode() of a pre-projected
-    # array ATTRIBUTE runs ~4x slower than explode of an inline
-    # generator expression, so n_sh rides inside a struct built by
-    # transform() INSIDE the generator instead of as a retained column.
-    shingles = (
-        toks.filter(F.size("tokens") >= n)
-        .select("doc_id", F.array_distinct(hashes).alias("hs"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    "hs",
-                    lambda s: F.struct(
-                        F.size("hs").cast("long").alias("n_sh"),
-                        s.alias("shingle"),
-                    ),
-                )
-            ).alias("z"),
-        )
-        .select(
-            "doc_id",
-            F.col("z.n_sh").alias("n_sh"),
-            F.col("z.shingle").alias("shingle"),
-        )
-    )
-    buckets = (
-        shingles.groupBy("shingle")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct(F.col("doc_id"), F.col("n_sh")))
-            ).alias("docs")
-        )
-        .filter((F.size("docs") > 1) & (F.size("docs") <= SHINGLE_DF_CAP))
-    )
-    pairs = F.flatten(
-        F.transform(
-            "docs",
-            lambda x, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("na"),
-                    y["n_sh"].alias("nb"),
-                ),
-            ),
-        )
-    )
-    shared = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.doc_a").alias("doc_a"),
-            F.col("p.doc_b").alias("doc_b"),
-            F.col("p.na").alias("na"),
-            F.col("p.nb").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .filter(F.col("inter") >= 3)
-    )
+    shared = _shingle_pair_counts(spark, sf_dir, 3).filter(F.col("inter") >= 3)
     smaller = F.least(F.col("na"), F.col("nb"))
     cont = F.col("inter").cast("double") / smaller
     return (
