@@ -527,39 +527,73 @@ def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     means one source republishes the other, so mixing weights
     (`temperature_sampling_weights`) double-count it. Top-20 pairs.
 
-    Shape: corpus → DISTINCT (source, gram-hash) relation (one
-    explode + distinct); grams shared by more than SHINGLE_DF_CAP
+    Shape: corpus → ONE groupBy on the gram hash (per-doc
+    array_distinct pre-reduces the explode; collect_set finishes the
+    global distinct); grams shared by more than SHINGLE_DF_CAP
     sources are stop-phrases and are dropped (mirrored in the oracle
     — a boilerplate gram in every source would otherwise make the
-    pair join quadratic in |sources| for zero signal); the pair join
-    keys on fixed-width hashes, per-source totals broadcast back."""
+    pair fan-out quadratic in |sources| for zero signal); source
+    pairs and per-source totals both come from one in-row generator
+    over the gram's sorted source set, so one |sources|²-bounded
+    count aggregate replaces the old distinct + df-join + self-join +
+    rollup chain; per-source totals broadcast back."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.expr("filter(split(text, ' '), t -> t != '')").alias("t")
     ).filter(F.size("t") >= 8)
     idx = F.sequence(F.lit(1), F.size("t") - 7)
     hashes = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 8))))
-    grams = toks.select("source", F.explode(hashes).alias("g")).distinct()
-    df_ok = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("g")
+    # r13 second pass (guide §2.3/§2.4): the old shape ran a global
+    # DISTINCT exchange, a df groupBy, a join back, a kept×kept
+    # self-join and a per-source rollup — five shuffles, with the
+    # md5 gram pipeline re-derived per consumer. ONE groupBy(g) now
+    # does all of it: per-doc array_distinct pre-reduces the explode
+    # (same distinct (source, g) pairs after collect_set), the
+    # sorted source set per gram gives the df cap as a size() filter,
+    # and an in-row generator emits BOTH the ordered source pairs and
+    # one (source, NULL) unit per member — so a single (sa, sb)
+    # count aggregate yields the shared-gram matrix (sb IS NOT NULL)
+    # and the per-source kept totals (sb IS NULL) in one pass. The
+    # tiny |sources|²-bounded count table is localCheckpointed once
+    # for its two readers.
+    grams = toks.select(
+        "source", F.explode(F.array_distinct(hashes)).alias("g")
     )
-    kept = grams.join(df_ok, "g")
-    per = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = kept.alias("a"), kept.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.source") < F.col("b.source")),
+    buckets = (
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") <= SHINGLE_DF_CAP)
+    )
+    pair_entries = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice("srcs", i + 2, F.size("srcs")),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+    )
+    unit_entries = F.transform(
+        "srcs",
+        lambda x: F.struct(
+            x.alias("sa"), F.lit(None).cast("string").alias("sb")
+        ),
+    )
+    counts = (
+        buckets.select(
+            F.explode(F.concat(unit_entries, pair_entries)).alias("e")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+        .groupBy(F.col("e.sa").alias("sa"), F.col("e.sb").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    shared = counts.filter(F.col("sb").isNotNull()).select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("c").alias("shared_grams"),
+    )
+    per = counts.filter(F.col("sb").isNull()).select(
+        F.col("sa").alias("source"), F.col("c").alias("n_grams")
     )
     pa = per.select(F.col("source").alias("source_a"), F.col("n_grams").alias("na"))
     pb = per.select(F.col("source").alias("source_b"), F.col("n_grams").alias("nb"))
