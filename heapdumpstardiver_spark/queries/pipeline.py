@@ -5896,36 +5896,44 @@ def cross_modal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     from .llm import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(spark, sf_dir)
-    sh = (
-        d.select("doc_id", F.split("text", " ").alias("tokens"))
-        .filter(F.size("tokens") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-            "tokens",
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
-        )
-        .distinct()
+    # r13 second pass (guide §2.3/§2.4): the old verify exploded EVERY
+    # document's distinct shingles and consumed that corpus-sized
+    # relation three times (both pair sides + the sizes rollup). The
+    # candidate set is tiny, so: broadcast the candidate doc ids,
+    # semi-filter the per-doc IN-ROW shingle arrays down to them in
+    # ONE corpus pass, checkpoint that candidate-bounded relation, and
+    # verify with size/array_intersect per pair (identical counts —
+    # arrays are array_distinct'd; zero-intersection pairs fail the
+    # 2·inter ≥ union gate exactly as the old inner join dropped
+    # them). The pair list itself is also checkpointed — its band
+    # pipeline would otherwise re-run for the id-list derivation.
+    cand = minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
+    sets = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 2),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
+            )
+        ).alias("s"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cd = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    ss = sets.join(F.broadcast(cd), "doc_id").localCheckpoint()
+    a, b = ss.alias("a"), ss.alias("b")
     dup = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn("un", F.col("na") + F.col("nb") - F.col("inter"))
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("a.s", "b.s")).cast("long").alias("inter"),
+            (F.size("a.s") + F.size("b.s")).cast("long").alias("szsum"),
+        )
+        .withColumn("un", F.col("szsum") - F.col("inter"))
         .filter(2 * F.col("inter") >= F.col("un"))
     )
     e = _t(spark, sf_dir, "embeddings").select(
@@ -6789,32 +6797,48 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists BECAUSE this is an audit; the production path keeps only
     the estimate. At 100 TB the audit runs on a candidate sample."""
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_candidates(spark, sf_dir)
+    # r13 second pass (guide §2.3/§2.4): per-doc shingle set and the
+    # _MEE_H estimator min-hashes are row-local (array_distinct +
+    # array_min over the same set yield exactly the old
+    # collect_set/min values), and only CANDIDATE docs' rows are ever
+    # read — so broadcast the candidate id list, semi-filter the
+    # arrays in ONE corpus pass, compute the estimator hashes on the
+    # candidate-bounded rows only, and checkpoint that for the two
+    # pair sides.
+    cand = minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
+    sets = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 2),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
+            )
+        ).alias("s"),
+    )
+    cd = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     sets = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-            "tokens",
-        )
+        sets.join(F.broadcast(cd), "doc_id")
         .select(
             "doc_id",
-            F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.collect_set("shingle").alias("s"),
+            "s",
             F.array(
                 *[
-                    F.min(
-                        F.md5(F.concat(F.col("shingle"), F.lit(f":e{k}")))
+                    F.array_min(
+                        F.transform(
+                            "s",
+                            lambda sh: F.md5(F.concat(sh, F.lit(f":e{k}"))),
+                        )
                     )
                     for k in range(_MEE_H)
                 ]
             ).alias("es"),
         )
+        .localCheckpoint()
     )
     a, b = sets.alias("a"), sets.alias("b")
     joined = cand.join(a, cand.doc_a == F.col("a.doc_id")).join(
