@@ -6481,14 +6481,35 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     ms = F.explode(F.array(*[F.lit(m) for m in _MRL_MS])).alias("m")
-    tv = F.expr("slice(v, 1, m)")
-    tq = F.expr("slice(qv, 1, m)")
-    sim_r = round_col(cosine(tv, tq), 6)
+    # r13 second pass (guide §1.2 per-task work): cosine(tv, tq)
+    # evaluated THREE 64-dim-bounded folds per (row × query × m)
+    # triple, and the self-norms are redundant across rows: the
+    # corpus-side norm depends only on (vec_id, m) — it was
+    # recomputed once per query — and the query-side norm only on
+    # (qid, m) — once per corpus row. Explode the corpus by m FIRST
+    # and hoist sqrt(dot(tv, tv)) there; precompute the 50-row
+    # (qid, m) panel with its norms and broadcast-join it on m. The
+    # scored quotient evaluates the exact same IEEE expression
+    # dot/(sqrt(aa)·sqrt(bb)), each factor computed once.
+    cm = c.select("vec_id", ms, "v").select(
+        "vec_id", "m", F.expr("slice(v, 1, m)").alias("tv")
+    )
+    cm = cm.select(
+        "vec_id", "m", "tv", F.sqrt(dot(F.col("tv"), F.col("tv"))).alias("nv")
+    )
+    qm = q.select("qid", ms, "qv").select(
+        "qid", "m", F.expr("slice(qv, 1, m)").alias("tq")
+    )
+    qm = qm.select(
+        "qid", "m", "tq", F.sqrt(dot(F.col("tq"), F.col("tq"))).alias("nq")
+    )
+    sim_r = round_col(
+        dot(F.col("tv"), F.col("tq")) / (F.col("nv") * F.col("nq")), 6
+    )
     w = Window.partitionBy("m", "qid").orderBy(F.desc("sim_r"), "vec_id")
     topk = (
-        c.crossJoin(F.broadcast(q))
+        cm.join(F.broadcast(qm), "m")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "v", "qv", ms)
         .select("m", "qid", "vec_id", sim_r.alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
@@ -6716,12 +6737,26 @@ def semantic_decontaminate_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram verifier before training."""
     e = _t(spark, sf_dir, "embeddings")
     c = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # r13 second pass (guide §1.2 per-task work): cosine(v, pv)
+    # re-evaluated sqrt(dot(v, v)) once per (vector, panel) pair —
+    # 64 redundant self-norm folds per corpus vector, across rows
+    # where codegen subexpression elimination cannot help. Hoist both
+    # self-norms to projected columns BEFORE the crossJoin; the
+    # quotient evaluates the exact same IEEE expression
+    # dot/(sqrt(aa)·sqrt(bb)), each factor just computed once.
     panel = c.filter(F.col("vec_id") < 64).select(
-        F.col("vec_id").alias("eid"), F.col("v").alias("pv")
+        F.col("vec_id").alias("eid"),
+        F.col("v").alias("pv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("np"),
     )
-    cos_r = round_col(cosine(F.col("v"), F.col("pv")), 6)
+    cos_r = round_col(
+        dot(F.col("v"), F.col("pv")) / (F.col("nv") * F.col("np")), 6
+    )
     best = (
         c.filter(F.col("vec_id") >= 64)
+        .select(
+            "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nv")
+        )
         .crossJoin(F.broadcast(panel))
         .select("vec_id", F.col("eid"), (-cos_r).alias("neg_cos"))
         .groupBy("vec_id")
