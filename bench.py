@@ -134,6 +134,16 @@ ITERATIVE = {
     "incremental_dedup_lsh_batch",
     "jaccard_pairs",
     "containment_pairs",
+    # r14: bm25 materializes its narrow per-doc tf proxy once for the
+    # stats + scoring consumers (one corpus scan instead of two)
+    "bm25_keyword_search",
+    # r14 (verdict item 2): pareto localCheckpoints its cell relation —
+    # the corpus scan + tokenize + groupBy run eagerly at construction,
+    # so construct+execute is the honest wall (the r13 0.125 s number
+    # timed only windows over a few hundred checkpointed cells; the
+    # honest construct+execute wall is ~0.5 s — a one-time apparent
+    # "regression" pre-declared in BENCH_NOTES.md).
+    "pareto_frontier_docs",
 }
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -222,8 +232,11 @@ def time_queries(
     warm: bool = True,
     second_rep_below: float | None = None,
     second_rep_above: float | None = None,
-) -> dict:
-    """Per-query best-of-*reps* wall seconds over *sf_dir*.
+) -> tuple[dict, dict]:
+    """Per-query best-of-*reps* wall seconds over *sf_dir*, plus the
+    number of timed reps actually taken per query (r13 verdict item 8:
+    after the 20%→10% extra-rep gate change, min-of-N comparability is
+    only auditable if the artifact records N).
 
     Steady-state methodology: one untimed execution first (JIT/codegen
     compile + file-listing warmup), then best-of-N timed runs — the min
@@ -248,10 +261,14 @@ def time_queries(
     reflect the plan, not the queue position.
     """
     timings: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = hds.QUERIES[name]
+        n_timed = 0
 
         def run_once() -> float:
+            nonlocal n_timed
+            n_timed += 1
             t0 = time.perf_counter()
             _noop(fn(spark, sf_dir) if name in ITERATIVE else df)
             return time.perf_counter() - t0
@@ -293,7 +310,8 @@ def time_queries(
                 if not improved:
                     break
         timings[name] = round(best, 3)
-    return timings
+        rep_counts[name] = n_timed
+    return timings, rep_counts
 
 
 def bench_sf1(spark, base_timings: dict) -> dict:
@@ -322,7 +340,7 @@ def bench_sf1(spark, base_timings: dict) -> dict:
             _noop(hds.QUERIES[name](spark, tiny))
         except Exception:
             pass  # warmup only — the timed run below surfaces real errors
-    timings = time_queries(
+    timings, rep_counts = time_queries(
         spark, sf1_dir, reps=1, warm=False,
         second_rep_below=1.0, second_rep_above=4.0,
     )
@@ -351,6 +369,7 @@ def bench_sf1(spark, base_timings: dict) -> dict:
         "core13_total": core,
         "core13_ratio_vs_sf0.1": round(core / base_core, 1) if base_core else None,
         "queries": timings,
+        "query_reps": rep_counts,
         "ratio_vs_sf0.1": ratios,
         "ratio_sub_second": ratios_sub,
     }
@@ -465,7 +484,7 @@ def main() -> None:
     # second_rep_above extends the sf1 tail-contention treatment to the
     # sf0.1 loop (r8 verdict item 2): multi-second queries deep in the
     # loop inherit shuffle-cleanup/GC debt, so they get a third rep.
-    timings = time_queries(
+    timings, rep_counts = time_queries(
         spark, sf_dir, reps=2, warm=True,
         second_rep_below=1.0, second_rep_above=2.0,
     )
@@ -482,6 +501,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_reps": rep_counts,
         "core13_total": round(sum(timings[q] for q in CORE), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "host_probe_s_before": probe_py_before,
@@ -510,6 +530,15 @@ def main() -> None:
         print(json.dumps({"detail": "sf1", **sf1}))
         out["sf1_core13_total"] = sf1["core13_total"]
         out["sf1_core13_ratio"] = sf1["core13_ratio_vs_sf0.1"]
+        # r14 (verdict item 5): per-query sf1 walls in the HEADLINE
+        # line (compact, 2dp) — the driver benches at two core counts,
+        # and at sf0.1 every low/high-core ratio is fixed-cost-bound
+        # (≈1), so the parallel-scaling comparison needs the sf1 walls
+        # from BOTH runs; BENCH_DETAIL.json is overwritten per run and
+        # the driver only captures the stdout tail.
+        out["sf1_queries"] = {
+            q: round(w, 2) for q, w in sf1["queries"].items()
+        }
         ratios = sf1["ratio_vs_sf0.1"]
         if ratios:
             worst = max(ratios, key=ratios.get)

@@ -32,10 +32,17 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r14")
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="time construct+execute for every query (honest wall for "
+        "queries that run jobs at construction), not just ITERATIVE",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
-    plans_dir = os.path.join(_REPO, "plans", "r13")
+    plans_dir = os.path.join(_REPO, "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(app_name="opt-probe")
     # One small untimed action so JVM startup isn't charged to query 1.
@@ -57,7 +64,7 @@ def main() -> None:
         for _ in range(args.reps):
             _gc_settle(spark)
             t0 = time.perf_counter()
-            if name in ITERATIVE:
+            if args.full or name in ITERATIVE:
                 _noop(fn(spark, args.sf_dir))
             else:
                 _noop(df)
