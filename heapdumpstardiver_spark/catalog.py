@@ -63,6 +63,39 @@ def table_rows(sf_dir: str, name: str) -> int:
 _ROW_CACHE: dict[tuple[str, str], tuple[tuple, int]] = {}
 
 
+def _fs_key(path: str) -> tuple:
+    """Identity of the files backing a table: names + mtimes + sizes.
+    A rewritten table yields a different key, so caches keyed on it
+    re-probe (same invalidation contract as ``_ROW_CACHE``)."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    return tuple(
+        (f, os.path.getmtime(f), os.path.getsize(f)) for f in files
+    )
+
+
+#: Per-session DataFrame cache for ``load_table`` (r14, guide §1.2):
+#: every ``spark.read.parquet`` pays a schema-inference job plus file
+#: listing PER CALL, so a query constructed N times (bench reps,
+#: multi-table queries) re-paid ~10-40 ms of driver/scheduler fixed
+#: cost per table each time. The cached object is the UNEXECUTED
+#: DataFrame (a plan + resolved file index) — never data, never
+#: results; each new process/session starts empty, and the fs key
+#: invalidates on any rewrite. Keyed weakly on the session so stopped
+#: sessions' plans are collectable.
+import weakref
+
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -94,14 +127,23 @@ def load_table(
     off — schema merging reads every file footer (expensive at large
     file counts) and Spark's default first-footer schema is right for
     the homogeneous tables ingest writes."""
+    path = table_path(sf_dir, name)
+    key = (path, ignore_corrupt, merge_schema, _fs_key(path))
+    per_session = _DF_CACHE.setdefault(spark, {})
+    hit = per_session.get(key[:3])
+    if hit is not None and hit[0] == key:
+        return hit[1]
     if name == "events":
-        return _load_events(spark, table_path(sf_dir, name), ignore_corrupt)
-    reader = spark.read
-    if ignore_corrupt:
-        reader = reader.option("ignoreCorruptFiles", "true")
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, path, ignore_corrupt)
+    else:
+        reader = spark.read
+        if ignore_corrupt:
+            reader = reader.option("ignoreCorruptFiles", "true")
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
+    per_session[key[:3]] = (key, df)
+    return df
 
 
 def _load_events(
