@@ -549,10 +549,17 @@ def check_duplicate_byte_arrays(wh: Warehouse) -> Optional[WasteFinding]:
     # md5-over-decimal-rendering canonical form materialized ~3.7
     # bytes of string per element before hashing and dominated this
     # check's wall. Only group membership matters here (sub_findings
-    # are empty; the DuckDB parity test compares counts), and the
-    # 64-bit hash is collision-free at any plausible fixture scale.
+    # are empty; the DuckDB parity test compares counts). r14
+    # (verdict item 7): the 64-bit hash alone invites birthday
+    # collisions at billions of arrays, silently merging distinct
+    # arrays into one "duplicate" group — the key is (hash, length),
+    # one extra fixed-width column on the same scan (length is O(1)
+    # on arrays; the md5 it replaced was 128-bit).
     hashed = b.filter((n > 0) & (n <= 10240)).select(
-        F.xxhash64("values").alias("hash"), n.alias("arr_len")
+        F.struct(
+            F.xxhash64("values").alias("h"), n.alias("n")
+        ).alias("hash"),
+        n.alias("arr_len"),
     )
     r = _dup_rollup(hashed, F.col("arr_len"), 1)
     if r is None:

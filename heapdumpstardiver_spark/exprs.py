@@ -94,3 +94,19 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_bn(a: Column, b: Column, bn: Column) -> Column:
+    """:func:`cosine` with ``b``'s norm precomputed
+    (``bn == sqrt(dot(b, b))``, the identical fold): evaluates the same
+    IEEE expression ``dot/(sqrt(aa)·bn)``, so values are bit-identical.
+
+    Use when ``b`` is constant across rows (a broadcast query vector):
+    the inline form re-runs b's 64-element fold + sqrt once PER ROW —
+    cross-row redundancy codegen CSE cannot remove (r13's panel-scan
+    hoist, extended r14 to the single-query scans per verdict item 3).
+    Hoisting ``a``'s own norm is NOT worth it unless the row fans out
+    into multiple pairs (each output row computes it once; the r13
+    within-projection hoist adjudication showed the extra Project
+    boundary costs more than CSE-deduped folds save)."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * bn)

@@ -1440,7 +1440,13 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 4), M.MEDIA_SCHEMA
     )
 
-    hashes = phash_hashes(df)
+    # r14 (verdict item 10, guide §4): the plan consumes the hash
+    # relation four times (two band-join sides + two verify sides),
+    # and each consumer re-ran the PNG decode + DCT mapInPandas stage.
+    # One localCheckpoint shares a single decode pass — the shape the
+    # streaming twin (streaming/phash_dedup.py) already uses; decode
+    # is the dominant at-scale term even though the fixture hides it.
+    hashes = phash_hashes(df).localCheckpoint()
     bands = phash_bands(hashes).select("media_id", "h", "k", "bv")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -1098,17 +1098,21 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
-    sets = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-            "tokens",
-        )
-        .select(
-            "doc_id", F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle")
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("s"))
+    # r14 (verdict item 6, guide §2.4): the per-doc distinct shingle
+    # set is row-local — array_distinct over the in-row shingle array
+    # replaces explode → groupBy collect_set, removing the corpus-sized
+    # STRING shuffle entirely (array_intersect/size are order-blind, so
+    # values are identical). The join stays fused: the r13 adjudication
+    # showed the candidate-bounded checkpoint LOSES here (two plain
+    # corpus map passes with no barrier beat the materialization).
+    sets = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 2),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
+            )
+        ).alias("s"),
     )
     a, b = sets.alias("a"), sets.alias("b")
     joined = cand.join(a, cand.doc_a == F.col("a.doc_id")).join(
@@ -1588,14 +1592,29 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .collect()
     )
-    cv = F.lit([float(r["c"]) for r in cent_rows])
+    import math
+
+    def _pydot(xs):
+        # left fold in index order — identical IEEE sequence to
+        # exprs.dot, and math.sqrt is the same correctly-rounded op
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
+    cvals = [float(r["c"]) for r in cent_rows]
+    cv = F.lit(cvals)
+    # r14 (§1.2): the literal vectors' self-norms are per-row constants
+    # the HOF fold re-evaluated every row (literal-array aggregates are
+    # not constant-folded past the lambda) — compute them driver-side.
+    cvn = F.lit(math.sqrt(_pydot(cvals)))
     rel = base.withColumn(
         "rel",
-        dot(F.col("v"), cv) / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(cv, cv))),
+        dot(F.col("v"), cv) / (F.sqrt(dot(F.col("v"), F.col("v"))) * cvn),
     )
     lam, oml = float(MMR_LAMBDA), float(MMR_ONE_MINUS)
     picks = []  # (pick_idx, vec_id, rel, mmr)
-    sel_vecs: list = []  # literal arrays of the selected vectors
+    sel_vecs: list = []  # (literal array, literal norm) per selection
     sel_ids: list = []
     for t in range(1, MMR_K + 1):
         if t == 1:
@@ -1603,8 +1622,8 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             sims = [
                 dot(F.col("v"), sv)
-                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(sv, sv)))
-                for sv in sel_vecs
+                / (F.sqrt(dot(F.col("v"), F.col("v"))) * svn)
+                for sv, svn in sel_vecs
             ]
             maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
             cand = rel.filter(~F.col("vec_id").isin(sel_ids)).withColumn(
@@ -1613,7 +1632,8 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = cand.orderBy(F.desc("mmr"), "vec_id").limit(1).collect()[0]
         picks.append((t, row["vec_id"], row["rel"], row["mmr"]))
         sel_ids.append(row["vec_id"])
-        sel_vecs.append(F.lit([float(x) for x in row["v"]]))
+        svals = [float(x) for x in row["v"]]
+        sel_vecs.append((F.lit(svals), F.lit(math.sqrt(_pydot(svals)))))
     out = spark.createDataFrame(
         picks, "pick_idx int, vec_id long, rel_raw double, mmr_raw double"
     )
@@ -3263,24 +3283,40 @@ def _lsh_tuning_curve_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lsh_tuning_recommend`: returns the unordered per-configuration
     table (config, n_bands, rows_per_band, n_candidates, n_true_dups,
     precision_at_cfg, recall_at_cfg)."""
+    # r14 (verdict item 6, guide §2.4/§8): the old shape exploded the
+    # corpus to a DISTINCT (doc, shingle) STRING relation and shuffled
+    # it three times (distinct, the 8-min signature groupBy, the
+    # collect_set truth groupBy). Per-doc shingle state is row-local:
+    # the distinct set is array_distinct over the in-row shingle array
+    # and each signature hash is array_min of a salted md5 transform —
+    # identical values (min over distinct == min over the raw list).
+    # The fingerprint-sized signature relation (doc_id + 8 hex hashes)
+    # is checkpointed once for the band self-join's two sides; the
+    # truth stage semi-filters the per-doc STRING arrays to candidate
+    # docs in one pass and checkpoints that candidate-bounded relation
+    # (the c1d8881 estimate_error treatment — NOT the corpus-wide
+    # string materialization the r13 adjudication rejected). No
+    # corpus-sized shuffle remains anywhere in the plan.
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
-        "tokens",
-    ).select(
-        "doc_id",
-        F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
-    ).distinct()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
-            for i in range(8)
-        ]
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 2),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
+        )
     )
+    per_doc = toks.select("doc_id", sh_arr.alias("s"))
+
+    def _salted_min(i: int):
+        return F.array_min(
+            F.transform("s", lambda x: F.md5(F.concat(x, F.lit(f":{i}"))))
+        ).alias(f"h{i}")
+
+    sig = per_doc.select(
+        "doc_id", *[_salted_min(i) for i in range(8)]
+    ).localCheckpoint()
     band_structs = []
     for cfg, bands in _LSH_CONFIGS:
         for bi, slots in enumerate(bands):
@@ -3311,9 +3347,13 @@ def _lsh_tuning_curve_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     universe = cand.filter(F.col("cfg") == "b8r1").select("doc_a", "doc_b").distinct()
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    cd = universe.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sets = per_doc.join(F.broadcast(cd), "doc_id").localCheckpoint()
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
@@ -6368,18 +6408,29 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the same greedy pick every round (ties on vec_id)."""
     from ..exprs import dot
 
+    def _pydot2(xs):
+        # left fold in index order — identical IEEE sequence to
+        # exprs.dot evaluating dot(sv, sv) on the same doubles
+        acc = 0.0
+        for x in xs:
+            acc = acc + x * x
+        return acc
+
     e = _t(spark, sf_dir, "embeddings")
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     seed = base.filter(F.col("vec_id") == 0).collect()[0]
     picks = [(1, int(seed["vec_id"]), 0.0)]
     sel_ids = [int(seed["vec_id"])]
-    sel_vecs = [F.lit([float(x) for x in seed["v"]])]
+    svals = [float(x) for x in seed["v"]]
+    # r14 (§1.2): each literal vector's self-dot is a per-row constant
+    # the HOF fold re-evaluated every row — computed driver-side.
+    sel_vecs = [(F.lit(svals), F.lit(_pydot2(svals)))]
     for t in range(2, KCENTER_K + 1):
         dists = [
             dot(F.col("v"), F.col("v"))
             - F.lit(2.0) * dot(F.col("v"), sv)
-            + dot(sv, sv)
-            for sv in sel_vecs
+            + svd
+            for sv, svd in sel_vecs
         ]
         mind = dists[0] if len(dists) == 1 else F.least(*dists)
         row = (
@@ -6391,7 +6442,8 @@ def kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picks.append((t, int(row["vec_id"]), float(row["mind"])))
         sel_ids.append(int(row["vec_id"]))
-        sel_vecs.append(F.lit([float(x) for x in row["v"]]))
+        rvals = [float(x) for x in row["v"]]
+        sel_vecs.append((F.lit(rvals), F.lit(_pydot2(rvals))))
     out = spark.createDataFrame(picks, "pick_idx int, vec_id long, mind double")
     return out.select(
         "pick_idx", "vec_id", stable_render(F.col("mind"), 6).alias("min_dist_sq")

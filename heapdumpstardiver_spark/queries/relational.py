@@ -3696,10 +3696,19 @@ def kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    # r14 (verdict item 9, the dedup_cc §2.2 treatment): the symmetric
+    # edge list is STATIC across all ~27 peel rounds but was re-derived
+    # from the pairs checkpoint (two scans + a union) every round;
+    # checkpoint it once, hash-repartitioned by the round-join key so
+    # AQE sizes the checkpoint partitions by data (1-2 locally, many at
+    # scale) instead of inheriting the union's layout.
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
     )
     alive = checkpoint_flat(
         edges.select(F.col("src").alias("v")).distinct()

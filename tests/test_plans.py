@@ -1312,7 +1312,10 @@ def test_media_near_dup_payloads_never_shuffle(spark):
     """The three r11 media near-dup operators: payload bytes decode +
     fingerprint inside ONE Arrow-batched stage; every exchange below
     the verify joins carries only hash/code columns, never payload or
-    decoded bytes; no row-at-a-time Python anywhere."""
+    decoded bytes; no row-at-a-time Python anywhere. r14: the image
+    twin checkpoints its hash relation so its FOUR consumers (two band
+    sides + two verify sides) share ONE decode pass — its returned
+    plan must read the checkpointed rows and re-run no Arrow stage."""
     for name in (
         "image_phash_near_dup",
         "video_phash_near_dup",
@@ -1320,7 +1323,12 @@ def test_media_near_dup_payloads_never_shuffle(spark):
     ):
         df = hds.QUERIES[name](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+        if name == "image_phash_near_dup":
+            assert "Scan ExistingRDD" in plan, name
+            assert "MapInPandas" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
+        else:
+            assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
         assert "BatchEvalPython" not in plan, name
         for ln in plan.splitlines():
             if "Exchange" in ln:
@@ -1404,11 +1412,16 @@ def test_weighted_reservoir_is_takeordered_projection(spark):
 
 def test_minhash_estimate_error_joins_candidates_only(spark):
     """The estimator audit must score LSH candidate pairs only: the
-    pair relation comes from the band-bucket equi-join (no cartesian
-    product anywhere) and the 16 audit min-hashes ride the same
-    per-doc shingle aggregate as the exact-Jaccard sets (partial_min
-    present; no Python)."""
+    candidate-bounded per-doc shingle/estimator arrays are derived in
+    ONE corpus pass (broadcast semi-join on the candidate ids) and
+    localCheckpointed, so the returned plan joins flat checkpointed
+    rows — no cartesian product, no second corpus scan, no Python."""
     plan = plan_of(spark, "minhash_estimate_error")
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan
     assert "BatchEvalPython" not in plan
+    # The pair sides read the checkpointed candidate-bounded relation,
+    # not a re-derived corpus pipeline.
+    assert "Scan ExistingRDD" in plan
+    # The corpus tokenize/shingle pass ran at construction: the
+    # returned plan must not scan parquet at all.
+    assert "Scan parquet" not in plan
