@@ -1098,21 +1098,17 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
-    # r14 (verdict item 6, guide §2.4): the per-doc distinct shingle
-    # set is row-local — array_distinct over the in-row shingle array
-    # replaces explode → groupBy collect_set, removing the corpus-sized
-    # STRING shuffle entirely (array_intersect/size are order-blind, so
-    # values are identical). The join stays fused: the r13 adjudication
-    # showed the candidate-bounded checkpoint LOSES here (two plain
-    # corpus map passes with no barrier beat the materialization).
-    sets = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - 2),
-                lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
-            )
-        ).alias("s"),
+    sets = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+            "tokens",
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("s"))
     )
     a, b = sets.alias("a"), sets.alias("b")
     joined = cand.join(a, cand.doc_a == F.col("a.doc_id")).join(
@@ -3283,40 +3279,24 @@ def _lsh_tuning_curve_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     `lsh_tuning_recommend`: returns the unordered per-configuration
     table (config, n_bands, rows_per_band, n_candidates, n_true_dups,
     precision_at_cfg, recall_at_cfg)."""
-    # r14 (verdict item 6, guide §2.4/§8): the old shape exploded the
-    # corpus to a DISTINCT (doc, shingle) STRING relation and shuffled
-    # it three times (distinct, the 8-min signature groupBy, the
-    # collect_set truth groupBy). Per-doc shingle state is row-local:
-    # the distinct set is array_distinct over the in-row shingle array
-    # and each signature hash is array_min of a salted md5 transform —
-    # identical values (min over distinct == min over the raw list).
-    # The fingerprint-sized signature relation (doc_id + 8 hex hashes)
-    # is checkpointed once for the band self-join's two sides; the
-    # truth stage semi-filters the per-doc STRING arrays to candidate
-    # docs in one pass and checkpoints that candidate-bounded relation
-    # (the c1d8881 estimate_error treatment — NOT the corpus-wide
-    # string materialization the r13 adjudication rejected). No
-    # corpus-sized shuffle remains anywhere in the plan.
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).filter(
         F.size("tokens") >= 3
     )
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - 2),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i, 3)),
-        )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tokens") - 2)).alias("i"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("tokens", F.col("i"), 3)).alias("shingle"),
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(8)
+        ]
     )
-    per_doc = toks.select("doc_id", sh_arr.alias("s"))
-
-    def _salted_min(i: int):
-        return F.array_min(
-            F.transform("s", lambda x: F.md5(F.concat(x, F.lit(f":{i}"))))
-        ).alias(f"h{i}")
-
-    sig = per_doc.select(
-        "doc_id", *[_salted_min(i) for i in range(8)]
-    ).localCheckpoint()
     band_structs = []
     for cfg, bands in _LSH_CONFIGS:
         for bi, slots in enumerate(bands):
@@ -3347,13 +3327,9 @@ def _lsh_tuning_curve_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint()
     )
     universe = cand.filter(F.col("cfg") == "b8r1").select("doc_a", "doc_b").distinct()
-    cd = universe.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    sets = per_doc.join(F.broadcast(cd), "doc_id").localCheckpoint()
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
