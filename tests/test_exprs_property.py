@@ -107,3 +107,31 @@ def test_qc_round6_matches_round_sql(x):
     import struct
 
     assert struct.pack("d", got) == struct.pack("d", want), (x, got, want)
+
+
+def test_cosine_bn_is_bit_identical_to_cosine(spark):
+    """r14: cosine_bn (norm-hoisted cosine) must produce the same
+    IEEE doubles as the inline cosine — same quotient
+    dot/(sqrt(aa)·bn), each factor evaluated once."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from heapdumpstardiver_spark.exprs import cosine, cosine_bn, dot
+
+    rows = [
+        ([1.0, 2.5, -3.75, 0.125], [0.5, -1.5, 2.25, 4.0]),
+        ([1e-12, -1e12, 3.14159, 2.71828], [1.0, 1.0, 1.0, 1.0]),
+        ([0.1, 0.2, 0.3, 0.4], [-0.4, 0.3, -0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("inline"),
+        cosine_bn(
+            F.col("a"), F.col("b"), F.sqrt(dot(F.col("b"), F.col("b")))
+        ).alias("hoisted"),
+    ).collect()
+    for r in out:
+        assert math.isclose(r["inline"], r["hoisted"], rel_tol=0, abs_tol=0) or (
+            r["inline"] == r["hoisted"]
+        ), (r["inline"], r["hoisted"])

@@ -1425,3 +1425,24 @@ def test_minhash_estimate_error_joins_candidates_only(spark):
     # The corpus tokenize/shingle pass ran at construction: the
     # returned plan must not scan parquet at all.
     assert "Scan parquet" not in plan
+
+
+def test_bm25_single_corpus_scan_via_checkpointed_proxy(spark):
+    """r14: the per-doc tf/dlen proxy is materialized once, so the
+    returned plan reads checkpointed rows for BOTH the stats aggregate
+    and the scoring projection — zero parquet scans re-run per rep."""
+    plan = plan_of(spark, "bm25_keyword_search")
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_similarity_topk_query_norm_on_broadcast_side(spark):
+    """r14: the query vector's self-norm (qn) must be computed once on
+    the 1-row broadcast side; the corpus scan projection must not
+    re-evaluate the query self-fold per row."""
+    plan = plan_of(spark, "similarity_topk")
+    assert " AS qn#" in plan, plan
+    # the query self-fold zip_with(qv, qv, ...) appears exactly once —
+    # in the broadcast side's projection, not the per-row scorer
+    assert plan.count("zip_with(qv") == 1, plan.count("zip_with(qv")
