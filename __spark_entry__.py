@@ -51,32 +51,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # 6 new + the 44 remaining r7-vintage rows = exactly 50 slots.
 # --check-head reports them under "never-green", distinct from stale.
 _CHECK_PRIORITY = [
-    # 1: new in r13
-    "ivfpq_adc_probe",
-    # 2: the r6-vintage block
-    "ab_power_analysis", "ann_recall_at_k", "anomaly_zscore_daily",
-    "asof_join_tolerance", "bigram_logprob_score", "bigram_pmi_topk",
-    "bm25_keyword_search", "bpe_pair_merge_candidates",
-    "chunk_documents_overlap", "cross_source_duplication",
-    "curation_funnel_accounting", "decile_feature_binning",
-    "eb_shrunk_rates", "exact_substring_runs", "funnel_conversion",
-    "fuzzy_join_levenshtein", "gap_fill_interpolate", "gc_root_path",
-    "gini_revenue_concentration", "heaps_law_fit",
-    "importance_resample_dsir", "importance_weight_ess",
-    "join_key_skew_profile", "k_anonymity_audit",
-    "latest_event_per_user", "locf_forward_fill", "lsh_tuning_curve",
-    "mix_rate_decomposition", "multimodal_jpeg_decode",
-    "partition_key_advisor", "percentile_cont_groups",
-    "price_trend_regression", "quality_classifier_score",
-    "retention_cohort", "retention_decay_fit",
-    "rolling_1h_range_frame", "seasonal_naive_error",
-    "seasonality_index_dow", "similarity_pq_adc",
-    "star_join_supplier_volume", "table_profile", "textrank_keywords",
-    "tfidf_top_terms", "time_weighted_avg_user",
-    "trending_leaderboard_decayed", "unigram_logprob_score",
-    "vocab_oov_coverage", "zipf_alpha_fit",
-    # 3: spare slot — stalest-next (r7) row
-    "anomaly_mad_robust",
+    # r14 rotation. 1: every query whose plan/derivation was rewritten
+    # in the r14 optimization round (results re-verified exact locally
+    # at sf0.01 + sf0.1; the driver's sample should confirm them)
+    "similarity_topk", "similarity_lsh_bucketed", "similarity_ivf_probe",
+    "ann_recall_at_k", "hybrid_search_rrf", "rank_biased_overlap",
+    "filtered_ann_pre_vs_post", "ndcg_lexical_vs_dense",
+    "lsh_plane_recall_curve", "label_coherence_audit",
+    "hard_negative_mining", "mmr_diverse_selection",
+    "kcenter_coreset_selection", "bm25_keyword_search",
+    "kcore_fixpoint", "image_phash_near_dup",
+    "jaccard_pairs", "containment_pairs",
+    # 2: never driver-verified (no head slot since they were added)
+    "hprof_fleet_census", "minhash_estimate_error",
+    "semantic_decontaminate_embed", "tfrecord_example_decode_stats",
+    "tfrecord_record_tally", "tfrecord_roundtrip_tally",
+    "weighted_reservoir_sample",
+    # 3: stalest rows (last green vintage <= r7)
+    "arithmetic_charge", "association_rules_lift",
+    "benford_digit_audit", "boilerplate_passage_filter",
+    "calibration_reliability", "conditional_agg", "constraint_audit",
+    "count_distinct", "cuped_adjusted_metric", "cusum_changepoint",
+    "dedup_exact", "dedup_keep_best", "dedup_prefix_groups",
+    "did_estimator", "geo_grid_neighbor_pairs", "having_dup_groups",
+    "incremental_dedup_new_batch", "inverted_index_postings",
+    "l_diversity_audit", "label_balance_resample",
+    "lsh_tuning_recommend", "multimodal_jpeg_420_decode",
+    "multimodal_png_decode", "ngram_shingle_overlap",
+    "pareto_frontier_docs",
 ]
 
 
