@@ -128,9 +128,14 @@ def load_table(
     file counts) and Spark's default first-footer schema is right for
     the homogeneous tables ingest writes."""
     path = table_path(sf_dir, name)
-    key = (path, ignore_corrupt, merge_schema, _fs_key(path))
+    try:
+        key = (path, ignore_corrupt, merge_schema, _fs_key(path))
+    except OSError:
+        # missing/unreadable path: skip the cache so the reader below
+        # raises Spark's own error (PATH_NOT_FOUND), not an OSError
+        key = None
     per_session = _DF_CACHE.setdefault(spark, {})
-    hit = per_session.get(key[:3])
+    hit = per_session.get(key[:3]) if key is not None else None
     if hit is not None and hit[0] == key:
         return hit[1]
     if name == "events":
@@ -142,7 +147,8 @@ def load_table(
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(path)
-    per_session[key[:3]] = (key, df)
+    if key is not None:
+        per_session[key[:3]] = (key, df)
     return df
 
 
